@@ -10,7 +10,9 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+Test / parallelExecution := false
 run / fork := true
+scalacOptions ++= Seq("-language:existentials", "-deprecation")
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

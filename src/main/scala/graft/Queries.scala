@@ -1,0 +1,209 @@
+package graft
+
+import org.apache.spark.ml.classification.DecisionTreeClassifier
+import org.apache.spark.ml.feature.VectorAssembler
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.ml.graft._
+import org.apache.spark.ml.regression.DecisionTreeRegressor
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Query catalog backing SparkEntry. Each `q*` analytic query has an exact
+  * DuckDB oracle (SparkEntry.oracleSql); float aggregates are rounded on
+  * BOTH sides so cross-engine summation-order noise cannot flip the hash.
+  * ML fit queries are deterministic but not SQL-expressible -> rows-only.
+  *
+  * Scale notes are per-query: the target is a 1000-executor cluster on
+  * 100 TB, so every query is written shuffle-minimal (partial aggs,
+  * broadcast dims, no driver-side loops).
+  */
+object Queries {
+  import Tables._
+
+  // ---------------------------------------------------------------- analytics
+
+  /** Pricing summary (TPC-H Q1 shape): single scan, partial aggregation,
+    * 6-group shuffle — scales linearly in input, constant in output.
+    */
+  def q1PricingSummary(spark: SparkSession, sfDir: String): DataFrame =
+    lineitem(spark, sfDir)
+      .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum("l_quantity").as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg("l_quantity"), 6).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Revenue per nation: two broadcast joins (customer+nation are small at
+    * every SF — dims grow ~100x slower than facts), one fact-side shuffle
+    * on the final groupBy only.
+    */
+  def q2RevenueByNation(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = lineitem(spark, sfDir)
+    val o = orders(spark, sfDir)
+    val c = customer(spark, sfDir)
+    val n = nation(spark, sfDir)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(n("n_name").as("nation"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("line_count"))
+      .orderBy("nation")
+  }
+
+  /** Windowed running quantity per supplier — deterministic total order
+    * (shipdate, orderkey, linenumber is a unique key). One shuffle on the
+    * window partition key; restricted to 10 suppliers so the dump stays
+    * small while the window machinery is fully exercised.
+    */
+  def q3RunningQty(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window
+      .partitionBy("l_suppkey")
+      .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lineitem(spark, sfDir)
+      .filter(col("l_suppkey") < 10)
+      .withColumn("running_qty", sum("l_quantity").over(w))
+      .select("l_suppkey", "l_orderkey", "l_linenumber", "running_qty")
+      .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+  }
+
+  /** Orders with at least one deeply-discounted line, per priority: a
+    * left-semi join (no payload duplication, no row explosion).
+    */
+  def q4DiscountedOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = orders(spark, sfDir)
+    val li = lineitem(spark, sfDir).filter(col("l_discount") >= 0.05)
+    o.join(li, o("o_orderkey") === li("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority").as("priority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("priority")
+  }
+
+  /** Per-segment order stats: broadcast the customer dim into the fact. */
+  def q5SegmentStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = orders(spark, sfDir)
+    val c = customer(spark, sfDir)
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(
+        max("o_totalprice").as("max_price"),
+        min("o_totalprice").as("min_price"),
+        count(lit(1)).as("order_count"))
+      .orderBy("segment")
+  }
+
+  /** Tumbling 1h event aggregation — the batch twin of the streaming
+    * windowed agg (graft.streaming); epoch seconds keep the bucket key
+    * engine-neutral.
+    */
+  def q6EventWindows(spark: SparkSession, sfDir: String): DataFrame =
+    events(spark, sfDir)
+      .groupBy(
+        window(col("ts"), "1 hour").as("w"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("event_count"),
+        round(sum("value"), 4).as("sum_value"))
+      .select(
+        unix_timestamp(col("w.start")).as("window_start"),
+        col("event_type"),
+        col("event_count"),
+        col("sum_value"))
+      .orderBy("window_start", "event_type")
+
+  // ---------------------------------------------------------------- ML-shaped
+
+  /** lineitem lowered to (label, features) instances — the canonical input
+    * shape of every estimator (FIXTURES.md §1).
+    */
+  def regressionInstances(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = lineitem(spark, sfDir)
+      .select(
+        col("l_extendedprice").as("label"),
+        col("l_quantity"), col("l_discount"), col("l_tax"),
+        col("l_returnflag"))
+    new VectorAssembler()
+      .setInputCols(Array("l_quantity", "l_discount", "l_tax"))
+      .setOutputCol("features")
+      .transform(li)
+  }
+
+  def classificationInstances(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = lineitem(spark, sfDir)
+      .select(
+        when(col("l_returnflag") === "R", 1.0).otherwise(0.0).as("label"),
+        col("l_quantity"), col("l_discount"), col("l_tax"), col("l_extendedprice"))
+    new VectorAssembler()
+      .setInputCols(Array("l_quantity", "l_discount", "l_tax", "l_extendedprice"))
+      .setOutputCol("features")
+      .transform(li)
+  }
+
+  /** DummyRegressor(mean) — the first end-to-end estimator slice; its
+    * constant equals AVG(l_extendedprice), giving an exact SQL oracle.
+    */
+  def dummyMean(spark: SparkSession, sfDir: String): DataFrame = {
+    val model = new DummyRegressor().setStrategy("mean").fit(regressionInstances(spark, sfDir))
+    import spark.implicits._
+    Seq(BigDecimal(model.constantValue).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      .toDF("prediction")
+  }
+
+  /** DummyClassifier(prior) over the return-flag label — class priors are
+    * exact count ratios, SQL-checkable.
+    */
+  def dummyPrior(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = lineitem(spark, sfDir).select(
+      when(col("l_returnflag") === "A", 0.0)
+        .when(col("l_returnflag") === "N", 1.0)
+        .otherwise(2.0).as("label"))
+    val withFeatures = li.withColumn("features", array_to_vector(array(lit(0.0))))
+    val model = new DummyClassifier().setStrategy("prior").fit(withFeatures)
+    import spark.implicits._
+    model.classProbabilities.zipWithIndex
+      .map { case (p, k) =>
+        (k.toLong, BigDecimal(p).setScale(10, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+      .toSeq
+      .toDF("class_label", "probability")
+      .orderBy("class_label")
+  }
+
+  /** Bagging fit+transform summary (not SQL-expressible -> rows-only). */
+  def baggingRegression(spark: SparkSession, sfDir: String): DataFrame = {
+    val df = regressionInstances(spark, sfDir)
+    val model = new BaggingRegressor()
+      .setBaseLearner(new DecisionTreeRegressor().setMaxDepth(5).setSeed(42))
+      .setNumBaseLearners(5)
+      .setSubsampleRatio(0.8)
+      .setSeed(42L)
+      .fit(df)
+    model.transform(df)
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("rows"),
+        round(sqrt(avg(pow(col("prediction") - col("label"), 2))), 2).as("rmse"))
+      .orderBy("l_returnflag")
+  }
+
+  def baggingClassification(spark: SparkSession, sfDir: String): DataFrame = {
+    val df = classificationInstances(spark, sfDir)
+    val model = new BaggingClassifier()
+      .setBaseLearner(new DecisionTreeClassifier().setMaxDepth(5).setSeed(42))
+      .setNumBaseLearners(5)
+      .setVotingStrategy("soft")
+      .setSeed(42L)
+      .fit(df)
+    model.transform(df)
+      .groupBy("prediction")
+      .agg(count(lit(1)).as("rows"))
+      .orderBy("prediction")
+  }
+}

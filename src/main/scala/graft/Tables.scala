@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Parquet table loaders for the driver-provided testdata (TESTDATA.md). */
+object Tables {
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def lineitem(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "lineitem")
+  def orders(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "orders")
+  def customer(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "customer")
+  def supplier(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "supplier")
+  def part(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "part")
+  def nation(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "nation")
+  def region(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "region")
+  /** events.ts is TIMESTAMP(NANOS) in parquet; with
+    * spark.sql.legacy.parquet.nanosAsLong=true it arrives as Long nanos —
+    * normalize to a microsecond TimestampType either way.
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.LongType
+    val raw = table(spark, sfDir, "events")
+    if (raw.schema("ts").dataType == LongType)
+      raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast(LongType)))
+    else raw
+  }
+  def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")
+}

@@ -1,0 +1,142 @@
+package org.apache.spark.ml.graft
+
+import org.apache.spark.ml.param._
+import org.apache.spark.ml.param.shared.{HasSeed, HasWeightCol}
+import org.apache.spark.ml.util.{DefaultParamsReader, DefaultParamsWriter, MLWritable}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.json4s.JsonDSL._
+import org.json4s._
+import org.json4s.jackson.JsonMethods._
+
+/** Shared param traits for the meta-estimators (reference:
+  * ensemble/ensembleParams.scala + bagging|boosting|stacking params —
+  * re-derived for Spark 4.x).
+  */
+
+private[graft] trait HasNumBaseLearners extends Params {
+
+  /** Number of base learners / boosting iterations. */
+  final val numBaseLearners: IntParam = new IntParam(
+    this, "numBaseLearners", "number of base learners (>0)", ParamValidators.gtEq(1))
+  def getNumBaseLearners: Int = $(numBaseLearners)
+  setDefault(numBaseLearners -> 10)
+}
+
+private[graft] trait HasBaseLearner extends Params {
+
+  /** The base learner fitted on (re-sampled / re-weighted) data. */
+  final val baseLearner: Param[EnsemblePredictorType] =
+    new Param[EnsemblePredictorType](this, "baseLearner", "base learner")
+  def getBaseLearner: EnsemblePredictorType = $(baseLearner)
+}
+
+private[graft] trait HasBaseLearners extends Params {
+
+  /** Heterogeneous base learners (stacking). */
+  final val baseLearners: Param[Array[EnsemblePredictorType]] =
+    new Param[Array[EnsemblePredictorType]](this, "baseLearners", "base learners")
+  def getBaseLearners: Array[EnsemblePredictorType] = $(baseLearners)
+}
+
+private[graft] trait HasStacker extends Params {
+
+  /** Meta-learner fitted on base-learner predictions (stacking). */
+  final val stacker: Param[EnsemblePredictorType] =
+    new Param[EnsemblePredictorType](this, "stacker", "meta learner")
+  def getStacker: EnsemblePredictorType = $(stacker)
+}
+
+/** Bootstrap-rows x random-feature-subspace sampling (reference:
+  * ensemble/HasSubBag.scala:33-71). One deliberate fix vs the reference:
+  * the row-sample seed is `seed + learnerIndex` (the reference reuses the
+  * same seed for every learner's bootstrap — SURVEY.md §2.1 quirks).
+  */
+private[graft] trait HasSubBag extends Params with HasSeed {
+
+  final val replacement: BooleanParam =
+    new BooleanParam(this, "replacement", "sample rows with replacement")
+  def getReplacement: Boolean = $(replacement)
+
+  final val subsampleRatio: DoubleParam = new DoubleParam(
+    this, "subsampleRatio", "row sample fraction (0,1]", ParamValidators.inRange(0, 1, false, true))
+  def getSubsampleRatio: Double = $(subsampleRatio)
+
+  final val subspaceRatio: DoubleParam = new DoubleParam(
+    this, "subspaceRatio", "feature subspace fraction (0,1]", ParamValidators.inRange(0, 1, false, true))
+  def getSubspaceRatio: Double = $(subspaceRatio)
+
+  setDefault(replacement -> true, subsampleRatio -> 1.0, subspaceRatio -> 1.0)
+}
+
+private[graft] trait HasVotingStrategy extends Params {
+
+  /** hard = majority vote over predicted classes; soft = average of
+    * predicted probability vectors.
+    */
+  final val votingStrategy: Param[String] = new Param[String](
+    this, "votingStrategy", "hard|soft", ParamValidators.inArray(Array("hard", "soft")))
+  def getVotingStrategy: String = $(votingStrategy)
+  setDefault(votingStrategy -> "hard")
+}
+
+/** Fit/transform dispatch onto an existentially-typed base learner
+  * (reference: ensemble/ensembleParams.scala:64-81 — ParamMap-based column
+  * rebinding so shared learner objects are never mutated).
+  */
+private[graft] object Learners {
+
+  def fit(
+      learner: EnsemblePredictorType,
+      df: DataFrame,
+      labelCol: String,
+      featuresCol: String,
+      weightCol: Option[String] = None): EnsemblePredictionModelType = {
+    val pm = ParamMap(
+      learner.labelCol.w(labelCol),
+      learner.featuresCol.w(featuresCol))
+    weightCol.foreach { wc =>
+      learner match {
+        case w: HasWeightCol => pm.put(w.weightCol.w(wc))
+        case _ => ()
+      }
+    }
+    learner.fit(df, pm).asInstanceOf[EnsemblePredictionModelType]
+  }
+
+  /** Save/load a nested spark.ml writable (base learner or fitted model). */
+  def save(stage: Params, path: String): Unit =
+    stage.asInstanceOf[MLWritable].write.save(path)
+
+  def loadLearner(path: String, spark: SparkSession): EnsemblePredictorType =
+    DefaultParamsReader.loadParamsInstance[EnsemblePredictorType](path, spark)
+
+  def loadModel(path: String, spark: SparkSession): EnsemblePredictionModelType =
+    DefaultParamsReader.loadParamsInstance[EnsemblePredictionModelType](path, spark)
+}
+
+/** Metadata persistence that skips non-JSON-encodable learner params
+  * (reference: ensemble/ensembleParams.scala:85-105 pattern).
+  */
+private[graft] object GraftPersistence {
+
+  val learnerParamNames: Set[String] = Set("baseLearner", "baseLearners", "stacker")
+
+  def saveMetadata(
+      instance: Params,
+      path: String,
+      spark: SparkSession,
+      extraMetadata: Option[JObject] = None): Unit = {
+    val jsonParams: JValue = render(
+      instance.extractParamMap().toSeq
+        .filterNot(p => learnerParamNames.contains(p.param.name))
+        .map { case ParamPair(p, v) =>
+          p.name -> parse(p.asInstanceOf[Param[Any]].jsonEncode(v))
+        }
+        .toList)
+    DefaultParamsWriter.saveMetadata(instance, path, spark, extraMetadata, Some(jsonParams))
+  }
+
+  def loadMetadata(path: String, spark: SparkSession, expectedClassName: String)
+      : DefaultParamsReader.Metadata =
+    DefaultParamsReader.loadMetadata(path, spark, expectedClassName)
+}
