@@ -193,6 +193,64 @@ object Queries {
       .orderBy("l_returnflag")
   }
 
+  def stackingRegression(spark: SparkSession, sfDir: String): DataFrame = {
+    val df = regressionInstances(spark, sfDir)
+    val model = new StackingRegressor()
+      .setBaseLearners(Array(
+        new DecisionTreeRegressor().setMaxDepth(5).setSeed(42),
+        new org.apache.spark.ml.regression.LinearRegression().setRegParam(0.1)))
+      .setStacker(new org.apache.spark.ml.regression.LinearRegression())
+      .fit(df)
+    model.transform(df)
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("rows"),
+        round(sqrt(avg(pow(col("prediction") - col("label"), 2))), 2).as("rmse"))
+      .orderBy("l_returnflag")
+  }
+
+  def stackingClassification(spark: SparkSession, sfDir: String): DataFrame = {
+    val df = classificationInstances(spark, sfDir)
+    val model = new StackingClassifier()
+      .setBaseLearners(Array(
+        new DecisionTreeClassifier().setMaxDepth(5).setSeed(42),
+        new org.apache.spark.ml.classification.LogisticRegression().setMaxIter(20)))
+      .setStacker(new DecisionTreeClassifier().setMaxDepth(3).setSeed(43))
+      .setStackMethod("proba")
+      .fit(df)
+    model.transform(df)
+      .groupBy("prediction")
+      .agg(count(lit(1)).as("rows"))
+      .orderBy("prediction")
+  }
+
+  def boostingRegression(spark: SparkSession, sfDir: String): DataFrame = {
+    val df = regressionInstances(spark, sfDir)
+    val model = new BoostingRegressor()
+      .setBaseLearner(new DecisionTreeRegressor().setMaxDepth(5).setSeed(42))
+      .setNumBaseLearners(3)
+      .fit(df)
+    model.transform(df)
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("rows"),
+        round(sqrt(avg(pow(col("prediction") - col("label"), 2))), 2).as("rmse"))
+      .orderBy("l_returnflag")
+  }
+
+  def boostingClassification(spark: SparkSession, sfDir: String): DataFrame = {
+    val df = classificationInstances(spark, sfDir)
+    val model = new BoostingClassifier()
+      .setBaseLearner(new DecisionTreeClassifier().setMaxDepth(5).setSeed(42))
+      .setNumBaseLearners(3)
+      .setAlgorithm("discrete")
+      .fit(df)
+    model.transform(df)
+      .groupBy("prediction")
+      .agg(count(lit(1)).as("rows"))
+      .orderBy("prediction")
+  }
+
   def baggingClassification(spark: SparkSession, sfDir: String): DataFrame = {
     val df = classificationInstances(spark, sfDir)
     val model = new BaggingClassifier()

@@ -22,7 +22,11 @@ object SparkEntry {
     "ml_dummy_mean" -> (Queries.dummyMean _),
     "ml_dummy_prior" -> (Queries.dummyPrior _),
     "ml_bagging_regressor" -> (Queries.baggingRegression _),
-    "ml_bagging_classifier" -> (Queries.baggingClassification _)
+    "ml_bagging_classifier" -> (Queries.baggingClassification _),
+    "ml_stacking_regressor" -> (Queries.stackingRegression _),
+    "ml_stacking_classifier" -> (Queries.stackingClassification _),
+    "ml_boosting_regressor" -> (Queries.boostingRegression _),
+    "ml_boosting_classifier" -> (Queries.boostingClassification _)
   )
 
   def oracleSql: Map[String, String] = Map(

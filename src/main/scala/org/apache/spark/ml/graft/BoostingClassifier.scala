@@ -1,0 +1,284 @@
+package org.apache.spark.ml.graft
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.ml.classification.{
+  ProbabilisticClassificationModel, ProbabilisticClassifier
+}
+import org.apache.spark.ml.impl.Utils.EPSILON
+import org.apache.spark.ml.linalg.{DenseVector, Vector, Vectors}
+import org.apache.spark.ml.param.{Param, ParamMap, ParamValidators}
+import org.apache.spark.ml.param.shared.{HasCheckpointInterval, HasWeightCol}
+import org.apache.spark.ml.util._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import org.json4s.DefaultFormats
+import org.json4s.JsonDSL._
+
+private[graft] trait BoostingClassifierParams
+    extends org.apache.spark.ml.classification.ProbabilisticClassifierParams
+    with HasNumBaseLearners
+    with HasBaseLearner
+    with HasWeightCol
+    with HasCheckpointInterval {
+
+  /** discrete = SAMME (0/1 error reweighting), real = SAMME.R
+    * (probability-coded reweighting) — Zhu et al. 2009 (reference:
+    * classification/BoostingClassifier.scala:54-67).
+    */
+  final val algorithm: Param[String] = new Param[String](
+    this, "algorithm", "discrete|real",
+    ParamValidators.inArray(Array("discrete", "real")))
+  def getAlgorithm: String = $(algorithm)
+
+  setDefault(algorithm -> "discrete", checkpointInterval -> 10)
+}
+
+/** SAMME / SAMME.R AdaBoost meta-classifier (reference:
+  * classification/BoostingClassifier.scala:135-282). Same DataFrame-native
+  * loop shape as BoostingRegressor: boost weights are a column, the
+  * per-iteration error is one partial-aggregated sum.
+  */
+class BoostingClassifier(override val uid: String)
+    extends ProbabilisticClassifier[Vector, BoostingClassifier, BoostingClassificationModel]
+    with BoostingClassifierParams
+    with MLWritable {
+
+  def this() = this(Identifiable.randomUID("BoostingClassifier"))
+
+  def setBaseLearner(value: EnsemblePredictorType): this.type = set(baseLearner, value)
+  def setNumBaseLearners(value: Int): this.type = set(numBaseLearners, value)
+  def setAlgorithm(value: String): this.type = set(algorithm, value)
+  def setWeightCol(value: String): this.type = set(weightCol, value)
+  def setCheckpointInterval(value: Int): this.type = set(checkpointInterval, value)
+
+  override protected def train(dataset: Dataset[_]): BoostingClassificationModel = {
+    val numClasses = getNumClasses(dataset)
+    if ($(algorithm) == "real") {
+      require(
+        $(baseLearner).isInstanceOf[ProbabilisticClassifier[_, _, _]],
+        "SAMME.R requires a probabilistic base classifier")
+    }
+    val instances = SubBagFit
+      .instances(
+        dataset, $(labelCol),
+        if (isDefined(weightCol)) Some($(weightCol)) else None, $(featuresCol))
+      .withColumn("__bw", col("weight"))
+    val loop = new IterLoopCache($(checkpointInterval))
+    var df = loop.next(instances)
+
+    val models = ArrayBuffer.empty[EnsemblePredictionModelType]
+    val modelWeights = ArrayBuffer.empty[Double]
+    var i = 0
+    var done = false
+    while (i < $(numBaseLearners) && !done) {
+      val sumW = df.agg(sum("__bw")).head().getDouble(0)
+      val weighted = df.withColumn("__bwn", col("__bw") / sumW)
+      val model = Learners.fit($(baseLearner), weighted, "label", "features", Some("__bwn"))
+      $(algorithm) match {
+        case "discrete" =>
+          val predicted = Learners.transform(model, weighted, "__pred")
+          predicted.persist(StorageLevel.MEMORY_AND_DISK)
+          try {
+            val err = predicted
+              .agg(sum(when(col("__pred") =!= col("label"), col("__bwn")).otherwise(0.0)))
+              .head().getDouble(0)
+            if (err <= 0.0) {
+              models += model
+              modelWeights += 1.0
+              done = true
+            } else if (err >= 1.0 - 1.0 / numClasses) {
+              // worse than random under the SAMME bound: keep only if first
+              if (models.isEmpty) { models += model; modelWeights += 1.0 }
+              done = true
+            } else {
+              val alpha = math.log((1.0 - err) / err) + math.log(numClasses - 1.0)
+              models += model
+              modelWeights += alpha
+              val updated = predicted
+                .withColumn(
+                  "__bw",
+                  when(col("__pred") =!= col("label"), col("__bw") * math.exp(alpha))
+                    .otherwise(col("__bw")))
+                .select("label", "weight", "features", "__bw")
+              df = loop.next(updated)
+            }
+          } finally predicted.unpersist()
+        case "real" =>
+          val prob = model.asInstanceOf[ProbabilisticClassificationModel[Vector, _]]
+          val pm = ParamMap(
+            prob.predictionCol.w("__pred"),
+            prob.rawPredictionCol.w("__raw"),
+            prob.probabilityCol.w("__prob"))
+          val predicted = prob.transform(weighted, pm)
+          val k = numClasses
+          val factorUdf = udf { (label: Double, p: Vector) =>
+            // w *= exp(-(K-1)/K * sum_k code_k * log p_k),
+            // code = 1 at the true class, -1/(K-1) elsewhere
+            var s = 0.0
+            val li = label.toInt
+            var j = 0
+            while (j < k) {
+              val pj = math.max(p(j), EPSILON)
+              val code = if (j == li) 1.0 else -1.0 / (k - 1.0)
+              s += code * math.log(pj)
+              j += 1
+            }
+            math.exp(-(k - 1.0) / k * s)
+          }
+          models += model
+          modelWeights += 1.0
+          val updated = predicted
+            .withColumn("__bw", col("__bw") * factorUdf(col("label"), col("__prob")))
+            .select("label", "weight", "features", "__bw")
+          df = loop.next(updated)
+      }
+      i += 1
+    }
+    loop.close()
+    new BoostingClassificationModel(uid, numClasses, modelWeights.toArray, models.toArray)
+      .setParent(this)
+  }
+
+  override def copy(extra: ParamMap): BoostingClassifier = defaultCopy(extra)
+
+  override def write: MLWriter = new BoostingClassifier.Writer(this)
+}
+
+object BoostingClassifier extends MLReadable[BoostingClassifier] {
+
+  private[graft] class Writer(instance: BoostingClassifier) extends MLWriter {
+    override protected def saveImpl(path: String): Unit = {
+      GraftPersistence.saveMetadata(instance, path, sparkSession)
+      Learners.save(instance.getBaseLearner, s"$path/learner")
+    }
+  }
+
+  private class Reader extends MLReader[BoostingClassifier] {
+    private val className = classOf[BoostingClassifier].getName
+    override def load(path: String): BoostingClassifier = {
+      val metadata = GraftPersistence.loadMetadata(path, sparkSession, className)
+      val est = new BoostingClassifier(metadata.uid)
+      metadata.getAndSetParams(est)
+      est.setBaseLearner(Learners.loadLearner(s"$path/learner", sparkSession))
+    }
+  }
+
+  override def read: MLReader[BoostingClassifier] = new Reader
+  override def load(path: String): BoostingClassifier = super.load(path)
+}
+
+class BoostingClassificationModel(
+    override val uid: String,
+    override val numClasses: Int,
+    val modelWeights: Array[Double],
+    val models: Array[EnsemblePredictionModelType])
+    extends ProbabilisticClassificationModel[Vector, BoostingClassificationModel]
+    with BoostingClassifierParams
+    with MLWritable {
+
+  /** Decision function (reference:
+    * classification/BoostingClassifier.scala:348-382): discrete sums
+    * weight x (one-hot with -1/(K-1) off-diagonal); real sums the
+    * symmetric log-probability code (K-1)(log p - mean log p).
+    */
+  override def predictRaw(features: Vector): Vector = {
+    val raw = new Array[Double](numClasses)
+    $(algorithm) match {
+      case "discrete" =>
+        var i = 0
+        while (i < models.length) {
+          val k = models(i).predict(features).toInt
+          val w = modelWeights(i)
+          var j = 0
+          while (j < numClasses) {
+            raw(j) += w * (if (j == k) 1.0 else -1.0 / (numClasses - 1.0))
+            j += 1
+          }
+          i += 1
+        }
+      case "real" =>
+        var i = 0
+        while (i < models.length) {
+          val p = models(i)
+            .asInstanceOf[ProbabilisticClassificationModel[Vector, _]]
+            .predictProbability(features)
+          val logp = new Array[Double](numClasses)
+          var mean = 0.0
+          var j = 0
+          while (j < numClasses) {
+            logp(j) = math.log(math.max(p(j), EPSILON))
+            mean += logp(j)
+            j += 1
+          }
+          mean /= numClasses
+          j = 0
+          while (j < numClasses) {
+            raw(j) += (numClasses - 1.0) * (logp(j) - mean)
+            j += 1
+          }
+          i += 1
+        }
+    }
+    Vectors.dense(raw)
+  }
+
+  /** softmax(raw / (K-1)) (reference:
+    * classification/BoostingClassifier.scala:342-346).
+    */
+  override protected def raw2probabilityInPlace(rawPrediction: Vector): Vector =
+    rawPrediction match {
+      case d: DenseVector =>
+        var j = 0
+        while (j < d.size) { d.values(j) /= (numClasses - 1.0); j += 1 }
+        org.apache.spark.ml.impl.Utils.softmax(d.values)
+        d
+      case v => throw new IllegalArgumentException(s"unexpected raw vector $v")
+    }
+
+  private[graft] def setBaseLearner(value: EnsemblePredictorType): this.type =
+    set(baseLearner, value)
+
+  override def copy(extra: ParamMap): BoostingClassificationModel =
+    copyValues(new BoostingClassificationModel(uid, numClasses, modelWeights, models), extra)
+      .setParent(parent)
+
+  override def write: MLWriter = new BoostingClassificationModel.Writer(this)
+}
+
+object BoostingClassificationModel extends MLReadable[BoostingClassificationModel] {
+
+  private[graft] class Writer(instance: BoostingClassificationModel) extends MLWriter {
+    override protected def saveImpl(path: String): Unit = {
+      GraftPersistence.saveMetadata(
+        instance, path, sparkSession,
+        Some(("numModels" -> instance.models.length) ~
+          ("numClasses" -> instance.numClasses) ~
+          ("modelWeights" -> instance.modelWeights.toSeq)))
+      Learners.save(instance.getBaseLearner, s"$path/learner")
+      instance.models.zipWithIndex.foreach { case (m, i) =>
+        Learners.save(m, s"$path/model-$i")
+      }
+    }
+  }
+
+  private class Reader extends MLReader[BoostingClassificationModel] {
+    private val className = classOf[BoostingClassificationModel].getName
+    override def load(path: String): BoostingClassificationModel = {
+      implicit val fmt: DefaultFormats.type = DefaultFormats
+      val metadata = GraftPersistence.loadMetadata(path, sparkSession, className)
+      val n = (metadata.metadata \ "numModels").extract[Int]
+      val k = (metadata.metadata \ "numClasses").extract[Int]
+      val weights = (metadata.metadata \ "modelWeights").extract[Seq[Double]].toArray
+      val models = Array.tabulate(n)(i => Learners.loadModel(s"$path/model-$i", sparkSession))
+      val model = new BoostingClassificationModel(metadata.uid, k, weights, models)
+      metadata.getAndSetParams(model, skipParams = Some(List("baseLearner")))
+      model.setBaseLearner(Learners.loadLearner(s"$path/learner", sparkSession))
+    }
+  }
+
+  override def read: MLReader[BoostingClassificationModel] = new Reader
+  override def load(path: String): BoostingClassificationModel = super.load(path)
+}

@@ -103,6 +103,19 @@ private[graft] object Learners {
     learner.fit(df, pm).asInstanceOf[EnsemblePredictionModelType]
   }
 
+  /** Transform with a rebound prediction column, leaving the shared model
+    * object untouched.
+    */
+  def transform(
+      model: EnsemblePredictionModelType,
+      df: DataFrame,
+      predictionCol: String): DataFrame = {
+    val m = model.asInstanceOf[org.apache.spark.ml.PredictionModel[
+      org.apache.spark.ml.linalg.Vector,
+      M] forSome { type M <: org.apache.spark.ml.PredictionModel[org.apache.spark.ml.linalg.Vector, M] }]
+    m.transform(df, ParamMap(m.predictionCol.w(predictionCol)))
+  }
+
   /** Save/load a nested spark.ml writable (base learner or fitted model). */
   def save(stage: Params, path: String): Unit =
     stage.asInstanceOf[MLWritable].write.save(path)
