@@ -251,6 +251,37 @@ object Queries {
       .orderBy("prediction")
   }
 
+  def gbmRegression(spark: SparkSession, sfDir: String): DataFrame = {
+    val df = regressionInstances(spark, sfDir)
+    val model = new GBMRegressor()
+      .setBaseLearner(new DecisionTreeRegressor().setMaxDepth(5).setSeed(42))
+      .setMaxIter(5)
+      .setLearningRate(0.3)
+      .setSeed(42L)
+      .fit(df)
+    model.transform(df)
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("rows"),
+        round(sqrt(avg(pow(col("prediction") - col("label"), 2))), 2).as("rmse"))
+      .orderBy("l_returnflag")
+  }
+
+  def gbmClassification(spark: SparkSession, sfDir: String): DataFrame = {
+    val df = classificationInstances(spark, sfDir)
+    val model = new GBMClassifier()
+      .setBaseLearner(new DecisionTreeRegressor().setMaxDepth(5).setSeed(42))
+      .setMaxIter(3)
+      .setLoss("bernoulli")
+      .setLearningRate(0.3)
+      .setSeed(42L)
+      .fit(df)
+    model.transform(df)
+      .groupBy("prediction")
+      .agg(count(lit(1)).as("rows"))
+      .orderBy("prediction")
+  }
+
   def baggingClassification(spark: SparkSession, sfDir: String): DataFrame = {
     val df = classificationInstances(spark, sfDir)
     val model = new BaggingClassifier()

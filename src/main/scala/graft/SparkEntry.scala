@@ -26,7 +26,9 @@ object SparkEntry {
     "ml_stacking_regressor" -> (Queries.stackingRegression _),
     "ml_stacking_classifier" -> (Queries.stackingClassification _),
     "ml_boosting_regressor" -> (Queries.boostingRegression _),
-    "ml_boosting_classifier" -> (Queries.boostingClassification _)
+    "ml_boosting_classifier" -> (Queries.boostingClassification _),
+    "ml_gbm_regressor" -> (Queries.gbmRegression _),
+    "ml_gbm_classifier" -> (Queries.gbmClassification _)
   )
 
   def oracleSql: Map[String, String] = Map(

@@ -1,0 +1,416 @@
+package org.apache.spark.ml.graft
+
+import scala.collection.mutable.ArrayBuffer
+import scala.concurrent.Future
+import scala.concurrent.duration.Duration
+
+import breeze.linalg.{DenseVector => BDV}
+import breeze.optimize.{DiffFunction, LBFGSB}
+import org.apache.spark.ml.classification.{
+  ProbabilisticClassificationModel, ProbabilisticClassifier
+}
+import org.apache.spark.ml.graft.loss._
+import org.apache.spark.ml.graft.util.GraftUtils
+import org.apache.spark.ml.impl.Utils.EPSILON
+import org.apache.spark.ml.linalg.{DenseVector, Vector, Vectors}
+import org.apache.spark.ml.param._
+import org.apache.spark.ml.param.shared.HasParallelism
+import org.apache.spark.ml.util._
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import org.apache.spark.util.ThreadUtils
+import org.json4s.DefaultFormats
+import org.json4s.JsonDSL._
+
+private[graft] trait GBMClassifierParams
+    extends GBMParams
+    with org.apache.spark.ml.classification.ProbabilisticClassifierParams
+    with HasParallelism {
+
+  /** logloss (K-dim softmax) | exponential | bernoulli (scalar margin). */
+  final val loss: Param[String] = new Param[String](
+    this, "loss", "logloss|exponential|bernoulli",
+    ParamValidators.inArray(Array("logloss", "exponential", "bernoulli")))
+  def getLoss: String = $(loss)
+
+  /** prior (log class priors / log-odds) | uniform (zeros). */
+  final val initStrategy: Param[String] = new Param[String](
+    this, "initStrategy", "prior|uniform",
+    ParamValidators.inArray(Array("prior", "uniform")))
+  def getInitStrategy: String = $(initStrategy)
+
+  setDefault(loss -> "logloss", initStrategy -> "prior")
+
+  private[graft] def lossObj(numClasses: Int): GBMClassificationLoss = $(loss) match {
+    case "logloss" => LogLoss(numClasses)
+    case "exponential" =>
+      require(numClasses == 2, "exponential loss is binary-only"); ExponentialLoss
+    case "bernoulli" =>
+      require(numClasses == 2, "bernoulli loss is binary-only"); BernoulliLoss
+  }
+}
+
+/** K-dimensional gradient boosting on a REGRESSOR base learner (reference:
+  * classification/GBMClassifier.scala:219-496): per iteration one base
+  * regressor per model dimension is fit to that component of the negative
+  * gradient (concurrently, driver pool), and the joint step-size vector is
+  * optimized by bound-constrained L-BFGS-B over a cached narrow projection.
+  * Model state (score vector f, encoded label) lives in array columns — no
+  * RDD.zip (SURVEY.md §7.0 decision 3).
+  */
+class GBMClassifier(override val uid: String)
+    extends ProbabilisticClassifier[Vector, GBMClassifier, GBMClassificationModel]
+    with GBMClassifierParams
+    with MLWritable {
+
+  def this() = this(Identifiable.randomUID("GBMClassifier"))
+
+  def setBaseLearner(value: EnsemblePredictorType): this.type = set(baseLearner, value)
+  def setMaxIter(value: Int): this.type = set(maxIter, value)
+  def setLoss(value: String): this.type = set(loss, value)
+  def setInitStrategy(value: String): this.type = set(initStrategy, value)
+  def setLearningRate(value: Double): this.type = set(learningRate, value)
+  def setOptimizedWeights(value: Boolean): this.type = set(optimizedWeights, value)
+  def setUpdates(value: String): this.type = set(updates, value)
+  def setReplacement(value: Boolean): this.type = set(replacement, value)
+  def setSubsampleRatio(value: Double): this.type = set(subsampleRatio, value)
+  def setSubspaceRatio(value: Double): this.type = set(subspaceRatio, value)
+  def setSeed(value: Long): this.type = set(seed, value)
+  def setWeightCol(value: String): this.type = set(weightCol, value)
+  def setNumRounds(value: Int): this.type = set(numRounds, value)
+  def setValidationTol(value: Double): this.type = set(validationTol, value)
+  def setValidationIndicatorCol(value: String): this.type = set(validationIndicatorCol, value)
+  def setCheckpointInterval(value: Int): this.type = set(checkpointInterval, value)
+  def setParallelism(value: Int): this.type = set(parallelism, value)
+
+  override protected def train(dataset: Dataset[_]): GBMClassificationModel = {
+    val numClasses = getNumClasses(dataset)
+    val gbmLoss = lossObj(numClasses)
+    val dim = gbmLoss.dim
+    val hasVal = isDefined(validationIndicatorCol) && $(validationIndicatorCol).nonEmpty
+    val valCol =
+      if (hasVal) col($(validationIndicatorCol)).cast("boolean") else lit(false)
+
+    val wc =
+      if (isDefined(weightCol) && $(weightCol).nonEmpty) col($(weightCol)).cast("double")
+      else lit(1.0)
+    val instances = dataset.select(
+      col($(labelCol)).cast("double").as("label"),
+      wc.as("weight"),
+      col($(featuresCol)).as("features"),
+      valCol.as("__val"))
+    val nf = GraftUtils.numFeatures(instances, "features")
+
+    // ---- constant init vector f_0 (reference:
+    // classification/GBMClassifier.scala:275-288)
+    val init: Array[Double] = $(initStrategy) match {
+      case "uniform" => Array.fill(dim)(0.0)
+      case "prior" =>
+        val counts = instances.filter(!col("__val"))
+          .groupBy("label").agg(sum("weight").as("w")).collect()
+          .map(r => (r.getDouble(0).toInt, r.getDouble(1))).toMap
+        val total = counts.values.sum
+        val priors = Array.tabulate(numClasses)(k =>
+          math.max(counts.getOrElse(k, 0.0) / total, EPSILON))
+        if (dim == 1) Array(0.5 * math.log(priors(1) / priors(0))) // log-odds
+        else priors.map(math.log)
+    }
+
+    val lossB = gbmLoss
+    val encodeUdf = udf { (y: Double) => lossB.encodeLabel(y) }
+    val initLit = array(init.map(lit(_)): _*)
+    val loop = new IterLoopCache($(checkpointInterval))
+    var df = loop.next(
+      instances
+        .withColumn("__yenc", encodeUdf(col("label")))
+        .withColumn("__f", initLit)
+        .select("label", "weight", "features", "__val", "__yenc", "__f"))
+
+    val models = ArrayBuffer.empty[Array[EnsemblePredictionModelType]]
+    val modelWeights = ArrayBuffer.empty[Array[Double]]
+    val subspaces = ArrayBuffer.empty[Array[Int]]
+    var bestValLoss = Double.PositiveInfinity
+    var badRounds = 0
+    var i = 0
+    var done = false
+    val ec = getExecutionContext
+
+    while (i < $(maxIter) && !done) {
+      val newton = $(updates) == "newton"
+      val residUdf = udf { (yenc: Seq[Double], f: Seq[Double]) =>
+        lossB.negativeGradient(yenc.toArray, f.toArray).toSeq
+      }
+      val hessUdf = udf { (yenc: Seq[Double], f: Seq[Double]) =>
+        lossB.asInstanceOf[GBMClassificationLoss with HasHessian]
+          .hessian(yenc.toArray, f.toArray).toSeq
+      }
+
+      val trainRows = df.filter(!col("__val"))
+      val sampled =
+        if ($(subsampleRatio) == 1.0 && !$(replacement)) trainRows
+        else trainRows.sample($(replacement), $(subsampleRatio), $(seed) + i)
+      val indices = GraftUtils.subspace($(subspaceRatio), nf, $(seed) + i)
+      val full = indices.length == nf
+      val sliceUdf =
+        if (full) null else udf((v: Vector) => GraftUtils.sliceVector(v, indices))
+
+      var fitBase = sampled.withColumn("__r", residUdf(col("__yenc"), col("__f")))
+      if (newton) fitBase = fitBase.withColumn("__h", hessUdf(col("__yenc"), col("__f")))
+      if (!full) {
+        fitBase = fitBase
+          .withColumn("__sf", sliceUdf(col("features")))
+          .withMetadata("__sf", GraftUtils.featuresMetadata(indices.length, "__sf"))
+      }
+      fitBase.persist(StorageLevel.MEMORY_AND_DISK)
+
+      val featCol = if (full) "features" else "__sf"
+      val dimModels: Array[EnsemblePredictionModelType] =
+        try {
+          val futures = Array.tabulate(dim) { k =>
+            Future {
+              var fitK = fitBase.withColumn("__rk", element_at(col("__r"), k + 1))
+              fitK =
+                if (newton) {
+                  fitK
+                    .withColumn("__hk", element_at(col("__h"), k + 1))
+                    .withColumn("__rk", col("__rk") / col("__hk"))
+                    .withColumn("__wk", col("weight") * col("__hk"))
+                } else fitK.withColumn("__wk", col("weight"))
+              Learners.fit($(baseLearner), fitK, "__rk", featCol, Some("__wk"))
+            }(ec)
+          }
+          futures.map(ThreadUtils.awaitResult(_, Duration.Inf))
+        } finally fitBase.unpersist()
+
+      // directions for all rows
+      var withDir =
+        if (full) df
+        else df
+          .withColumn("__sf", sliceUdf(col("features")))
+          .withMetadata("__sf", GraftUtils.featuresMetadata(indices.length, "__sf"))
+      var k = 0
+      while (k < dim) {
+        withDir = Learners.transformOn(dimModels(k), withDir, featCol, s"__d_$k")
+        k += 1
+      }
+      val dirArray = array(Array.tabulate(dim)(k => col(s"__d_$k")): _*)
+      val withDirArr = withDir.withColumn("__d", dirArray)
+
+      // joint step-size vector via L-BFGS-B over [0, inf)^dim
+      val stepVec: Array[Double] =
+        if (!$(optimizedWeights)) Array.fill(dim)(1.0)
+        else {
+          val proj = withDirArr.filter(!col("__val"))
+            .select(col("__yenc"), col("__f"), col("__d"), col("weight"))
+          val rdd = proj.rdd.map(r =>
+            (r.getSeq[Double](0).toArray, r.getSeq[Double](1).toArray,
+              r.getSeq[Double](2).toArray, r.getDouble(3)))
+          rdd.persist(StorageLevel.MEMORY_AND_DISK)
+          try {
+            rdd.count()
+            val objective = new DiffFunction[BDV[Double]] {
+              override def calculate(a: BDV[Double]): (Double, BDV[Double]) = {
+                val alpha = a.toArray
+                val d = dim
+                val (l, g) = rdd.treeAggregate((0.0, new Array[Double](d)))(
+                  seqOp = { case ((accL, accG), (yenc, f, dir, w)) =>
+                    val fa = new Array[Double](d)
+                    var j = 0
+                    while (j < d) { fa(j) = f(j) + alpha(j) * dir(j); j += 1 }
+                    val grad = lossB.gradient(yenc, fa)
+                    j = 0
+                    while (j < d) { accG(j) += w * grad(j) * dir(j); j += 1 }
+                    (accL + w * lossB.loss(yenc, fa), accG)
+                  },
+                  combOp = { case ((l1, g1), (l2, g2)) =>
+                    var j = 0
+                    while (j < dim) { g1(j) += g2(j); j += 1 }
+                    (l1 + l2, g1)
+                  })
+                (l, BDV(g))
+              }
+            }
+            val solver = new LBFGSB(
+              BDV.zeros[Double](dim),
+              BDV.fill(dim)(Double.PositiveInfinity),
+              maxIter = 20, m = 5, tolerance = 1e-6)
+            try solver.minimize(objective, BDV.fill(dim)(1.0)).toArray
+            catch { case _: Exception => Array.fill(dim)(1.0) }
+          } finally rdd.unpersist()
+        }
+
+      val w = stepVec.map(_ * $(learningRate))
+      models += dimModels
+      modelWeights += w
+      subspaces += indices
+
+      val wLit = array(w.map(lit(_)): _*)
+      val updateUdf = udf { (f: Seq[Double], dir: Seq[Double], ww: Seq[Double]) =>
+        val out = new Array[Double](f.length)
+        var j = 0
+        while (j < f.length) { out(j) = f(j) + ww(j) * dir(j); j += 1 }
+        out.toSeq
+      }
+      df = loop.next(
+        withDirArr
+          .withColumn("__f", updateUdf(col("__f"), col("__d"), wLit))
+          .select("label", "weight", "features", "__val", "__yenc", "__f"))
+
+      if (hasVal) {
+        val lossUdf = udf { (yenc: Seq[Double], f: Seq[Double]) =>
+          lossB.loss(yenc.toArray, f.toArray)
+        }
+        val agg = df.filter(col("__val"))
+          .agg(
+            sum(col("weight") * lossUdf(col("__yenc"), col("__f"))).as("l"),
+            sum("weight").as("w"))
+          .head()
+        if (!agg.isNullAt(0)) {
+          val vloss = agg.getDouble(0) / agg.getDouble(1)
+          if (bestValLoss - vloss > $(validationTol) * math.max(math.abs(bestValLoss), 1e-12)) {
+            bestValLoss = vloss
+            badRounds = 0
+          } else {
+            badRounds += 1
+            if (badRounds >= $(numRounds)) {
+              val keep = math.max(models.length - badRounds, 1)
+              models.dropRightInPlace(models.length - keep)
+              modelWeights.dropRightInPlace(modelWeights.length - keep)
+              subspaces.dropRightInPlace(subspaces.length - keep)
+              done = true
+            }
+          }
+        }
+      }
+      i += 1
+    }
+    loop.close()
+    new GBMClassificationModel(
+      uid, numClasses, init, modelWeights.toArray, subspaces.toArray, models.toArray)
+      .setParent(this)
+  }
+
+  override def copy(extra: ParamMap): GBMClassifier = defaultCopy(extra)
+
+  override def write: MLWriter = new GBMClassifier.Writer(this)
+}
+
+object GBMClassifier extends MLReadable[GBMClassifier] {
+
+  private[graft] class Writer(instance: GBMClassifier) extends MLWriter {
+    override protected def saveImpl(path: String): Unit = {
+      GraftPersistence.saveMetadata(instance, path, sparkSession)
+      Learners.save(instance.getBaseLearner, s"$path/learner")
+    }
+  }
+
+  private class Reader extends MLReader[GBMClassifier] {
+    private val className = classOf[GBMClassifier].getName
+    override def load(path: String): GBMClassifier = {
+      val metadata = GraftPersistence.loadMetadata(path, sparkSession, className)
+      val est = new GBMClassifier(metadata.uid)
+      metadata.getAndSetParams(est)
+      est.setBaseLearner(Learners.loadLearner(s"$path/learner", sparkSession))
+    }
+  }
+
+  override def read: MLReader[GBMClassifier] = new Reader
+  override def load(path: String): GBMClassifier = super.load(path)
+}
+
+class GBMClassificationModel(
+    override val uid: String,
+    override val numClasses: Int,
+    val init: Array[Double],
+    val modelWeights: Array[Array[Double]],
+    val subspaces: Array[Array[Int]],
+    val models: Array[Array[EnsemblePredictionModelType]])
+    extends ProbabilisticClassificationModel[Vector, GBMClassificationModel]
+    with GBMClassifierParams
+    with MLWritable {
+
+  private lazy val gbmLoss = lossObj(numClasses)
+  private val dim = init.length
+
+  /** raw = f_0 + sum_i w_i (x) d_i(x); binary margin mapped to (-f, f)
+    * (reference: classification/GBMClassifier.scala:567-589).
+    */
+  override def predictRaw(features: Vector): Vector = {
+    val f = init.clone()
+    var i = 0
+    while (i < models.length) {
+      val sub = subspaces(i)
+      val x = if (sub.length == features.size) features else GraftUtils.sliceVector(features, sub)
+      var k = 0
+      while (k < dim) {
+        f(k) += modelWeights(i)(k) * models(i)(k).predict(x)
+        k += 1
+      }
+      i += 1
+    }
+    gbmLoss.toRaw(f, numClasses)
+  }
+
+  override protected def raw2probabilityInPlace(rawPrediction: Vector): Vector =
+    rawPrediction match {
+      case d: DenseVector => gbmLoss.raw2probabilityInPlace(d)
+      case v => throw new IllegalArgumentException(s"unexpected raw vector $v")
+    }
+
+  private[graft] def setBaseLearner(value: EnsemblePredictorType): this.type =
+    set(baseLearner, value)
+
+  override def copy(extra: ParamMap): GBMClassificationModel =
+    copyValues(
+      new GBMClassificationModel(uid, numClasses, init, modelWeights, subspaces, models),
+      extra).setParent(parent)
+
+  override def write: MLWriter = new GBMClassificationModel.Writer(this)
+}
+
+object GBMClassificationModel extends MLReadable[GBMClassificationModel] {
+
+  private[graft] class Writer(instance: GBMClassificationModel) extends MLWriter {
+    override protected def saveImpl(path: String): Unit = {
+      GraftPersistence.saveMetadata(
+        instance, path, sparkSession,
+        Some(("numIters" -> instance.models.length) ~
+          ("dim" -> instance.init.length) ~
+          ("numClasses" -> instance.numClasses) ~
+          ("init" -> instance.init.toSeq) ~
+          ("modelWeights" -> instance.modelWeights.map(_.toSeq).toSeq) ~
+          ("subspaces" -> instance.subspaces.map(_.toSeq).toSeq)))
+      Learners.save(instance.getBaseLearner, s"$path/learner")
+      instance.models.zipWithIndex.foreach { case (ms, i) =>
+        ms.zipWithIndex.foreach { case (m, k) =>
+          Learners.save(m, s"$path/model-$i-$k")
+        }
+      }
+    }
+  }
+
+  private class Reader extends MLReader[GBMClassificationModel] {
+    private val className = classOf[GBMClassificationModel].getName
+    override def load(path: String): GBMClassificationModel = {
+      implicit val fmt: DefaultFormats.type = DefaultFormats
+      val metadata = GraftPersistence.loadMetadata(path, sparkSession, className)
+      val iters = (metadata.metadata \ "numIters").extract[Int]
+      val dim = (metadata.metadata \ "dim").extract[Int]
+      val k = (metadata.metadata \ "numClasses").extract[Int]
+      val init = (metadata.metadata \ "init").extract[Seq[Double]].toArray
+      val weights = (metadata.metadata \ "modelWeights").extract[Seq[Seq[Double]]]
+        .map(_.toArray).toArray
+      val subspaces = (metadata.metadata \ "subspaces").extract[Seq[Seq[Int]]]
+        .map(_.toArray).toArray
+      val models = Array.tabulate(iters)(i =>
+        Array.tabulate(dim)(d => Learners.loadModel(s"$path/model-$i-$d", sparkSession)))
+      val model = new GBMClassificationModel(metadata.uid, k, init, weights, subspaces, models)
+      metadata.getAndSetParams(model, skipParams = Some(List("baseLearner")))
+      model.setBaseLearner(Learners.loadLearner(s"$path/learner", sparkSession))
+    }
+  }
+
+  override def read: MLReader[GBMClassificationModel] = new Reader
+  override def load(path: String): GBMClassificationModel = super.load(path)
+}

@@ -1,0 +1,408 @@
+package org.apache.spark.ml.graft
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.commons.math3.optim.MaxEval
+import org.apache.commons.math3.optim.nonlinear.scalar.GoalType
+import org.apache.commons.math3.optim.univariate.{
+  BrentOptimizer, SearchInterval, UnivariateObjectiveFunction
+}
+import org.apache.spark.ml.PredictorParams
+import org.apache.spark.ml.graft.loss._
+import org.apache.spark.ml.graft.util.GraftUtils
+import org.apache.spark.ml.linalg.Vector
+import org.apache.spark.ml.param._
+import org.apache.spark.ml.param.shared.{HasCheckpointInterval, HasMaxIter, HasWeightCol}
+import org.apache.spark.ml.regression.{RegressionModel, Regressor}
+import org.apache.spark.ml.util._
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import org.json4s.DefaultFormats
+import org.json4s.JsonDSL._
+
+/** Params shared by GBMRegressor / GBMClassifier (reference:
+  * boosting/GBMParams.scala:29-131).
+  */
+private[graft] trait GBMParams
+    extends PredictorParams
+    with HasBaseLearner
+    with HasWeightCol
+    with HasMaxIter
+    with HasSubBag
+    with HasCheckpointInterval {
+
+  final val learningRate: DoubleParam = new DoubleParam(
+    this, "learningRate", "shrinkage in (0,1]", ParamValidators.inRange(0, 1, false, true))
+  def getLearningRate: Double = $(learningRate)
+
+  /** Line-search the step size (Brent for regression, L-BFGS-B for the
+    * K-dim classifier) instead of using 1.0.
+    */
+  final val optimizedWeights: BooleanParam =
+    new BooleanParam(this, "optimizedWeights", "optimize per-iteration step size")
+  def getOptimizedWeights: Boolean = $(optimizedWeights)
+
+  /** gradient = fit to -grad; newton = fit to -grad/hess with hessian row
+    * weights.
+    */
+  final val updates: Param[String] = new Param[String](
+    this, "updates", "gradient|newton", ParamValidators.inArray(Array("gradient", "newton")))
+  def getUpdates: String = $(updates)
+
+  /** Early-stop patience in iterations (with validationIndicatorCol). */
+  final val numRounds: IntParam = new IntParam(
+    this, "numRounds", "early-stop patience", ParamValidators.gtEq(1))
+  def getNumRounds: Int = $(numRounds)
+
+  final val validationTol: DoubleParam = new DoubleParam(
+    this, "validationTol", "relative improvement threshold", ParamValidators.gtEq(0))
+  def getValidationTol: Double = $(validationTol)
+
+  final val validationIndicatorCol: Param[String] = new Param[String](
+    this, "validationIndicatorCol", "boolean column marking validation rows")
+  def getValidationIndicatorCol: String = $(validationIndicatorCol)
+
+  setDefault(
+    learningRate -> 1.0, optimizedWeights -> true, updates -> "gradient",
+    maxIter -> 10, numRounds -> 1, validationTol -> 0.01,
+    checkpointInterval -> 10, replacement -> false)
+}
+
+private[graft] trait GBMRegressorParams extends GBMParams {
+
+  /** squared | absolute | huber | quantile | logcosh. */
+  final val loss: Param[String] = new Param[String](
+    this, "loss", "squared|absolute|huber|quantile|logcosh",
+    ParamValidators.inArray(Array("squared", "absolute", "huber", "quantile", "logcosh")))
+  def getLoss: String = $(loss)
+
+  /** huber quantile cut / quantile-loss level. */
+  final val alpha: DoubleParam = new DoubleParam(
+    this, "alpha", "alpha in (0,1)", ParamValidators.inRange(0, 1, false, false))
+  def getAlpha: Double = $(alpha)
+
+  /** constant (loss-optimal constant) | zero | base. */
+  final val initStrategy: Param[String] = new Param[String](
+    this, "initStrategy", "constant|zero|base",
+    ParamValidators.inArray(Array("constant", "zero", "base")))
+  def getInitStrategy: String = $(initStrategy)
+
+  setDefault(loss -> "squared", alpha -> 0.9, initStrategy -> "constant")
+
+  private[graft] def lossObj(delta: Double): GBMRegressionLoss = $(loss) match {
+    case "squared" => SquaredLoss
+    case "absolute" => AbsoluteLoss
+    case "huber" => HuberLoss(if (delta > 0) delta else 1.0)
+    case "quantile" => QuantileLoss($(alpha))
+    case "logcosh" => LogCoshLoss
+  }
+}
+
+/** Friedman-style gradient boosting generic in the base regressor
+  * (reference: regression/GBMRegressor.scala:237-476). Spark-first design
+  * choices vs the reference's RDD.zip pipeline: the running prediction
+  * `__f` is a DataFrame column carried through the loop (immune to
+  * partition-ordering hazards, SURVEY.md §7.0 decision 3); residuals are
+  * codegen'd column expressions over a scalar-loss UDF; the line-search
+  * objective is a treeAggregate over a cached narrow projection.
+  */
+class GBMRegressor(override val uid: String)
+    extends Regressor[Vector, GBMRegressor, GBMRegressionModel]
+    with GBMRegressorParams
+    with MLWritable {
+
+  def this() = this(Identifiable.randomUID("GBMRegressor"))
+
+  def setBaseLearner(value: EnsemblePredictorType): this.type = set(baseLearner, value)
+  def setMaxIter(value: Int): this.type = set(maxIter, value)
+  def setLoss(value: String): this.type = set(loss, value)
+  def setAlpha(value: Double): this.type = set(alpha, value)
+  def setInitStrategy(value: String): this.type = set(initStrategy, value)
+  def setLearningRate(value: Double): this.type = set(learningRate, value)
+  def setOptimizedWeights(value: Boolean): this.type = set(optimizedWeights, value)
+  def setUpdates(value: String): this.type = set(updates, value)
+  def setReplacement(value: Boolean): this.type = set(replacement, value)
+  def setSubsampleRatio(value: Double): this.type = set(subsampleRatio, value)
+  def setSubspaceRatio(value: Double): this.type = set(subspaceRatio, value)
+  def setSeed(value: Long): this.type = set(seed, value)
+  def setWeightCol(value: String): this.type = set(weightCol, value)
+  def setNumRounds(value: Int): this.type = set(numRounds, value)
+  def setValidationTol(value: Double): this.type = set(validationTol, value)
+  def setValidationIndicatorCol(value: String): this.type = set(validationIndicatorCol, value)
+  def setCheckpointInterval(value: Int): this.type = set(checkpointInterval, value)
+
+  override protected def train(dataset: Dataset[_]): GBMRegressionModel = {
+    val hasVal = isDefined(validationIndicatorCol) && $(validationIndicatorCol).nonEmpty
+    val valCol =
+      if (hasVal) col($(validationIndicatorCol)).cast("boolean") else lit(false)
+    val w =
+      if (isDefined(weightCol) && $(weightCol).nonEmpty) col($(weightCol)).cast("double")
+      else lit(1.0)
+    val instances = dataset.select(
+      col($(labelCol)).cast("double").as("label"),
+      w.as("weight"),
+      col($(featuresCol)).as("features"),
+      valCol.as("__val"))
+    val nf = GraftUtils.numFeatures(instances, "features")
+
+    // ---- init model f_0
+    val trainOnly = instances.filter(!col("__val"))
+    val init: EnsemblePredictionModelType = $(initStrategy) match {
+      case "zero" =>
+        new DummyRegressionModel(Identifiable.randomUID("gbmZeroInit"), 0.0)
+      case "constant" =>
+        val strat = $(loss) match {
+          case "squared" | "logcosh" => new DummyRegressor().setStrategy("mean")
+          case "absolute" | "huber" => new DummyRegressor().setStrategy("median")
+          case "quantile" =>
+            new DummyRegressor().setStrategy("quantile").setQuantile($(alpha))
+        }
+        Learners.fit(
+          strat.setWeightCol("weight").asInstanceOf[EnsemblePredictorType],
+          trainOnly, "label", "features", Some("weight"))
+      case "base" =>
+        Learners.fit($(baseLearner), trainOnly, "label", "features", Some("weight"))
+    }
+
+    val loop = new IterLoopCache($(checkpointInterval))
+    var df = loop.next(
+      Learners.transform(init, instances, "__f")
+        .select("label", "weight", "features", "__val", "__f"))
+
+    val models = ArrayBuffer.empty[EnsemblePredictionModelType]
+    val modelWeights = ArrayBuffer.empty[Double]
+    val subspaces = ArrayBuffer.empty[Array[Int]]
+    var bestValLoss = Double.PositiveInfinity
+    var badRounds = 0
+    var i = 0
+    var done = false
+
+    while (i < $(maxIter) && !done) {
+      // Huber delta refresh: alpha-quantile of current absolute residuals
+      val currentLoss: GBMRegressionLoss =
+        if ($(loss) == "huber") {
+          val d = df.filter(!col("__val"))
+            .select(abs(col("label") - col("__f")).as("__absr"))
+            .stat.approxQuantile("__absr", Array($(alpha)), 0.001).head
+          lossObj(math.max(d, 1e-6))
+        } else lossObj(0.0)
+
+      val newton = $(updates) == "newton" && currentLoss.isInstanceOf[HasScalarHessian]
+      val lossB = currentLoss
+      val residUdf = udf { (y: Double, f: Double) => -lossB.gradient(y, f) }
+      val newtonUdf =
+        if (newton) {
+          val h = currentLoss.asInstanceOf[GBMRegressionLoss with HasScalarHessian]
+          // clamp like the reference (hess >= 1e-2) or -grad/hess explodes
+          // where the loss flattens (regression/GBMRegressor.scala:368-385)
+          udf { (y: Double, f: Double) => math.max(h.hessian(y, f), 1e-2) }
+        } else null
+
+      // sub-bag of (instance, prediction) pairs — column-aligned by
+      // construction, no RDD.zip (reference samples pairs jointly at
+      // regression/GBMRegressor.scala:355-366)
+      val trainRows = df.filter(!col("__val"))
+      val sampled =
+        if ($(subsampleRatio) == 1.0 && !$(replacement)) trainRows
+        else trainRows.sample($(replacement), $(subsampleRatio), $(seed) + i)
+      val indices = GraftUtils.subspace($(subspaceRatio), nf, $(seed) + i)
+      val full = indices.length == nf
+      val sliceUdf =
+        if (full) null else udf((v: Vector) => GraftUtils.sliceVector(v, indices))
+
+      var fitDf = sampled.withColumn("__r", residUdf(col("label"), col("__f")))
+      fitDf =
+        if (newton) {
+          fitDf
+            .withColumn("__h", newtonUdf(col("label"), col("__f")))
+            .withColumn("__r", col("__r") / col("__h"))
+            .withColumn("__w", col("weight") * col("__h"))
+        } else fitDf.withColumn("__w", col("weight"))
+      if (!full) {
+        fitDf = fitDf
+          .withColumn("__sf", sliceUdf(col("features")))
+          .withMetadata("__sf", GraftUtils.featuresMetadata(indices.length, "__sf"))
+      }
+      val model = Learners.fit(
+        $(baseLearner), fitDf, "__r", if (full) "features" else "__sf", Some("__w"))
+
+      // direction on ALL rows (train + validation)
+      val withSf =
+        if (full) df
+        else df
+          .withColumn("__sf", sliceUdf(col("features")))
+          .withMetadata("__sf", GraftUtils.featuresMetadata(indices.length, "__sf"))
+      val withDir = Learners.transformOn(
+        model, withSf, if (full) "features" else "__sf", "__d")
+
+      // step size
+      val stepAlpha =
+        if (!$(optimizedWeights)) 1.0
+        else {
+          val proj = withDir.filter(!col("__val"))
+            .select(col("label"), col("__f"), col("__d"), col("weight"))
+          val rdd = proj.rdd.map(r =>
+            (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+          rdd.persist(StorageLevel.MEMORY_AND_DISK)
+          try {
+            rdd.count()
+            val objective = new UnivariateObjectiveFunction(a =>
+              rdd.treeAggregate(0.0)(
+                (acc, t) => acc + t._4 * lossB.loss(t._1, t._2 + a * t._3),
+                _ + _))
+            try {
+              new BrentOptimizer(1e-6, 1e-8)
+                .optimize(
+                  new MaxEval(40), objective, GoalType.MINIMIZE, new SearchInterval(0.0, 100.0))
+                .getPoint
+            } catch { case _: Exception => 1.0 }
+          } finally rdd.unpersist()
+        }
+
+      val w = $(learningRate) * stepAlpha
+      models += model
+      modelWeights += w
+      subspaces += indices
+
+      df = loop.next(
+        withDir
+          .withColumn("__f", col("__f") + lit(w) * col("__d"))
+          .select("label", "weight", "features", "__val", "__f"))
+
+      // validation early stop
+      if (hasVal) {
+        val lossUdf = udf { (y: Double, f: Double) => lossB.loss(y, f) }
+        val agg = df.filter(col("__val"))
+          .agg(
+            sum(col("weight") * lossUdf(col("label"), col("__f"))).as("l"),
+            sum("weight").as("w"))
+          .head()
+        if (agg.isNullAt(0)) {
+          // no validation rows; ignore
+        } else {
+          val vloss = agg.getDouble(0) / agg.getDouble(1)
+          if (bestValLoss - vloss > $(validationTol) * math.max(math.abs(bestValLoss), 1e-12)) {
+            bestValLoss = vloss
+            badRounds = 0
+          } else {
+            badRounds += 1
+            if (badRounds >= $(numRounds)) {
+              // drop the non-improving tail (reference: take(i - v),
+              // regression/GBMRegressor.scala:474)
+              val keep = math.max(models.length - badRounds, 1)
+              models.dropRightInPlace(models.length - keep)
+              modelWeights.dropRightInPlace(modelWeights.length - keep)
+              subspaces.dropRightInPlace(subspaces.length - keep)
+              done = true
+            }
+          }
+        }
+      }
+      i += 1
+    }
+    loop.close()
+    new GBMRegressionModel(uid, init, modelWeights.toArray, subspaces.toArray, models.toArray)
+      .setParent(this)
+  }
+
+  override def copy(extra: ParamMap): GBMRegressor = defaultCopy(extra)
+
+  override def write: MLWriter = new GBMRegressor.Writer(this)
+}
+
+object GBMRegressor extends MLReadable[GBMRegressor] {
+
+  private[graft] class Writer(instance: GBMRegressor) extends MLWriter {
+    override protected def saveImpl(path: String): Unit = {
+      GraftPersistence.saveMetadata(instance, path, sparkSession)
+      Learners.save(instance.getBaseLearner, s"$path/learner")
+    }
+  }
+
+  private class Reader extends MLReader[GBMRegressor] {
+    private val className = classOf[GBMRegressor].getName
+    override def load(path: String): GBMRegressor = {
+      val metadata = GraftPersistence.loadMetadata(path, sparkSession, className)
+      val est = new GBMRegressor(metadata.uid)
+      metadata.getAndSetParams(est)
+      est.setBaseLearner(Learners.loadLearner(s"$path/learner", sparkSession))
+    }
+  }
+
+  override def read: MLReader[GBMRegressor] = new Reader
+  override def load(path: String): GBMRegressor = super.load(path)
+}
+
+class GBMRegressionModel(
+    override val uid: String,
+    val init: EnsemblePredictionModelType,
+    val modelWeights: Array[Double],
+    val subspaces: Array[Array[Int]],
+    val models: Array[EnsemblePredictionModelType])
+    extends RegressionModel[Vector, GBMRegressionModel]
+    with GBMRegressorParams
+    with MLWritable {
+
+  /** f(x) = f_0(x) + sum_i w_i m_i(x|subspace_i) (reference:
+    * regression/GBMRegressor.scala:531-539).
+    */
+  override def predict(features: Vector): Double = {
+    var f = init.predict(features)
+    var i = 0
+    while (i < models.length) {
+      val sub = subspaces(i)
+      val x = if (sub.length == features.size) features else GraftUtils.sliceVector(features, sub)
+      f += modelWeights(i) * models(i).predict(x)
+      i += 1
+    }
+    f
+  }
+
+  private[graft] def setBaseLearner(value: EnsemblePredictorType): this.type =
+    set(baseLearner, value)
+
+  override def copy(extra: ParamMap): GBMRegressionModel =
+    copyValues(new GBMRegressionModel(uid, init, modelWeights, subspaces, models), extra)
+      .setParent(parent)
+
+  override def write: MLWriter = new GBMRegressionModel.Writer(this)
+}
+
+object GBMRegressionModel extends MLReadable[GBMRegressionModel] {
+
+  private[graft] class Writer(instance: GBMRegressionModel) extends MLWriter {
+    override protected def saveImpl(path: String): Unit = {
+      GraftPersistence.saveMetadata(
+        instance, path, sparkSession,
+        Some(("numModels" -> instance.models.length) ~
+          ("modelWeights" -> instance.modelWeights.toSeq) ~
+          ("subspaces" -> instance.subspaces.map(_.toSeq).toSeq)))
+      Learners.save(instance.getBaseLearner, s"$path/learner")
+      Learners.save(instance.init, s"$path/init")
+      instance.models.zipWithIndex.foreach { case (m, i) =>
+        Learners.save(m, s"$path/model-$i")
+      }
+    }
+  }
+
+  private class Reader extends MLReader[GBMRegressionModel] {
+    private val className = classOf[GBMRegressionModel].getName
+    override def load(path: String): GBMRegressionModel = {
+      implicit val fmt: DefaultFormats.type = DefaultFormats
+      val metadata = GraftPersistence.loadMetadata(path, sparkSession, className)
+      val n = (metadata.metadata \ "numModels").extract[Int]
+      val weights = (metadata.metadata \ "modelWeights").extract[Seq[Double]].toArray
+      val subspaces = (metadata.metadata \ "subspaces").extract[Seq[Seq[Int]]]
+        .map(_.toArray).toArray
+      val init = Learners.loadModel(s"$path/init", sparkSession)
+      val models = Array.tabulate(n)(i => Learners.loadModel(s"$path/model-$i", sparkSession))
+      val model = new GBMRegressionModel(metadata.uid, init, weights, subspaces, models)
+      metadata.getAndSetParams(model, skipParams = Some(List("baseLearner")))
+      model.setBaseLearner(Learners.loadLearner(s"$path/learner", sparkSession))
+    }
+  }
+
+  override def read: MLReader[GBMRegressionModel] = new Reader
+  override def load(path: String): GBMRegressionModel = super.load(path)
+}

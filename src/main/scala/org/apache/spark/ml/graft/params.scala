@@ -116,6 +116,18 @@ private[graft] object Learners {
     m.transform(df, ParamMap(m.predictionCol.w(predictionCol)))
   }
 
+  /** Transform with both the features and prediction columns rebound. */
+  def transformOn(
+      model: EnsemblePredictionModelType,
+      df: DataFrame,
+      featuresCol: String,
+      predictionCol: String): DataFrame = {
+    val m = model.asInstanceOf[org.apache.spark.ml.PredictionModel[
+      org.apache.spark.ml.linalg.Vector,
+      M] forSome { type M <: org.apache.spark.ml.PredictionModel[org.apache.spark.ml.linalg.Vector, M] }]
+    m.transform(df, ParamMap(m.featuresCol.w(featuresCol), m.predictionCol.w(predictionCol)))
+  }
+
   /** Save/load a nested spark.ml writable (base learner or fitted model). */
   def save(stage: Params, path: String): Unit =
     stage.asInstanceOf[MLWritable].write.save(path)

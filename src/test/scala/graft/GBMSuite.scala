@@ -1,0 +1,231 @@
+package org.apache.spark.ml.graft
+
+import org.apache.spark.ml.classification.DecisionTreeClassifier
+import org.apache.spark.ml.graft.loss._
+import org.apache.spark.ml.linalg.{Vector, Vectors}
+import org.apache.spark.ml.regression.DecisionTreeRegressor
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class GBMLossSuite extends org.scalatest.funsuite.AnyFunSuite {
+
+  private val rng = new scala.util.Random(13)
+
+  private def numericalGrad(l: GBMLoss, y: Array[Double], f: Array[Double]): Array[Double] = {
+    val eps = 1e-6
+    Array.tabulate(f.length) { k =>
+      val fp = f.clone(); fp(k) += eps
+      val fm = f.clone(); fm(k) -= eps
+      (l.loss(y, fp) - l.loss(y, fm)) / (2 * eps)
+    }
+  }
+
+  test("analytic gradients match finite differences (all losses)") {
+    val scalarLosses: Seq[GBMLoss] = Seq(
+      SquaredLoss, AbsoluteLoss, LogCoshLoss, ScaledLogCoshLoss(0.3),
+      HuberLoss(1.5), QuantileLoss(0.7))
+    for (loss <- scalarLosses; _ <- 0 until 50) {
+      val y = rng.nextGaussian() * 3
+      val f = rng.nextGaussian() * 3
+      if (math.abs(y - f) > 1e-3 && (loss match {
+            case HuberLoss(d) => math.abs(math.abs(y - f) - d) > 1e-3 // kink
+            case _ => true
+          })) {
+        val enc = loss.encodeLabel(y)
+        val g = loss.gradient(enc, Array(f))
+        val ng = numericalGrad(loss, enc, Array(f))
+        assert(math.abs(g(0) - ng(0)) < 1e-4, s"$loss at y=$y f=$f: ${g(0)} vs ${ng(0)}")
+      }
+    }
+  }
+
+  test("classification losses: gradients match finite differences") {
+    val k = 4
+    val ll = LogLoss(k)
+    for (_ <- 0 until 50) {
+      val y = ll.encodeLabel(rng.nextInt(k).toDouble)
+      val f = Array.fill(k)(rng.nextGaussian())
+      val g = ll.gradient(y, f)
+      val ng = numericalGrad(ll, y, f)
+      g.indices.foreach(j => assert(math.abs(g(j) - ng(j)) < 1e-4))
+    }
+    for (loss <- Seq[GBMLoss](ExponentialLoss, BernoulliLoss); _ <- 0 until 50) {
+      val y = loss.encodeLabel(rng.nextInt(2).toDouble)
+      val f = Array(rng.nextGaussian())
+      val g = loss.gradient(y, f)
+      val ng = numericalGrad(loss, y, f)
+      assert(math.abs(g(0) - ng(0)) < 1e-4)
+    }
+  }
+
+  test("hessians are positive and match finite differences where smooth") {
+    for (_ <- 0 until 50) {
+      val y = rng.nextGaussian() * 2
+      val f = rng.nextGaussian() * 2
+      val eps = 1e-5
+      // squared
+      assert(SquaredLoss.hessian(y, f) === 1.0)
+      // logcosh: d2/df2 via gradient finite diff
+      val numH = (LogCoshLoss.gradient(y, f + eps) - LogCoshLoss.gradient(y, f - eps)) / (2 * eps)
+      assert(math.abs(LogCoshLoss.hessian(y, f) - numH) < 1e-4)
+    }
+    val ll = LogLoss(3)
+    val y = ll.encodeLabel(1.0)
+    val f = Array(0.1, -0.2, 0.5)
+    ll.hessian(y, f).foreach(h => assert(h > 0))
+  }
+
+  test("margin losses: probability link is sane") {
+    val raw = Vectors.dense(-0.8, 0.8).toDense
+    val p = ExponentialLoss.raw2probabilityInPlace(raw.copy)
+    assert(math.abs(p(0) + p(1) - 1.0) < 1e-12)
+    assert(p(1) > 0.5) // positive margin -> class 1
+    val praw = LogLoss(3).raw2probabilityInPlace(Vectors.dense(1.0, 2.0, 3.0).toDense)
+    assert(math.abs(praw.values.sum - 1.0) < 1e-12)
+    assert(praw(2) > praw(1) && praw(1) > praw(0))
+  }
+}
+
+class GBMSuite extends graft.SparkSpec {
+
+  private def rmse(df: DataFrame): Double =
+    df.select(sqrt(avg(pow(col("prediction") - col("label"), 2)))).head().getDouble(0)
+
+  private def accuracy(df: DataFrame): Double = {
+    val rows = df.select("prediction", "label").collect()
+    rows.count(r => r.getDouble(0) == r.getDouble(1)).toDouble / rows.length
+  }
+
+  private lazy val regDf: DataFrame = {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(17)
+    (0 until 600).map { _ =>
+      val x = Array.fill(4)(rng.nextDouble() * 10)
+      (2 * x(0) - x(1) + 0.5 * x(2) + rng.nextGaussian() * 0.1, Vectors.dense(x))
+    }.toDF("label", "features")
+  }
+
+  private lazy val clsDf: DataFrame = {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(19)
+    (0 until 600).map { _ =>
+      val x = Array.fill(4)(rng.nextDouble() * 10)
+      val label = ((x(0) + x(1) * 2) / 10).toInt.min(2).toDouble
+      (label, Vectors.dense(x))
+    }.toDF("label", "features")
+  }
+
+  test("GBMRegressor reduces training error vs single iteration") {
+    def fit(iters: Int) = new GBMRegressor()
+      .setBaseLearner(new DecisionTreeRegressor().setMaxDepth(3).setSeed(1))
+      .setMaxIter(iters)
+      .setLearningRate(0.5)
+      .setSeed(0L)
+      .fit(regDf)
+    val one = rmse(fit(1).transform(regDf))
+    val ten = rmse(fit(10).transform(regDf))
+    assert(ten < one, s"10 iters $ten should beat 1 iter $one")
+  }
+
+  test("GBMRegressor absolute/huber/quantile losses fit") {
+    for (l <- Seq("absolute", "huber", "quantile", "logcosh")) {
+      val m = new GBMRegressor()
+        .setBaseLearner(new DecisionTreeRegressor().setMaxDepth(3).setSeed(1))
+        .setMaxIter(3)
+        .setLoss(l)
+        .setSeed(0L)
+        .fit(regDf)
+      assert(m.models.length === 3)
+      val r = rmse(m.transform(regDf))
+      assert(r.isFinite && r < 20, s"loss=$l rmse=$r")
+    }
+  }
+
+  test("GBMRegressor newton updates + subbag fit") {
+    val m = new GBMRegressor()
+      .setBaseLearner(new DecisionTreeRegressor().setMaxDepth(3).setSeed(1))
+      .setMaxIter(3)
+      .setUpdates("newton")
+      .setLoss("logcosh")
+      .setSubsampleRatio(0.7)
+      .setSubspaceRatio(0.7)
+      .setSeed(0L)
+      .fit(regDf)
+    assert(m.models.length === 3)
+    assert(m.subspaces.exists(_.length < 4))
+    assert(rmse(m.transform(regDf)) < 20)
+  }
+
+  test("GBMRegressor validation early stopping truncates") {
+    val s = spark
+    import s.implicits._
+    val withVal = regDf.withColumn("isVal", rand(7) > 0.7)
+    val m = new GBMRegressor()
+      .setBaseLearner(new DecisionTreeRegressor().setMaxDepth(2).setSeed(1))
+      .setMaxIter(30)
+      .setLearningRate(1.0)
+      .setValidationIndicatorCol("isVal")
+      .setNumRounds(2)
+      .setSeed(0L)
+      .fit(withVal)
+    assert(m.models.length < 30, s"expected early stop, got ${m.models.length}")
+  }
+
+  test("GBMClassifier multinomial logloss on 3 classes") {
+    val m = new GBMClassifier()
+      .setBaseLearner(new DecisionTreeRegressor().setMaxDepth(3).setSeed(1))
+      .setMaxIter(5)
+      .setLearningRate(0.5)
+      .setSeed(0L)
+      .fit(clsDf)
+    val out = m.transform(clsDf)
+    val acc = accuracy(out)
+    assert(acc > 0.85, s"gbm logloss accuracy $acc")
+    val p = out.select("probability").head().getAs[Vector](0)
+    assert(math.abs(p.toArray.sum - 1.0) < 1e-9)
+  }
+
+  test("GBMClassifier binary bernoulli and exponential") {
+    val s = spark
+    import s.implicits._
+    val bin = clsDf.withColumn("label", when(col("label") === 2.0, 1.0).otherwise(col("label")))
+    for (l <- Seq("bernoulli", "exponential")) {
+      val m = new GBMClassifier()
+        .setBaseLearner(new DecisionTreeRegressor().setMaxDepth(3).setSeed(1))
+        .setMaxIter(5)
+        .setLoss(l)
+        .setLearningRate(0.5)
+        .setSeed(0L)
+        .fit(bin)
+      val acc = accuracy(m.transform(bin))
+      assert(acc > 0.85, s"gbm $l accuracy $acc")
+    }
+  }
+
+  test("GBM persistence round-trips") {
+    val tmp = java.nio.file.Files.createTempDirectory("gbm-io").toString
+    val m = new GBMRegressor()
+      .setBaseLearner(new DecisionTreeRegressor().setMaxDepth(3).setSeed(1))
+      .setMaxIter(3)
+      .setSeed(0L)
+      .fit(regDf)
+    m.write.overwrite().save(s"$tmp/r")
+    val loaded = GBMRegressionModel.load(s"$tmp/r")
+    val a = m.transform(regDf).select("prediction").collect().map(_.getDouble(0))
+    val b = loaded.transform(regDf).select("prediction").collect().map(_.getDouble(0))
+    assert(a.toSeq === b.toSeq)
+
+    val c = new GBMClassifier()
+      .setBaseLearner(new DecisionTreeRegressor().setMaxDepth(3).setSeed(1))
+      .setMaxIter(2)
+      .setSeed(0L)
+      .fit(clsDf)
+    c.write.overwrite().save(s"$tmp/c")
+    val cl = GBMClassificationModel.load(s"$tmp/c")
+    val ca = c.transform(clsDf).select("prediction").collect().map(_.getDouble(0))
+    val cb = cl.transform(clsDf).select("prediction").collect().map(_.getDouble(0))
+    assert(ca.toSeq === cb.toSeq)
+  }
+}
