@@ -118,6 +118,135 @@ object Queries {
         col("sum_value"))
       .orderBy("window_start", "event_type")
 
+  // ------------------------------------------------------- data-pipeline ops
+
+  import graft.pipeline.{Dedup, Multimodal, Similarity, TextFunctions => TF}
+
+  /** Per-document text statistics — all pure expressions, single scan. */
+  def pTextStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = col("text")
+    documents(spark, sfDir)
+      .select(
+        col("doc_id"),
+        TF.charCount(t).cast("long").as("n_chars_calc"),
+        TF.tokenCount(t).cast("long").as("n_tokens"),
+        TF.distinctTokenCount(t).cast("long").as("n_distinct"),
+        TF.subwordCount(t).cast("long").as("n_subwords"),
+        TF.stopwordCount(t, TF.LangStopwords.head._2).cast("long").as("n_stopwords"))
+      .orderBy("doc_id")
+  }
+
+  def pQualityScore(spark: SparkSession, sfDir: String): DataFrame =
+    documents(spark, sfDir)
+      .select(
+        col("doc_id"),
+        TF.qualityScore(col("text"), TF.LangStopwords.head._2).as("quality"))
+      .orderBy("doc_id")
+
+  def pLangId(spark: SparkSession, sfDir: String): DataFrame =
+    documents(spark, sfDir)
+      .select(TF.langId(col("text")).as("lang_pred"))
+      .groupBy("lang_pred")
+      .agg(count(lit(1)).as("doc_count"))
+      .orderBy("lang_pred")
+
+  def pExactDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Dedup.exactDedup(documents(spark, sfDir), "doc_id", "text")
+    d.agg(
+      sum("dup_count").cast("long").as("total_docs"),
+      count(lit(1)).as("unique_texts"))
+  }
+
+  def pNgramJaccard(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.ngramJaccardPairs(documents(spark, sfDir), "doc_id", "text", 3, 0.5)
+      .orderBy("doc_a", "doc_b")
+
+  def pMinhashDedup(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.minhashPairs(documents(spark, sfDir), "doc_id", "text",
+        numHashes = 64, bands = 16, threshold = 0.35)
+      .orderBy("doc_a", "doc_b")
+
+  def pSimhashDedup(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.simhashPairs(documents(spark, sfDir), "doc_id", "text", maxHamming = 10)
+      .orderBy("doc_a", "doc_b")
+
+  def pFingerprint(spark: SparkSession, sfDir: String): DataFrame =
+    documents(spark, sfDir)
+      .select(col("doc_id"), TF.fingerprint(col("text")).as("fp"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("fp")).as("n_distinct_fp"))
+
+  /** Embedding near-dup detection with deterministically planted dups
+    * (scaled copies of every 25th vector — cosine exactly ~1).
+    */
+  private def embeddingsWithPlants(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val plants = e.filter(col("vec_id") % 25 === 0)
+      .select(
+        (col("vec_id") + 1000000).as("vec_id"),
+        transform(col("embedding"), x => x * lit(1.1)).as("embedding"))
+    e.unionByName(plants)
+  }
+
+  def pEmbeddingDedup(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.embeddingDupPairsBrute(
+        embeddingsWithPlants(spark, sfDir), "vec_id", "embedding", 0.95)
+      .select(col("id_a"), col("id_b"))
+      .orderBy("id_a", "id_b")
+
+  def pAnnBruteForce(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = embeddings(spark, sfDir)
+    Similarity.bruteForceTopK(e.filter(col("vec_id") < 30), e, "vec_id", "embedding", 5)
+      .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rnk"))
+      .orderBy("query_id", "rnk")
+  }
+
+  def pAnnIvf(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = embeddings(spark, sfDir)
+    Similarity.ivfTopK(e.filter(col("vec_id") < 30), e, "vec_id", "embedding", 5,
+        numCentroids = 16, nprobe = 4)
+      .orderBy("query_id", "rank")
+  }
+
+  /** Multimodal plumbing: payload attach -> stub decode -> frame sample ->
+    * per-source stats (rows-only: the decode stub is not SQL).
+    */
+  def pMultimodal(spark: SparkSession, sfDir: String): DataFrame = {
+    val withP = Multimodal.withPayload(documents(spark, sfDir), "text")
+    val framed = Multimodal.sampleFrames(withP, "payload", 64, 2)
+      .withColumn("feat", Multimodal.decodeFeatures(col("frame_bytes")))
+    framed
+      .groupBy("source")
+      .agg(
+        countDistinct("doc_id").as("n_docs"),
+        count(lit(1)).as("n_frames"),
+        round(avg(col("media_meta.n_bytes")), 2).as("avg_bytes"),
+        round(avg(element_at(col("feat"), 1)), 6).as("avg_hist0"))
+      .orderBy("source")
+  }
+
+  /** Sessionization (30-min gap) over the event stream — the batch twin of
+    * graft.streaming.Sessionize; microsecond epoch keeps both engines
+    * integral.
+    */
+  def pSessions(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tus"))
+      .withColumn(
+        "new_session",
+        when(
+          lag("tus", 1).over(w).isNull ||
+            col("tus") - lag("tus", 1).over(w) > 1800000000L, 1).otherwise(0))
+      .groupBy("user_id")
+      .agg(
+        sum("new_session").cast("long").as("n_sessions"),
+        count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+  }
+
   // ---------------------------------------------------------------- ML-shaped
 
   /** lineitem lowered to (label, features) instances — the canonical input

@@ -28,8 +28,24 @@ object SparkEntry {
     "ml_boosting_regressor" -> (Queries.boostingRegression _),
     "ml_boosting_classifier" -> (Queries.boostingClassification _),
     "ml_gbm_regressor" -> (Queries.gbmRegression _),
-    "ml_gbm_classifier" -> (Queries.gbmClassification _)
+    "ml_gbm_classifier" -> (Queries.gbmClassification _),
+    "p_text_stats" -> (Queries.pTextStats _),
+    "p_quality_score" -> (Queries.pQualityScore _),
+    "p_langid" -> (Queries.pLangId _),
+    "p_exact_dedup" -> (Queries.pExactDedup _),
+    "p_ngram_jaccard" -> (Queries.pNgramJaccard _),
+    "p_minhash_dedup" -> (Queries.pMinhashDedup _),
+    "p_simhash_dedup" -> (Queries.pSimhashDedup _),
+    "p_fingerprint" -> (Queries.pFingerprint _),
+    "p_embedding_dedup" -> (Queries.pEmbeddingDedup _),
+    "p_ann_brute_force" -> (Queries.pAnnBruteForce _),
+    "p_ann_ivf" -> (Queries.pAnnIvf _),
+    "p_multimodal" -> (Queries.pMultimodal _),
+    "p_sessions" -> (Queries.pSessions _)
   )
+
+  private val EN = "['the','and','of','to','in','is','a','that','it','for']"
+  private val TOKS = "regexp_split_to_array(lower(trim(text)), '\\s+')"
 
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -93,6 +109,109 @@ object SparkEntry {
       """SELECT CAST(CASE l_returnflag WHEN 'A' THEN 0 WHEN 'N' THEN 1 ELSE 2 END AS BIGINT) AS class_label,
         | round(count(*) * 1.0 / (SELECT count(*) FROM lineitem), 10) AS probability
         |FROM lineitem
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
+    "p_text_stats" ->
+      s"""SELECT doc_id,
+         | CAST(length(text) AS BIGINT) AS n_chars_calc,
+         | CAST(len($TOKS) AS BIGINT) AS n_tokens,
+         | CAST(len(list_distinct($TOKS)) AS BIGINT) AS n_distinct,
+         | CAST(ceil(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) / 4.0) AS BIGINT)
+         |   + length(regexp_replace(text, '[a-zA-Z \\t\\n\\r]', '', 'g')) AS n_subwords,
+         | CAST(len(list_filter($TOKS, t -> list_contains($EN, t))) AS BIGINT) AS n_stopwords
+         |FROM documents
+         |ORDER BY doc_id""".stripMargin,
+    "p_quality_score" ->
+      s"""SELECT doc_id,
+         | round(
+         |   least(len($TOKS) / 100.0, 1.0) * 0.5
+         |   + (len(list_distinct($TOKS)) * 1.0 / len($TOKS)) * 0.3
+         |   + least((len(list_filter($TOKS, t -> list_contains($EN, t))) * 1.0 / len($TOKS)) * 4.0, 1.0) * 0.2,
+         |   6) AS quality
+         |FROM documents
+         |ORDER BY doc_id""".stripMargin,
+    "p_langid" ->
+      s"""WITH s AS (
+         | SELECT
+         |  len(list_filter($TOKS, t -> list_contains($EN, t))) AS en,
+         |  len(list_filter($TOKS, t -> list_contains(['der','die','und','das','ist','ein','nicht','mit','auf','zu'], t))) AS de,
+         |  len(list_filter($TOKS, t -> list_contains(['le','la','et','les','des','est','une','dans','que','pour'], t))) AS fr,
+         |  len(list_filter($TOKS, t -> list_contains(['el','la','que','de','los','una','es','por','con','para'], t))) AS es
+         | FROM documents)
+         |SELECT CASE
+         |  WHEN greatest(en, de, fr, es) <= 0 THEN 'und'
+         |  WHEN en = greatest(en, de, fr, es) THEN 'en'
+         |  WHEN de = greatest(en, de, fr, es) THEN 'de'
+         |  WHEN fr = greatest(en, de, fr, es) THEN 'fr'
+         |  WHEN es = greatest(en, de, fr, es) THEN 'es'
+         |  ELSE 'und' END AS lang_pred,
+         | count(*) AS doc_count
+         |FROM s
+         |GROUP BY 1
+         |ORDER BY 1""".stripMargin,
+    "p_exact_dedup" ->
+      """SELECT count(*) AS total_docs,
+        | count(DISTINCT lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS unique_texts
+        |FROM documents""".stripMargin,
+    "p_ngram_jaccard" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents),
+        |shing AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(t) >= 3 THEN t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+        |         ELSE array_to_string(t, ' ') END AS s
+        |  FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(t) - 1, 2))) AS i)),
+        |dsh AS (SELECT DISTINCT doc_id, s FROM shing),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+        |  FROM dsh a JOIN dsh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |  round(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON doc_a = sa.doc_id
+        |JOIN sizes sb ON doc_b = sb.doc_id
+        |WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "p_embedding_dedup" ->
+      """WITH base AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000, list_transform(embedding::DOUBLE[], x -> x * 1.1)
+        |  FROM embeddings WHERE vec_id % 25 = 0),
+        |p AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_dot_product(a.v, b.v) /
+        |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
+        |  FROM base a JOIN base b ON a.vec_id < b.vec_id)
+        |SELECT id_a, id_b FROM p WHERE cos >= 0.95
+        |ORDER BY id_a, id_b""".stripMargin,
+    "p_ann_brute_force" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 30),
+        |c AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS cv FROM embeddings),
+        |s AS (
+        |  SELECT qid, nid,
+        |    list_dot_product(qv, cv) /
+        |    (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cos
+        |  FROM q, c WHERE qid != nid),
+        |r AS (
+        |  SELECT qid AS query_id, nid AS neighbor_id,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rnk
+        |  FROM s)
+        |SELECT query_id, neighbor_id, rnk FROM r WHERE rnk <= 5
+        |ORDER BY query_id, rnk""".stripMargin,
+    "p_sessions" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
+        |m AS (
+        |  SELECT user_id,
+        |    CASE WHEN lag(tus) OVER w IS NULL
+        |              OR tus - lag(tus) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_session
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id))
+        |SELECT user_id,
+        |  CAST(sum(new_session) AS BIGINT) AS n_sessions,
+        |  count(*) AS n_events
+        |FROM m
         |GROUP BY 1
         |ORDER BY 1""".stripMargin
   )

@@ -1,0 +1,246 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for web-scale corpora. Every variant is built
+  * on the same scalable skeleton: per-row signatures (narrow, codegen'd)
+  * -> banding/bucketing (one shuffle on the bucket key) -> within-bucket
+  * candidate pairs -> exact verification. No O(n^2) stage ever
+  * materializes at full width; the only self-join keys are bucket hashes
+  * whose expected multiplicity is controlled by the banding parameters.
+  */
+object Dedup {
+
+  import TextFunctions._
+
+  /** Exact dedup: canonical row = min(id) per normalized text. One
+    * hash-shuffle on the (hashed) text; at 100 TB you'd pre-hash to a
+    * 64-bit key so the shuffle carries 8 bytes, which is what grouping on
+    * `fingerprint` does here.
+    */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val norm = lower(trim(regexp_replace(col(textCol), "\\s+", " ")))
+    df.groupBy(norm.as("__text_key"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+      .select("keep_id", "dup_count")
+  }
+
+  /** Exact n-gram Jaccard similar pairs >= threshold via the
+    * shingle-inverted-index self-join — the exact-verification half of the
+    * MinHash pipeline, also usable standalone at moderate scale.
+    */
+  def ngramJaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      threshold: Double): DataFrame = {
+    val sh = df
+      .select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("s"))
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
+    val inter = sh.as("a")
+      .join(sh.as("b"), col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+      .agg(count(lit(1)).as("c"))
+    inter
+      .join(sizes.as("sa"), col("doc_a") === col("sa.id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.id"))
+      .withColumn(
+        "jaccard",
+        col("c").cast("double") / (col("sa.n") + col("sb.n") - col("c")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** MinHash signatures: k independent permutations approximated by
+    * xxhash64(shingle, salt_i); the signature is the per-doc minimum under
+    * each salt. One explode + one groupBy with k partial-aggregated mins —
+    * linear in corpus size, shuffle carries k longs per doc.
+    */
+  def minhashSignatures(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int,
+      shingleSize: Int = 3): DataFrame = {
+    val sh = df.select(col(idCol).as("id"), explode(shingles(col(textCol), shingleSize)).as("s"))
+    val mins = (0 until numHashes).map(i => min(xxhash64(col("s"), lit(i))).as(s"h$i"))
+    sh.groupBy("id")
+      .agg(mins.head, mins.tail: _*)
+      .select(col("id"), array((0 until numHashes).map(i => col(s"h$i")): _*).as("signature"))
+  }
+
+  /** LSH banding: split the signature into `bands` bands, bucket docs by
+    * (band index, band hash), emit within-bucket pairs. With b bands of r
+    * rows, P(candidate) = 1-(1-j^r)^b — the standard S-curve.
+    */
+  def minhashCandidatePairs(signatures: DataFrame, bands: Int): DataFrame = {
+    val numHashes = signatures.select(size(col("signature"))).head().getInt(0)
+    val rows = numHashes / bands
+    require(rows > 0, s"bands=$bands > numHashes=$numHashes")
+    val banded = signatures.select(
+      col("id"),
+      explode(
+        array((0 until bands).map { b =>
+          struct(
+            lit(b).as("band"),
+            xxhash64(slice(col("signature"), b * rows + 1, rows).cast("string"), lit(b))
+              .as("bucket"))
+        }: _*)).as("bb"))
+      .select(col("id"), col("bb.band"), col("bb.bucket"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+      .distinct()
+  }
+
+  /** MinHash near-dup pipeline: candidates from banding, verified with the
+    * estimated Jaccard (fraction of agreeing signature components).
+    */
+  def minhashPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.5): DataFrame = {
+    val sigs = minhashSignatures(df, idCol, textCol, numHashes)
+    sigs.persist()
+    val cands = minhashCandidatePairs(sigs, bands)
+    val agree = aggregate(
+      zip_with(col("sa.signature"), col("sb.signature"),
+        (x, y) => when(x === y, 1.0).otherwise(0.0)),
+      lit(0.0), (acc, x) => acc + x)
+    cands
+      .join(sigs.as("sa"), col("doc_a") === col("sa.id"))
+      .join(sigs.as("sb"), col("doc_b") === col("sb.id"))
+      .withColumn("est_jaccard", round(agree / numHashes, 6))
+      .filter(col("est_jaccard") >= threshold)
+      .select("doc_a", "doc_b", "est_jaccard")
+  }
+
+  /** 64-bit SimHash over token hashes: per-row bit-vote accumulation (a
+    * single UDF, no shuffle), then near-dup pairs by the pigeonhole trick:
+    * docs within Hamming distance d must agree on one of d+1 chunks, so
+    * band on 16-bit chunks and verify with bit_count(xor).
+    */
+  val simhashUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (toks: Seq[String]) =>
+      val votes = new Array[Int](64)
+      toks.foreach { t =>
+        var h = 0xcbf29ce484222325L
+        var i = 0
+        while (i < t.length) { h ^= t.charAt(i).toLong; h *= 0x100000001b3L; i += 1 }
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      var sig = 0L
+      var b = 0
+      while (b < 64) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
+      sig
+    }
+
+  def simhash(text: Column): Column = simhashUdf(TextFunctions.tokens(text))
+
+  def simhashPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sigs = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
+    sigs.persist()
+    val banded = sigs.select(
+      col("id"), col("sig"),
+      explode(array((0 until 4).map { c =>
+        struct(lit(c).as("chunk"),
+          shiftrightunsigned(col("sig"), c * 16).bitwiseAND(lit(0xFFFFL)).as("piece"))
+      }: _*)).as("bb"))
+      .select(col("id"), col("sig"), col("bb.chunk"), col("bb.piece"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.piece") === col("b.piece") &&
+          col("a.id") < col("b.id"))
+      .select(
+        col("a.id").as("doc_a"), col("b.id").as("doc_b"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding near-dup pairs above a cosine threshold. `bruteForce` is
+    * the exact small-scale path (cross join, bounded by caller); the LSH
+    * path buckets by random-hyperplane sign bits so only same-bucket pairs
+    * are compared — the 100 TB path.
+    */
+  def cosine(a: Column, b: Column): Column = {
+    val ad = a.cast("array<double>")
+    val bd = b.cast("array<double>")
+    val dot = aggregate(zip_with(ad, bd, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val na = aggregate(transform(ad, x => x * x), lit(0.0), (acc, x) => acc + x)
+    val nb = aggregate(transform(bd, x => x * x), lit(0.0), (acc, x) => acc + x)
+    dot / (sqrt(na) * sqrt(nb))
+  }
+
+  def embeddingDupPairsBrute(
+      df: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    v.as("a").join(v.as("b"), col("a.id") < col("b.id"))
+      .withColumn("cos", cosine(col("a.v"), col("b.v")))
+      .filter(col("cos") >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), round(col("cos"), 6).as("cos"))
+  }
+
+  /** Random-hyperplane LSH: `planes` seeded Gaussian hyperplanes -> sign
+    * bits -> bucket id; compare only within buckets (repeat with `tables`
+    * independent plane sets to recover recall).
+    */
+  def embeddingDupPairsLsh(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      dim: Int,
+      planes: Int = 12,
+      tables: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    val rng = new scala.util.Random(seed)
+    val hyperplanes: Array[Array[Array[Double]]] =
+      Array.fill(tables, planes, dim)(rng.nextGaussian())
+    val bucketUdf = udf { (v: Seq[Float], t: Int) =>
+      val hp = hyperplanes(t)
+      var bucket = 0L
+      var p = 0
+      while (p < hp.length) {
+        var dot = 0.0
+        var i = 0
+        while (i < v.length) { dot += hp(p)(i) * v(i); i += 1 }
+        if (dot > 0) bucket |= (1L << p)
+        p += 1
+      }
+      bucket
+    }
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val banded = v.select(
+      col("id"), col("v"),
+      explode(array((0 until tables).map(t =>
+        struct(lit(t).as("t"), bucketUdf(col("v"), lit(t)).as("bucket"))): _*)).as("bb"))
+      .select(col("id"), col("v"), col("bb.t"), col("bb.bucket"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.v").as("va"), col("b.v").as("vb"))
+      .distinct()
+      .withColumn("cos", cosine(col("va"), col("vb")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+  }
+}

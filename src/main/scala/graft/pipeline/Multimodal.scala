@@ -1,0 +1,90 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: media as opaque `binary` payloads plus a
+  * typed metadata struct, processed by batch-shaped per-row kernels.
+  *
+  * The actual codec step is a clearly-marked deterministic STUB — no
+  * image/audio libraries ship in this environment. In production the
+  * `decode*` UDFs would be replaced by vectorized decoders (e.g. Pandas
+  * UDFs over mapInPandas feeding libjpeg/ffmpeg); the Spark-side contract —
+  * schema, null behavior, partition-parallel execution, frame explosion —
+  * is real and tested.
+  */
+object Multimodal {
+
+  /** Attach a payload column: the UTF-8 bytes of the text stand in for
+    * media bytes, with the metadata a real media pipeline would carry.
+    */
+  def withPayload(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("payload", encode(col(textCol), "UTF-8").cast("binary"))
+      .withColumn(
+        "media_meta",
+        struct(
+          lit("fake/raw").as("format"),
+          octet_length(col("payload")).as("n_bytes"),
+          lit(1).as("channels")))
+
+  /** STUB decoder: a deterministic 16-bin byte histogram (L1-normalized)
+    * in place of decoded image features. Real impl: codec -> CNN features.
+    */
+  val decodeFeaturesUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (payload: Array[Byte]) =>
+      val hist = new Array[Double](16)
+      if (payload != null && payload.nonEmpty) {
+        var i = 0
+        while (i < payload.length) {
+          hist((payload(i) & 0xFF) >>> 4) += 1.0
+          i += 1
+        }
+        var j = 0
+        while (j < 16) { hist(j) /= payload.length; j += 1 }
+      }
+      hist
+    }
+
+  def decodeFeatures(payload: Column): Column = decodeFeaturesUdf(payload)
+
+  /** STUB resize: keep every `stride`-th byte — shape-preserving stand-in
+    * for a real resample kernel.
+    */
+  val resizeUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (payload: Array[Byte], stride: Int) =>
+      if (payload == null) null
+      else {
+        val out = new Array[Byte]((payload.length + stride - 1) / stride)
+        var i = 0
+        while (i < out.length) { out(i) = payload(i * stride); i += 1 }
+        out
+      }
+    }
+
+  /** Frame sampling: split the payload into fixed-size frames and explode
+    * one row per sampled frame (every `stride`-th) — the video-frame
+    * extraction shape; the explode keeps partition-parallelism.
+    */
+  val frameSliceUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (payload: Array[Byte], frameSize: Int, stride: Int) =>
+      if (payload == null) Seq.empty[(Int, Array[Byte])]
+      else {
+        val frames = payload.grouped(frameSize).toArray
+        frames.indices.collect {
+          case i if i % stride == 0 => (i, frames(i))
+        }.toSeq
+      }
+    }
+
+  def sampleFrames(
+      df: DataFrame,
+      payloadCol: String,
+      frameSize: Int,
+      stride: Int): DataFrame =
+    df.withColumn(
+        "__frame",
+        explode(frameSliceUdf(col(payloadCol), lit(frameSize), lit(stride))))
+      .withColumn("frame_index", col("__frame._1"))
+      .withColumn("frame_bytes", col("__frame._2"))
+      .drop("__frame")
+}

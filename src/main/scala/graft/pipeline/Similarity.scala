@@ -1,0 +1,86 @@
+package graft.pipeline
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.ml.linalg.{Vector => MlVector}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * - `bruteForceTopK`: exact baseline — broadcast the (small) query set
+  *   against the corpus, cosine as a codegen-friendly higher-order-function
+  *   expression, per-query top-k via window. Linear in corpus x queries.
+  * - `ivfTopK`: the scale path — KMeans coarse quantizer; corpus rows are
+  *   bucketed by nearest centroid (one narrow pass), queries probe only
+  *   their `nprobe` closest centroids, so the join fan-out is
+  *   |corpus|/#centroids * nprobe per query instead of |corpus|.
+  */
+object Similarity {
+
+  def bruteForceTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", Dedup.cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank")
+  }
+
+  /** IVF: coarse-quantize the corpus with KMeans, probe nprobe lists. */
+  def ivfTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      numCentroids: Int = 16,
+      nprobe: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    val c = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .withColumn("feat", array_to_vector(col("cv").cast("array<double>")))
+    val km = new KMeans().setK(numCentroids).setSeed(seed).setFeaturesCol("feat")
+    val model = km.fit(c)
+    val centroids: Array[Array[Double]] = model.clusterCenters.map(_.toArray)
+
+    val assigned = model.transform(c).withColumnRenamed("prediction", "list_id")
+      .select("neighbor_id", "cv", "list_id")
+
+    // queries probe their nprobe nearest centroids (tiny driver-free UDF)
+    val probeUdf = udf { (v: Seq[Float]) =>
+      centroids.zipWithIndex
+        .map { case (cen, i) =>
+          var d = 0.0
+          var j = 0
+          while (j < cen.length) { val x = cen(j) - v(j); d += x * x; j += 1 }
+          (i, d)
+        }
+        .sortBy(_._2)
+        .take(nprobe)
+        .map(_._1)
+    }
+    val q = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("list_id", explode(probeUdf(col("qv"))))
+
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    assigned.join(broadcast(q),
+        col("query_id") =!= col("neighbor_id") &&
+          assigned("list_id") === q("list_id"))
+      .withColumn("cos", Dedup.cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), round(col("cos"), 6).as("cos"))
+  }
+}

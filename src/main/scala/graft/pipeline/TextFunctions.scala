@@ -1,0 +1,109 @@
+package graft.pipeline
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines.
+  * Everything here is a pure Column expression (codegen'd, no UDFs, no
+  * shuffles) except the rolling-hash fingerprint — per-row compute that
+  * scales embarrassingly across executors.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenizer over normalized text. */
+  def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  def distinctTokenCount(text: Column): Column = size(array_distinct(tokens(text)))
+
+  def charCount(text: Column): Column = length(text)
+
+  /** A BPE-ish subword count: runs of letters count ceil(len/4) subwords
+    * (approximating ~4 chars/token), digits and punctuation one each.
+    * Cheap, deterministic, expressible in plain SQL on both engines.
+    */
+  def subwordCount(text: Column): Column = {
+    val letters = length(regexp_replace(text, "[^\\p{L}]", ""))
+    val digitsPunct = length(regexp_replace(text, "[\\p{L}\\s]", ""))
+    ceil(letters / lit(4.0)).cast("long") + digitsPunct
+  }
+
+  def punctCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[\\p{Punct}]", ""))
+
+  def stopwordCount(text: Column, stopwords: Seq[String]): Column = {
+    val sw = array(stopwords.map(lit): _*)
+    size(filter(tokens(text), t => array_contains(sw, t)))
+  }
+
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column =
+    stopwordCount(text, stopwords) / tokenCount(text).cast("double")
+
+  /** Composite quality score in [0,1]: length credit (saturating at 100
+    * tokens), lexical diversity, and a stopword-presence signal — the
+    * standard cheap heuristics used to pre-filter web corpora.
+    */
+  def qualityScore(text: Column, stopwords: Seq[String]): Column = {
+    val nTok = tokenCount(text).cast("double")
+    val lengthScore = least(nTok / lit(100.0), lit(1.0))
+    val diversity = distinctTokenCount(text).cast("double") / nTok
+    val stopSignal = least(stopwordRatio(text, stopwords) * lit(4.0), lit(1.0))
+    round(lengthScore * lit(0.5) + diversity * lit(0.3) + stopSignal * lit(0.2), 6)
+  }
+
+  /** Tiny per-language stopword lists for the n-gram-free language-ID
+    * heuristic. Public knowledge (the usual top function words).
+    */
+  val LangStopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "a", "that", "it", "for"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "ein", "nicht", "mit", "auf", "zu"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "est", "une", "dans", "que", "pour"),
+    "es" -> Seq("el", "la", "que", "de", "los", "una", "es", "por", "con", "para"))
+
+  /** Language ID: the language whose stopword list hits the most tokens;
+    * declared order breaks ties; "und" (undetermined) when nothing hits.
+    */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val scores = LangStopwords.map { case (lang, words) =>
+      val sw = array(words.map(lit): _*)
+      lang -> size(filter(toks, t => array_contains(sw, t)))
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    val cases = scores.foldLeft(when(best <= 0, lit("und"))) { case (acc, (lang, s)) =>
+      acc.when(s === best, lit(lang))
+    }
+    cases.otherwise(lit("und"))
+  }
+
+  /** 64-bit FNV-1a rolling fingerprint of the normalized text (lowercased,
+    * whitespace collapsed). Deterministic across partitions/engines; the
+    * one UDF in this module.
+    */
+  val fingerprintUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (text: String) =>
+      val normalized = text.toLowerCase.trim.replaceAll("\\s+", " ")
+      var h = 0xcbf29ce484222325L
+      var i = 0
+      while (i < normalized.length) {
+        h ^= normalized.charAt(i).toLong
+        h *= 0x100000001b3L
+        i += 1
+      }
+      h
+    }
+
+  def fingerprint(text: Column): Column = fingerprintUdf(text)
+
+  /** Word n-gram shingles (distinct), the unit set for Jaccard/MinHash.
+    * Pure expression: transform over an index sequence.
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    val ngrams = transform(
+      sequence(lit(0), size(toks) - n),
+      i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*))
+    array_distinct(when(size(toks) >= n, ngrams).otherwise(array(concat_ws(" ", toks))))
+  }
+}

@@ -1,0 +1,155 @@
+package graft
+
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextFunctions => TF}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class PipelineSuite extends SparkSpec {
+
+  private lazy val docs: DataFrame = {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(23)
+    val vocab = Array("alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta",
+      "theta", "iota", "kappa", "the", "and", "of", "quick", "brown", "fox")
+    val base = (0 until 100).map { i =>
+      (i.toLong, Array.fill(40)(vocab(rng.nextInt(vocab.length))).mkString(" "))
+    }
+    // plant near-dups: copies of docs 0-9 with the last 3 tokens changed
+    val dups = (0 until 10).map { i =>
+      val toks = base(i)._2.split(" ")
+      (1000L + i, (toks.dropRight(3) ++ Array("x", "y", "z")).mkString(" "))
+    }
+    (base ++ dups).toDF("doc_id", "text")
+  }
+
+  test("exactDedup collapses exact duplicates only") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "hello world"), (2L, "Hello   world"), (3L, "different text")
+    ).toDF("doc_id", "text")
+    val out = Dedup.exactDedup(df, "doc_id", "text").collect()
+    // case differs -> (1) and (2) are NOT merged unless lowercased: our
+    // normalization lowercases, so they merge
+    assert(out.length === 2)
+    assert(out.map(_.getLong(1)).sum === 3)
+  }
+
+  test("ngramJaccardPairs finds exactly the planted near-dups at 0.5") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val planted = (0 until 10).map(i => (i.toLong, 1000L + i)).toSet
+    assert(planted.subsetOf(pairs.toSet), s"missing: ${planted -- pairs.toSet}")
+  }
+
+  test("minhashPairs recovers planted near-dups (LSH candidates + estimate)") {
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text", 64, 16, 0.4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val planted = (0 until 10).map(i => (i.toLong, 1000L + i)).toSet
+    val recall = planted.intersect(pairs).size.toDouble / planted.size
+    assert(recall >= 0.9, s"minhash recall $recall, found $pairs")
+  }
+
+  test("simhashPairs recovers planted near-dups within small hamming distance") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 12)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val planted = (0 until 10).map(i => (i.toLong, 1000L + i)).toSet
+    val recall = planted.intersect(pairs).size.toDouble / planted.size
+    assert(recall >= 0.8, s"simhash recall $recall")
+  }
+
+  test("fingerprint is stable and collision-free on distinct texts") {
+    val fps = docs.select(TF.fingerprint(col("text"))).collect().map(_.getLong(0))
+    assert(fps.distinct.length === fps.length)
+    val again = docs.select(TF.fingerprint(col("text"))).collect().map(_.getLong(0))
+    assert(fps.toSeq === again.toSeq)
+  }
+
+  test("langId picks the right language on natural snippets") {
+    val s = spark
+    import s.implicits._
+    val samples = Seq(
+      ("the cat sat on the mat and it is happy that the sun is out", "en"),
+      ("der hund ist nicht mit der katze auf das sofa zu bringen", "de"),
+      ("le chat est dans la maison et les oiseaux sont dans le jardin pour une heure", "fr"),
+      ("el perro es de los vecinos y una gata vive con ellos por la noche", "es"))
+    val out = samples.map(_._1).toDF("text")
+      .select(TF.langId(col("text")).as("pred"))
+      .collect().map(_.getString(0))
+    assert(out.toSeq === samples.map(_._2))
+  }
+
+  test("embedding LSH dedup finds scaled-copy dups like brute force") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(31)
+    val base = (0 until 200).map(i => (i.toLong, Array.fill(16)(rng.nextGaussian().toFloat)))
+    val dups = (0 until 10).map(i => (2000L + i, base(i)._2.map(x => x * 1.01f)))
+    val df = (base ++ dups).toDF("vec_id", "embedding")
+    val brute = Dedup.embeddingDupPairsBrute(df, "vec_id", "embedding", 0.95)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = (0 until 10).map(i => (i.toLong, 2000L + i)).toSet
+    assert(planted.subsetOf(brute))
+    val lsh = Dedup.embeddingDupPairsLsh(df, "vec_id", "embedding", 0.95,
+        dim = 16, planes = 8, tables = 6)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = planted.intersect(lsh).size.toDouble / planted.size
+    assert(recall >= 0.8, s"lsh recall $recall")
+    assert(lsh.subsetOf(brute), "LSH must not invent pairs brute force rejects")
+  }
+
+  test("IVF top-k approximates brute-force top-k") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(37)
+    val df = (0 until 300).map(i => (i.toLong, Array.fill(16)(rng.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val queries = df.filter(col("vec_id") < 10)
+    val brute = Similarity.bruteForceTopK(queries, df, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(queries, df, "vec_id", "embedding", 5,
+        numCentroids = 8, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = brute.intersect(ivf).size.toDouble / brute.size
+    assert(recall >= 0.6, s"ivf recall vs brute force: $recall")
+  }
+
+  test("multimodal payload/decode/frame plumbing") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "abcdefgh" * 32), (2L, "short")).toDF("doc_id", "text")
+    val withP = Multimodal.withPayload(df, "text")
+    val metaRow = withP.filter(col("doc_id") === 1).select("media_meta.n_bytes").head()
+    assert(metaRow.getInt(0) === 256)
+
+    val feats = withP.withColumn("f", Multimodal.decodeFeatures(col("payload")))
+      .select("f").head().getSeq[Double](0)
+    assert(feats.length === 16)
+    assert(math.abs(feats.sum - 1.0) < 1e-9)
+
+    val frames = Multimodal.sampleFrames(withP.filter(col("doc_id") === 1), "payload", 64, 2)
+    val idx = frames.select("frame_index").collect().map(_.getInt(0)).toSeq
+    assert(idx === Seq(0, 2)) // 4 frames of 64 bytes, stride 2
+    val fb = frames.select(octet_length(col("frame_bytes"))).collect().map(_.getInt(0))
+    assert(fb.forall(_ === 64))
+  }
+
+  test("quality score is in [0,1] and rewards longer diverse text") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      ("a a a a a", "low"),
+      ("the quick brown fox jumps over that lazy dog and it is happy for a day " * 3, "high")
+    ).toDF("text", "tag")
+    val scores = df.select(col("tag"), TF.qualityScore(col("text"), TF.LangStopwords.head._2))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(scores("high") > scores("low"))
+    assert(scores.values.forall(v => v >= 0.0 && v <= 1.0))
+  }
+}
