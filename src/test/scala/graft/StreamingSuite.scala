@@ -1,0 +1,95 @@
+package graft
+
+import graft.streaming.StreamingOps
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class StreamingSuite extends SparkSpec {
+
+  private def eventsBatch = Tables.events(spark, "/root/testdata/sf0.001")
+
+  test("streaming windowed counts equal the batch q6 aggregation") {
+    val s = spark
+    import s.implicits._
+    val batch = eventsBatch.select("ts", "event_type", "value")
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getDouble(2)))
+
+    implicit val sq = s.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val streamDf = mem.toDF().toDF("ts", "event_type", "value")
+    val query = StreamingOps.windowedEventCounts(streamDf)
+      .writeStream
+      .format("memory")
+      .queryName("win_counts")
+      .outputMode("append")
+      .start()
+    try {
+      // two micro-batches + a far-future row to advance the watermark past
+      // every real window
+      val (a, b) = batch.splitAt(batch.length / 2)
+      mem.addData(a.toSeq)
+      query.processAllAvailable()
+      mem.addData(b.toSeq)
+      query.processAllAvailable()
+      mem.addData(Seq((java.sql.Timestamp.valueOf("2999-01-01 00:00:00"), "zz", 0.0)))
+      query.processAllAvailable()
+
+      val streamed = s.sql(
+        "SELECT window_start, event_type, event_count FROM win_counts WHERE event_type <> 'zz'")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      val expected = Queries.q6EventWindows(s, "/root/testdata/sf0.001")
+        .select("window_start", "event_type", "event_count")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(streamed === expected)
+    } finally query.stop()
+  }
+
+  test("streaming session counts equal the batch sessionization") {
+    val s = spark
+    import s.implicits._
+    val batch = eventsBatch.select("ts", "user_id")
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1)))
+
+    implicit val sq = s.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long)]
+    val streamDf = mem.toDF().toDF("ts", "user_id")
+    val query = StreamingOps.sessionCounts(streamDf)
+      .writeStream.format("memory").queryName("sessions").outputMode("append")
+      .start()
+    try {
+      mem.addData(batch.toSeq)
+      query.processAllAvailable()
+      mem.addData(Seq((java.sql.Timestamp.valueOf("2999-01-01 00:00:00"), -1L)))
+      query.processAllAvailable()
+      val streamed = s.sql(
+        "SELECT user_id, count(*) AS n_sessions, sum(n_events) AS n_events FROM sessions " +
+          "WHERE user_id >= 0 GROUP BY user_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val expected = Queries.pSessions(s, "/root/testdata/sf0.001")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamed === expected)
+    } finally query.stop()
+  }
+
+  test("flatMapGroupsWithState running stats accumulate across batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val mem = MemoryStream[StreamingOps.UserEvent]
+    val query = StreamingOps.runningUserStats(mem.toDS())
+      .writeStream.format("memory").queryName("user_stats").outputMode("update")
+      .start()
+    try {
+      mem.addData(StreamingOps.UserEvent(1, "a", 1.0), StreamingOps.UserEvent(1, "b", 2.0))
+      query.processAllAvailable()
+      mem.addData(StreamingOps.UserEvent(1, "c", 3.0), StreamingOps.UserEvent(2, "a", 5.0))
+      query.processAllAvailable()
+      val byUser = s.sql(
+        "SELECT user_id, max(n_events) n, max(sum_value) v FROM user_stats GROUP BY user_id")
+        .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+      assert(byUser(1L) === ((3L, 6.0)))
+      assert(byUser(2L) === ((1L, 5.0)))
+    } finally query.stop()
+  }
+}
