@@ -37,8 +37,12 @@ object Dedup {
       textCol: String,
       n: Int,
       threshold: Double): DataFrame = {
+    // join on the 8-byte shingle hash, not the string — the shuffle carries
+    // a long instead of a ~20-byte UTF8 key (xxhash64 collisions across a
+    // corpus vocabulary are ~2^-40-level and would only perturb one count)
     val sh = df
       .select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("s"))
+      .select(col("id"), xxhash64(col("s")).as("s"))
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
     val inter = sh.as("a")
       .join(sh.as("b"), col("a.s") === col("b.s") && col("a.id") < col("b.id"))
@@ -180,19 +184,23 @@ object Dedup {
     * are compared — the 100 TB path.
     */
   def cosine(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.GraftExpressions.arrayDot
     val ad = a.cast("array<double>")
     val bd = b.cast("array<double>")
-    val dot = aggregate(zip_with(ad, bd, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-    val na = aggregate(transform(ad, x => x * x), lit(0.0), (acc, x) => acc + x)
-    val nb = aggregate(transform(bd, x => x * x), lit(0.0), (acc, x) => acc + x)
-    dot / (sqrt(na) * sqrt(nb))
+    // same left-to-right summation as DuckDB's list_dot_product (oracle
+    // bit-equality), but whole-stage-codegen'd instead of interpreted HOFs
+    arrayDot(ad, bd) / (sqrt(arrayDot(ad, ad)) * sqrt(arrayDot(bd, bd)))
   }
 
   def embeddingDupPairsBrute(
       df: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
-    val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    import org.apache.spark.sql.graft.GraftExpressions.arrayDot
+    // norms computed once per row, not once per pair; the pair loop is a
+    // single codegen'd dot product
+    val v = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(arrayDot(col("v"), col("v"))))
     v.as("a").join(v.as("b"), col("a.id") < col("b.id"))
-      .withColumn("cos", cosine(col("a.v"), col("b.v")))
+      .withColumn("cos", arrayDot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))
       .filter(col("cos") >= threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), round(col("cos"), 6).as("cos"))
   }

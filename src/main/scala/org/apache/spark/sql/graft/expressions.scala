@@ -1,0 +1,65 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType}
+
+/** Whole-stage-codegen'd dot product over two array<double> columns.
+  *
+  * The built-in route (`aggregate(zip_with(a, b, _*_), ...)`) allocates an
+  * intermediate array and evaluates a lambda per element in the
+  * interpreter; inside an O(n^2) similarity join that is the bottleneck.
+  * This expression compiles to a tight primitive loop over the unsafe
+  * array data — the "custom Catalyst Expression beats UDF beats anything
+  * else" rung of the extension ladder.
+  */
+case class ArrayDotProduct(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ArrayDotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+object GraftExpressions {
+
+  /** `dot(a, b)` as a Column — summation order is the plain left-to-right
+    * loop, matching DuckDB's list_dot_product for oracle bit-equality.
+    */
+  def arrayDot(a: Column, b: Column): Column =
+    ExpressionUtils.column(
+      ArrayDotProduct(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+}
