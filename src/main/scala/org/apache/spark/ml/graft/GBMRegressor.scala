@@ -71,10 +71,11 @@ private[graft] trait GBMParams
 
 private[graft] trait GBMRegressorParams extends GBMParams {
 
-  /** squared | absolute | huber | quantile | logcosh. */
+  /** squared | absolute | huber | quantile | logcosh | scaledlogcosh. */
   final val loss: Param[String] = new Param[String](
-    this, "loss", "squared|absolute|huber|quantile|logcosh",
-    ParamValidators.inArray(Array("squared", "absolute", "huber", "quantile", "logcosh")))
+    this, "loss", "squared|absolute|huber|quantile|logcosh|scaledlogcosh",
+    ParamValidators.inArray(
+      Array("squared", "absolute", "huber", "quantile", "logcosh", "scaledlogcosh")))
   def getLoss: String = $(loss)
 
   /** huber quantile cut / quantile-loss level. */
@@ -96,6 +97,7 @@ private[graft] trait GBMRegressorParams extends GBMParams {
     case "huber" => HuberLoss(if (delta > 0) delta else 1.0)
     case "quantile" => QuantileLoss($(alpha))
     case "logcosh" => LogCoshLoss
+    case "scaledlogcosh" => ScaledLogCoshLoss($(alpha))
   }
 }
 
@@ -153,7 +155,8 @@ class GBMRegressor(override val uid: String)
         new DummyRegressionModel(Identifiable.randomUID("gbmZeroInit"), 0.0)
       case "constant" =>
         val strat = $(loss) match {
-          case "squared" | "logcosh" => new DummyRegressor().setStrategy("mean")
+          case "squared" | "logcosh" | "scaledlogcosh" =>
+            new DummyRegressor().setStrategy("mean")
           case "absolute" | "huber" => new DummyRegressor().setStrategy("median")
           case "quantile" =>
             new DummyRegressor().setStrategy("quantile").setQuantile($(alpha))
