@@ -285,6 +285,23 @@ object Queries {
       .toDF("prediction")
   }
 
+  /** DummyRegressor(median/quantile) with relativeError=0: Spark's exact
+    * Greenwald-Khanna mode equals DuckDB's quantile_disc.
+    */
+  def dummyMedian(spark: SparkSession, sfDir: String): DataFrame = {
+    val model = new DummyRegressor().setStrategy("median").setTol(0.0)
+      .fit(regressionInstances(spark, sfDir))
+    import spark.implicits._
+    Seq(model.constantValue).toDF("prediction")
+  }
+
+  def dummyQuantile(spark: SparkSession, sfDir: String): DataFrame = {
+    val model = new DummyRegressor().setStrategy("quantile").setQuantile(0.9).setTol(0.0)
+      .fit(regressionInstances(spark, sfDir))
+    import spark.implicits._
+    Seq(model.constantValue).toDF("prediction")
+  }
+
   /** DummyClassifier(prior) over the return-flag label — class priors are
     * exact count ratios, SQL-checkable.
     */

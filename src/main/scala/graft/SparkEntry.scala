@@ -20,6 +20,8 @@ object SparkEntry {
     "q5_segment_stats" -> (Queries.q5SegmentStats _),
     "q6_event_windows" -> (Queries.q6EventWindows _),
     "ml_dummy_mean" -> (Queries.dummyMean _),
+    "ml_dummy_median" -> (Queries.dummyMedian _),
+    "ml_dummy_quantile" -> (Queries.dummyQuantile _),
     "ml_dummy_prior" -> (Queries.dummyPrior _),
     "ml_bagging_regressor" -> (Queries.baggingRegression _),
     "ml_bagging_classifier" -> (Queries.baggingClassification _),
@@ -105,6 +107,10 @@ object SparkEntry {
         |ORDER BY 1, 2""".stripMargin,
     "ml_dummy_mean" ->
       "SELECT round(avg(l_extendedprice), 4) AS prediction FROM lineitem",
+    "ml_dummy_median" ->
+      "SELECT quantile_disc(l_extendedprice, 0.5) AS prediction FROM lineitem",
+    "ml_dummy_quantile" ->
+      "SELECT quantile_disc(l_extendedprice, 0.9) AS prediction FROM lineitem",
     "ml_dummy_prior" ->
       """SELECT CAST(CASE l_returnflag WHEN 'A' THEN 0 WHEN 'N' THEN 1 ELSE 2 END AS BIGINT) AS class_label,
         | round(count(*) * 1.0 / (SELECT count(*) FROM lineitem), 10) AS probability

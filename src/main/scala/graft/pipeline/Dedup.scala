@@ -31,18 +31,32 @@ object Dedup {
     * shingle-inverted-index self-join — the exact-verification half of the
     * MinHash pipeline, also usable standalone at moderate scale.
     */
+  /** `maxDocFrequency > 0` drops shingles present in more than that many
+    * docs before the self-join — the skew guard for web-scale corpora
+    * (boilerplate shingles otherwise cost df(s)^2 pairs while carrying no
+    * near-dup signal). 0 = exact Jaccard (the oracle-checked mode).
+    */
   def ngramJaccardPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
       n: Int,
-      threshold: Double): DataFrame = {
+      threshold: Double,
+      maxDocFrequency: Long = 0L): DataFrame = {
     // join on the 8-byte shingle hash, not the string — the shuffle carries
     // a long instead of a ~20-byte UTF8 key (xxhash64 collisions across a
     // corpus vocabulary are ~2^-40-level and would only perturb one count)
-    val sh = df
+    val shAll = df
       .select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("s"))
       .select(col("id"), xxhash64(col("s")).as("s"))
+    val sh =
+      if (maxDocFrequency <= 0) shAll
+      else {
+        val hot = shAll.groupBy("s").agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxDocFrequency)
+          .select("s")
+        shAll.join(broadcast(hot), Seq("s"), "left_anti")
+      }
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
     val inter = sh.as("a")
       .join(sh.as("b"), col("a.s") === col("b.s") && col("a.id") < col("b.id"))

@@ -231,10 +231,12 @@ class GBMClassifier(override val uid: String)
                 (l, BDV(g))
               }
             }
+            // 10 solver iterations = <=~20 distributed passes per GBM round;
+            // the step vector only needs 2 significant digits
             val solver = new LBFGSB(
               BDV.zeros[Double](dim),
               BDV.fill(dim)(Double.PositiveInfinity),
-              maxIter = 20, m = 5, tolerance = 1e-6)
+              maxIter = 10, m = 5, tolerance = 1e-5)
             try solver.minimize(objective, BDV.fill(dim)(1.0)).toArray
             catch { case _: Exception => Array.fill(dim)(1.0) }
           } finally rdd.unpersist()

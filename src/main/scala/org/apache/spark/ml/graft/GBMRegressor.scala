@@ -255,9 +255,9 @@ class GBMRegressor(override val uid: String)
                 (acc, t) => acc + t._4 * lossB.loss(t._1, t._2 + a * t._3),
                 _ + _))
             try {
-              new BrentOptimizer(1e-6, 1e-8)
+              new BrentOptimizer(1e-4, 1e-6)
                 .optimize(
-                  new MaxEval(40), objective, GoalType.MINIMIZE, new SearchInterval(0.0, 100.0))
+                  new MaxEval(25), objective, GoalType.MINIMIZE, new SearchInterval(0.0, 100.0))
                 .getPoint
             } catch { case _: Exception => 1.0 }
           } finally rdd.unpersist()
