@@ -227,6 +227,16 @@ object Queries {
       .orderBy("source")
   }
 
+  /** Distributed weighted median (custom TypedImperativeAggregate) of the
+    * extended price weighted by quantity, per return flag.
+    */
+  def pWeightedMedian(spark: SparkSession, sfDir: String): DataFrame =
+    lineitem(spark, sfDir)
+      .groupBy("l_returnflag")
+      .agg(org.apache.spark.sql.graft.WeightedMedian
+        .weighted_median(col("l_extendedprice"), col("l_quantity")).as("wm_price"))
+      .orderBy("l_returnflag")
+
   /** Sessionization (30-min gap) over the event stream — the batch twin of
     * graft.streaming.Sessionize; microsecond epoch keeps both engines
     * integral.

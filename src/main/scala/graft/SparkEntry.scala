@@ -43,6 +43,7 @@ object SparkEntry {
     "p_ann_brute_force" -> (Queries.pAnnBruteForce _),
     "p_ann_ivf" -> (Queries.pAnnIvf _),
     "p_multimodal" -> (Queries.pMultimodal _),
+    "p_weighted_median" -> (Queries.pWeightedMedian _),
     "p_sessions" -> (Queries.pSessions _)
   )
 
@@ -207,6 +208,18 @@ object SparkEntry {
         |  FROM s)
         |SELECT query_id, neighbor_id, rnk FROM r WHERE rnk <= 5
         |ORDER BY query_id, rnk""".stripMargin,
+    "p_weighted_median" ->
+      """WITH w AS (
+        |  SELECT l_returnflag, l_extendedprice AS v,
+        |    sum(l_quantity) OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(l_quantity) OVER (PARTITION BY l_returnflag) AS total
+        |  FROM lineitem)
+        |SELECT l_returnflag, min(v) AS wm_price
+        |FROM w
+        |WHERE cum >= 0.5 * total
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
     "p_sessions" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
         |m AS (
