@@ -119,7 +119,7 @@ class GBMClassifier(override val uid: String)
 
     val lossB = gbmLoss
     val encodeUdf = udf { (y: Double) => lossB.encodeLabel(y) }
-    val initLit = array(init.map(lit(_)): _*)
+    val initLit = array(init.toIndexedSeq.map(lit(_)): _*)
     val loop = new IterLoopCache($(checkpointInterval))
     var df = loop.next(
       instances
@@ -194,7 +194,7 @@ class GBMClassifier(override val uid: String)
         withDir = Learners.transformOn(dimModels(k), withDir, featCol, s"__d_$k")
         k += 1
       }
-      val dirArray = array(Array.tabulate(dim)(k => col(s"__d_$k")): _*)
+      val dirArray = array(IndexedSeq.tabulate(dim)(k => col(s"__d_$k")): _*)
       val withDirArr = withDir.withColumn("__d", dirArray)
 
       // joint step-size vector via L-BFGS-B over [0, inf)^dim
@@ -247,7 +247,7 @@ class GBMClassifier(override val uid: String)
       modelWeights += w
       subspaces += indices
 
-      val wLit = array(w.map(lit(_)): _*)
+      val wLit = array(w.toIndexedSeq.map(lit(_)): _*)
       val updateUdf = udf { (f: Seq[Double], dir: Seq[Double], ww: Seq[Double]) =>
         val out = new Array[Double](f.length)
         var j = 0

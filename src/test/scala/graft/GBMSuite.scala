@@ -204,6 +204,48 @@ class GBMSuite extends graft.SparkSpec {
     }
   }
 
+  test("GBM early stop fires exactly where the learning curve says (reference §5 cat 5)") {
+    val withVal = regDf.withColumn("isVal", rand(11) > 0.7).cache()
+    def fit(rounds: Int) = new GBMRegressor()
+      .setBaseLearner(new DecisionTreeRegressor().setMaxDepth(2).setSeed(1))
+      .setMaxIter(12)
+      .setLearningRate(0.6)
+      .setValidationIndicatorCol("isVal")
+      .setNumRounds(rounds)
+      .setValidationTol(0.01)
+      .setSeed(0L)
+      .fit(withVal)
+    val stopped = fit(2)           // patience 2
+    val fullRun = fit(1000)        // same training path, never stops
+
+    // recompute the validation-loss curve from the full model's prefixes
+    val valRows = withVal.filter(col("isVal"))
+    val curve = (1 to fullRun.models.length).map { i =>
+      val prefix = new GBMRegressionModel(
+        fullRun.uid, fullRun.init,
+        fullRun.modelWeights.take(i), fullRun.subspaces.take(i), fullRun.models.take(i))
+      prefix.transform(valRows)
+        .select(avg(pow(col("prediction") - col("label"), 2) * 0.5))
+        .head().getDouble(0)
+    }
+    // replay the estimator's stopping rule on the recomputed curve
+    var best = Double.PositiveInfinity
+    var bad = 0
+    var stopAt = fullRun.models.length
+    var i = 0
+    var done = false
+    while (i < curve.length && !done) {
+      if (best - curve(i) > 0.01 * math.max(math.abs(best), 1e-12)) { best = curve(i); bad = 0 }
+      else {
+        bad += 1
+        if (bad >= 2) { stopAt = math.max(i + 1 - bad, 1); done = true }
+      }
+      i += 1
+    }
+    assert(stopped.models.length === stopAt,
+      s"stopped at ${stopped.models.length}, curve $curve implies $stopAt")
+  }
+
   test("GBM persistence round-trips") {
     val tmp = java.nio.file.Files.createTempDirectory("gbm-io").toString
     val m = new GBMRegressor()
