@@ -82,6 +82,7 @@ class GBMClassifier(override val uid: String)
   def setValidationTol(value: Double): this.type = set(validationTol, value)
   def setValidationIndicatorCol(value: String): this.type = set(validationIndicatorCol, value)
   def setCheckpointInterval(value: Int): this.type = set(checkpointInterval, value)
+  def setAggregationDepth(value: Int): this.type = set(aggregationDepth, value)
   def setParallelism(value: Int): this.type = set(parallelism, value)
 
   override protected def train(dataset: Dataset[_]): GBMClassificationModel = {
@@ -227,7 +228,8 @@ class GBMClassifier(override val uid: String)
                     var j = 0
                     while (j < dim) { g1(j) += g2(j); j += 1 }
                     (l1 + l2, g1)
-                  })
+                  },
+                  depth = $(aggregationDepth))
                 (l, BDV(g))
               }
             }

@@ -12,7 +12,9 @@ import org.apache.spark.ml.graft.loss._
 import org.apache.spark.ml.graft.util.GraftUtils
 import org.apache.spark.ml.linalg.Vector
 import org.apache.spark.ml.param._
-import org.apache.spark.ml.param.shared.{HasCheckpointInterval, HasMaxIter, HasWeightCol}
+import org.apache.spark.ml.param.shared.{
+  HasAggregationDepth, HasCheckpointInterval, HasMaxIter, HasWeightCol
+}
 import org.apache.spark.ml.regression.{RegressionModel, Regressor}
 import org.apache.spark.ml.util._
 import org.apache.spark.sql.{DataFrame, Dataset}
@@ -30,7 +32,8 @@ private[graft] trait GBMParams
     with HasWeightCol
     with HasMaxIter
     with HasSubBag
-    with HasCheckpointInterval {
+    with HasCheckpointInterval
+    with HasAggregationDepth {
 
   final val learningRate: DoubleParam = new DoubleParam(
     this, "learningRate", "shrinkage in (0,1]", ParamValidators.inRange(0, 1, false, true))
@@ -133,6 +136,7 @@ class GBMRegressor(override val uid: String)
   def setValidationTol(value: Double): this.type = set(validationTol, value)
   def setValidationIndicatorCol(value: String): this.type = set(validationIndicatorCol, value)
   def setCheckpointInterval(value: Int): this.type = set(checkpointInterval, value)
+  def setAggregationDepth(value: Int): this.type = set(aggregationDepth, value)
 
   override protected def train(dataset: Dataset[_]): GBMRegressionModel = {
     val hasVal = isDefined(validationIndicatorCol) && $(validationIndicatorCol).nonEmpty
@@ -250,10 +254,12 @@ class GBMRegressor(override val uid: String)
           rdd.persist(StorageLevel.MEMORY_AND_DISK)
           try {
             rdd.count()
+            val depth = $(aggregationDepth)
             val objective = new UnivariateObjectiveFunction(a =>
               rdd.treeAggregate(0.0)(
                 (acc, t) => acc + t._4 * lossB.loss(t._1, t._2 + a * t._3),
-                _ + _))
+                _ + _,
+                depth))
             try {
               new BrentOptimizer(1e-4, 1e-6)
                 .optimize(
