@@ -62,4 +62,9 @@ object GraftExpressions {
   def arrayDot(a: Column, b: Column): Column =
     ExpressionUtils.column(
       ArrayDotProduct(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** Register `array_dot` for SQL text queries on an existing session. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "array_dot", exprs => ArrayDotProduct(exprs(0), exprs(1)), "built-in")
 }

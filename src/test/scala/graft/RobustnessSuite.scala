@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.ml.classification.DecisionTreeClassifier
+import org.apache.spark.ml.graft._
+import org.apache.spark.ml.linalg.Vectors
+import org.apache.spark.ml.regression.DecisionTreeRegressor
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Error paths, weight plumbing, determinism (SURVEY.md §5 category 6). */
+class RobustnessSuite extends SparkSpec {
+
+  private lazy val df: DataFrame = {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(53)
+    (0 until 300).map { _ =>
+      val x = Array.fill(3)(rng.nextDouble() * 10)
+      (x(0) * 2 - x(1), Vectors.dense(x))
+    }.toDF("label", "features")
+  }
+
+  test("missing label column throws analysis-time error") {
+    val bad = df.withColumnRenamed("label", "y")
+    val e = intercept[Exception] {
+      new BaggingRegressor()
+        .setBaseLearner(new DecisionTreeRegressor())
+        .setNumBaseLearners(2)
+        .fit(bad)
+    }
+    assert(e.getMessage.toLowerCase.contains("label"))
+  }
+
+  test("non-vector features column throws") {
+    val s = spark
+    import s.implicits._
+    val bad = Seq((1.0, 2.0)).toDF("label", "features")
+    intercept[Exception] {
+      new DummyRegressor().setStrategy("mean").fit(bad).transform(bad).collect()
+    }
+  }
+
+  test("instance weights steer boosting") {
+    val s = spark
+    import s.implicits._
+    // two clusters with contradictory labels; weights decide which wins
+    val data = (0 until 200).map { i =>
+      val heavy = i < 100
+      val w = if (heavy) 100.0 else 0.01
+      val label = if (heavy) 1.0 else 0.0
+      (label, w, Vectors.dense(5.0, 5.0))
+    }
+    val wdf = data.toDF("label", "w", "features")
+    val model = new BoostingClassifier()
+      .setBaseLearner(new DecisionTreeClassifier().setMaxDepth(2))
+      .setNumBaseLearners(2)
+      .setWeightCol("w")
+      .fit(wdf)
+    val pred = model.transform(wdf.limit(1)).select("prediction").head().getDouble(0)
+    assert(pred === 1.0, "heavily-weighted class must win on identical features")
+  }
+
+  test("same seed reproduces the ensemble; different seed varies the bags") {
+    def fit(seed: Long) = new BaggingRegressor()
+      .setBaseLearner(new DecisionTreeRegressor().setMaxDepth(4))
+      .setNumBaseLearners(3)
+      .setSubsampleRatio(0.5)
+      .setSubspaceRatio(0.7)
+      .setSeed(seed)
+      .fit(df)
+    val a = fit(7L)
+    val b = fit(7L)
+    val c = fit(8L)
+    assert(a.subspaces.map(_.toSeq).toSeq === b.subspaces.map(_.toSeq).toSeq)
+    val pa = a.transform(df).select("prediction").collect().map(_.getDouble(0))
+    val pb = b.transform(df).select("prediction").collect().map(_.getDouble(0))
+    assert(pa.toSeq === pb.toSeq)
+    assert(a.subspaces.map(_.toSeq).toSeq !== c.subspaces.map(_.toSeq).toSeq)
+  }
+
+  test("custom SQL functions usable from SQL text and Column API") {
+    val s = spark
+    import s.implicits._
+    org.apache.spark.sql.graft.GraftExpressions.register(s)
+    Seq((Array(1.0, 2.0), Array(3.0, 4.0))).toDF("a", "b").createOrReplaceTempView("vv")
+    assert(s.sql("SELECT array_dot(a, b) FROM vv").head().getDouble(0) === 11.0)
+    val viaExpr = Seq((Array(1.0, 2.0), Array(3.0, 4.0))).toDF("a", "b")
+      .select(org.apache.spark.sql.graft.GraftExpressions.arrayDot(col("a"), col("b")))
+      .head().getDouble(0)
+    assert(viaExpr === 11.0)
+    // the SparkSessionExtensions hook wires the same functions at build time
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new org.apache.spark.sql.graft.GraftExtensions()(ext) // must not throw
+  }
+}
