@@ -196,9 +196,13 @@ object Queries {
       .select(col("id_a"), col("id_b"))
       .orderBy("id_a", "id_b")
 
+  /** Uses the bounded-heap topk_by_score aggregate (map-side partial
+    * top-k) — plan-equivalent to the window variant, verified identical by
+    * the same oracle.
+    */
   def pAnnBruteForce(spark: SparkSession, sfDir: String): DataFrame = {
     val e = embeddings(spark, sfDir)
-    Similarity.bruteForceTopK(e.filter(col("vec_id") < 30), e, "vec_id", "embedding", 5)
+    Similarity.bruteForceTopKAgg(e.filter(col("vec_id") < 30), e, "vec_id", "embedding", 5)
       .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rnk"))
       .orderBy("query_id", "rnk")
   }

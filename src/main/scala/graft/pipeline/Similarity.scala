@@ -36,6 +36,32 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank")
   }
 
+  /** Same result as [[bruteForceTopK]] via the bounded-heap
+    * `topk_by_score` aggregate: map tasks keep <= k candidates per query,
+    * so the shuffle carries O(queries x k) rows instead of sorting the
+    * whole cross product through a window — the plan that survives a
+    * billion-row corpus.
+    */
+  def bruteForceTopKAgg(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.graft.TopKByScore.topk_by_score
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", Dedup.cosine(col("qv"), col("cv")))
+      .groupBy("query_id")
+      .agg(topk_by_score(col("neighbor_id"), col("cos"), k).as("nn"))
+      .select(col("query_id"), posexplode(col("nn")).as(Seq("pos", "n")))
+      .select(
+        col("query_id"),
+        col("n.id").as("neighbor_id"),
+        (col("pos") + 1).as("rank"))
+  }
+
   /** IVF: coarse-quantize the corpus with KMeans, probe nprobe lists. */
   def ivfTopK(
       queries: DataFrame,

@@ -104,6 +104,20 @@ class PipelineSuite extends SparkSpec {
     assert(lsh.subsetOf(brute), "LSH must not invent pairs brute force rejects")
   }
 
+  test("topk_by_score aggregate top-k equals the window top-k exactly") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(61)
+    val df = (0 until 400).map(i => (i.toLong, Array.fill(8)(rng.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val queries = df.filter(col("vec_id") < 20)
+    val win = Similarity.bruteForceTopK(queries, df, "vec_id", "embedding", 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val agg = Similarity.bruteForceTopKAgg(queries, df, "vec_id", "embedding", 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(agg === win)
+  }
+
   test("IVF top-k approximates brute-force top-k") {
     val s = spark
     import s.implicits._

@@ -72,6 +72,37 @@ class StreamingSuite extends SparkSpec {
     } finally query.stop()
   }
 
+  test("stateful query resumes from checkpoint with state intact") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-restart").toString
+    val mem = MemoryStream[StreamingOps.UserEvent]
+
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Double)]()
+    def start() = StreamingOps.runningUserStats(mem.toDS())
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[StreamingOps.UserStats], _: Long) =>
+        batch.collect().foreach(u => seen.add((u.user_id, u.n_events, u.sum_value)))
+      }
+      .start()
+
+    val q1 = start()
+    mem.addData(StreamingOps.UserEvent(7, "a", 10.0), StreamingOps.UserEvent(7, "b", 5.0))
+    q1.processAllAvailable()
+    q1.stop()
+
+    // restart against the same checkpoint; state must carry the first run
+    val q2 = start()
+    try {
+      mem.addData(StreamingOps.UserEvent(7, "c", 1.0))
+      q2.processAllAvailable()
+      val last = seen.toArray(Array.empty[(Long, Long, Double)]).last
+      assert(last === ((7L, 3L, 16.0)))
+    } finally q2.stop()
+  }
+
   test("flatMapGroupsWithState running stats accumulate across batches") {
     val s = spark
     import s.implicits._
