@@ -442,6 +442,36 @@ object Queries {
       .orderBy("prediction")
   }
 
+  /** 3-class instances (return-flag) for the K-dimensional GBM path. */
+  def multiclassInstances(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = lineitem(spark, sfDir)
+      .select(
+        when(col("l_returnflag") === "A", 0.0)
+          .when(col("l_returnflag") === "N", 1.0)
+          .otherwise(2.0).as("label"),
+        col("l_quantity"), col("l_discount"), col("l_tax"), col("l_extendedprice"))
+    new VectorAssembler()
+      .setInputCols(Array("l_quantity", "l_discount", "l_tax", "l_extendedprice"))
+      .setOutputCol("features")
+      .transform(li)
+  }
+
+  def gbmMulticlass(spark: SparkSession, sfDir: String): DataFrame = {
+    val df = multiclassInstances(spark, sfDir)
+    val model = new GBMClassifier()
+      .setBaseLearner(new DecisionTreeRegressor().setMaxDepth(4).setSeed(42))
+      .setMaxIter(2)
+      .setLoss("logloss")
+      .setLearningRate(0.5)
+      .setParallelism(3)
+      .setSeed(42L)
+      .fit(df)
+    model.transform(df)
+      .groupBy("prediction")
+      .agg(count(lit(1)).as("rows"))
+      .orderBy("prediction")
+  }
+
   def baggingClassification(spark: SparkSession, sfDir: String): DataFrame = {
     val df = classificationInstances(spark, sfDir)
     val model = new BaggingClassifier()

@@ -31,6 +31,7 @@ object SparkEntry {
     "ml_boosting_classifier" -> (Queries.boostingClassification _),
     "ml_gbm_regressor" -> (Queries.gbmRegression _),
     "ml_gbm_classifier" -> (Queries.gbmClassification _),
+    "ml_gbm_multiclass" -> (Queries.gbmMulticlass _),
     "p_text_stats" -> (Queries.pTextStats _),
     "p_quality_score" -> (Queries.pQualityScore _),
     "p_langid" -> (Queries.pLangId _),
