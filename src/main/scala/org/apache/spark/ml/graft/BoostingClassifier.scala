@@ -8,7 +8,9 @@ import org.apache.spark.ml.classification.{
 import org.apache.spark.ml.impl.Utils.EPSILON
 import org.apache.spark.ml.linalg.{DenseVector, Vector, Vectors}
 import org.apache.spark.ml.param.{Param, ParamMap, ParamValidators}
-import org.apache.spark.ml.param.shared.{HasCheckpointInterval, HasWeightCol}
+import org.apache.spark.ml.param.shared.{
+  HasAggregationDepth, HasCheckpointInterval, HasWeightCol
+}
 import org.apache.spark.ml.util._
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.Dataset
@@ -22,7 +24,8 @@ private[graft] trait BoostingClassifierParams
     with HasNumBaseLearners
     with HasBaseLearner
     with HasWeightCol
-    with HasCheckpointInterval {
+    with HasCheckpointInterval
+    with HasAggregationDepth {
 
   /** discrete = SAMME (0/1 error reweighting), real = SAMME.R
     * (probability-coded reweighting) — Zhu et al. 2009 (reference:
@@ -53,6 +56,7 @@ class BoostingClassifier(override val uid: String)
   def setAlgorithm(value: String): this.type = set(algorithm, value)
   def setWeightCol(value: String): this.type = set(weightCol, value)
   def setCheckpointInterval(value: Int): this.type = set(checkpointInterval, value)
+  def setAggregationDepth(value: Int): this.type = set(aggregationDepth, value)
 
   override protected def train(dataset: Dataset[_]): BoostingClassificationModel = {
     val numClasses = getNumClasses(dataset)

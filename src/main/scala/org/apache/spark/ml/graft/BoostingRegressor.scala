@@ -6,7 +6,9 @@ import org.apache.spark.ml.PredictorParams
 import org.apache.spark.ml.graft.util.GraftUtils
 import org.apache.spark.ml.linalg.Vector
 import org.apache.spark.ml.param.{Param, ParamMap, ParamValidators}
-import org.apache.spark.ml.param.shared.{HasCheckpointInterval, HasWeightCol}
+import org.apache.spark.ml.param.shared.{
+  HasAggregationDepth, HasCheckpointInterval, HasWeightCol
+}
 import org.apache.spark.ml.regression.{RegressionModel, Regressor}
 import org.apache.spark.ml.util._
 import org.apache.spark.sql.DataFrame
@@ -45,7 +47,11 @@ private[graft] trait BoostingRegressorParams
     with HasNumBaseLearners
     with HasBaseLearner
     with HasWeightCol
-    with HasCheckpointInterval {
+    with HasCheckpointInterval
+    // kept for API parity with the reference's treeReduce/treeAggregate
+    // depth; the DataFrame aggregations here partial-aggregate map-side,
+    // which supersedes multi-level tree reduction
+    with HasAggregationDepth {
 
   /** AdaBoost.R2 loss on the max-normalized absolute error (reference:
     * regression/BoostingRegressor.scala:97-106).
@@ -84,6 +90,7 @@ class BoostingRegressor(override val uid: String)
   def setVotingStrategy(value: String): this.type = set(votingStrategy, value)
   def setWeightCol(value: String): this.type = set(weightCol, value)
   def setCheckpointInterval(value: Int): this.type = set(checkpointInterval, value)
+  def setAggregationDepth(value: Int): this.type = set(aggregationDepth, value)
 
   override protected def train(dataset: Dataset[_]): BoostingRegressionModel = {
     val instances = SubBagFit

@@ -83,6 +83,7 @@ class GBMClassifier(override val uid: String)
   def setValidationIndicatorCol(value: String): this.type = set(validationIndicatorCol, value)
   def setCheckpointInterval(value: Int): this.type = set(checkpointInterval, value)
   def setAggregationDepth(value: Int): this.type = set(aggregationDepth, value)
+  def setTol(value: Double): this.type = set(tol, value)
   def setParallelism(value: Int): this.type = set(parallelism, value)
 
   override protected def train(dataset: Dataset[_]): GBMClassificationModel = {
@@ -238,7 +239,7 @@ class GBMClassifier(override val uid: String)
             val solver = new LBFGSB(
               BDV.zeros[Double](dim),
               BDV.fill(dim)(Double.PositiveInfinity),
-              maxIter = 10, m = 5, tolerance = 1e-5)
+              maxIter = 10, m = 5, tolerance = $(tol))
             try solver.minimize(objective, BDV.fill(dim)(1.0)).toArray
             catch { case _: Exception => Array.fill(dim)(1.0) }
           } finally rdd.unpersist()

@@ -66,10 +66,17 @@ private[graft] trait GBMParams
     this, "validationIndicatorCol", "boolean column marking validation rows")
   def getValidationIndicatorCol: String = $(validationIndicatorCol)
 
+  /** Convergence tolerance of the per-iteration step-size optimizer
+    * (Brent / L-BFGS-B).
+    */
+  final val tol: DoubleParam = new DoubleParam(
+    this, "tol", "step-size optimizer tolerance", ParamValidators.gt(0))
+  def getTol: Double = $(tol)
+
   setDefault(
     learningRate -> 1.0, optimizedWeights -> true, updates -> "gradient",
     maxIter -> 10, numRounds -> 1, validationTol -> 0.01,
-    checkpointInterval -> 10, replacement -> false)
+    checkpointInterval -> 10, replacement -> false, tol -> 1e-4)
 }
 
 private[graft] trait GBMRegressorParams extends GBMParams {
@@ -137,6 +144,7 @@ class GBMRegressor(override val uid: String)
   def setValidationIndicatorCol(value: String): this.type = set(validationIndicatorCol, value)
   def setCheckpointInterval(value: Int): this.type = set(checkpointInterval, value)
   def setAggregationDepth(value: Int): this.type = set(aggregationDepth, value)
+  def setTol(value: Double): this.type = set(tol, value)
 
   override protected def train(dataset: Dataset[_]): GBMRegressionModel = {
     val hasVal = isDefined(validationIndicatorCol) && $(validationIndicatorCol).nonEmpty
@@ -261,7 +269,7 @@ class GBMRegressor(override val uid: String)
                 _ + _,
                 depth))
             try {
-              new BrentOptimizer(1e-4, 1e-6)
+              new BrentOptimizer($(tol), $(tol) * 1e-2)
                 .optimize(
                   new MaxEval(25), objective, GoalType.MINIMIZE, new SearchInterval(0.0, 100.0))
                 .getPoint
