@@ -27,6 +27,14 @@ object Dedup {
       .select("keep_id", "dup_count")
   }
 
+  /** The deduplicated corpus itself: keep the canonical (min-id) row per
+    * normalized text. One broadcast-able semi join against the keep-set.
+    */
+  def dedupedCorpus(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val keep = exactDedup(df, idCol, textCol).select(col("keep_id").as(idCol))
+    df.join(keep, Seq(idCol), "left_semi")
+  }
+
   /** Exact n-gram Jaccard similar pairs >= threshold via the
     * shingle-inverted-index self-join — the exact-verification half of the
     * MinHash pipeline, also usable standalone at moderate scale.

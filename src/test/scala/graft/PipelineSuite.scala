@@ -45,13 +45,34 @@ class PipelineSuite extends SparkSpec {
   }
 
   test("minhashPairs recovers planted near-dups (LSH candidates + estimate)") {
-    val pairs = Dedup.minhashPairs(docs, "doc_id", "text", 64, 16, 0.4)
+    val found = Dedup.minhashPairs(docs, "doc_id", "text", 64, 16, 0.4)
       .collect()
-      .map(r => (r.getLong(0), r.getLong(1)))
-      .toSet
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+      .toMap
     val planted = (0 until 10).map(i => (i.toLong, 1000L + i)).toSet
-    val recall = planted.intersect(pairs).size.toDouble / planted.size
-    assert(recall >= 0.9, s"minhash recall $recall, found $pairs")
+    val recall = planted.intersect(found.keySet).size.toDouble / planted.size
+    assert(recall >= 0.9, s"minhash recall $recall, found ${found.keySet}")
+
+    // the signature estimate must track the exact Jaccard
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.4)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val common = found.keySet.intersect(exact.keySet)
+    assert(common.nonEmpty)
+    common.foreach { p =>
+      assert(math.abs(found(p) - exact(p)) < 0.2,
+        s"pair $p: est ${found(p)} vs exact ${exact(p)}")
+    }
+  }
+
+  test("dedupedCorpus keeps one canonical row per normalized text") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "hello world"), (2L, "HELLO   world"), (3L, "different")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupedCorpus(df, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(out.toSeq === Seq(1L, 3L))
   }
 
   test("simhashPairs recovers planted near-dups within small hamming distance") {
