@@ -231,6 +231,26 @@ object Queries {
       .orderBy("source")
   }
 
+  /** The composed corpus-cleaning pipeline: quality gate -> language gate
+    * -> exact dedup -> per-source survivor stats. Every stage is a narrow
+    * expression except the final dedup groupBy — the whole clean is 2
+    * shuffles regardless of corpus size.
+    */
+  def pCorpusPipeline(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = col("text")
+    val en = TF.LangStopwords.head._2
+    val cleaned = documents(spark, sfDir)
+      .filter(TF.qualityScore(t, en) >= 0.5)
+      .filter(TF.langId(t) === "en")
+    val surviving = Dedup.dedupedCorpus(cleaned, "doc_id", "text")
+    surviving
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(TF.tokenCount(t).cast("long")).as("n_tokens"))
+      .orderBy("source")
+  }
+
   /** Distributed weighted median (custom TypedImperativeAggregate) of the
     * extended price weighted by quantity, per return flag.
     */

@@ -45,6 +45,7 @@ object SparkEntry {
     "p_ann_ivf" -> (Queries.pAnnIvf _),
     "p_multimodal" -> (Queries.pMultimodal _),
     "p_weighted_median" -> (Queries.pWeightedMedian _),
+    "p_corpus_pipeline" -> (Queries.pCorpusPipeline _),
     "p_sessions" -> (Queries.pSessions _)
   )
 
@@ -209,6 +210,31 @@ object SparkEntry {
         |  FROM s)
         |SELECT query_id, neighbor_id, rnk FROM r WHERE rnk <= 5
         |ORDER BY query_id, rnk""".stripMargin,
+    "p_corpus_pipeline" ->
+      s"""WITH toks AS (
+         | SELECT doc_id, source, text, $TOKS AS tk FROM documents),
+         |scored AS (
+         | SELECT doc_id, source, text, tk,
+         |  round(least(len(tk) / 100.0, 1.0) * 0.5
+         |    + (len(list_distinct(tk)) * 1.0 / len(tk)) * 0.3
+         |    + least((len(list_filter(tk, t -> list_contains($EN, t))) * 1.0 / len(tk)) * 4.0, 1.0) * 0.2,
+         |    6) AS q,
+         |  len(list_filter(tk, t -> list_contains($EN, t))) AS en,
+         |  len(list_filter(tk, t -> list_contains(['der','die','und','das','ist','ein','nicht','mit','auf','zu'], t))) AS de,
+         |  len(list_filter(tk, t -> list_contains(['le','la','et','les','des','est','une','dans','que','pour'], t))) AS fr,
+         |  len(list_filter(tk, t -> list_contains(['el','la','que','de','los','una','es','por','con','para'], t))) AS es
+         | FROM toks),
+         |cleaned AS (
+         | SELECT * FROM scored
+         | WHERE q >= 0.5 AND greatest(en, de, fr, es) > 0 AND en = greatest(en, de, fr, es)),
+         |keep AS (
+         | SELECT min(doc_id) AS doc_id FROM cleaned
+         | GROUP BY lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))),
+         |surv AS (SELECT c.* FROM cleaned c JOIN keep k ON c.doc_id = k.doc_id)
+         |SELECT source, count(*) AS n_docs, CAST(sum(len(tk)) AS BIGINT) AS n_tokens
+         |FROM surv
+         |GROUP BY 1
+         |ORDER BY 1""".stripMargin,
     "p_weighted_median" ->
       """WITH w AS (
         |  SELECT l_returnflag, l_extendedprice AS v,
