@@ -32,8 +32,11 @@ object Queries {
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
         sum("l_quantity").as("sum_qty"),
-        round(sum("l_extendedprice"), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        // decimal-sum then back to double: exact regardless of partition
+        // count / summation order, so the oracle match is env-independent
+        sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double").as("sum_base_price"),
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,6)"))
+          .cast("double").as("sum_disc_price"),
         round(avg("l_quantity"), 6).as("avg_qty"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
@@ -52,7 +55,8 @@ object Queries {
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .groupBy(n("n_name").as("nation"))
       .agg(
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,6)"))
+          .cast("double").as("revenue"),
         count(lit(1)).as("line_count"))
       .orderBy("nation")
   }
@@ -110,7 +114,7 @@ object Queries {
         col("event_type"))
       .agg(
         count(lit(1)).as("event_count"),
-        round(sum("value"), 4).as("sum_value"))
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
       .select(
         unix_timestamp(col("w.start")).as("window_start"),
         col("event_type"),

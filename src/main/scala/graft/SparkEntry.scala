@@ -56,8 +56,8 @@ object SparkEntry {
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | sum(l_quantity) AS sum_qty,
-        | round(sum(l_extendedprice), 2) AS sum_base_price,
-        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+        | CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
         | round(avg(l_quantity), 6) AS avg_qty,
         | count(*) AS count_order
         |FROM lineitem
@@ -66,7 +66,7 @@ object SparkEntry {
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q2_revenue_by_nation" ->
       """SELECT n_name AS nation,
-        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        | CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
         | count(*) AS line_count
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
@@ -104,7 +104,7 @@ object SparkEntry {
       """SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS window_start,
         | event_type,
         | count(*) AS event_count,
-        | round(sum(value), 4) AS sum_value
+        | CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
