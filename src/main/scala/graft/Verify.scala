@@ -1,12 +1,19 @@
 package graft
-import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
+import java.util.concurrent.{Executors, TimeUnit, TimeoutException}
+
+import org.apache.spark.sql.SparkSession
+
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare. Each query runs
+  * under a watchdog (cancelled via its job group on timeout) so one
+  * pathological query cannot sink the whole round.
+  */
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val timeoutSec = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT", "300").toLong
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -18,13 +25,27 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val pool = Executors.newSingleThreadExecutor()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      val task = pool.submit(new java.util.concurrent.Callable[Unit] {
+        override def call(): Unit = {
+          spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
+          try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          finally spark.sparkContext.clearJobGroup()
+        }
+      })
+      try task.get(timeoutSec, TimeUnit.SECONDS)
+      catch {
+        case _: TimeoutException =>
+          spark.sparkContext.cancelJobGroup(name)
+          task.cancel(true)
+          System.err.println(s"[verify] $name timed out after ${timeoutSec}s")
+        case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    pool.shutdownNow()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
