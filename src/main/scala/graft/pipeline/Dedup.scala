@@ -65,9 +65,15 @@ object Dedup {
           .select("s")
         shAll.join(broadcast(hot), Seq("s"), "left_anti")
       }
+    // the shingle table feeds three plans (sizes + both join sides):
+    // persist it, and hash-join on the 8-byte key — sorting the inverted
+    // index for a sort-merge join is pure overhead (40% of the op's
+    // wall-clock at sf0.1)
+    sh.persist()
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
     val inter = sh.as("a")
-      .join(sh.as("b"), col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .join(sh.as("b").hint("shuffle_hash"),
+        col("a.s") === col("b.s") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
       .agg(count(lit(1)).as("c"))
     inter
@@ -116,8 +122,9 @@ object Dedup {
               .as("bucket"))
         }: _*)).as("bb"))
       .select(col("id"), col("bb.band"), col("bb.bucket"))
+    banded.persist()
     banded.as("a")
-      .join(banded.as("b"),
+      .join(banded.as("b").hint("shuffle_hash"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
