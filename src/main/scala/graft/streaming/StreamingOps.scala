@@ -42,6 +42,44 @@ object StreamingOps {
         unix_timestamp(col("session_window.end")).as("session_end"),
         col("n_events"))
 
+  /** Streaming exact dedup: first occurrence of each content fingerprint
+    * wins; watermarking bounds the dedup state to the lateness horizon —
+    * the streaming twin of Dedup.exactDedup for continuous ingestion.
+    */
+  def dedupStream(
+      docs: DataFrame,
+      fingerprintCol: String,
+      eventTimeCol: String,
+      watermark: String = "1 hour"): DataFrame =
+    docs
+      .withWatermark(eventTimeCol, watermark)
+      .dropDuplicates(fingerprintCol, eventTimeCol)
+      .dropDuplicates(fingerprintCol)
+
+  /** Stream-stream interval join: match each `right` event to `left`
+    * events of the same user within [0, window] after the left event —
+    * e.g. purchases attributed to clicks. State on both sides is bounded
+    * by the watermark + interval condition.
+    */
+  def intervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      window: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame = {
+    val l = left.withWatermark("ts", watermark)
+      .select(col("user_id"), col("ts").as("l_ts"), col("event_id").as("l_id"))
+    val r = right.withWatermark("ts", watermark)
+      .select(col("user_id").as("r_user"), col("ts").as("r_ts"), col("event_id").as("r_id"))
+    l.join(
+      r,
+      col("user_id") === col("r_user") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $window"))
+      .select(col("user_id"), col("l_id"), col("r_id"),
+        unix_timestamp(col("l_ts")).as("l_epoch"),
+        unix_timestamp(col("r_ts")).as("r_epoch"))
+  }
+
   // -------- custom keyed state: running per-user counters ----------------
 
   case class UserEvent(user_id: Long, event_type: String, value: Double)

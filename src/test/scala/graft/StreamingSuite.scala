@@ -72,6 +72,61 @@ class StreamingSuite extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming dedup keeps the first occurrence per fingerprint") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long, Long)] // ts, doc_id, fingerprint
+    val streamDf = mem.toDF().toDF("ts", "doc_id", "fp")
+    val query = graft.streaming.StreamingOps.dedupStream(streamDf, "fp", "ts")
+      .writeStream.format("memory").queryName("dedup_out").outputMode("append")
+      .start()
+    try {
+      def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+      mem.addData((t(0), 1L, 100L), (t(1), 2L, 200L), (t(2), 3L, 100L))
+      query.processAllAvailable()
+      mem.addData((t(3), 4L, 100L), (t(4), 5L, 300L))
+      query.processAllAvailable()
+      val kept = s.sql("SELECT fp, count(*) FROM dedup_out GROUP BY fp")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(kept === Map(100L -> 1L, 200L -> 1L, 300L -> 1L))
+    } finally query.stop()
+  }
+
+  test("stream-stream interval join equals the batch interval join") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val batch = eventsBatch.select("ts", "user_id", "event_id", "event_type")
+    val clicks = batch.filter(col("event_type") === "click")
+    val purchases = batch.filter(col("event_type") === "purchase")
+    val expected = graft.streaming.StreamingOps
+      .intervalJoin(clicks, purchases)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    val rows = batch.collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val memL = MemoryStream[(java.sql.Timestamp, Long, Long, String)]
+    val memR = MemoryStream[(java.sql.Timestamp, Long, Long, String)]
+    val ldf = memL.toDF().toDF("ts", "user_id", "event_id", "event_type")
+    val rdf = memR.toDF().toDF("ts", "user_id", "event_id", "event_type")
+    val query = graft.streaming.StreamingOps.intervalJoin(ldf, rdf)
+      .writeStream.format("memory").queryName("ij_out").outputMode("append")
+      .start()
+    try {
+      memL.addData(rows.filter(_._4 == "click").toSeq)
+      memR.addData(rows.filter(_._4 == "purchase").toSeq)
+      query.processAllAvailable()
+      val far = java.sql.Timestamp.valueOf("2999-01-01 00:00:00")
+      memL.addData(Seq((far, -1L, -1L, "click")))
+      memR.addData(Seq((far, -1L, -1L, "purchase")))
+      query.processAllAvailable()
+      val streamed = s.sql("SELECT user_id, l_id, r_id FROM ij_out WHERE user_id >= 0")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamed === expected)
+    } finally query.stop()
+  }
+
   test("stateful query resumes from checkpoint with state intact") {
     val s = spark
     import s.implicits._
