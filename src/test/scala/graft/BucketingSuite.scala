@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Proves the SCALE.md co-location claim: with both fact tables bucketed
+  * on the join key, the join plans with NO shuffle exchange — the knob
+  * that removes the dominant shuffle of q2-class queries at 100 TB.
+  */
+class BucketingSuite extends SparkSpec {
+
+  test("bucketed co-located join plans without a shuffle exchange") {
+    val s = spark
+    val li = Tables.lineitem(s, "/root/testdata/sf0.001")
+    val o = Tables.orders(s, "/root/testdata/sf0.001")
+
+    s.sql("DROP TABLE IF EXISTS li_bucketed")
+    s.sql("DROP TABLE IF EXISTS o_bucketed")
+    li.write.format("parquet").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("li_bucketed")
+    o.write.format("parquet").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("o_bucketed")
+
+    val prevThreshold = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = s.conf.get("spark.sql.adaptive.enabled")
+    try {
+      // force the sort-merge path so the exchange count is meaningful
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s.conf.set("spark.sql.adaptive.enabled", "false")
+
+      val bucketed = s.table("li_bucketed")
+        .join(s.table("o_bucketed"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("cnt"))
+      val plan = bucketed.queryExecution.executedPlan.toString
+      val joinSection = plan.split("HashAggregate").last // below the agg
+      assert(!joinSection.contains("Exchange hashpartitioning(l_orderkey"),
+        s"bucketed join still shuffles:\n$plan")
+
+      val unbucketed = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("cnt"))
+      val planU = unbucketed.queryExecution.executedPlan.toString
+      assert(planU.contains("Exchange"), "control: unbucketed join should shuffle")
+
+      // same answers either way
+      val a = bucketed.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      val b = unbucketed.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      assert(a === b)
+    } finally {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      s.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      s.sql("DROP TABLE IF EXISTS li_bucketed")
+      s.sql("DROP TABLE IF EXISTS o_bucketed")
+    }
+  }
+}
