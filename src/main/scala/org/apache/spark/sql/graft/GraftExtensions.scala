@@ -22,5 +22,33 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[WeightedMedianAgg].getName, "weighted_median"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         WeightedMedianAgg(exprs(0), exprs(1)).toAggregateExpression()))
+    ext.injectFunction((
+      new FunctionIdentifier("topk_by_score"),
+      new ExpressionInfo(classOf[TopKByScoreAgg].getName, "topk_by_score"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        TopKByScoreAgg(exprs(0), exprs(1), GraftExtensions.literalInt(exprs(2)))
+          .toAggregateExpression()))
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_signature"),
+      new ExpressionInfo(classOf[MinHashSignatureAgg].getName, "minhash_signature"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        MinHashSignatureAgg(exprs(0), GraftExtensions.literalInt(exprs(1)))
+          .toAggregateExpression()))
+    ext.injectFunction((
+      new FunctionIdentifier("shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        ShingleHashes(exprs(0), GraftExtensions.literalInt(exprs(1)))))
   }
+}
+
+object GraftExtensions {
+  private[graft] def literalInt(
+      e: org.apache.spark.sql.catalyst.expressions.Expression): Int =
+    e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v.toInt
+      case other =>
+        throw new IllegalArgumentException(s"expected an integer literal, got $other")
+    }
 }
