@@ -122,6 +122,30 @@ object Queries {
         col("sum_value"))
       .orderBy("window_start", "event_type")
 
+  /** Rollup subtotal hierarchy — sentinel-labeled so subtotal rows compare
+    * cleanly across engines.
+    */
+  def q7Rollup(spark: SparkSession, sfDir: String): DataFrame =
+    lineitem(spark, sfDir)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("cnt"))
+      .select(
+        coalesce(col("l_returnflag"), lit("(all)")).as("flag"),
+        coalesce(col("l_linestatus"), lit("(all)")).as("status"),
+        col("sum_qty"), col("cnt"))
+      .orderBy("flag", "status")
+
+  /** Pivot on line status — fixed pivot values so the schema is static. */
+  def q8Pivot(spark: SparkSession, sfDir: String): DataFrame =
+    lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag").as("flag"))
+      .pivot("l_linestatus", Seq("O", "F"))
+      .agg(count(lit(1)))
+      .withColumnRenamed("O", "cnt_o")
+      .withColumnRenamed("F", "cnt_f")
+      .na.fill(0L, Seq("cnt_o", "cnt_f"))
+      .orderBy("flag")
+
   // ------------------------------------------------------- data-pipeline ops
 
   import graft.pipeline.{Dedup, Multimodal, Similarity, TextFunctions => TF}

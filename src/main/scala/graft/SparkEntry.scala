@@ -19,6 +19,8 @@ object SparkEntry {
     "q4_discounted_orders_semi" -> (Queries.q4DiscountedOrders _),
     "q5_segment_stats" -> (Queries.q5SegmentStats _),
     "q6_event_windows" -> (Queries.q6EventWindows _),
+    "q7_rollup" -> (Queries.q7Rollup _),
+    "q8_pivot" -> (Queries.q8Pivot _),
     "ml_dummy_mean" -> (Queries.dummyMean _),
     "ml_dummy_median" -> (Queries.dummyMedian _),
     "ml_dummy_quantile" -> (Queries.dummyQuantile _),
@@ -108,6 +110,21 @@ object SparkEntry {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
+    "q7_rollup" ->
+      """SELECT coalesce(l_returnflag, '(all)') AS flag,
+        | coalesce(l_linestatus, '(all)') AS status,
+        | sum(l_quantity) AS sum_qty,
+        | count(*) AS cnt
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY flag, status""".stripMargin,
+    "q8_pivot" ->
+      """SELECT l_returnflag AS flag,
+        | count(*) FILTER (l_linestatus = 'O') AS cnt_o,
+        | count(*) FILTER (l_linestatus = 'F') AS cnt_f
+        |FROM lineitem
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
     "ml_dummy_mean" ->
       "SELECT round(avg(l_extendedprice), 4) AS prediction FROM lineitem",
     "ml_dummy_median" ->
