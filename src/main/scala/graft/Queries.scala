@@ -228,6 +228,27 @@ object Queries {
     * top-k) — plan-equivalent to the window variant, verified identical by
     * the same oracle.
     */
+  /** Same contract as pEmbeddingDedup but through the random-hyperplane
+    * LSH path. Planted dups are scaled copies (identical direction), so
+    * they hash into the same bucket under every hyperplane — LSH recall
+    * on them is exactly 100% and the brute-force oracle applies verbatim.
+    */
+  def pEmbeddingDedupLsh(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.embeddingDupPairsLsh(
+        embeddingsWithPlants(spark, sfDir), "vec_id", "embedding", 0.95,
+        dim = 64, planes = 12, tables = 4)
+      .select(col("id_a"), col("id_b"))
+      .orderBy("id_a", "id_b")
+
+  /** Corpus vocabulary stats: distinct tokens + token volume (exact). */
+  def pTokenVocab(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = documents(spark, sfDir)
+      .select(explode(TF.tokens(col("text"))).as("t"))
+    toks.agg(
+      countDistinct("t").as("n_distinct_tokens"),
+      count(lit(1)).as("n_tokens"))
+  }
+
   def pAnnBruteForce(spark: SparkSession, sfDir: String): DataFrame = {
     val e = embeddings(spark, sfDir)
     Similarity.bruteForceTopKAgg(e.filter(col("vec_id") < 30), e, "vec_id", "embedding", 5)

@@ -43,6 +43,8 @@ object SparkEntry {
     "p_simhash_dedup" -> (Queries.pSimhashDedup _),
     "p_fingerprint" -> (Queries.pFingerprint _),
     "p_embedding_dedup" -> (Queries.pEmbeddingDedup _),
+    "p_embedding_dedup_lsh" -> (Queries.pEmbeddingDedupLsh _),
+    "p_token_vocab" -> (Queries.pTokenVocab _),
     "p_ann_brute_force" -> (Queries.pAnnBruteForce _),
     "p_ann_ivf" -> (Queries.pAnnIvf _),
     "p_multimodal" -> (Queries.pMultimodal _),
@@ -213,6 +215,24 @@ object SparkEntry {
         |  FROM base a JOIN base b ON a.vec_id < b.vec_id)
         |SELECT id_a, id_b FROM p WHERE cos >= 0.95
         |ORDER BY id_a, id_b""".stripMargin,
+    "p_embedding_dedup_lsh" ->
+      """WITH base AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000, list_transform(embedding::DOUBLE[], x -> x * 1.1)
+        |  FROM embeddings WHERE vec_id % 25 = 0),
+        |p AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_dot_product(a.v, b.v) /
+        |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
+        |  FROM base a JOIN base b ON a.vec_id < b.vec_id)
+        |SELECT id_a, id_b FROM p WHERE cos >= 0.95
+        |ORDER BY id_a, id_b""".stripMargin,
+    "p_token_vocab" ->
+      """SELECT count(DISTINCT t) AS n_distinct_tokens, count(*) AS n_tokens
+        |FROM (
+        |  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
+        |  FROM documents)""".stripMargin,
     "p_ann_brute_force" ->
       """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 30),
         |c AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS cv FROM embeddings),

@@ -260,7 +260,7 @@ object Dedup {
     val rng = new scala.util.Random(seed)
     val hyperplanes: Array[Array[Array[Double]]] =
       Array.fill(tables, planes, dim)(rng.nextGaussian())
-    val bucketUdf = udf { (v: Seq[Float], t: Int) =>
+    val bucketUdf = udf { (v: Seq[Double], t: Int) =>
       val hp = hyperplanes(t)
       var bucket = 0L
       var p = 0
@@ -273,7 +273,7 @@ object Dedup {
       }
       bucket
     }
-    val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val v = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
     val banded = v.select(
       col("id"), col("v"),
       explode(array((0 until tables).map(t =>
