@@ -62,6 +62,70 @@ object Similarity {
         (col("pos") + 1).as("rank"))
   }
 
+  /** Persisted IVF index: build once (KMeans quantizer + assignments
+    * written as parquet partitioned by inverted list), query many. At
+    * corpus scale the partitioned layout means a probe reads only
+    * `nprobe` list partitions — partition pruning does the work of an
+    * index seek.
+    */
+  def buildIvfIndex(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String,
+      numCentroids: Int = 16,
+      seed: Long = 42L): Unit = {
+    val spark = corpus.sparkSession
+    val c = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).cast("array<double>").as("cv"))
+      .withColumn("feat", array_to_vector(col("cv")))
+    val model = new KMeans().setK(numCentroids).setSeed(seed).setFeaturesCol("feat").fit(c)
+    model.transform(c)
+      .withColumnRenamed("prediction", "list_id")
+      .select("neighbor_id", "cv", "list_id")
+      .write.mode("overwrite").partitionBy("list_id").parquet(s"$path/lists")
+    import spark.implicits._
+    model.clusterCenters.map(_.toArray.toSeq).zipWithIndex.toSeq
+      .toDF("centroid", "list_id")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  def ivfTopKFromIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nprobe: Int = 4): DataFrame = {
+    val centroids: Array[(Int, Array[Double])] = spark.read
+      .parquet(s"$indexPath/centroids")
+      .collect()
+      .map(r => (r.getInt(1), r.getSeq[Double](0).toArray))
+    val probeUdf = udf { (v: Seq[Double]) =>
+      centroids.map { case (i, cen) =>
+        var d = 0.0
+        var j = 0
+        while (j < cen.length) { val x = cen(j) - v(j); d += x * x; j += 1 }
+        (i, d)
+      }.sortBy(_._2).take(nprobe).map(_._1)
+    }
+    val q = queries
+      .select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("list_id", explode(probeUdf(col("qv"))))
+    val lists = spark.read.parquet(s"$indexPath/lists")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    // the list_id equi-join prunes the scan to the probed partitions
+    lists.join(broadcast(q),
+        lists("list_id") === q("list_id") && col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", Dedup.cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), round(col("cos"), 6).as("cos"))
+  }
+
   /** IVF: coarse-quantize the corpus with KMeans, probe nprobe lists. */
   def ivfTopK(
       queries: DataFrame,

@@ -139,6 +139,24 @@ class PipelineSuite extends SparkSpec {
     assert(agg === win)
   }
 
+  test("persisted IVF index answers queries like the in-memory IVF") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(91)
+    val df = (0 until 300).map(i => (i.toLong, Array.fill(16)(rng.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val queries = df.filter(col("vec_id") < 10)
+    val tmp = java.nio.file.Files.createTempDirectory("ivf-idx").toString
+    Similarity.buildIvfIndex(df, "vec_id", "embedding", tmp, numCentroids = 8)
+    val fromIndex = Similarity
+      .ivfTopKFromIndex(s, tmp, queries, "vec_id", "embedding", 5, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val inMemory = Similarity
+      .ivfTopK(queries, df, "vec_id", "embedding", 5, numCentroids = 8, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fromIndex === inMemory)
+  }
+
   test("IVF top-k approximates brute-force top-k") {
     val s = spark
     import s.implicits._
@@ -173,6 +191,19 @@ class PipelineSuite extends SparkSpec {
     assert(idx === Seq(0, 2)) // 4 frames of 64 bytes, stride 2
     val fb = frames.select(octet_length(col("frame_bytes"))).collect().map(_.getInt(0))
     assert(fb.forall(_ === 64))
+  }
+
+  test("multimodal resize stub downsamples deterministically") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "abcdefghij")).toDF("doc_id", "text")
+    val withP = Multimodal.withPayload(df, "text")
+    val out = withP
+      .withColumn("small", Multimodal.resizeUdf(col("payload"), lit(4)))
+      .select(octet_length(col("small")), col("small").cast("string"))
+      .head()
+    assert(out.getInt(0) === 3) // ceil(10/4)
+    assert(out.getString(1) === "aei") // every 4th byte
   }
 
   test("quality score is in [0,1] and rewards longer diverse text") {
