@@ -273,7 +273,10 @@ class GBMClassifier(override val uid: String)
           .head()
         if (!agg.isNullAt(0)) {
           val vloss = agg.getDouble(0) / agg.getDouble(1)
-          if (bestValLoss - vloss > $(validationTol) * math.max(math.abs(bestValLoss), 1e-12)) {
+          // first finite loss always establishes the baseline (see
+          // GBMRegressor: Inf-arithmetic would mis-count round one)
+          if (bestValLoss.isPosInfinity ||
+            bestValLoss - vloss > $(validationTol) * math.max(math.abs(bestValLoss), 1e-12)) {
             bestValLoss = vloss
             badRounds = 0
           } else {

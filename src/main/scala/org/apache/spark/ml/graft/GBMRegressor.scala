@@ -299,7 +299,11 @@ class GBMRegressor(override val uid: String)
           // no validation rows; ignore
         } else {
           val vloss = agg.getDouble(0) / agg.getDouble(1)
-          if (bestValLoss - vloss > $(validationTol) * math.max(math.abs(bestValLoss), 1e-12)) {
+          // the first finite loss always establishes the baseline (Inf -
+          // vloss > tol*Inf is false, which would mis-count round one as
+          // a failure)
+          if (bestValLoss.isPosInfinity ||
+            bestValLoss - vloss > $(validationTol) * math.max(math.abs(bestValLoss), 1e-12)) {
             bestValLoss = vloss
             badRounds = 0
           } else {

@@ -68,13 +68,15 @@ class CoverageSuite extends SparkSpec {
     val withVal = clsDf.withColumn("isVal", rand(3) > 0.7)
     val m = new GBMClassifier()
       .setBaseLearner(new DecisionTreeRegressor().setMaxDepth(2).setSeed(1))
-      .setMaxIter(15)
+      .setMaxIter(25)
       .setLoss("logloss")
       .setValidationIndicatorCol("isVal")
       .setNumRounds(2)
+      .setValidationTol(0.05) // stop once per-round improvement drops below 5%
       .setSeed(0L)
       .fit(withVal)
-    assert(m.models.length < 15)
+    assert(m.models.length < 25)
+    assert(m.models.length > 1, s"stopped degenerately at ${m.models.length}")
   }
 
   test("StackingClassifier stackMethod=raw") {

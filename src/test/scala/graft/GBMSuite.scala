@@ -171,6 +171,9 @@ class GBMSuite extends graft.SparkSpec {
       .setSeed(0L)
       .fit(withVal)
     assert(m.models.length < 30, s"expected early stop, got ${m.models.length}")
+    // must actually learn before stopping: the first evaluated round
+    // establishes the baseline rather than counting as a failure
+    assert(m.models.length > 1, s"stopped degenerately at ${m.models.length}")
   }
 
   test("GBMClassifier multinomial logloss on 3 classes") {
@@ -235,7 +238,8 @@ class GBMSuite extends graft.SparkSpec {
     var i = 0
     var done = false
     while (i < curve.length && !done) {
-      if (best - curve(i) > 0.01 * math.max(math.abs(best), 1e-12)) { best = curve(i); bad = 0 }
+      if (best.isPosInfinity ||
+        best - curve(i) > 0.01 * math.max(math.abs(best), 1e-12)) { best = curve(i); bad = 0 }
       else {
         bad += 1
         if (bad >= 2) { stopAt = math.max(i + 1 - bad, 1); done = true }
