@@ -146,6 +146,32 @@ object Queries {
       .na.fill(0L, Seq("cnt_o", "cnt_f"))
       .orderBy("flag")
 
+  /** Date/time function surface: monthly order aggregation with exact
+    * month keys (epoch seconds of the month start).
+    */
+  def q9MonthlyOrders(spark: SparkSession, sfDir: String): DataFrame =
+    orders(spark, sfDir)
+      .groupBy(
+        unix_timestamp(date_trunc("month", col("o_orderdate"))).as("month_start"),
+        year(col("o_orderdate")).cast("long").as("order_year"))
+      .agg(
+        count(lit(1)).as("order_count"),
+        sum(dayofmonth(col("o_orderdate")).cast("long")).as("sum_dom"))
+      .orderBy("month_start")
+
+  /** String function surface: prefix/suffix/length/case manipulations with
+    * exact outputs.
+    */
+  def q10StringFuncs(spark: SparkSession, sfDir: String): DataFrame =
+    part(spark, sfDir)
+      .select(
+        col("p_partkey"),
+        upper(substring(col("p_name"), 1, 3)).as("name_prefix"),
+        length(col("p_name")).cast("long").as("name_len"),
+        when(col("p_type").like("%BRASS%"), 1L).otherwise(0L).as("is_brass"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"))
+      .orderBy("p_partkey")
+
   // ------------------------------------------------------- data-pipeline ops
 
   import graft.pipeline.{Dedup, Multimodal, Similarity, TextFunctions => TF}

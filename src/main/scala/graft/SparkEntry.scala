@@ -21,6 +21,8 @@ object SparkEntry {
     "q6_event_windows" -> (Queries.q6EventWindows _),
     "q7_rollup" -> (Queries.q7Rollup _),
     "q8_pivot" -> (Queries.q8Pivot _),
+    "q9_monthly_orders" -> (Queries.q9MonthlyOrders _),
+    "q10_string_funcs" -> (Queries.q10StringFuncs _),
     "ml_dummy_mean" -> (Queries.dummyMean _),
     "ml_dummy_median" -> (Queries.dummyMedian _),
     "ml_dummy_quantile" -> (Queries.dummyQuantile _),
@@ -127,6 +129,22 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY 1
         |ORDER BY 1""".stripMargin,
+    "q9_monthly_orders" ->
+      """SELECT CAST(epoch(date_trunc('month', o_orderdate)) AS BIGINT) AS month_start,
+        | CAST(year(o_orderdate) AS BIGINT) AS order_year,
+        | count(*) AS order_count,
+        | CAST(sum(day(o_orderdate)) AS BIGINT) AS sum_dom
+        |FROM orders
+        |GROUP BY 1, 2
+        |ORDER BY 1""".stripMargin,
+    "q10_string_funcs" ->
+      """SELECT p_partkey,
+        | upper(substring(p_name, 1, 3)) AS name_prefix,
+        | CAST(length(p_name) AS BIGINT) AS name_len,
+        | CASE WHEN p_type LIKE '%BRASS%' THEN 1 ELSE 0 END::BIGINT AS is_brass,
+        | concat_ws('|', p_brand, p_type) AS brand_type
+        |FROM part
+        |ORDER BY p_partkey""".stripMargin,
     "ml_dummy_mean" ->
       "SELECT round(avg(l_extendedprice), 4) AS prediction FROM lineitem",
     "ml_dummy_median" ->
