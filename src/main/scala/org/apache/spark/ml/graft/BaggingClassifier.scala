@@ -105,20 +105,20 @@ class BaggingClassificationModel(
     */
   override def predictRaw(features: Vector): Vector = {
     val votes = new Array[Double](numClasses)
+    val hard = $(votingStrategy) == "hard" // hoisted out of the per-model loop
     var i = 0
     while (i < numModels) {
       val sub = subspaces(i)
       val f = if (sub.length == features.size) features else GraftUtils.sliceVector(features, sub)
-      $(votingStrategy) match {
-        case "hard" =>
-          val k = models(i).predict(f).toInt
-          votes(k) += 1.0
-        case "soft" =>
-          val p = models(i)
-            .asInstanceOf[ProbabilisticClassificationModel[Vector, _]]
-            .predictProbability(f)
-          var k = 0
-          while (k < numClasses) { votes(k) += p(k); k += 1 }
+      if (hard) {
+        val k = models(i).predict(f).toInt
+        votes(k) += 1.0
+      } else {
+        val p = models(i)
+          .asInstanceOf[ProbabilisticClassificationModel[Vector, _]]
+          .predictProbability(f)
+        var k = 0
+        while (k < numClasses) { votes(k) += p(k); k += 1 }
       }
       i += 1
     }

@@ -80,7 +80,7 @@ class BoostingClassifier(override val uid: String)
     while (i < $(numBaseLearners) && !done) {
       val sumW = df.agg(sum("__bw")).head().getDouble(0)
       val weighted = df.withColumn("__bwn", col("__bw") / sumW)
-      val model = Learners.fit($(baseLearner), weighted, "label", "features", Some("__bwn"))
+      val model = Learners.fit($(baseLearner), weighted, "label", "features", Some("__bwn"), weightRequired = true)
       $(algorithm) match {
         case "discrete" =>
           val predicted = Learners.transform(model, weighted, "__pred")

@@ -29,17 +29,28 @@ private[graft] class IterLoopCache(checkpointInterval: Int) {
   private var prev: DataFrame = _
   private var iter = 0
 
+  private def release(df: DataFrame): Unit = {
+    // Dataset.unpersist is a no-op on localCheckpoint blocks (they bypass
+    // the CacheManager) — free the underlying RDD cache explicitly or each
+    // checkpointed iteration's full dataset lingers in executor storage.
+    // Safe here: the successor iteration is already materialized, so the
+    // freed lineage is never re-entered (and local checkpoints forgo
+    // recompute-on-executor-loss by contract anyway).
+    df.unpersist()
+    org.apache.spark.sql.graft.DatasetUtils.freeCheckpointBlocks(df)
+  }
+
   def next(df: DataFrame): DataFrame = {
     iter += 1
     val out =
       if (checkpointInterval > 0 && iter % checkpointInterval == 0) df.localCheckpoint(true)
       else { df.persist(StorageLevel.MEMORY_AND_DISK); df.count(); df }
-    if (prev != null) prev.unpersist()
+    if (prev != null) release(prev)
     prev = out
     out
   }
 
-  def close(): Unit = if (prev != null) { prev.unpersist(); prev = null }
+  def close(): Unit = if (prev != null) { release(prev); prev = null }
 }
 
 private[graft] trait BoostingRegressorParams
@@ -108,7 +119,7 @@ class BoostingRegressor(override val uid: String)
     while (i < $(numBaseLearners) && !done) {
       val sumW = df.agg(sum("__bw")).head().getDouble(0)
       val weighted = df.withColumn("__bwn", col("__bw") / sumW)
-      val model = Learners.fit($(baseLearner), weighted, "label", "features", Some("__bwn"))
+      val model = Learners.fit($(baseLearner), weighted, "label", "features", Some("__bwn"), weightRequired = true)
       val predicted = Learners
         .transform(model, weighted, "__pred")
         .withColumn("__err", abs(col("__pred") - col("label")))
@@ -131,11 +142,11 @@ class BoostingRegressor(override val uid: String)
             withLoss.agg(sum(col("__bwn") * col("__loss"))).head().getDouble(0)
           if (estimatorError >= 0.5) {
             // boosting assumption broken: keep the model only if it is the
-            // first (so the ensemble is non-empty), then stop
+            // first (so the ensemble is non-empty, voting with full weight
+            // like the classifier's degenerate case), then stop
             if (models.isEmpty) {
               models += model
-              modelWeights += math.max(
-                math.log(1.0 / math.max(estimatorError / (1.0 - estimatorError), 1e-15)), 0.0)
+              modelWeights += 1.0
             }
             done = true
           } else {

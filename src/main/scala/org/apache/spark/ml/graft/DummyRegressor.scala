@@ -62,13 +62,37 @@ class DummyRegressor(override val uid: String)
             .head()
           r.getDouble(0) / r.getDouble(1)
         } else labels.agg(avg("label")).head().getDouble(0)
-      case "median" =>
-        labels.stat.approxQuantile("label", Array(0.5), $(tol)).head
-      case "quantile" =>
-        labels.stat.approxQuantile("label", Array($(quantile)), $(tol)).head
+      case "median" => quantileValue(dataset, 0.5)
+      case "quantile" => quantileValue(dataset, $(quantile))
       case "constant" => $(constant)
     }
     new DummyRegressionModel(uid, c).setParent(this)
+  }
+
+  /** Unweighted: exact/approx Greenwald-Khanna sketch. Weighted: the exact
+    * weighted quantile (smallest label whose cumulative weight reaches
+    * q * total) via a global ordered window — one sort, acceptable for a
+    * constant fit; swap for a weighted sketch at extreme row counts.
+    */
+  private def quantileValue(dataset: Dataset[_], q: Double): Double = {
+    if (isDefined(weightCol) && $(weightCol).nonEmpty) {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy("l").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = dataset
+        .select(
+          col($(labelCol)).cast(DoubleType).as("l"),
+          col($(weightCol)).cast(DoubleType).as("wt"))
+        .withColumn("cum", sum("wt").over(w))
+      val total = cum.agg(sum("wt")).head().getDouble(0)
+      cum.filter(col("cum") >= q * total)
+        .orderBy("l")
+        .select("l")
+        .head()
+        .getDouble(0)
+    } else {
+      dataset.select(col($(labelCol)).cast(DoubleType).as("label"))
+        .stat.approxQuantile("label", Array(q), $(tol)).head
+    }
   }
 
   override def copy(extra: ParamMap): DummyRegressor = defaultCopy(extra)

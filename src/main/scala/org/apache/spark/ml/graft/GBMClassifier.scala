@@ -179,7 +179,7 @@ class GBMClassifier(override val uid: String)
                     .withColumn("__rk", col("__rk") / col("__hk"))
                     .withColumn("__wk", col("weight") * col("__hk"))
                 } else fitK.withColumn("__wk", col("weight"))
-              Learners.fit($(baseLearner), fitK, "__rk", featCol, Some("__wk"))
+              Learners.fit($(baseLearner), fitK, "__rk", featCol, Some("__wk"), weightRequired = newton)
             }(ec)
           }
           futures.map(ThreadUtils.awaitResult(_, Duration.Inf))

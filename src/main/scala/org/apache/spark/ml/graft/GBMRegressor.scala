@@ -190,6 +190,11 @@ class GBMRegressor(override val uid: String)
     val subspaces = ArrayBuffer.empty[Array[Int]]
     var bestValLoss = Double.PositiveInfinity
     var badRounds = 0
+    // early stopping needs a STATIONARY metric: huber's delta refreshes
+    // every round, so comparing losses computed under different deltas
+    // would be apples-to-oranges — freeze the first round's loss object
+    // for all validation evaluations
+    var valLossObj: GBMRegressionLoss = null
     var i = 0
     var done = false
 
@@ -240,7 +245,8 @@ class GBMRegressor(override val uid: String)
           .withMetadata("__sf", GraftUtils.featuresMetadata(indices.length, "__sf"))
       }
       val model = Learners.fit(
-        $(baseLearner), fitDf, "__r", if (full) "features" else "__sf", Some("__w"))
+        $(baseLearner), fitDf, "__r", if (full) "features" else "__sf", Some("__w"),
+        weightRequired = newton)
 
       // direction on ALL rows (train + validation)
       val withSf =
@@ -289,7 +295,9 @@ class GBMRegressor(override val uid: String)
 
       // validation early stop
       if (hasVal) {
-        val lossUdf = udf { (y: Double, f: Double) => lossB.loss(y, f) }
+        if (valLossObj == null) valLossObj = lossB
+        val frozen = valLossObj
+        val lossUdf = udf { (y: Double, f: Double) => frozen.loss(y, f) }
         val agg = df.filter(col("__val"))
           .agg(
             sum(col("weight") * lossUdf(col("label"), col("__f"))).as("l"),

@@ -85,23 +85,39 @@ private[graft] trait HasVotingStrategy extends Params {
   */
 private[graft] object Learners {
 
+  /** `weightRequired = true` marks call sites where the per-row weights
+    * carry the ALGORITHM's state (boosting reweighting, Newton hessian
+    * weights): a base learner that cannot consume weights would silently
+    * degenerate the whole ensemble there, so it is rejected instead.
+    */
   def fit(
       learner: EnsemblePredictorType,
       df: DataFrame,
       labelCol: String,
       featuresCol: String,
-      weightCol: Option[String] = None): EnsemblePredictionModelType = {
+      weightCol: Option[String] = None,
+      weightRequired: Boolean = false): EnsemblePredictionModelType = {
     val pm = ParamMap(
       learner.labelCol.w(labelCol),
       learner.featuresCol.w(featuresCol))
     weightCol.foreach { wc =>
       learner match {
         case w: HasWeightCol => pm.put(w.weightCol.w(wc))
-        case _ => ()
+        case _ =>
+          require(
+            !weightRequired,
+            s"base learner ${learner.getClass.getSimpleName} does not support " +
+              "instance weights (HasWeightCol), but this algorithm carries its " +
+              "state in per-row weights — fitting unweighted would silently " +
+              "produce identical models every iteration")
       }
     }
     learner.fit(df, pm).asInstanceOf[EnsemblePredictionModelType]
   }
+
+  private type VectorModel = org.apache.spark.ml.PredictionModel[
+    org.apache.spark.ml.linalg.Vector,
+    M] forSome { type M <: org.apache.spark.ml.PredictionModel[org.apache.spark.ml.linalg.Vector, M] }
 
   /** Transform with a rebound prediction column, leaving the shared model
     * object untouched.
@@ -110,9 +126,7 @@ private[graft] object Learners {
       model: EnsemblePredictionModelType,
       df: DataFrame,
       predictionCol: String): DataFrame = {
-    val m = model.asInstanceOf[org.apache.spark.ml.PredictionModel[
-      org.apache.spark.ml.linalg.Vector,
-      M] forSome { type M <: org.apache.spark.ml.PredictionModel[org.apache.spark.ml.linalg.Vector, M] }]
+    val m = model.asInstanceOf[VectorModel]
     m.transform(df, ParamMap(m.predictionCol.w(predictionCol)))
   }
 
@@ -122,9 +136,7 @@ private[graft] object Learners {
       df: DataFrame,
       featuresCol: String,
       predictionCol: String): DataFrame = {
-    val m = model.asInstanceOf[org.apache.spark.ml.PredictionModel[
-      org.apache.spark.ml.linalg.Vector,
-      M] forSome { type M <: org.apache.spark.ml.PredictionModel[org.apache.spark.ml.linalg.Vector, M] }]
+    val m = model.asInstanceOf[VectorModel]
     m.transform(df, ParamMap(m.featuresCol.w(featuresCol), m.predictionCol.w(predictionCol)))
   }
 

@@ -41,6 +41,23 @@ class DummySuite extends SparkSpec {
     assert(m.constantValue === 2.0)
   }
 
+  test("DummyRegressor weighted median honors the weight column") {
+    val s = spark
+    import s.implicits._
+    val wdf = Seq(
+      (1.0, 1.0, Vectors.dense(0.0)),
+      (2.0, 1.0, Vectors.dense(0.0)),
+      (10.0, 10.0, Vectors.dense(0.0))
+    ).toDF("label", "w", "features")
+    val weighted = new DummyRegressor().setStrategy("median").setWeightCol("w").fit(wdf)
+    assert(weighted.constantValue === 10.0) // cumulative weight crosses 6 at label 10
+    val unweighted = new DummyRegressor().setStrategy("median").setTol(0.0).fit(wdf)
+    assert(unweighted.constantValue === 2.0)
+    val q = new DummyRegressor().setStrategy("quantile").setQuantile(0.05)
+      .setWeightCol("w").fit(wdf)
+    assert(q.constantValue === 1.0)
+  }
+
   test("DummyClassifier prior / uniform / constant") {
     val s = spark
     import s.implicits._

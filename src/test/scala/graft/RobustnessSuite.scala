@@ -60,6 +60,25 @@ class RobustnessSuite extends SparkSpec {
     assert(pred === 1.0, "heavily-weighted class must win on identical features")
   }
 
+  test("boosting rejects base learners that cannot consume instance weights") {
+    val s = spark
+    import s.implicits._
+    val cls = Seq(
+      (0.0, Vectors.dense(0.0, 1.0)), (1.0, Vectors.dense(1.0, 0.0)),
+      (0.0, Vectors.dense(0.1, 0.9)), (1.0, Vectors.dense(0.9, 0.1))
+    ).toDF("label", "features")
+    // MultilayerPerceptronClassifier has no weightCol: fitting it unweighted
+    // every round would silently degenerate AdaBoost, so it must be rejected
+    val e = intercept[IllegalArgumentException] {
+      new BoostingClassifier()
+        .setBaseLearner(new org.apache.spark.ml.classification.MultilayerPerceptronClassifier()
+          .setLayers(Array(2, 2)).setMaxIter(1))
+        .setNumBaseLearners(2)
+        .fit(cls)
+    }
+    assert(e.getMessage.contains("instance weights"))
+  }
+
   test("same seed reproduces the ensemble; different seed varies the bags") {
     def fit(seed: Long) = new BaggingRegressor()
       .setBaseLearner(new DecisionTreeRegressor().setMaxDepth(4))
