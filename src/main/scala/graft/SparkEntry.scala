@@ -162,8 +162,8 @@ object SparkEntry {
          | CAST(length(text) AS BIGINT) AS n_chars_calc,
          | CAST(len($TOKS) AS BIGINT) AS n_tokens,
          | CAST(len(list_distinct($TOKS)) AS BIGINT) AS n_distinct,
-         | CAST(ceil(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) / 4.0) AS BIGINT)
-         |   + length(regexp_replace(text, '[a-zA-Z \\t\\n\\r]', '', 'g')) AS n_subwords,
+         | CAST(ceil(length(regexp_replace(text, '[^\\p{L}]', '', 'g')) / 4.0) AS BIGINT)
+         |   + length(regexp_replace(text, '[\\p{L}\\s]', '', 'g')) AS n_subwords,
          | CAST(len(list_filter($TOKS, t -> list_contains($EN, t))) AS BIGINT) AS n_stopwords
          |FROM documents
          |ORDER BY doc_id""".stripMargin,

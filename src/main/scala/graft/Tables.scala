@@ -23,7 +23,10 @@ object Tables {
     import org.apache.spark.sql.types.LongType
     val raw = table(spark, sfDir, "events")
     if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast(LongType)))
+      // integral `div`, NOT `/`: long/long division evaluates in double,
+      // whose 256ns ULP at epoch-nano magnitudes silently shifts
+      // microseconds and would desynchronize every event-time oracle
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else raw
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")

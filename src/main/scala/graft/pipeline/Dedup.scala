@@ -118,10 +118,13 @@ object Dedup {
     * (band index, band hash), emit within-bucket pairs. With b bands of r
     * rows, P(candidate) = 1-(1-j^r)^b — the standard S-curve.
     */
-  def minhashCandidatePairs(signatures: DataFrame, bands: Int): DataFrame = {
-    val numHashes = signatures.select(size(col("signature"))).head().getInt(0)
+  def minhashCandidatePairs(
+      signatures: DataFrame, bands: Int, numHashes: Int): DataFrame = {
     val rows = numHashes / bands
     require(rows > 0, s"bands=$bands > numHashes=$numHashes")
+    require(numHashes % bands == 0,
+      s"numHashes=$numHashes must divide evenly into bands=$bands " +
+        "(a remainder would silently leave signature tail components unbanded)")
     val banded = signatures.select(
       col("id"),
       explode(
@@ -153,7 +156,7 @@ object Dedup {
       threshold: Double = 0.5): DataFrame = {
     val sigs = minhashSignatures(df, idCol, textCol, numHashes)
     sigs.persist()
-    val cands = minhashCandidatePairs(sigs, bands)
+    val cands = minhashCandidatePairs(sigs, bands, numHashes)
     val agree = aggregate(
       zip_with(col("sa.signature"), col("sb.signature"),
         (x, y) => when(x === y, 1.0).otherwise(0.0)),
@@ -173,21 +176,24 @@ object Dedup {
     */
   val simhashUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf { (toks: Seq[String]) =>
-      val votes = new Array[Int](64)
-      toks.foreach { t =>
-        var h = 0xcbf29ce484222325L
-        var i = 0
-        while (i < t.length) { h ^= t.charAt(i).toLong; h *= 0x100000001b3L; i += 1 }
-        var b = 0
-        while (b < 64) {
-          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
-          b += 1
+      if (toks == null) null
+      else {
+        val votes = new Array[Int](64)
+        toks.foreach { t =>
+          var h = 0xcbf29ce484222325L
+          var i = 0
+          while (i < t.length) { h ^= t.charAt(i).toLong; h *= 0x100000001b3L; i += 1 }
+          var b = 0
+          while (b < 64) {
+            if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+            b += 1
+          }
         }
+        var sig = 0L
+        var b = 0
+        while (b < 64) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
+        java.lang.Long.valueOf(sig)
       }
-      var sig = 0L
-      var b = 0
-      while (b < 64) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
-      sig
     }
 
   def simhash(text: Column): Column = simhashUdf(TextFunctions.tokens(text))
@@ -197,13 +203,19 @@ object Dedup {
       idCol: String,
       textCol: String,
       maxHamming: Int = 3): DataFrame = {
+    // pigeonhole: two signatures within Hamming distance d must agree on
+    // at least one of d+1 chunks — banding into fewer chunks silently
+    // loses pairs whose differing bits spread across every chunk
+    val numChunks = math.min(maxHamming + 1, 64)
+    val width = (64 + numChunks - 1) / numChunks
+    val mask = (1L << width) - 1
     val sigs = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
     sigs.persist()
     val banded = sigs.select(
       col("id"), col("sig"),
-      explode(array((0 until 4).map { c =>
+      explode(array((0 until numChunks).map { c =>
         struct(lit(c).as("chunk"),
-          shiftrightunsigned(col("sig"), c * 16).bitwiseAND(lit(0xFFFFL)).as("piece"))
+          shiftrightunsigned(col("sig"), c * width).bitwiseAND(lit(mask)).as("piece"))
       }: _*)).as("bb"))
       .select(col("id"), col("sig"), col("bb.chunk"), col("bb.piece"))
     banded.as("a")

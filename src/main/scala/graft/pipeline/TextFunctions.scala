@@ -83,15 +83,18 @@ object TextFunctions {
     */
   val fingerprintUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf { (text: String) =>
-      val normalized = text.toLowerCase.trim.replaceAll("\\s+", " ")
-      var h = 0xcbf29ce484222325L
-      var i = 0
-      while (i < normalized.length) {
-        h ^= normalized.charAt(i).toLong
-        h *= 0x100000001b3L
-        i += 1
+      if (text == null) null
+      else {
+        val normalized = text.toLowerCase.trim.replaceAll("\\s+", " ")
+        var h = 0xcbf29ce484222325L
+        var i = 0
+        while (i < normalized.length) {
+          h ^= normalized.charAt(i).toLong
+          h *= 0x100000001b3L
+          i += 1
+        }
+        java.lang.Long.valueOf(h)
       }
-      h
     }
 
   def fingerprint(text: Column): Column = fingerprintUdf(text)

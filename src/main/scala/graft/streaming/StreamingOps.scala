@@ -53,8 +53,10 @@ object StreamingOps {
       watermark: String = "1 hour"): DataFrame =
     docs
       .withWatermark(eventTimeCol, watermark)
-      .dropDuplicates(fingerprintCol, eventTimeCol)
-      .dropDuplicates(fingerprintCol)
+      // WithinWatermark, not plain dropDuplicates: only the watermarked
+      // variant lets the state store purge expired fingerprints — the
+      // plain one keys state on fingerprint forever (unbounded state)
+      .dropDuplicatesWithinWatermark(fingerprintCol)
 
   /** Stream-stream interval join: match each `right` event to `left`
     * events of the same user within [0, window] after the left event —

@@ -22,7 +22,8 @@ case class MinHashSignatureAgg(
     override val inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[Array[Long]] {
 
-  require(k > 0)
+  require(k > 0 && k <= MinHashSignatureAgg.seeds.length,
+    s"k must be in [1, ${MinHashSignatureAgg.seeds.length}]")
 
   override def children: Seq[Expression] = Seq(hashExpr)
   override def nullable: Boolean = false

@@ -4,7 +4,7 @@ import scala.collection.mutable.ArrayBuffer
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.classic.ExpressionUtils
@@ -23,9 +23,12 @@ case class TopKByScoreAgg(
     k: Int,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[ArrayBuffer[(Long, Double)]] {
+    extends TypedImperativeAggregate[ArrayBuffer[(Long, Double)]]
+    with ImplicitCastInputTypes {
 
   require(k > 0)
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType, DoubleType)
 
   override def children: Seq[Expression] = Seq(idExpr, scoreExpr)
   override def nullable: Boolean = false
@@ -53,7 +56,9 @@ case class TopKByScoreAgg(
       input: InternalRow): ArrayBuffer[(Long, Double)] = {
     val id = idExpr.eval(input)
     val score = scoreExpr.eval(input)
-    if (id != null && score != null) {
+    // NaN scores (e.g. cosine of a zero vector) are dropped: they have no
+    // meaningful rank and would break the strict-weak-ordering sort
+    if (id != null && score != null && !score.asInstanceOf[Double].isNaN) {
       buffer += ((id.asInstanceOf[Long], score.asInstanceOf[Double]))
       // amortized trim: sort only when the buffer doubles past k
       if (buffer.length >= 2 * k + 8) trim(buffer)

@@ -4,10 +4,10 @@ import scala.collection.mutable.ArrayBuffer
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.classic.ExpressionUtils
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{AbstractDataType, DataType, DoubleType}
 
 /** `weighted_median(value, weight)` as a first-class SQL aggregate
   * (TypedImperativeAggregate — the mutable-buffer rung for sketches and
@@ -25,7 +25,12 @@ case class WeightedMedianAgg(
     weightExpr: Expression,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[ArrayBuffer[(Double, Double)]] {
+    extends TypedImperativeAggregate[ArrayBuffer[(Double, Double)]]
+    with ImplicitCastInputTypes {
+
+  // analyzer-inserted casts keep SQL-text callers (int/decimal columns)
+  // from hitting the Double hard-casts in update()
+  override def inputTypes: Seq[AbstractDataType] = Seq(DoubleType, DoubleType)
 
   override def children: Seq[Expression] = Seq(valueExpr, weightExpr)
   override def nullable: Boolean = true
