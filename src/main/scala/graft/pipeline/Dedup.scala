@@ -10,6 +10,12 @@ import org.apache.spark.sql.functions._
   * candidate pairs -> exact verification. No O(n^2) stage ever
   * materializes at full width; the only self-join keys are bucket hashes
   * whose expected multiplicity is controlled by the banding parameters.
+  *
+  * Cache lifetime: operators persist intermediates (shingle/signature
+  * tables) that the returned lazy DataFrame still references, so they are
+  * NOT unpersisted here — callers running many dedups in one long-lived
+  * session should `spark.catalog.clearCache()` between passes (or consume
+  * and drop each result promptly; LRU eviction covers the rest).
   */
 object Dedup {
 

@@ -90,6 +90,16 @@ class StreamingSuite extends SparkSpec {
       val kept = s.sql("SELECT fp, count(*) FROM dedup_out GROUP BY fp")
         .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
       assert(kept === Map(100L -> 1L, 200L -> 1L, 300L -> 1L))
+
+      // state is bounded by the watermark: after it advances past the
+      // expiry horizon, a re-arriving fingerprint is a NEW occurrence
+      mem.addData((java.sql.Timestamp.valueOf("2024-01-02 10:00:00"), 6L, 999L))
+      query.processAllAvailable()
+      mem.addData((java.sql.Timestamp.valueOf("2024-01-02 10:01:00"), 7L, 100L))
+      query.processAllAvailable()
+      val again = s.sql("SELECT count(*) FROM dedup_out WHERE fp = 100")
+        .head().getLong(0)
+      assert(again === 2L, "expired fingerprint state must allow re-emission")
     } finally query.stop()
   }
 
