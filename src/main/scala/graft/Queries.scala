@@ -221,7 +221,7 @@ object Queries {
       .orderBy("doc_a", "doc_b")
 
   def pSimhashDedup(spark: SparkSession, sfDir: String): DataFrame =
-    Dedup.simhashPairs(documents(spark, sfDir), "doc_id", "text", maxHamming = 10)
+    Dedup.simhashPairs(documents(spark, sfDir), "doc_id", "text", maxHamming = 3)
       .orderBy("doc_a", "doc_b")
 
   def pFingerprint(spark: SparkSession, sfDir: String): DataFrame =
