@@ -69,18 +69,21 @@ private[graft] object SubBagFit {
 
   /** Normalize any input dataset to hard-coded (label, weight, features)
     * columns, preserving features metadata (reference:
-    * ensemble/ensembleParams.scala:70-80).
+    * ensemble/ensembleParams.scala:70-80). `extra` appends additional
+    * derived columns (e.g. GBM's validation flag) in the same projection.
     */
   def instances(
       dataset: Dataset[_],
       labelCol: String,
       weightCol: Option[String],
-      featuresCol: String): DataFrame = {
+      featuresCol: String,
+      extra: Seq[(org.apache.spark.sql.Column, String)] = Nil): DataFrame = {
     val w = weightCol.filter(_.nonEmpty).map(c => col(c).cast(DoubleType)).getOrElse(lit(1.0))
-    dataset.select(
+    val base = Seq(
       col(labelCol).cast(DoubleType).as("label"),
       w.as("weight"),
       col(featuresCol).as("features"))
+    dataset.select(base ++ extra.map { case (c, n) => c.as(n) }: _*)
   }
 }
 

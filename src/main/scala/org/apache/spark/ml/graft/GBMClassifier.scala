@@ -94,14 +94,10 @@ class GBMClassifier(override val uid: String)
     val valCol =
       if (hasVal) col($(validationIndicatorCol)).cast("boolean") else lit(false)
 
-    val wc =
-      if (isDefined(weightCol) && $(weightCol).nonEmpty) col($(weightCol)).cast("double")
-      else lit(1.0)
-    val instances = dataset.select(
-      col($(labelCol)).cast("double").as("label"),
-      wc.as("weight"),
-      col($(featuresCol)).as("features"),
-      valCol.as("__val"))
+    val instances = SubBagFit.instances(
+      dataset, $(labelCol),
+      if (isDefined(weightCol)) Some($(weightCol)) else None, $(featuresCol),
+      extra = Seq(valCol -> "__val"))
     val nf = GraftUtils.numFeatures(instances, "features")
 
     // ---- constant init vector f_0 (reference:

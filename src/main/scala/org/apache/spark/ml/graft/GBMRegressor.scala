@@ -150,14 +150,10 @@ class GBMRegressor(override val uid: String)
     val hasVal = isDefined(validationIndicatorCol) && $(validationIndicatorCol).nonEmpty
     val valCol =
       if (hasVal) col($(validationIndicatorCol)).cast("boolean") else lit(false)
-    val w =
-      if (isDefined(weightCol) && $(weightCol).nonEmpty) col($(weightCol)).cast("double")
-      else lit(1.0)
-    val instances = dataset.select(
-      col($(labelCol)).cast("double").as("label"),
-      w.as("weight"),
-      col($(featuresCol)).as("features"),
-      valCol.as("__val"))
+    val instances = SubBagFit.instances(
+      dataset, $(labelCol),
+      if (isDefined(weightCol)) Some($(weightCol)) else None, $(featuresCol),
+      extra = Seq(valCol -> "__val"))
     val nf = GraftUtils.numFeatures(instances, "features")
 
     // ---- init model f_0
