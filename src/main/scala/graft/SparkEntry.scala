@@ -262,7 +262,7 @@ object SparkEntry {
         |r AS (
         |  SELECT qid AS query_id, nid AS neighbor_id,
         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rnk
-        |  FROM s)
+        |  FROM s WHERE NOT isnan(cos))
         |SELECT query_id, neighbor_id, rnk FROM r WHERE rnk <= 5
         |ORDER BY query_id, rnk""".stripMargin,
     "p_corpus_pipeline" ->

@@ -129,7 +129,7 @@ object Dedup {
     val rows = numHashes / bands
     require(rows > 0, s"bands=$bands > numHashes=$numHashes")
     require(numHashes % bands == 0,
-      s"numHashes=$numHashes must divide evenly into bands=$bands " +
+      s"bands=$bands must divide evenly into numHashes=$numHashes " +
         "(a remainder would silently leave signature tail components unbanded)")
     val banded = signatures.select(
       col("id"),
@@ -211,17 +211,23 @@ object Dedup {
       maxHamming: Int = 3): DataFrame = {
     // pigeonhole: two signatures within Hamming distance d must agree on
     // at least one of d+1 chunks — banding into fewer chunks silently
-    // loses pairs whose differing bits spread across every chunk
+    // loses pairs whose differing bits spread across every chunk.
+    // Balanced boundaries (bit c*64/n .. (c+1)*64/n) guarantee exactly
+    // numChunks non-empty, non-overlapping chunks with shifts < 64 (a
+    // uniform ceil-width would push some chunk's shift to 64, which the
+    // JVM masks to 0, silently duplicating chunk 0).
     val numChunks = math.min(maxHamming + 1, 64)
-    val width = (64 + numChunks - 1) / numChunks
-    val mask = (1L << width) - 1
+    val bounds = Array.tabulate(numChunks + 1)(c => c * 64 / numChunks)
     val sigs = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
     sigs.persist()
     val banded = sigs.select(
       col("id"), col("sig"),
       explode(array((0 until numChunks).map { c =>
+        val start = bounds(c)
+        val width = bounds(c + 1) - bounds(c)
+        val mask = if (width >= 64) -1L else (1L << width) - 1
         struct(lit(c).as("chunk"),
-          shiftrightunsigned(col("sig"), c * width).bitwiseAND(lit(mask)).as("piece"))
+          shiftrightunsigned(col("sig"), start).bitwiseAND(lit(mask)).as("piece"))
       }: _*)).as("bb"))
       .select(col("id"), col("sig"), col("bb.chunk"), col("bb.piece"))
     banded.as("a")

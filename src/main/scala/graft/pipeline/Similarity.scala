@@ -31,6 +31,7 @@ object Similarity {
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", Dedup.cosine(col("qv"), col("cv")))
+      .filter(!isnan(col("cos"))) // zero-vector pairs have no rank
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank")
@@ -53,6 +54,7 @@ object Similarity {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", Dedup.cosine(col("qv"), col("cv")))
+      .filter(!isnan(col("cos"))) // match the window variant's NaN policy
       .groupBy("query_id")
       .agg(topk_by_score(col("neighbor_id"), col("cos"), k).as("nn"))
       .select(col("query_id"), posexplode(col("nn")).as(Seq("pos", "n")))

@@ -85,6 +85,20 @@ class PipelineSuite extends SparkSpec {
     assert(recall >= 0.8, s"simhash recall $recall")
   }
 
+  test("simhashPairs banding is sound for awkward maxHamming values") {
+    // maxHamming=8 -> 9 balanced chunks (a uniform ceil-width would push a
+    // chunk shift to 64, which the JVM masks to 0); maxHamming=0 -> one
+    // full-width chunk (mask must not wrap)
+    val h8 = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val h12 = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(h8.subsetOf(h12), "tightening the threshold must only remove pairs")
+    val h0 = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 0)
+      .collect()
+    h0.foreach(r => assert(r.getInt(2) === 0))
+  }
+
   test("fingerprint is stable and collision-free on distinct texts") {
     val fps = docs.select(TF.fingerprint(col("text"))).collect().map(_.getLong(0))
     assert(fps.distinct.length === fps.length)
