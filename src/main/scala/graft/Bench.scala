@@ -1,5 +1,14 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: one JSON line with per-query wall-clock at
+  * SPARK_GRAFT_SF_DIR. Times every correctness-gate query plus the heavy
+  * DecisionTree-base ensemble fits (Queries.benchHeavy, `*_dt` — the
+  * perf-comparable successors of the round-1 `ml_*` bench rows; see
+  * BASELINE.md). A small untimed warmup absorbs JVM/codegen/JIT startup so
+  * the first timed query isn't charged ~5s of warmup (the round-1
+  * `q8_pivot` artifact).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -12,14 +21,22 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val all = (SparkEntry.queries ++ Queries.benchHeavy).toSeq.sortBy(_._1)
+    // warmup: scan/agg/join codegen, window, UDF+fit, dedup expressions
+    Seq("q1_pricing_summary", "q3_running_qty_window", "ml_dummy_mean", "p_ngram_jaccard")
+      .foreach { name =>
+        SparkEntry.queries.get(name).foreach { fn =>
+          try fn(spark, sfDir).count() catch { case _: Throwable => }
+        }
+      }
+    val results = all.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

