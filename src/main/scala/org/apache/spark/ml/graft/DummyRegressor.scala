@@ -70,25 +70,18 @@ class DummyRegressor(override val uid: String)
   }
 
   /** Unweighted: exact/approx Greenwald-Khanna sketch. Weighted: the exact
-    * weighted quantile (smallest label whose cumulative weight reaches
-    * q * total) via a global ordered window — one sort, acceptable for a
-    * constant fit; swap for a weighted sketch at extreme row counts.
+    * weighted quantile via [[DummyRegressor.weightedQuantile]] — range
+    * partition + per-partition prefix sums, so no task ever sorts more
+    * than its own range slice (the previous global ordered window funneled
+    * the full table through one task — a scale killer for GBM's weighted
+    * huber/quantile constant init).
     */
   private def quantileValue(dataset: Dataset[_], q: Double): Double = {
     if (isDefined(weightCol) && $(weightCol).nonEmpty) {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.orderBy("l").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val cum = dataset
-        .select(
-          col($(labelCol)).cast(DoubleType).as("l"),
-          col($(weightCol)).cast(DoubleType).as("wt"))
-        .withColumn("cum", sum("wt").over(w))
-      val total = cum.agg(sum("wt")).head().getDouble(0)
-      cum.filter(col("cum") >= q * total)
-        .orderBy("l")
-        .select("l")
-        .head()
-        .getDouble(0)
+      val lw = dataset.select(
+        col($(labelCol)).cast(DoubleType).as("l"),
+        col($(weightCol)).cast(DoubleType).as("wt"))
+      DummyRegressor.weightedQuantile(lw, q)
     } else {
       dataset.select(col($(labelCol)).cast(DoubleType).as("label"))
         .stat.approxQuantile("label", Array(q), $(tol)).head
@@ -98,7 +91,77 @@ class DummyRegressor(override val uid: String)
   override def copy(extra: ParamMap): DummyRegressor = defaultCopy(extra)
 }
 
-object DummyRegressor extends DefaultParamsReadable[DummyRegressor]
+object DummyRegressor extends DefaultParamsReadable[DummyRegressor] {
+
+  /** Exact distributed weighted quantile: the smallest label whose
+    * cumulative weight reaches q * totalWeight.
+    *
+    * Plan: range-partition by label (a distributed sort whose slices each
+    * fit one task), stream each partition once for its weight subtotal,
+    * prefix-sum the P subtotals on the driver (P values, not rows), then
+    * scan ONLY the partition containing the crossing. Two jobs over a
+    * cached projection; no single-partition Sort anywhere — at 100x data
+    * each task still sees ~rows/P labels, vs the global ordered window
+    * this replaces (every row through one task).
+    *
+    * Reference semantics (regression/DummyRegressor.scala:63-76 in
+    * /root/reference): identical crossing rule, verified by DummySuite.
+    */
+  def weightedQuantile(lw: org.apache.spark.sql.DataFrame, q: Double): Double = {
+    val spark = lw.sparkSession
+    val parts = math.max(spark.sessionState.conf.numShufflePartitions, 1)
+    val sorted = lw
+      .repartitionByRange(parts, col("l"))
+      .sortWithinPartitions("l")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val partWeights = sorted.rdd
+        .mapPartitionsWithIndex { (i, it) =>
+          var s = 0.0
+          it.foreach(r => s += r.getDouble(1))
+          Iterator.single((i, s))
+        }
+        .collect()
+        .sortBy(_._1)
+        .map(_._2)
+      val total = partWeights.sum
+      val target = q * total
+      // first partition whose running total reaches the target
+      var p = 0
+      var before = 0.0
+      while (p < partWeights.length - 1 && before + partWeights(p) < target) {
+        before += partWeights(p); p += 1
+      }
+      val pIdx = p
+      val base = before
+      val hit = sorted.rdd
+        .mapPartitionsWithIndex { (i, it) =>
+          if (i != pIdx) Iterator.empty
+          else {
+            var cum = base
+            var res = Option.empty[Double]
+            while (res.isEmpty && it.hasNext) {
+              val r = it.next()
+              cum += r.getDouble(1)
+              if (cum >= target) res = Some(r.getDouble(0))
+            }
+            res.iterator
+          }
+        }
+        .collect()
+      // target can exceed the partition's mass by float round-off on the
+      // driver-side prefix; fall back to the partition's max label.
+      if (hit.nonEmpty) hit.head
+      else sorted.rdd
+        .mapPartitionsWithIndex { (i, it) =>
+          if (i != pIdx) Iterator.empty
+          else it.map(_.getDouble(0)).reduceOption((a, b) => math.max(a, b)).iterator
+        }
+        .collect()
+        .head
+    } finally sorted.unpersist()
+  }
+}
 
 class DummyRegressionModel(override val uid: String, val constantValue: Double)
     extends RegressionModel[Vector, DummyRegressionModel]

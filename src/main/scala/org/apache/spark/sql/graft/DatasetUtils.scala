@@ -15,4 +15,24 @@ object DatasetUtils {
       case lr: LogicalRDD => lr.rdd.unpersist(blocking = false)
       case _ => ()
     }
+
+  /** The reliable-checkpoint directory behind a `Dataset.checkpoint(true)`
+    * result (None for localCheckpoint / non-checkpointed plans).
+    */
+  def checkpointFile(df: Dataset[_]): Option[String] =
+    df.queryExecution.analyzed.collectFirst {
+      case lr: LogicalRDD if lr.rdd.getCheckpointFile.isDefined =>
+        lr.rdd.getCheckpointFile.get
+    }
+
+  /** Delete a checkpoint's files — the cleanup half of the
+    * PeriodicRDDCheckpointer pattern (Spark never deletes reliable
+    * checkpoints on its own unless the whole context is torn down).
+    */
+  def deleteCheckpointFile(path: String, df: Dataset[_]): Unit = {
+    val conf = df.sparkSession.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    try p.getFileSystem(conf).delete(p, true)
+    catch { case _: java.io.IOException => () }
+  }
 }

@@ -58,6 +58,33 @@ class DummySuite extends SparkSpec {
     assert(q.constantValue === 1.0)
   }
 
+  test("weighted quantile is exact and distributed (no global single-partition sort)") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(7)
+    val rows = Seq.fill(20000)((rng.nextDouble() * 1000.0, 1.0 + rng.nextInt(9)))
+    val lw = rows.toDF("l", "wt").repartition(32)
+    // brute-force reference: sort locally, accumulate, first crossing
+    val total = rows.map(_._2.toDouble).sum
+    def brute(q: Double): Double = {
+      var cum = 0.0
+      rows.sortBy(_._1).collectFirst {
+        case (l, w) if { cum += w; cum >= q * total } => l
+      }.get
+    }
+    for (q <- Seq(0.0, 0.1, 0.5, 0.9, 1.0)) {
+      assert(org.apache.spark.ml.graft.DummyRegressor.weightedQuantile(lw, q) === brute(q),
+        s"q=$q")
+    }
+    // scale shape: the range-partitioned intermediate must not funnel all
+    // rows through one task the way the old Window.orderBy("l") plan did
+    val planned = lw.repartitionByRange(32, org.apache.spark.sql.functions.col("l"))
+      .sortWithinPartitions("l")
+    assert(planned.rdd.getNumPartitions === 32)
+    val plan = planned.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"), plan)
+  }
+
   test("DummyClassifier prior / uniform / constant") {
     val s = spark
     import s.implicits._

@@ -99,6 +99,33 @@ class PipelineSuite extends SparkSpec {
     h0.foreach(r => assert(r.getInt(2) === 0))
   }
 
+  test("long_slice_hash band bucket: codegen matches driver-side splitmix fold") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(3)
+    val sigs = Seq.fill(200)(Array.fill(16)(rng.nextLong())).zipWithIndex
+      .map { case (a, i) => (i.toLong, a.toSeq) }
+    val df = sigs.toDF("id", "signature")
+    def refMix(z0: Long): Long = {
+      var z = z0 + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    def refHash(a: Seq[Long], start: Int, len: Int, seed: Long): Long = {
+      var h = refMix(seed)
+      a.slice(start, start + len).foreach(x => h = refMix(h ^ x))
+      h
+    }
+    val got = df.select(col("id"),
+        org.apache.spark.sql.graft.GraftExpressions
+          .longSliceHash(col("signature"), 4, 4, 2L).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    sigs.foreach { case (id, a) =>
+      assert(got(id) === refHash(a, 4, 4, 2L), s"id=$id")
+    }
+  }
+
   test("fingerprint is stable and collision-free on distinct texts") {
     val fps = docs.select(TF.fingerprint(col("text"))).collect().map(_.getLong(0))
     assert(fps.distinct.length === fps.length)

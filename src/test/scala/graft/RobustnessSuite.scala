@@ -40,6 +40,44 @@ class RobustnessSuite extends SparkSpec {
     }
   }
 
+  test("reliable checkpoint mode: loop survives cached-block loss and cleans up files") {
+    import org.apache.spark.sql.graft.DatasetUtils
+    val sc = spark.sparkContext
+    assert(sc.getCheckpointDir.isDefined) // SparkSpec sets it session-wide
+    val ckptDir = sc.getCheckpointDir.get
+    val ckptRoot =
+      if (ckptDir.startsWith("file:")) new java.io.File(new java.net.URI(ckptDir))
+      else new java.io.File(ckptDir)
+
+    // 1) Dataset.checkpoint(true) under a checkpoint dir is RELIABLE:
+    //    wiping every cached block (the executor-storage-loss simulation —
+    //    localCheckpoint dies here by contract) must not lose the data.
+    val base = df.withColumn("wt", lit(1.0)).persist()
+    base.count()
+    val cp = base.checkpoint(eager = true)
+    val file = DatasetUtils.checkpointFile(cp)
+    assert(file.isDefined, "reliable checkpoint must report its file")
+    sc.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    DatasetUtils.freeCheckpointBlocks(cp)
+    assert(cp.count() === 300, "checkpointed data must recompute from files after block loss")
+    assert(cp.agg(sum("wt")).head().getDouble(0) === 300.0)
+    DatasetUtils.deleteCheckpointFile(file.get, cp)
+
+    // 2) a boosting fit checkpointing EVERY iteration through the same
+    //    path: fit works and close() leaves no checkpoint files behind
+    def rddDirs() = Option(ckptRoot.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(_.getName.startsWith("rdd-"))
+    val before = rddDirs().map(_.getName).toSet
+    val model = new BoostingRegressor()
+      .setBaseLearner(new DecisionTreeRegressor().setMaxDepth(2))
+      .setNumBaseLearners(4)
+      .setCheckpointInterval(1)
+      .fit(df)
+    assert(model.transform(df).select("prediction").count() === 300)
+    val leftover = rddDirs().map(_.getName).toSet -- before
+    assert(leftover.isEmpty, s"fit must delete its checkpoints, leaked: $leftover")
+  }
+
   test("instance weights steer boosting") {
     val s = spark
     import s.implicits._
