@@ -29,15 +29,30 @@ object Bench {
           try fn(spark, sfDir).count() catch { case _: Throwable => }
         }
       }
+    // each query starts from a clean cache: operators persist small result
+    // sets (and release their own intermediates), but nothing may leak
+    // across timed queries — round-2's leaked shingle/signature caches
+    // inflated every late-alphabet query 2-4x with unchanged plans
+    spark.catalog.clearCache()
     val results = all.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: $e")
+            false
+        }
+      val sec = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      (name, sec, ok)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -35,7 +35,7 @@ object Verify {
           finally spark.sparkContext.clearJobGroup()
         }
       })
-      try task.get(timeoutSec, TimeUnit.SECONDS)
+      try { task.get(timeoutSec, TimeUnit.SECONDS); spark.catalog.clearCache() }
       catch {
         case _: TimeoutException =>
           spark.sparkContext.cancelJobGroup(name)

@@ -12,14 +12,35 @@ import org.apache.spark.sql.functions._
   * whose expected multiplicity is controlled by the banding parameters.
   *
   * Cache lifetime: operators persist intermediates (shingle/signature
-  * tables) that the returned lazy DataFrame still references, so they are
-  * NOT unpersisted here — callers running many dedups in one long-lived
-  * session should `spark.catalog.clearCache()` between passes (or consume
-  * and drop each result promptly; LRU eviction covers the rest).
+  * tables) only for their own duration — each pipeline materializes its
+  * (candidate-bounded, small) result with an action and then releases the
+  * intermediates, so a long-lived session running many dedups holds at
+  * most the final pair sets, never the full inverted indexes.
   */
 object Dedup {
 
   import TextFunctions._
+
+  /** Persist + materialize `result`, then free the persisted
+    * `intermediates` it was built from. The result of every dedup pipeline
+    * is candidate-bounded (pairs, not corpus), so caching it is cheap; the
+    * intermediates (shingle inverted index, signatures, banded tables) are
+    * corpus-sized and must not outlive the operator in a long-lived
+    * session (round-2's bench showed the leak compounding across queries).
+    */
+  private def materializeAndRelease(
+      result: DataFrame, intermediates: DataFrame*): DataFrame = {
+    result.persist()
+    try result.count()
+    catch {
+      case e: Throwable =>
+        result.unpersist(blocking = false)
+        intermediates.foreach(_.unpersist(blocking = false))
+        throw e
+    }
+    intermediates.foreach(_.unpersist(blocking = false))
+    result
+  }
 
   /** Exact dedup: canonical row = min(id) per normalized text. One
     * hash-shuffle on the (hashed) text; at 100 TB you'd pre-hash to a
@@ -86,7 +107,7 @@ object Dedup {
         col("a.s") === col("b.s") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
       .agg(count(lit(1)).as("c"))
-    inter
+    val pairs = inter
       .join(sizes.as("sa"), col("doc_a") === col("sa.id"))
       .join(sizes.as("sb"), col("doc_b") === col("sb.id"))
       .withColumn(
@@ -94,6 +115,7 @@ object Dedup {
         col("c").cast("double") / (col("sa.n") + col("sb.n") - col("c")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+    materializeAndRelease(pairs, sh)
   }
 
   /** MinHash signatures: each shingle is string-hashed ONCE (xxhash64),
@@ -146,12 +168,13 @@ object Dedup {
         }: _*)).as("bb"))
       .select(col("id"), col("bb.band"), col("bb.bucket"))
     banded.persist()
-    banded.as("a")
+    val cands = banded.as("a")
       .join(banded.as("b").hint("shuffle_hash"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
       .distinct()
+    materializeAndRelease(cands, banded)
   }
 
   /** MinHash near-dup pipeline: candidates from banding, verified with the
@@ -171,12 +194,13 @@ object Dedup {
       zip_with(col("sa.signature"), col("sb.signature"),
         (x, y) => when(x === y, 1.0).otherwise(0.0)),
       lit(0.0), (acc, x) => acc + x)
-    cands
+    val out = cands
       .join(sigs.as("sa"), col("doc_a") === col("sa.id"))
       .join(sigs.as("sb"), col("doc_b") === col("sb.id"))
       .withColumn("est_jaccard", round(agree / numHashes, 6))
       .filter(col("est_jaccard") >= threshold)
       .select("doc_a", "doc_b", "est_jaccard")
+    materializeAndRelease(out, sigs, cands)
   }
 
   /** Exact-Jaccard verification of an LSH candidate pair set: join the
@@ -206,7 +230,7 @@ object Dedup {
         col("doc_b") === col("vb.id") && col("va.s") === col("vb.s"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("c"))
-    inter
+    val verified = inter
       .join(sizes.as("sa"), col("doc_a") === col("sa.id"))
       .join(sizes.as("sb"), col("doc_b") === col("sb.id"))
       .withColumn(
@@ -214,6 +238,7 @@ object Dedup {
         col("c").cast("double") / (col("sa.n") + col("sb.n") - col("c")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+    materializeAndRelease(verified, sh)
   }
 
   /** MinHash near-dup pipeline with EXACT verification: banding proposes
@@ -234,7 +259,11 @@ object Dedup {
     val sigs = minhashSignatures(df, idCol, textCol, numHashes, shingleSize)
     sigs.persist()
     val cands = minhashCandidatePairs(sigs, bands, numHashes)
-    verifyPairsExactJaccard(df, idCol, textCol, cands, shingleSize, threshold)
+    sigs.unpersist(blocking = false) // cands is materialized; sigs done
+    val verified =
+      verifyPairsExactJaccard(df, idCol, textCol, cands, shingleSize, threshold)
+    cands.unpersist(blocking = false)
+    verified
   }
 
   /** SimHash near-dup pipeline with EXACT verification: Hamming-ball
@@ -248,16 +277,21 @@ object Dedup {
       textCol: String,
       maxHamming: Int = 8,
       shingleSize: Int = 3,
-      threshold: Double = 0.5): DataFrame = {
-    val cands = simhashPairs(df, idCol, textCol, maxHamming)
-      .select("doc_a", "doc_b")
-    verifyPairsExactJaccard(df, idCol, textCol, cands, shingleSize, threshold)
+      threshold: Double = 0.5,
+      numBlocks: Int = 0,
+      maxBucketFrequency: Long = 0L): DataFrame = {
+    val hammingPairs =
+      simhashPairs(df, idCol, textCol, maxHamming, numBlocks, maxBucketFrequency)
+    val cands = hammingPairs.select("doc_a", "doc_b")
+    val verified =
+      verifyPairsExactJaccard(df, idCol, textCol, cands, shingleSize, threshold)
+    hammingPairs.unpersist(blocking = false)
+    verified
   }
 
-  /** 64-bit SimHash over token hashes: per-row bit-vote accumulation (a
-    * single UDF, no shuffle), then near-dup pairs by the pigeonhole trick:
-    * docs within Hamming distance d must agree on one of d+1 chunks, so
-    * band on 16-bit chunks and verify with bit_count(xor).
+  /** 64-bit SimHash over token hashes: per-row bit-vote accumulation (no
+    * shuffle), then near-dup pairs via [[simhashBandMasks]] block-union
+    * banding, verified with bit_count(xor).
     */
   val simhashUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf { (toks: Seq[String]) =>
@@ -283,41 +317,101 @@ object Dedup {
 
   def simhash(text: Column): Column = simhashUdf(TextFunctions.tokens(text))
 
-  def simhashPairs(
-      df: DataFrame,
-      idCol: String,
-      textCol: String,
-      maxHamming: Int = 3): DataFrame = {
-    // pigeonhole: two signatures within Hamming distance d must agree on
-    // at least one of d+1 chunks — banding into fewer chunks silently
-    // loses pairs whose differing bits spread across every chunk.
-    // Balanced boundaries (bit c*64/n .. (c+1)*64/n) guarantee exactly
-    // numChunks non-empty, non-overlapping chunks with shifts < 64 (a
-    // uniform ceil-width would push some chunk's shift to 64, which the
-    // JVM masks to 0, silently duplicating chunk 0).
-    val numChunks = math.min(maxHamming + 1, 64)
-    val bounds = Array.tabulate(numChunks + 1)(c => c * 64 / numChunks)
-    val sigs = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
-    sigs.persist()
-    val banded = sigs.select(
+  /** Block-union banding tables for Hamming-ball search (Manku-style
+    * multi-block generalization of the d+1-chunk pigeonhole): split the 64
+    * bits into `numBlocks` B >= d+1 balanced blocks; two signatures within
+    * Hamming distance d differ in at most d blocks, so they agree exactly
+    * on some (B-d)-subset of blocks — one table per (B-d)-subset, keyed on
+    * the signature MASKED to that subset's bit-union, preserves exact
+    * recall while making keys (B-d)x wider. B = d+1 is the classic scheme
+    * (keys 64/(d+1) bits — ~7 bits at d=8, whose ~128 buckets hold n/128
+    * docs each: the O(n^2/128) within-bucket bomb at corpus scale); wider
+    * B trades C(B, d) tables for quadratically fewer within-bucket pairs.
+    * Returns (tableId -> unionMask).
+    */
+  private[pipeline] def simhashBandMasks(
+      maxHamming: Int, numBlocks: Int): Seq[Long] = {
+    val d = maxHamming
+    require(numBlocks > d && numBlocks <= 64,
+      s"numBlocks=$numBlocks must be in (${d}, 64] for maxHamming=$d")
+    val bounds = Array.tabulate(numBlocks + 1)(c => c * 64 / numBlocks)
+    def blockMask(c: Int): Long = {
+      val width = bounds(c + 1) - bounds(c)
+      val m = if (width >= 64) -1L else (1L << width) - 1
+      m << bounds(c)
+    }
+    (0 until numBlocks).combinations(numBlocks - d)
+      .map(_.map(blockMask).reduce(_ | _)).toSeq
+  }
+
+  /** Auto block count: widen past d+1 while keys are under ~12 bits and
+    * the table count stays bounded — d=8 lands at B=10 (45 tables of
+    * ~12.8-bit keys, ~10x fewer candidates than d+1=9 chunks of 7 bits),
+    * d=3 at B=5 (10 tables of ~25.6-bit keys, the Manku web-crawl regime).
+    */
+  private def autoBlocks(maxHamming: Int): Int = {
+    val d = maxHamming
+    var b = d + 1
+    def width(bb: Int): Double = (bb - d) * 64.0 / bb
+    def tables(bb: Int): Long =
+      (1 to (bb - d)).map(i => (bb - i + 1).toLong).product /
+        (1 to (bb - d)).map(_.toLong).product
+    while (b < 64 && width(b) < 24.0 && tables(b + 1) <= 128) b += 1
+    b
+  }
+
+  /** Distinct candidate pairs (with Hamming distance) from block-union
+    * banding over a (id, sig) signature table — the proposer half of
+    * [[simhashPairs]], exposed so suites can pin candidate recall and the
+    * guard's candidate-count bound directly.
+    */
+  private[graft] def simhashCandidates(
+      sigs: DataFrame,
+      maxHamming: Int,
+      numBlocks: Int,
+      maxBucketFrequency: Long): DataFrame = {
+    val blocks = if (numBlocks > 0) numBlocks else autoBlocks(maxHamming)
+    val masks = simhashBandMasks(maxHamming, blocks)
+    val bandedAll = sigs.select(
       col("id"), col("sig"),
-      explode(array((0 until numChunks).map { c =>
-        val start = bounds(c)
-        val width = bounds(c + 1) - bounds(c)
-        val mask = if (width >= 64) -1L else (1L << width) - 1
-        struct(lit(c).as("chunk"),
-          shiftrightunsigned(col("sig"), start).bitwiseAND(lit(mask)).as("piece"))
+      explode(array(masks.zipWithIndex.map { case (m, t) =>
+        struct(lit(t).as("tbl"), col("sig").bitwiseAND(lit(m)).as("key"))
       }: _*)).as("bb"))
-      .select(col("id"), col("sig"), col("bb.chunk"), col("bb.piece"))
+      .select(col("id"), col("sig"), col("bb.tbl"), col("bb.key"))
+    // skew guard, mirroring ngram's maxDocFrequency: a bucket hotter than
+    // the cap (boilerplate-dominated signatures) costs count^2 pairs while
+    // its members are still covered by their other C(B,d)-1 tables; 0 =
+    // exact (the oracle-checked mode).
+    val banded =
+      if (maxBucketFrequency <= 0) bandedAll
+      else {
+        val hot = bandedAll.groupBy("tbl", "key").agg(count(lit(1)).as("n"))
+          .filter(col("n") > maxBucketFrequency)
+          .select("tbl", "key")
+        bandedAll.join(broadcast(hot), Seq("tbl", "key"), "left_anti")
+      }
     banded.as("a")
-      .join(banded.as("b"),
-        col("a.chunk") === col("b.chunk") && col("a.piece") === col("b.piece") &&
+      .join(banded.as("b").hint("shuffle_hash"),
+        col("a.tbl") === col("b.tbl") && col("a.key") === col("b.key") &&
           col("a.id") < col("b.id"))
       .select(
         col("a.id").as("doc_a"), col("b.id").as("doc_b"),
         bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
       .distinct()
+  }
+
+  def simhashPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3,
+      numBlocks: Int = 0,
+      maxBucketFrequency: Long = 0L): DataFrame = {
+    val sigs = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
+    sigs.persist()
+    val out = simhashCandidates(sigs, maxHamming, numBlocks, maxBucketFrequency)
       .filter(col("hamming") <= maxHamming)
+    materializeAndRelease(out, sigs)
   }
 
   /** Embedding near-dup pairs above a cosine threshold. `bruteForce` is

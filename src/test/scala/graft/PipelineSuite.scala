@@ -99,6 +99,63 @@ class PipelineSuite extends SparkSpec {
     h0.foreach(r => assert(r.getInt(2) === 0))
   }
 
+  test("banding candidate recall is 1.0 over exact Jaccard pairs on the gate corpus") {
+    // The p_minhash_dedup / p_simhash_dedup gate queries claim EXACT
+    // >=0.5-Jaccard output, which holds only while banding recall over the
+    // exact pair set is 1 on the gate corpus — pin that property here so a
+    // corpus/SF change fails this targeted test, not the opaque hash gate.
+    val gateDir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$gateDir/documents.parquet").exists())
+    val gate = spark.read.parquet(s"$gateDir/documents.parquet")
+      .select("doc_id", "text")
+    val exact = Dedup.ngramJaccardPairs(gate, "doc_id", "text", 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "gate corpus lost its planted near-dups")
+
+    val sigs = Dedup.minhashSignatures(gate, "doc_id", "text", 64)
+    val minhashCands = Dedup.minhashCandidatePairs(sigs, 16, 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.subsetOf(minhashCands),
+      s"minhash banding missed: ${exact -- minhashCands}")
+
+    val simPairs = Dedup.simhashPairs(gate, "doc_id", "text", maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.subsetOf(simPairs),
+      s"simhash hamming-8 ball missed: ${exact -- simPairs}")
+  }
+
+  test("simhash block-union banding: wider keys, same exact hamming-ball output") {
+    // B > d+1 block-union tables must return the identical pair set as the
+    // classic d+1 single-block scheme (both are exact by pigeonhole)
+    val classic = Dedup.simhashPairs(docs, "doc_id", "text",
+        maxHamming = 8, numBlocks = 9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val wide = Dedup.simhashPairs(docs, "doc_id", "text",
+        maxHamming = 8, numBlocks = 11)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(classic === wide)
+  }
+
+  test("simhash bucket-frequency guard bounds candidates on a boilerplate corpus") {
+    val s = spark
+    import s.implicits._
+    // worst case for banding: one shared boilerplate signature cluster —
+    // every doc is 90% identical tokens, so all band buckets go hot
+    val rng = new scala.util.Random(7)
+    val boiler = Array.fill(90)("boilerplate" + rng.nextInt(40)).mkString(" ")
+    val n = 800
+    val corpus = (0 until n).map { i =>
+      (i.toLong, boiler + " " + Array.fill(10)("u" + rng.nextInt(100000)).mkString(" "))
+    }.toDF("id", "text")
+    val sigs = corpus.select(col("id"), Dedup.simhash(col("text")).as("sig"))
+    val unguarded = Dedup.simhashCandidates(sigs, 4, 0, 0L).count()
+    val guarded = Dedup.simhashCandidates(sigs, 4, 0, 50L).count()
+    assert(unguarded > n.toLong * n / 8,
+      s"corpus not hot enough to exercise the guard (unguarded=$unguarded)")
+    assert(guarded <= 60L * n,
+      s"guard failed to bound candidates: $guarded for n=$n")
+  }
+
   test("long_slice_hash band bucket: codegen matches driver-side splitmix fold") {
     val s = spark
     import s.implicits._
