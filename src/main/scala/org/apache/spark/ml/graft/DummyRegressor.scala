@@ -78,9 +78,13 @@ class DummyRegressor(override val uid: String)
     */
   private def quantileValue(dataset: Dataset[_], q: Double): Double = {
     if (isDefined(weightCol) && $(weightCol).nonEmpty) {
+      // null labels/weights would NPE deep inside the partition scans;
+      // drop them here and let weightedQuantile's total-weight require
+      // surface the empty/degenerate case with a real message
       val lw = dataset.select(
-        col($(labelCol)).cast(DoubleType).as("l"),
-        col($(weightCol)).cast(DoubleType).as("wt"))
+          col($(labelCol)).cast(DoubleType).as("l"),
+          col($(weightCol)).cast(DoubleType).as("wt"))
+        .filter(col("l").isNotNull && col("wt").isNotNull)
       DummyRegressor.weightedQuantile(lw, q)
     } else {
       dataset.select(col($(labelCol)).cast(DoubleType).as("label"))
@@ -125,6 +129,12 @@ object DummyRegressor extends DefaultParamsReadable[DummyRegressor] {
         .sortBy(_._1)
         .map(_._2)
       val total = partWeights.sum
+      // fail with the actual problem here rather than a bare
+      // NoSuchElementException from the crossing-scan fallback
+      require(total > 0.0,
+        s"weightedQuantile needs positive total weight over a non-empty " +
+          s"input, got total=$total (empty dataset, all-zero weights, or " +
+          "null labels/weights upstream)")
       val target = q * total
       // first partition whose running total reaches the target
       var p = 0

@@ -4,7 +4,7 @@ import org.apache.spark.sql.Dataset
 import org.apache.spark.sql.execution.LogicalRDD
 
 /** Small Dataset plumbing that needs sql-internal access. */
-object DatasetUtils {
+object DatasetUtils extends org.apache.spark.internal.Logging {
 
   /** Free the cached blocks behind a localCheckpoint'd Dataset. Its plan
     * is a LogicalRDD over the checkpointed (block-cached) RDD, which
@@ -32,7 +32,14 @@ object DatasetUtils {
   def deleteCheckpointFile(path: String, df: Dataset[_]): Unit = {
     val conf = df.sparkSession.sparkContext.hadoopConfiguration
     val p = new org.apache.hadoop.fs.Path(path)
+    // a swallowed failure here leaks rdd-* checkpoint dirs unbounded in
+    // production with no signal — log it (matching PeriodicRDDCheckpointer)
     try p.getFileSystem(conf).delete(p, true)
-    catch { case _: java.io.IOException => () }
+    catch {
+      case e: java.io.IOException =>
+        logWarning(
+          s"Failed to delete checkpoint $path " +
+            "(checkpoint directory will leak until manual cleanup)", e)
+    }
   }
 }
