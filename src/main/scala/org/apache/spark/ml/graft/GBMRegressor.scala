@@ -73,10 +73,24 @@ private[graft] trait GBMParams
     this, "tol", "step-size optimizer tolerance", ParamValidators.gt(0))
   def getTol: Double = $(tol)
 
+  /** Reuse the binned TreePoint representation across boosting iterations
+    * when the base learner is a Spark DecisionTree (the native GBT trick:
+    * feature binning/splits depend only on feature values, so metadata +
+    * findSplits + TreePoint conversion amortize over the whole fit instead
+    * of being re-paid per iteration). Produces the same trees; exposed as
+    * a param so suites can pin generic-vs-fast equivalence.
+    */
+  final val nativeTreeFastPath: BooleanParam = new BooleanParam(
+    this, "nativeTreeFastPath",
+    "reuse binned tree representation across iterations for DecisionTree base learners")
+  def getNativeTreeFastPath: Boolean = $(nativeTreeFastPath)
+  def setNativeTreeFastPath(value: Boolean): this.type = set(nativeTreeFastPath, value)
+
   setDefault(
     learningRate -> 1.0, optimizedWeights -> true, updates -> "gradient",
     maxIter -> 10, numRounds -> 1, validationTol -> 0.01,
-    checkpointInterval -> 10, replacement -> false, tol -> 1e-4)
+    checkpointInterval -> 10, replacement -> false, tol -> 1e-4,
+    nativeTreeFastPath -> true)
 }
 
 private[graft] trait GBMRegressorParams extends GBMParams {
@@ -176,6 +190,63 @@ class GBMRegressor(override val uid: String)
         Learners.fit($(baseLearner), trainOnly, "label", "features", Some("weight"))
     }
 
+    // the fast path requires iteration-invariant binning: gradient updates
+    // keep instance weights constant, so split candidates (which are
+    // weighted quantiles of the feature values) are identical every round;
+    // newton updates reweight rows by the hessian each round, giving the
+    // generic path iteration-specific weighted split candidates the
+    // bin-once representation cannot reproduce
+    $(baseLearner) match {
+      case dt: org.apache.spark.ml.regression.DecisionTreeRegressor
+          if $(nativeTreeFastPath) && $(subspaceRatio) >= 1.0 &&
+            $(updates) == "gradient" =>
+        trainNativeDT(instances, init, nf, hasVal, dt)
+      case _ =>
+        trainGeneric(instances, init, nf, hasVal)
+    }
+  }
+
+  /** Per-iteration step size over cached (label, f, direction, weight)
+    * rows. Squared loss has the closed-form optimum
+    * a* = sum(w*d*(y-f)) / sum(w*d^2) — ONE pass instead of Brent's ~25
+    * sequential objective jobs (each a full cluster barrier at scale);
+    * every other loss keeps the Brent search over [0, 100].
+    */
+  private def lineSearch(
+      data: org.apache.spark.rdd.RDD[(Double, Double, Double, Double)],
+      lossB: GBMRegressionLoss): Double = {
+    val depth = $(aggregationDepth)
+    if ($(loss) == "squared") {
+      val (num, den) = data.treeAggregate((0.0, 0.0))(
+        (acc, t) => (acc._1 + t._4 * t._3 * (t._1 - t._2), acc._2 + t._4 * t._3 * t._3),
+        (a, b) => (a._1 + b._1, a._2 + b._2),
+        depth)
+      if (den <= 0 || !num.isFinite) 1.0
+      else math.min(math.max(num / den, 0.0), 100.0)
+    } else {
+      data.count()
+      val objective = new UnivariateObjectiveFunction(a =>
+        data.treeAggregate(0.0)(
+          (acc, t) => acc + t._4 * lossB.loss(t._1, t._2 + a * t._3),
+          _ + _,
+          depth))
+      try {
+        new BrentOptimizer($(tol), $(tol) * 1e-2)
+          .optimize(
+            new MaxEval(25), objective, GoalType.MINIMIZE, new SearchInterval(0.0, 100.0))
+          .getPoint
+      } catch { case _: Exception => 1.0 }
+    }
+  }
+
+  /** The generic loop: every iteration re-enters the base learner's own
+    * `fit`, so any spark.ml regressor works as the weak learner.
+    */
+  private def trainGeneric(
+      instances: DataFrame,
+      init: EnsemblePredictionModelType,
+      nf: Int,
+      hasVal: Boolean): GBMRegressionModel = {
     val loop = new IterLoopCache($(checkpointInterval))
     var df = loop.next(
       Learners.transform(init, instances, "__f")
@@ -262,21 +333,8 @@ class GBMRegressor(override val uid: String)
           val rdd = proj.rdd.map(r =>
             (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
           rdd.persist(StorageLevel.MEMORY_AND_DISK)
-          try {
-            rdd.count()
-            val depth = $(aggregationDepth)
-            val objective = new UnivariateObjectiveFunction(a =>
-              rdd.treeAggregate(0.0)(
-                (acc, t) => acc + t._4 * lossB.loss(t._1, t._2 + a * t._3),
-                _ + _,
-                depth))
-            try {
-              new BrentOptimizer($(tol), $(tol) * 1e-2)
-                .optimize(
-                  new MaxEval(25), objective, GoalType.MINIMIZE, new SearchInterval(0.0, 100.0))
-                .getPoint
-            } catch { case _: Exception => 1.0 }
-          } finally rdd.unpersist()
+          try lineSearch(rdd, lossB)
+          finally rdd.unpersist()
         }
 
       val w = $(learningRate) * stepAlpha
@@ -327,6 +385,173 @@ class GBMRegressor(override val uid: String)
       i += 1
     }
     loop.close()
+    new GBMRegressionModel(uid, init, modelWeights.toArray, subspaces.toArray, models.toArray)
+      .setParent(this)
+  }
+
+  /** Native-tree fast path: bin features ONCE (metadata + findSplits +
+    * TreePoint conversion — the per-iteration fixed cost of re-entering
+    * `DecisionTreeRegressor.fit`), then per iteration only relabel the
+    * binned points with pseudo-residuals and run the core induction
+    * (`RandomForest.runBagged`). Trees are identical to the generic path
+    * at subsampleRatio=1 because candidate splits depend on feature values
+    * only, never on the residual labels (pinned by GBMSuite). Predictions
+    * for the line search and state update use the binned representation
+    * too (`GradientBoostedTrees.updatePrediction`) — no per-row Vector
+    * boxing anywhere in the loop. This is the same amortization Spark's
+    * own GBT uses; at 1000 executors it removes i-1 redundant full-data
+    * binning passes and their driver barriers from an i-iteration fit.
+    */
+  private def trainNativeDT(
+      instances: DataFrame,
+      init: EnsemblePredictionModelType,
+      nf: Int,
+      hasVal: Boolean,
+      dt: org.apache.spark.ml.regression.DecisionTreeRegressor): GBMRegressionModel = {
+    import org.apache.spark.ml.feature.Instance
+    import org.apache.spark.ml.regression.DecisionTreeRegressionModel
+    import org.apache.spark.ml.tree.impl.{
+      BaggedPoint, DecisionTreeMetadata, GraftTreeShim, RandomForest, TreePoint,
+      GradientBoostedTrees => NativeGBT
+    }
+    import org.apache.spark.rdd.RDD
+    import org.apache.spark.rdd.util.PeriodicRDDCheckpointer
+
+    val spark = instances.sparkSession
+    val sc = spark.sparkContext
+    val withVal = instances.select("label", "weight", "features", "__val").rdd
+      .map(r => (Instance(r.getDouble(0), r.getDouble(1), r.getAs[Vector](2)), r.getBoolean(3)))
+    withVal.persist(StorageLevel.MEMORY_AND_DISK)
+    val train = withVal.filter(!_._2).map(_._1)
+    val valid = withVal.filter(_._2).map(_._1)
+
+    val categorical = MetadataUtils.getCategoricalFeatures(instances.schema("features"))
+    val strategy = dt.getOldStrategy(categorical)
+    val metadata = DecisionTreeMetadata.buildMetadata(train, strategy, numTrees = 1, "all")
+    val splits = GraftTreeShim.findSplits(train, metadata, dt.getSeed)
+    val bcSplits = sc.broadcast(splits)
+    val treePoints = TreePoint.convertToTreeRDD(train, splits, metadata)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val valPoints =
+      if (hasVal) TreePoint.convertToTreeRDD(valid, splits, metadata)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      else null
+
+    val predCk = new PeriodicRDDCheckpointer[Double]($(checkpointInterval), sc)
+    val valCk =
+      if (hasVal) new PeriodicRDDCheckpointer[Double]($(checkpointInterval), sc) else null
+    var pred: RDD[Double] = train.map(inst => init.predict(inst.features))
+    predCk.update(pred)
+    pred.count()
+    var valPred: RDD[Double] =
+      if (hasVal) {
+        val p = valid.map(inst => init.predict(inst.features))
+        valCk.update(p)
+        p.count()
+        p
+      } else null
+
+    val models = ArrayBuffer.empty[EnsemblePredictionModelType]
+    val modelWeights = ArrayBuffer.empty[Double]
+    val subspaces = ArrayBuffer.empty[Array[Int]]
+    var bestValLoss = Double.PositiveInfinity
+    var badRounds = 0
+    var valLossObj: GBMRegressionLoss = null
+    var i = 0
+    var done = false
+
+    while (i < $(maxIter) && !done) {
+      // Huber delta refresh — same alpha-quantile of |residual|, same
+      // approx tolerance as the generic path
+      val currentLoss: GBMRegressionLoss =
+        if ($(loss) == "huber") {
+          val absr = treePoints.zip(pred).map { case (tp, f) => math.abs(tp.label - f) }
+          val d = spark.createDataset(absr)(org.apache.spark.sql.Encoders.scalaDouble)
+            .toDF("__absr")
+            .stat.approxQuantile("__absr", Array($(alpha)), 0.001).head
+          lossObj(math.max(d, 1e-6))
+        } else lossObj(0.0)
+
+      val lossB = currentLoss
+
+      // relabel the binned points with -grad — a narrow map over cached
+      // data, THE payoff of the fast path (newton never reaches here: its
+      // hessian reweighting needs per-iteration weighted split candidates)
+      val relabeled = treePoints.zip(pred).map { case (tp, f) =>
+        new TreePoint(-lossB.gradient(tp.label, f), tp.binnedFeatures, tp.weight)
+      }
+      val bagged = BaggedPoint.convertToBaggedRDD(
+        relabeled, $(subsampleRatio), 1, $(replacement),
+        (tp: TreePoint) => tp.weight, $(seed) + i)
+      bagged.persist(StorageLevel.MEMORY_AND_DISK)
+      val model =
+        try RandomForest.runBagged(
+            bagged, metadata, bcSplits, strategy, 1, "all", dt.getSeed, None)
+          .head.asInstanceOf[DecisionTreeRegressionModel]
+        finally bagged.unpersist(blocking = false)
+
+      // per-row direction via binned prediction (exactly equivalent to
+      // Vector prediction for points binned with the fitted splits)
+      val data = treePoints.zip(pred).map { case (tp, f) =>
+        (tp.label, f, NativeGBT.updatePrediction(tp, 0.0, model, 1.0, bcSplits.value), tp.weight)
+      }
+      data.persist(StorageLevel.MEMORY_AND_DISK)
+      val stepAlpha =
+        if (!$(optimizedWeights)) 1.0
+        else lineSearch(data, lossB)
+
+      val w = $(learningRate) * stepAlpha
+      models += model
+      modelWeights += w
+      subspaces += GraftUtils.subspace($(subspaceRatio), nf, $(seed) + i)
+
+      val newPred = data.map(t => t._2 + w * t._3)
+      predCk.update(newPred)
+      newPred.count()
+      data.unpersist(blocking = false)
+      pred = newPred
+
+      if (hasVal) {
+        val newValPred = valPoints.zip(valPred).map { case (tp, f) =>
+          f + w * NativeGBT.updatePrediction(tp, 0.0, model, 1.0, bcSplits.value)
+        }
+        valCk.update(newValPred)
+        newValPred.count()
+        valPred = newValPred
+        if (valLossObj == null) valLossObj = lossB
+        val frozen = valLossObj
+        val (lsum, wsum) = valPoints.zip(valPred).treeAggregate((0.0, 0.0))(
+          (acc, t) => (acc._1 + t._1.weight * frozen.loss(t._1.label, t._2), acc._2 + t._1.weight),
+          (a, b) => (a._1 + b._1, a._2 + b._2),
+          $(aggregationDepth))
+        if (wsum > 0) {
+          val vloss = lsum / wsum
+          if (bestValLoss.isPosInfinity ||
+            bestValLoss - vloss > $(validationTol) * math.max(math.abs(bestValLoss), 1e-12)) {
+            bestValLoss = vloss
+            badRounds = 0
+          } else {
+            badRounds += 1
+            if (badRounds >= $(numRounds)) {
+              val keep = math.max(models.length - badRounds, 1)
+              models.dropRightInPlace(models.length - keep)
+              modelWeights.dropRightInPlace(modelWeights.length - keep)
+              subspaces.dropRightInPlace(subspaces.length - keep)
+              done = true
+            }
+          }
+        }
+      }
+      i += 1
+    }
+
+    predCk.unpersistDataSet()
+    predCk.deleteAllCheckpoints()
+    if (valCk != null) { valCk.unpersistDataSet(); valCk.deleteAllCheckpoints() }
+    treePoints.unpersist(blocking = false)
+    if (valPoints != null) valPoints.unpersist(blocking = false)
+    withVal.unpersist(blocking = false)
+    bcSplits.destroy()
     new GBMRegressionModel(uid, init, modelWeights.toArray, subspaces.toArray, models.toArray)
       .setParent(this)
   }

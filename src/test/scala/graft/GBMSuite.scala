@@ -158,6 +158,56 @@ class GBMSuite extends graft.SparkSpec {
     assert(rmse(m.transform(regDf)) < 20)
   }
 
+  test("native-tree fast path matches the generic loop tree-for-tree") {
+    // splits depend on feature values only, so binning once and relabeling
+    // must produce the same trees as re-entering DecisionTreeRegressor.fit
+    // each iteration (at subsampleRatio=1 where no sampling RNG differs)
+    // newton is excluded by design: its hessian reweighting changes the
+    // weighted split candidates each iteration, so it takes the generic
+    // path (asserted below)
+    for ((l, upd, opt) <- Seq(
+        ("squared", "gradient", false),
+        ("huber", "gradient", true),
+        ("absolute", "gradient", true))) {
+      def fitWith(fast: Boolean) = new GBMRegressor()
+        .setBaseLearner(new DecisionTreeRegressor().setMaxDepth(3).setSeed(1))
+        .setMaxIter(4)
+        .setLoss(l)
+        .setUpdates(upd)
+        .setOptimizedWeights(opt)
+        .setLearningRate(0.5)
+        .setNativeTreeFastPath(fast)
+        .setSeed(0L)
+        .fit(regDf)
+      val fast = fitWith(true)
+      val slow = fitWith(false)
+      assert(fast.models.length === slow.models.length)
+      val diffs = regDf.collect().map { r =>
+        val v = r.getAs[Vector](1)
+        math.abs(fast.predict(v) - slow.predict(v))
+      }
+      val tol = if (opt) 1e-6 else 1e-9
+      assert(diffs.max < tol, s"loss=$l updates=$upd maxDiff=${diffs.max}")
+    }
+  }
+
+  test("native-tree fast path replays validation early stopping identically") {
+    val withVal = regDf.withColumn("isVal", rand(7) > 0.7)
+    def fitWith(fast: Boolean) = new GBMRegressor()
+      .setBaseLearner(new DecisionTreeRegressor().setMaxDepth(2).setSeed(1))
+      .setMaxIter(30)
+      .setLearningRate(1.0)
+      .setValidationIndicatorCol("isVal")
+      .setNumRounds(2)
+      .setNativeTreeFastPath(fast)
+      .setSeed(0L)
+      .fit(withVal)
+    val fast = fitWith(true)
+    val slow = fitWith(false)
+    assert(fast.models.length === slow.models.length,
+      s"fast stopped at ${fast.models.length}, generic at ${slow.models.length}")
+  }
+
   test("GBMRegressor validation early stopping truncates") {
     val s = spark
     import s.implicits._
