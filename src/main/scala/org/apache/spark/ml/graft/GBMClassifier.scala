@@ -86,6 +86,47 @@ class GBMClassifier(override val uid: String)
   def setTol(value: Double): this.type = set(tol, value)
   def setParallelism(value: Int): this.type = set(parallelism, value)
 
+  /** Joint step-size vector via bound-constrained L-BFGS-B over cached
+    * (yenc, f, direction, weight) rows; 10 solver iterations = <=~20
+    * distributed passes per GBM round (the step vector only needs 2
+    * significant digits). Shared by the generic and native-tree loops.
+    */
+  private def stepVectorSearch(
+      rdd: org.apache.spark.rdd.RDD[(Array[Double], Array[Double], Array[Double], Double)],
+      lossB: GBMClassificationLoss,
+      dim: Int): Array[Double] = {
+    rdd.count()
+    val objective = new DiffFunction[BDV[Double]] {
+      override def calculate(a: BDV[Double]): (Double, BDV[Double]) = {
+        val alpha = a.toArray
+        val d = dim
+        val (l, g) = rdd.treeAggregate((0.0, new Array[Double](d)))(
+          seqOp = { case ((accL, accG), (yenc, f, dir, w)) =>
+            val fa = new Array[Double](d)
+            var j = 0
+            while (j < d) { fa(j) = f(j) + alpha(j) * dir(j); j += 1 }
+            val grad = lossB.gradient(yenc, fa)
+            j = 0
+            while (j < d) { accG(j) += w * grad(j) * dir(j); j += 1 }
+            (accL + w * lossB.loss(yenc, fa), accG)
+          },
+          combOp = { case ((l1, g1), (l2, g2)) =>
+            var j = 0
+            while (j < dim) { g1(j) += g2(j); j += 1 }
+            (l1 + l2, g1)
+          },
+          depth = $(aggregationDepth))
+        (l, BDV(g))
+      }
+    }
+    val solver = new LBFGSB(
+      BDV.zeros[Double](dim),
+      BDV.fill(dim)(Double.PositiveInfinity),
+      maxIter = 10, m = 5, tolerance = $(tol))
+    try solver.minimize(objective, BDV.fill(dim)(1.0)).toArray
+    catch { case _: Exception => Array.fill(dim)(1.0) }
+  }
+
   override protected def train(dataset: Dataset[_]): GBMClassificationModel = {
     val numClasses = getNumClasses(dataset)
     val gbmLoss = lossObj(numClasses)
@@ -113,6 +154,17 @@ class GBMClassifier(override val uid: String)
           math.max(counts.getOrElse(k, 0.0) / total, EPSILON))
         if (dim == 1) Array(0.5 * math.log(priors(1) / priors(0))) // log-odds
         else priors.map(math.log)
+    }
+
+    // same fast-path gate as GBMRegressor: bin-once is only valid when the
+    // instance weights (and so the weighted split candidates) are
+    // iteration-invariant — gradient updates, full feature space
+    $(baseLearner) match {
+      case dt: org.apache.spark.ml.regression.DecisionTreeRegressor
+          if $(nativeTreeFastPath) && $(subspaceRatio) >= 1.0 &&
+            $(updates) == "gradient" =>
+        return trainNativeDT(instances, init, numClasses, gbmLoss, nf, hasVal, dt)
+      case _ => ()
     }
 
     val lossB = gbmLoss
@@ -205,40 +257,8 @@ class GBMClassifier(override val uid: String)
             (r.getSeq[Double](0).toArray, r.getSeq[Double](1).toArray,
               r.getSeq[Double](2).toArray, r.getDouble(3)))
           rdd.persist(StorageLevel.MEMORY_AND_DISK)
-          try {
-            rdd.count()
-            val objective = new DiffFunction[BDV[Double]] {
-              override def calculate(a: BDV[Double]): (Double, BDV[Double]) = {
-                val alpha = a.toArray
-                val d = dim
-                val (l, g) = rdd.treeAggregate((0.0, new Array[Double](d)))(
-                  seqOp = { case ((accL, accG), (yenc, f, dir, w)) =>
-                    val fa = new Array[Double](d)
-                    var j = 0
-                    while (j < d) { fa(j) = f(j) + alpha(j) * dir(j); j += 1 }
-                    val grad = lossB.gradient(yenc, fa)
-                    j = 0
-                    while (j < d) { accG(j) += w * grad(j) * dir(j); j += 1 }
-                    (accL + w * lossB.loss(yenc, fa), accG)
-                  },
-                  combOp = { case ((l1, g1), (l2, g2)) =>
-                    var j = 0
-                    while (j < dim) { g1(j) += g2(j); j += 1 }
-                    (l1 + l2, g1)
-                  },
-                  depth = $(aggregationDepth))
-                (l, BDV(g))
-              }
-            }
-            // 10 solver iterations = <=~20 distributed passes per GBM round;
-            // the step vector only needs 2 significant digits
-            val solver = new LBFGSB(
-              BDV.zeros[Double](dim),
-              BDV.fill(dim)(Double.PositiveInfinity),
-              maxIter = 10, m = 5, tolerance = $(tol))
-            try solver.minimize(objective, BDV.fill(dim)(1.0)).toArray
-            catch { case _: Exception => Array.fill(dim)(1.0) }
-          } finally rdd.unpersist()
+          try stepVectorSearch(rdd, lossB, dim)
+          finally rdd.unpersist()
         }
 
       val w = stepVec.map(_ * $(learningRate))
@@ -290,6 +310,190 @@ class GBMClassifier(override val uid: String)
       i += 1
     }
     loop.close()
+    new GBMClassificationModel(
+      uid, numClasses, init, modelWeights.toArray, subspaces.toArray, models.toArray)
+      .setParent(this)
+  }
+
+  /** Native-tree fast path for the K-dim loop (see
+    * [[GBMRegressor.trainNativeDT]] for the general argument): metadata,
+    * candidate splits, and the binned TreePoint table are built once and
+    * shared across BOTH boosting iterations and the K per-class fits — the
+    * generic path re-pays the binning i*K times. Per iteration: one narrow
+    * map computes the K-dim negative gradient, one BaggedPoint pass fixes
+    * the joint subsample for all classes, and each class fit is a
+    * relabeling map + `RandomForest.runBagged` (still concurrent on the
+    * driver pool). Directions and the score update predict on binned
+    * features; the L-BFGS-B step search is the shared helper.
+    */
+  private def trainNativeDT(
+      instances: DataFrame,
+      init: Array[Double],
+      numClasses: Int,
+      gbmLoss: GBMClassificationLoss,
+      nf: Int,
+      hasVal: Boolean,
+      dt: org.apache.spark.ml.regression.DecisionTreeRegressor): GBMClassificationModel = {
+    import org.apache.spark.ml.feature.Instance
+    import org.apache.spark.ml.regression.DecisionTreeRegressionModel
+    import org.apache.spark.ml.tree.impl.{
+      BaggedPoint, DecisionTreeMetadata, GraftTreeShim, RandomForest, TreePoint,
+      GradientBoostedTrees => NativeGBT
+    }
+    import org.apache.spark.rdd.RDD
+    import org.apache.spark.rdd.util.PeriodicRDDCheckpointer
+
+    val lossB = gbmLoss
+    val dim = lossB.dim
+    val sc = instances.sparkSession.sparkContext
+    val withVal = instances.select("label", "weight", "features", "__val").rdd
+      .map(r => (Instance(r.getDouble(0), r.getDouble(1), r.getAs[Vector](2)), r.getBoolean(3)))
+    withVal.persist(StorageLevel.MEMORY_AND_DISK)
+    val train = withVal.filter(!_._2).map(_._1)
+    val valid = withVal.filter(_._2).map(_._1)
+
+    val categorical = MetadataUtils.getCategoricalFeatures(instances.schema("features"))
+    val strategy = dt.getOldStrategy(categorical)
+    val metadata = DecisionTreeMetadata.buildMetadata(train, strategy, numTrees = 1, "all")
+    val splits = GraftTreeShim.findSplits(train, metadata, dt.getSeed)
+    val bcSplits = sc.broadcast(splits)
+    val treePoints = TreePoint.convertToTreeRDD(train, splits, metadata)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val valPoints =
+      if (hasVal) TreePoint.convertToTreeRDD(valid, splits, metadata)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      else null
+
+    val fCk = new PeriodicRDDCheckpointer[Array[Double]]($(checkpointInterval), sc)
+    val valCk =
+      if (hasVal) new PeriodicRDDCheckpointer[Array[Double]]($(checkpointInterval), sc)
+      else null
+    var f: RDD[Array[Double]] = treePoints.map(_ => init.clone())
+    fCk.update(f)
+    f.count()
+    var valF: RDD[Array[Double]] =
+      if (hasVal) {
+        val p = valPoints.map(_ => init.clone())
+        valCk.update(p)
+        p.count()
+        p
+      } else null
+
+    val models = ArrayBuffer.empty[Array[EnsemblePredictionModelType]]
+    val modelWeights = ArrayBuffer.empty[Array[Double]]
+    val subspaces = ArrayBuffer.empty[Array[Int]]
+    var bestValLoss = Double.PositiveInfinity
+    var badRounds = 0
+    var i = 0
+    var done = false
+    val ec = getExecutionContext
+
+    while (i < $(maxIter) && !done) {
+      // K-dim negative gradient + joint subsample, computed ONCE for all
+      // classes (the generic path samples once and shares fitBase the same
+      // way — parity matters for the per-class fits seeing identical rows)
+      val resid: RDD[(TreePoint, Array[Double])] = treePoints.zip(f).map { case (tp, fr) =>
+        (tp, lossB.negativeGradient(lossB.encodeLabel(tp.label), fr))
+      }
+      val bagged = BaggedPoint.convertToBaggedRDD(
+        resid, $(subsampleRatio), 1, $(replacement),
+        (t: (TreePoint, Array[Double])) => t._1.weight, $(seed) + i)
+      bagged.persist(StorageLevel.MEMORY_AND_DISK)
+
+      val dimModels: Array[EnsemblePredictionModelType] =
+        try {
+          val futures = Array.tabulate(dim) { k =>
+            Future {
+              val baggedK = bagged.map { bp =>
+                new BaggedPoint(
+                  new TreePoint(bp.datum._2(k), bp.datum._1.binnedFeatures, bp.datum._1.weight),
+                  bp.subsampleCounts, bp.sampleWeight)
+              }
+              RandomForest.runBagged(
+                  baggedK, metadata, bcSplits, strategy, 1, "all", dt.getSeed, None)
+                .head.asInstanceOf[DecisionTreeRegressionModel]
+                .asInstanceOf[EnsemblePredictionModelType]
+            }(ec)
+          }
+          futures.map(ThreadUtils.awaitResult(_, Duration.Inf))
+        } finally bagged.unpersist(blocking = false)
+
+      val treeModels = dimModels.map(_.asInstanceOf[DecisionTreeRegressionModel])
+      val data: RDD[(Array[Double], Array[Double], Array[Double], Double)] =
+        treePoints.zip(f).map { case (tp, fr) =>
+          val d = Array.tabulate(dim)(k =>
+            NativeGBT.updatePrediction(tp, 0.0, treeModels(k), 1.0, bcSplits.value))
+          (lossB.encodeLabel(tp.label), fr, d, tp.weight)
+        }
+      data.persist(StorageLevel.MEMORY_AND_DISK)
+
+      val stepVec: Array[Double] =
+        if (!$(optimizedWeights)) Array.fill(dim)(1.0)
+        else stepVectorSearch(data, lossB, dim)
+
+      val w = stepVec.map(_ * $(learningRate))
+      models += dimModels
+      modelWeights += w
+      subspaces += GraftUtils.subspace($(subspaceRatio), nf, $(seed) + i)
+
+      val newF = data.map { case (_, fr, d, _) =>
+        val out = new Array[Double](fr.length)
+        var j = 0
+        while (j < fr.length) { out(j) = fr(j) + w(j) * d(j); j += 1 }
+        out
+      }
+      fCk.update(newF)
+      newF.count()
+      data.unpersist(blocking = false)
+      f = newF
+
+      if (hasVal) {
+        val newValF = valPoints.zip(valF).map { case (tp, fr) =>
+          val out = new Array[Double](fr.length)
+          var j = 0
+          while (j < fr.length) {
+            out(j) = fr(j) + w(j) * NativeGBT.updatePrediction(tp, 0.0, treeModels(j), 1.0, bcSplits.value)
+            j += 1
+          }
+          out
+        }
+        valCk.update(newValF)
+        newValF.count()
+        valF = newValF
+        val (lsum, wsum) = valPoints.zip(valF).treeAggregate((0.0, 0.0))(
+          (acc, t) => (
+            acc._1 + t._1.weight * lossB.loss(lossB.encodeLabel(t._1.label), t._2),
+            acc._2 + t._1.weight),
+          (a, b) => (a._1 + b._1, a._2 + b._2),
+          $(aggregationDepth))
+        if (wsum > 0) {
+          val vloss = lsum / wsum
+          if (bestValLoss.isPosInfinity ||
+            bestValLoss - vloss > $(validationTol) * math.max(math.abs(bestValLoss), 1e-12)) {
+            bestValLoss = vloss
+            badRounds = 0
+          } else {
+            badRounds += 1
+            if (badRounds >= $(numRounds)) {
+              val keep = math.max(models.length - badRounds, 1)
+              models.dropRightInPlace(models.length - keep)
+              modelWeights.dropRightInPlace(modelWeights.length - keep)
+              subspaces.dropRightInPlace(subspaces.length - keep)
+              done = true
+            }
+          }
+        }
+      }
+      i += 1
+    }
+
+    fCk.unpersistDataSet()
+    fCk.deleteAllCheckpoints()
+    if (valCk != null) { valCk.unpersistDataSet(); valCk.deleteAllCheckpoints() }
+    treePoints.unpersist(blocking = false)
+    if (valPoints != null) valPoints.unpersist(blocking = false)
+    withVal.unpersist(blocking = false)
+    bcSplits.destroy()
     new GBMClassificationModel(
       uid, numClasses, init, modelWeights.toArray, subspaces.toArray, models.toArray)
       .setParent(this)

@@ -226,6 +226,38 @@ class GBMSuite extends graft.SparkSpec {
     assert(m.models.length > 1, s"stopped degenerately at ${m.models.length}")
   }
 
+  test("GBMClassifier native-tree fast path matches the generic loop") {
+    for ((l, opt, tol) <- Seq(
+        ("logloss", false, 1e-9),
+        ("bernoulli", false, 1e-9),
+        // with the joint L-BFGS-B step search, aggregation-order float
+        // noise can shift the solver's path slightly — probabilities must
+        // still agree to ~1e-4
+        ("logloss", true, 1e-4))) {
+      val df = if (l == "bernoulli") clsDf.withColumn("label", (col("label") > 0).cast("double"))
+        else clsDf
+      def fitWith(fast: Boolean) = new GBMClassifier()
+        .setBaseLearner(new DecisionTreeRegressor().setMaxDepth(3).setSeed(1))
+        .setMaxIter(3)
+        .setLoss(l)
+        .setOptimizedWeights(opt)
+        .setLearningRate(0.5)
+        .setNativeTreeFastPath(fast)
+        .setSeed(0L)
+        .fit(df)
+      val fast = fitWith(true)
+      val slow = fitWith(false)
+      assert(fast.models.length === slow.models.length)
+      val diffs = df.collect().map { r =>
+        val v = r.getAs[Vector](1)
+        val pf = fast.predictProbability(v).toArray
+        val ps = slow.predictProbability(v).toArray
+        pf.zip(ps).map { case (a, b) => math.abs(a - b) }.max
+      }
+      assert(diffs.max < tol, s"loss=$l opt=$opt maxDiff=${diffs.max}")
+    }
+  }
+
   test("GBMClassifier multinomial logloss on 3 classes") {
     val m = new GBMClassifier()
       .setBaseLearner(new DecisionTreeRegressor().setMaxDepth(3).setSeed(1))
