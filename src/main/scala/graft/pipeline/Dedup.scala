@@ -289,33 +289,13 @@ object Dedup {
     verified
   }
 
-  /** 64-bit SimHash over token hashes: per-row bit-vote accumulation (no
-    * shuffle), then near-dup pairs via [[simhashBandMasks]] block-union
-    * banding, verified with bit_count(xor).
+  /** 64-bit SimHash over token hashes: per-row bit-vote accumulation (a
+    * codegen'd expression, no shuffle), then near-dup pairs via
+    * [[simhashBandMasks]] block-union banding, verified with
+    * bit_count(xor).
     */
-  val simhashUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
-    udf { (toks: Seq[String]) =>
-      if (toks == null) null
-      else {
-        val votes = new Array[Int](64)
-        toks.foreach { t =>
-          var h = 0xcbf29ce484222325L
-          var i = 0
-          while (i < t.length) { h ^= t.charAt(i).toLong; h *= 0x100000001b3L; i += 1 }
-          var b = 0
-          while (b < 64) {
-            if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
-            b += 1
-          }
-        }
-        var sig = 0L
-        var b = 0
-        while (b < 64) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
-        java.lang.Long.valueOf(sig)
-      }
-    }
-
-  def simhash(text: Column): Column = simhashUdf(TextFunctions.tokens(text))
+  def simhash(text: Column): Column =
+    org.apache.spark.sql.graft.GraftExpressions.simhash64(TextFunctions.tokens(text))
 
   /** Block-union banding tables for Hamming-ball search (Manku-style
     * multi-block generalization of the d+1-chunk pigeonhole): split the 64
@@ -457,24 +437,17 @@ object Dedup {
     val rng = new scala.util.Random(seed)
     val hyperplanes: Array[Array[Array[Double]]] =
       Array.fill(tables, planes, dim)(rng.nextGaussian())
-    val bucketUdf = udf { (v: Seq[Double], t: Int) =>
-      val hp = hyperplanes(t)
-      var bucket = 0L
-      var p = 0
-      while (p < hp.length) {
-        var dot = 0.0
-        var i = 0
-        while (i < v.length) { dot += hp(p)(i) * v(i); i += 1 }
-        if (dot > 0) bucket |= (1L << p)
-        p += 1
-      }
-      bucket
-    }
     val v = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+    // one codegen'd sign-bucket expression per table — the plane matrix is
+    // a code-embedded reference object, so the per-row work is a tight
+    // primitive loop (the UDF it replaces boxed the embedding to
+    // Seq[Double] per table per row)
     val banded = v.select(
       col("id"), col("v"),
       explode(array((0 until tables).map(t =>
-        struct(lit(t).as("t"), bucketUdf(col("v"), lit(t)).as("bucket"))): _*)).as("bb"))
+        struct(lit(t).as("t"),
+          org.apache.spark.sql.graft.GraftExpressions
+            .lshBucket(col("v"), hyperplanes(t)).as("bucket"))): _*)).as("bb"))
       .select(col("id"), col("v"), col("bb.t"), col("bb.bucket"))
     banded.as("a")
       .join(banded.as("b"),

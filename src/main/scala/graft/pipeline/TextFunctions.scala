@@ -78,26 +78,11 @@ object TextFunctions {
   }
 
   /** 64-bit FNV-1a rolling fingerprint of the normalized text (lowercased,
-    * whitespace collapsed). Deterministic across partitions/engines; the
-    * one UDF in this module.
+    * whitespace collapsed). Deterministic across partitions/engines;
+    * codegen'd with a JVM-wide precompiled whitespace pattern.
     */
-  val fingerprintUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
-    udf { (text: String) =>
-      if (text == null) null
-      else {
-        val normalized = text.toLowerCase.trim.replaceAll("\\s+", " ")
-        var h = 0xcbf29ce484222325L
-        var i = 0
-        while (i < normalized.length) {
-          h ^= normalized.charAt(i).toLong
-          h *= 0x100000001b3L
-          i += 1
-        }
-        java.lang.Long.valueOf(h)
-      }
-    }
-
-  def fingerprint(text: Column): Column = fingerprintUdf(text)
+  def fingerprint(text: Column): Column =
+    org.apache.spark.sql.graft.GraftExpressions.fnv1aFingerprint(text)
 
   /** Word n-gram shingles (distinct), the unit set for Jaccard/MinHash.
     * Pure expression: transform over an index sequence.

@@ -110,6 +110,145 @@ case class LongArraySliceHash(child: Expression, start: Int, len: Int, seed: Lon
     copy(child = newChild)
 }
 
+/** 64-bit SimHash over a token array: FNV-1a per token, signed bit votes,
+  * sign vector as the signature — identical values to the Scala UDF it
+  * replaces, but evaluated on the unsafe array data with no Seq[String]
+  * conversion per row (the hottest remaining UDF after round 2's
+  * shingle/minhash promotions).
+  */
+case class SimHash64(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(org.apache.spark.sql.types.StringType))
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def nullSafeEval(input: Any): Any =
+    SimHash64.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = org.apache.spark.sql.graft.SimHash64.compute($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+object SimHash64 {
+  /** FNV-1a over UTF-16 code units (matching String.charAt semantics of
+    * the original UDF), +/-1 votes per bit, majority sign.
+    */
+  def compute(toks: ArrayData): Long = {
+    val votes = new Array[Int](64)
+    val n = toks.numElements()
+    var t = 0
+    while (t < n) {
+      if (!toks.isNullAt(t)) {
+        val s = toks.getUTF8String(t).toString
+        var h = 0xcbf29ce484222325L
+        var i = 0
+        while (i < s.length) { h ^= s.charAt(i).toLong; h *= 0x100000001b3L; i += 1 }
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      t += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
+    sig
+  }
+}
+
+/** 64-bit FNV-1a fingerprint of normalized text (lowercase, trimmed,
+  * whitespace collapsed) — the 8-byte dedup key. Beyond skipping the UDF
+  * conversion layer, the whitespace regex is compiled once per JVM
+  * instead of once per row (String.replaceAll recompiles every call).
+  */
+case class Fnv1aFingerprint(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(org.apache.spark.sql.types.StringType)
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def nullSafeEval(input: Any): Any =
+    Fnv1aFingerprint.compute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = org.apache.spark.sql.graft.Fnv1aFingerprint.compute($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): Fnv1aFingerprint =
+    copy(child = newChild)
+}
+
+object Fnv1aFingerprint {
+  private val ws = java.util.regex.Pattern.compile("\\s+")
+
+  def compute(text: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val normalized = ws.matcher(text.toString.toLowerCase.trim).replaceAll(" ")
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < normalized.length) {
+      h ^= normalized.charAt(i).toLong
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+}
+
+/** Random-hyperplane LSH bucket id for one table: sign bit per plane over
+  * a dot product with the embedding. The plane matrix for the table is a
+  * reference object embedded in the generated code, so the per-row loop
+  * is a tight primitive nest with no closure or Seq boxing.
+  */
+case class LshHyperplaneBucket(child: Expression, planes: Array[Array[Double]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def nullSafeEval(input: Any): Any =
+    LshHyperplaneBucket.compute(input.asInstanceOf[ArrayData], planes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("planes", planes, "double[][]")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = org.apache.spark.sql.graft.LshHyperplaneBucket.compute($a, $ref);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LshHyperplaneBucket =
+    copy(child = newChild)
+}
+
+object LshHyperplaneBucket {
+  def compute(v: ArrayData, planes: Array[Array[Double]]): Long = {
+    var bucket = 0L
+    var p = 0
+    while (p < planes.length) {
+      val plane = planes(p)
+      val n = math.min(plane.length, v.numElements())
+      var dot = 0.0
+      var i = 0
+      while (i < n) { dot += plane(i) * v.getDouble(i); i += 1 }
+      if (dot > 0) bucket |= (1L << p)
+      p += 1
+    }
+    bucket
+  }
+}
+
 object GraftExpressions {
 
   /** `dot(a, b)` as a Column — summation order is the plain left-to-right
@@ -123,6 +262,19 @@ object GraftExpressions {
   def longSliceHash(arr: Column, start: Int, len: Int, seed: Long): Column =
     ExpressionUtils.column(
       LongArraySliceHash(ExpressionUtils.expression(arr), start, len, seed))
+
+  /** 64-bit SimHash of a token array (codegen'd). */
+  def simhash64(tokens: Column): Column =
+    ExpressionUtils.column(SimHash64(ExpressionUtils.expression(tokens)))
+
+  /** FNV-1a fingerprint of normalized text (codegen'd). */
+  def fnv1aFingerprint(text: Column): Column =
+    ExpressionUtils.column(Fnv1aFingerprint(ExpressionUtils.expression(text)))
+
+  /** LSH hyperplane sign-bucket for one table's plane matrix (codegen'd). */
+  def lshBucket(vec: Column, planes: Array[Array[Double]]): Column =
+    ExpressionUtils.column(
+      LshHyperplaneBucket(ExpressionUtils.expression(vec), planes))
 
   /** Register `array_dot` for SQL text queries on an existing session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
