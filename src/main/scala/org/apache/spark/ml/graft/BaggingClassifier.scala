@@ -7,6 +7,7 @@ import org.apache.spark.ml.graft.util.GraftUtils
 import org.apache.spark.ml.linalg.{DenseVector, Vector, Vectors}
 import org.apache.spark.ml.param.ParamMap
 import org.apache.spark.ml.util._
+import org.apache.spark.ml.util.Instrumentation.instrumented
 import org.apache.spark.sql.Dataset
 import org.apache.spark.storage.StorageLevel
 import org.json4s.DefaultFormats
@@ -38,7 +39,22 @@ class BaggingClassifier(override val uid: String)
   def setParallelism(value: Int): this.type = set(parallelism, value)
   def setVotingStrategy(value: String): this.type = set(votingStrategy, value)
 
-  override protected def train(dataset: Dataset[_]): BaggingClassificationModel = {
+  override protected def train(dataset: Dataset[_]): BaggingClassificationModel = instrumented {
+    instr =>
+      instr.logPipelineStage(this)
+      instr.logDataset(dataset)
+      // base-learner params hold estimator objects that have no JSON
+      // encoding — log everything else (matching how spark.ml's own
+      // meta-estimators instrument)
+      instr.logParams(this, params.filter(p => get(p).forall {
+        case _: org.apache.spark.ml.param.Params => false
+        case arr: Array[_] => !arr.exists(_.isInstanceOf[org.apache.spark.ml.param.Params])
+        case _ => true
+      }).toIndexedSeq: _*)
+      trainImpl(dataset, instr)
+  }
+
+  private def trainImpl(dataset: Dataset[_], instr: Instrumentation): BaggingClassificationModel = {
     val numClasses = getNumClasses(dataset)
     if ($(votingStrategy) == "soft") {
       require(

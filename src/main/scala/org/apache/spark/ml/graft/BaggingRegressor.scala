@@ -10,6 +10,7 @@ import org.apache.spark.ml.param.ParamMap
 import org.apache.spark.ml.param.shared.{HasParallelism, HasWeightCol}
 import org.apache.spark.ml.regression.{RegressionModel, Regressor}
 import org.apache.spark.ml.util._
+import org.apache.spark.ml.util.Instrumentation.instrumented
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
@@ -107,7 +108,22 @@ class BaggingRegressor(override val uid: String)
   def setWeightCol(value: String): this.type = set(weightCol, value)
   def setParallelism(value: Int): this.type = set(parallelism, value)
 
-  override protected def train(dataset: Dataset[_]): BaggingRegressionModel = {
+  override protected def train(dataset: Dataset[_]): BaggingRegressionModel = instrumented {
+    instr =>
+      instr.logPipelineStage(this)
+      instr.logDataset(dataset)
+      // base-learner params hold estimator objects that have no JSON
+      // encoding — log everything else (matching how spark.ml's own
+      // meta-estimators instrument)
+      instr.logParams(this, params.filter(p => get(p).forall {
+        case _: org.apache.spark.ml.param.Params => false
+        case arr: Array[_] => !arr.exists(_.isInstanceOf[org.apache.spark.ml.param.Params])
+        case _ => true
+      }).toIndexedSeq: _*)
+      trainImpl(dataset, instr)
+  }
+
+  private def trainImpl(dataset: Dataset[_], instr: Instrumentation): BaggingRegressionModel = {
     val instances = SubBagFit.instances(
       dataset, $(labelCol),
       if (isDefined(weightCol)) Some($(weightCol)) else None, $(featuresCol))

@@ -12,6 +12,7 @@ import org.apache.spark.ml.param.shared.{
   HasAggregationDepth, HasCheckpointInterval, HasWeightCol
 }
 import org.apache.spark.ml.util._
+import org.apache.spark.ml.util.Instrumentation.instrumented
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.Dataset
 import org.apache.spark.sql.functions._
@@ -58,7 +59,22 @@ class BoostingClassifier(override val uid: String)
   def setCheckpointInterval(value: Int): this.type = set(checkpointInterval, value)
   def setAggregationDepth(value: Int): this.type = set(aggregationDepth, value)
 
-  override protected def train(dataset: Dataset[_]): BoostingClassificationModel = {
+  override protected def train(dataset: Dataset[_]): BoostingClassificationModel = instrumented {
+    instr =>
+      instr.logPipelineStage(this)
+      instr.logDataset(dataset)
+      // base-learner params hold estimator objects that have no JSON
+      // encoding — log everything else (matching how spark.ml's own
+      // meta-estimators instrument)
+      instr.logParams(this, params.filter(p => get(p).forall {
+        case _: org.apache.spark.ml.param.Params => false
+        case arr: Array[_] => !arr.exists(_.isInstanceOf[org.apache.spark.ml.param.Params])
+        case _ => true
+      }).toIndexedSeq: _*)
+      trainImpl(dataset, instr)
+  }
+
+  private def trainImpl(dataset: Dataset[_], instr: Instrumentation): BoostingClassificationModel = {
     val numClasses = getNumClasses(dataset)
     if ($(algorithm) == "real") {
       require(

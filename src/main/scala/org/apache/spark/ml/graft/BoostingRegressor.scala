@@ -11,6 +11,7 @@ import org.apache.spark.ml.param.shared.{
 }
 import org.apache.spark.ml.regression.{RegressionModel, Regressor}
 import org.apache.spark.ml.util._
+import org.apache.spark.ml.util.Instrumentation.instrumented
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.Dataset
 import org.apache.spark.sql.functions._
@@ -138,7 +139,22 @@ class BoostingRegressor(override val uid: String)
   def setCheckpointInterval(value: Int): this.type = set(checkpointInterval, value)
   def setAggregationDepth(value: Int): this.type = set(aggregationDepth, value)
 
-  override protected def train(dataset: Dataset[_]): BoostingRegressionModel = {
+  override protected def train(dataset: Dataset[_]): BoostingRegressionModel = instrumented {
+    instr =>
+      instr.logPipelineStage(this)
+      instr.logDataset(dataset)
+      // base-learner params hold estimator objects that have no JSON
+      // encoding — log everything else (matching how spark.ml's own
+      // meta-estimators instrument)
+      instr.logParams(this, params.filter(p => get(p).forall {
+        case _: org.apache.spark.ml.param.Params => false
+        case arr: Array[_] => !arr.exists(_.isInstanceOf[org.apache.spark.ml.param.Params])
+        case _ => true
+      }).toIndexedSeq: _*)
+      trainImpl(dataset, instr)
+  }
+
+  private def trainImpl(dataset: Dataset[_], instr: Instrumentation): BoostingRegressionModel = {
     val instances = SubBagFit
       .instances(
         dataset, $(labelCol),

@@ -8,6 +8,7 @@ import org.apache.spark.ml.linalg.{DenseVector, Vector, Vectors}
 import org.apache.spark.ml.param._
 import org.apache.spark.ml.param.shared.HasWeightCol
 import org.apache.spark.ml.util._
+import org.apache.spark.ml.util.Instrumentation.instrumented
 import org.apache.spark.sql.Dataset
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
@@ -47,7 +48,22 @@ class DummyClassifier(override val uid: String)
   def setConstant(value: Double): this.type = set(constant, value)
   def setWeightCol(value: String): this.type = set(weightCol, value)
 
-  override protected def train(dataset: Dataset[_]): DummyClassificationModel = {
+  override protected def train(dataset: Dataset[_]): DummyClassificationModel = instrumented {
+    instr =>
+      instr.logPipelineStage(this)
+      instr.logDataset(dataset)
+      // base-learner params hold estimator objects that have no JSON
+      // encoding — log everything else (matching how spark.ml's own
+      // meta-estimators instrument)
+      instr.logParams(this, params.filter(p => get(p).forall {
+        case _: org.apache.spark.ml.param.Params => false
+        case arr: Array[_] => !arr.exists(_.isInstanceOf[org.apache.spark.ml.param.Params])
+        case _ => true
+      }).toIndexedSeq: _*)
+      trainImpl(dataset, instr)
+  }
+
+  private def trainImpl(dataset: Dataset[_], instr: Instrumentation): DummyClassificationModel = {
     val numClasses = getNumClasses(dataset)
     val probs: Array[Double] = $(strategy) match {
       case "uniform" => Array.fill(numClasses)(1.0 / numClasses)

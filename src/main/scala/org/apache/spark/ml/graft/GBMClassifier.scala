@@ -16,6 +16,7 @@ import org.apache.spark.ml.linalg.{DenseVector, Vector, Vectors}
 import org.apache.spark.ml.param._
 import org.apache.spark.ml.param.shared.HasParallelism
 import org.apache.spark.ml.util._
+import org.apache.spark.ml.util.Instrumentation.instrumented
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
@@ -127,7 +128,22 @@ class GBMClassifier(override val uid: String)
     catch { case _: Exception => Array.fill(dim)(1.0) }
   }
 
-  override protected def train(dataset: Dataset[_]): GBMClassificationModel = {
+  override protected def train(dataset: Dataset[_]): GBMClassificationModel = instrumented {
+    instr =>
+      instr.logPipelineStage(this)
+      instr.logDataset(dataset)
+      // base-learner params hold estimator objects that have no JSON
+      // encoding — log everything else (matching how spark.ml's own
+      // meta-estimators instrument)
+      instr.logParams(this, params.filter(p => get(p).forall {
+        case _: org.apache.spark.ml.param.Params => false
+        case arr: Array[_] => !arr.exists(_.isInstanceOf[org.apache.spark.ml.param.Params])
+        case _ => true
+      }).toIndexedSeq: _*)
+      trainImpl(dataset, instr)
+  }
+
+  private def trainImpl(dataset: Dataset[_], instr: Instrumentation): GBMClassificationModel = {
     val numClasses = getNumClasses(dataset)
     val gbmLoss = lossObj(numClasses)
     val dim = gbmLoss.dim
@@ -140,6 +156,8 @@ class GBMClassifier(override val uid: String)
       if (isDefined(weightCol)) Some($(weightCol)) else None, $(featuresCol),
       extra = Seq(valCol -> "__val"))
     val nf = GraftUtils.numFeatures(instances, "features")
+    instr.logNumFeatures(nf)
+    instr.logNumClasses(numClasses)
 
     // ---- constant init vector f_0 (reference:
     // classification/GBMClassifier.scala:275-288)

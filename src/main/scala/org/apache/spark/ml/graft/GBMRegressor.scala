@@ -17,6 +17,7 @@ import org.apache.spark.ml.param.shared.{
 }
 import org.apache.spark.ml.regression.{RegressionModel, Regressor}
 import org.apache.spark.ml.util._
+import org.apache.spark.ml.util.Instrumentation.instrumented
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
@@ -160,7 +161,22 @@ class GBMRegressor(override val uid: String)
   def setAggregationDepth(value: Int): this.type = set(aggregationDepth, value)
   def setTol(value: Double): this.type = set(tol, value)
 
-  override protected def train(dataset: Dataset[_]): GBMRegressionModel = {
+  override protected def train(dataset: Dataset[_]): GBMRegressionModel = instrumented {
+    instr =>
+      instr.logPipelineStage(this)
+      instr.logDataset(dataset)
+      // base-learner params hold estimator objects that have no JSON
+      // encoding — log everything else (matching how spark.ml's own
+      // meta-estimators instrument)
+      instr.logParams(this, params.filter(p => get(p).forall {
+        case _: org.apache.spark.ml.param.Params => false
+        case arr: Array[_] => !arr.exists(_.isInstanceOf[org.apache.spark.ml.param.Params])
+        case _ => true
+      }).toIndexedSeq: _*)
+      trainImpl(dataset, instr)
+  }
+
+  private def trainImpl(dataset: Dataset[_], instr: Instrumentation): GBMRegressionModel = {
     val hasVal = isDefined(validationIndicatorCol) && $(validationIndicatorCol).nonEmpty
     val valCol =
       if (hasVal) col($(validationIndicatorCol)).cast("boolean") else lit(false)
@@ -169,6 +185,7 @@ class GBMRegressor(override val uid: String)
       if (isDefined(weightCol)) Some($(weightCol)) else None, $(featuresCol),
       extra = Seq(valCol -> "__val"))
     val nf = GraftUtils.numFeatures(instances, "features")
+    instr.logNumFeatures(nf)
 
     // ---- init model f_0
     val trainOnly = instances.filter(!col("__val"))

@@ -5,6 +5,7 @@ import org.apache.spark.ml.classification.{ClassificationModel, ProbabilisticCla
 import org.apache.spark.ml.linalg.{Vector, Vectors}
 import org.apache.spark.ml.param.{Param, ParamMap, ParamValidators}
 import org.apache.spark.ml.util._
+import org.apache.spark.ml.util.Instrumentation.instrumented
 import org.apache.spark.sql.Dataset
 import org.apache.spark.storage.StorageLevel
 import org.json4s.DefaultFormats
@@ -41,7 +42,22 @@ class StackingClassifier(override val uid: String)
   def setWeightCol(value: String): this.type = set(weightCol, value)
   def setParallelism(value: Int): this.type = set(parallelism, value)
 
-  override protected def train(dataset: Dataset[_]): StackingClassificationModel = {
+  override protected def train(dataset: Dataset[_]): StackingClassificationModel = instrumented {
+    instr =>
+      instr.logPipelineStage(this)
+      instr.logDataset(dataset)
+      // base-learner params hold estimator objects that have no JSON
+      // encoding — log everything else (matching how spark.ml's own
+      // meta-estimators instrument)
+      instr.logParams(this, params.filter(p => get(p).forall {
+        case _: org.apache.spark.ml.param.Params => false
+        case arr: Array[_] => !arr.exists(_.isInstanceOf[org.apache.spark.ml.param.Params])
+        case _ => true
+      }).toIndexedSeq: _*)
+      trainImpl(dataset, instr)
+  }
+
+  private def trainImpl(dataset: Dataset[_], instr: Instrumentation): StackingClassificationModel = {
     $(stackMethod) match {
       case "raw" =>
         require(
