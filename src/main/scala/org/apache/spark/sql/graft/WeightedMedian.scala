@@ -9,23 +9,138 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggreg
 import org.apache.spark.sql.classic.ExpressionUtils
 import org.apache.spark.sql.types.{AbstractDataType, DataType, DoubleType}
 
+/** Bounded weighted-quantile buffer: raw (value, weight) pairs up to
+  * `capacity` — every group below that size gets the EXACT weighted
+  * median — then a one-way switch to sorted weight-capped centroids
+  * (t-digest-style uniform compression): adjacent pairs merge into
+  * weighted-mean centroids of at most totalWeight/`compressedSize` mass,
+  * so the rank error of any quantile query is bounded by one centroid's
+  * mass (~1/compressedSize of the group). Memory is O(capacity) no matter
+  * how many rows a pathological group holds — the raw-pair buffer this
+  * replaces grew linearly and was the acknowledged weak-at-extremes spot.
+  */
+private[spark] final class WeightedQuantileBuffer(
+    val capacity: Int,
+    val compressedSize: Int) {
+
+  var pairs: ArrayBuffer[(Double, Double)] = ArrayBuffer.empty
+  // compressed sorted centroids (value, weight); null while still exact
+  var centroids: Array[(Double, Double)] = null
+
+  def isExact: Boolean = centroids == null
+
+  def add(v: Double, w: Double): Unit = {
+    pairs += ((v, w))
+    if (pairs.length >= capacity) compress()
+  }
+
+  def mergeIn(other: WeightedQuantileBuffer): Unit = {
+    pairs ++= other.pairs
+    if (other.centroids != null) {
+      if (centroids == null) centroids = other.centroids
+      else pairs ++= other.centroids
+    }
+    if (pairs.length >= capacity || (centroids != null && pairs.nonEmpty)) compress()
+  }
+
+  private def compress(): Unit = {
+    val all = new ArrayBuffer[(Double, Double)](
+      pairs.length + (if (centroids == null) 0 else centroids.length))
+    all ++= pairs
+    if (centroids != null) all ++= centroids
+    val sorted = all.sortBy(_._1)
+    val total = sorted.iterator.map(_._2).sum
+    val maxMass = total / compressedSize
+    val out = new ArrayBuffer[(Double, Double)](compressedSize + 1)
+    var accW = 0.0
+    var accVW = 0.0
+    sorted.foreach { case (v, w) =>
+      if (accW > 0 && accW + w > maxMass) {
+        out += ((accVW / accW, accW))
+        accW = 0.0
+        accVW = 0.0
+      }
+      accW += w
+      accVW += v * w
+    }
+    if (accW > 0) out += ((accVW / accW, accW))
+    centroids = out.toArray
+    pairs = ArrayBuffer.empty
+  }
+
+  /** Smallest value whose cumulative weight reaches `q` * total — exact
+    * over raw pairs, centroid-resolution once compressed.
+    */
+  def quantile(q: Double): Any = {
+    val data: Seq[(Double, Double)] =
+      if (isExact) pairs.toSeq
+      else {
+        if (pairs.nonEmpty) compress()
+        centroids.toSeq
+      }
+    if (data.isEmpty) return null
+    val sorted = if (isExact) data.sortBy(_._1) else data // centroids pre-sorted
+    val total = sorted.iterator.map(_._2).sum
+    var cum = 0.0
+    var i = 0
+    while (i < sorted.length) {
+      cum += sorted(i)._2
+      if (cum >= q * total) return sorted(i)._1
+      i += 1
+    }
+    sorted.last._1
+  }
+
+  def serialize(): Array[Byte] = {
+    if (centroids != null && pairs.nonEmpty) compress()
+    val n = pairs.length
+    val m = if (centroids == null) -1 else centroids.length
+    val bb = java.nio.ByteBuffer.allocate(8 + n * 16 + math.max(m, 0) * 16)
+    bb.putInt(n)
+    bb.putInt(m)
+    pairs.foreach { case (v, w) => bb.putDouble(v); bb.putDouble(w) }
+    if (m >= 0) centroids.foreach { case (v, w) => bb.putDouble(v); bb.putDouble(w) }
+    bb.array()
+  }
+}
+
+private[spark] object WeightedQuantileBuffer {
+  // exact below 32k pairs (512 KiB serialized worst case); compressed to
+  // 4k centroids above (rank error <= ~1/4096 of the group's weight)
+  val DefaultCapacity = 32768
+  val DefaultCompressedSize = 4096
+
+  def deserialize(bytes: Array[Byte]): WeightedQuantileBuffer = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt()
+    val m = bb.getInt()
+    val buf = new WeightedQuantileBuffer(DefaultCapacity, DefaultCompressedSize)
+    var i = 0
+    while (i < n) { buf.pairs += ((bb.getDouble(), bb.getDouble())); i += 1 }
+    if (m >= 0) {
+      val cs = new Array[(Double, Double)](m)
+      i = 0
+      while (i < m) { cs(i) = (bb.getDouble(), bb.getDouble()); i += 1 }
+      buf.centroids = cs
+    }
+    buf
+  }
+}
+
 /** `weighted_median(value, weight)` as a first-class SQL aggregate
   * (TypedImperativeAggregate — the mutable-buffer rung for sketches and
   * order statistics). Semantics match GraftUtils.weightedMedian: the
   * smallest value whose cumulative weight reaches half the total
   * (reference: ensemble/Utils.scala:26-40, lifted from per-row voting into
-  * a distributed aggregate).
-  *
-  * The buffer holds the raw (value, weight) pairs; for bounded-memory
-  * behavior at extreme group cardinalities swap the buffer for a
-  * weighted KLL/GK sketch — the aggregate contract stays identical.
+  * a distributed aggregate). Exact up to [[WeightedQuantileBuffer]]'s
+  * capacity per group; bounded centroid approximation beyond it.
   */
 case class WeightedMedianAgg(
     valueExpr: Expression,
     weightExpr: Expression,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[ArrayBuffer[(Double, Double)]]
+    extends TypedImperativeAggregate[WeightedQuantileBuffer]
     with ImplicitCastInputTypes {
 
   // analyzer-inserted casts keep SQL-text callers (int/decimal columns)
@@ -36,54 +151,36 @@ case class WeightedMedianAgg(
   override def nullable: Boolean = true
   override def dataType: DataType = DoubleType
 
-  override def createAggregationBuffer(): ArrayBuffer[(Double, Double)] =
-    ArrayBuffer.empty
+  override def createAggregationBuffer(): WeightedQuantileBuffer =
+    new WeightedQuantileBuffer(
+      WeightedQuantileBuffer.DefaultCapacity,
+      WeightedQuantileBuffer.DefaultCompressedSize)
 
   override def update(
-      buffer: ArrayBuffer[(Double, Double)],
-      input: InternalRow): ArrayBuffer[(Double, Double)] = {
+      buffer: WeightedQuantileBuffer,
+      input: InternalRow): WeightedQuantileBuffer = {
     val v = valueExpr.eval(input)
     val w = weightExpr.eval(input)
     if (v != null && w != null) {
-      buffer += ((v.asInstanceOf[Double], w.asInstanceOf[Double]))
+      buffer.add(v.asInstanceOf[Double], w.asInstanceOf[Double])
     }
     buffer
   }
 
   override def merge(
-      buffer: ArrayBuffer[(Double, Double)],
-      other: ArrayBuffer[(Double, Double)]): ArrayBuffer[(Double, Double)] =
-    buffer ++= other
-
-  override def eval(buffer: ArrayBuffer[(Double, Double)]): Any = {
-    if (buffer.isEmpty) return null
-    val sorted = buffer.sortBy(_._1)
-    val total = sorted.iterator.map(_._2).sum
-    var cum = 0.0
-    var i = 0
-    while (i < sorted.length) {
-      cum += sorted(i)._2
-      if (cum >= 0.5 * total) return sorted(i)._1
-      i += 1
-    }
-    sorted.last._1
+      buffer: WeightedQuantileBuffer,
+      other: WeightedQuantileBuffer): WeightedQuantileBuffer = {
+    buffer.mergeIn(other)
+    buffer
   }
 
-  override def serialize(buffer: ArrayBuffer[(Double, Double)]): Array[Byte] = {
-    val bb = java.nio.ByteBuffer.allocate(4 + buffer.length * 16)
-    bb.putInt(buffer.length)
-    buffer.foreach { case (v, w) => bb.putDouble(v); bb.putDouble(w) }
-    bb.array()
-  }
+  override def eval(buffer: WeightedQuantileBuffer): Any = buffer.quantile(0.5)
 
-  override def deserialize(bytes: Array[Byte]): ArrayBuffer[(Double, Double)] = {
-    val bb = java.nio.ByteBuffer.wrap(bytes)
-    val n = bb.getInt()
-    val out = new ArrayBuffer[(Double, Double)](n)
-    var i = 0
-    while (i < n) { out += ((bb.getDouble(), bb.getDouble())); i += 1 }
-    out
-  }
+  override def serialize(buffer: WeightedQuantileBuffer): Array[Byte] =
+    buffer.serialize()
+
+  override def deserialize(bytes: Array[Byte]): WeightedQuantileBuffer =
+    WeightedQuantileBuffer.deserialize(bytes)
 
   override def withNewMutableAggBufferOffset(newOffset: Int): WeightedMedianAgg =
     copy(mutableAggBufferOffset = newOffset)
