@@ -103,6 +103,78 @@ class StreamingSuite extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming dedup runs on the RocksDB state store provider") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(providerKey)
+    s.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[(java.sql.Timestamp, Long, Long)]
+    val streamDf = mem.toDF().toDF("ts", "doc_id", "fp")
+    val query = graft.streaming.StreamingOps.dedupStream(streamDf, "fp", "ts")
+      .writeStream.format("memory").queryName("dedup_rocks").outputMode("append")
+      .start()
+    try {
+      def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+      mem.addData((t(0), 1L, 100L), (t(1), 2L, 200L), (t(2), 3L, 100L))
+      query.processAllAvailable()
+      mem.addData((t(3), 4L, 200L), (t(4), 5L, 300L))
+      query.processAllAvailable()
+      val kept = s.sql("SELECT fp, count(*) FROM dedup_rocks GROUP BY fp")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(kept === Map(100L -> 1L, 200L -> 1L, 300L -> 1L))
+      // the provider actually engaged: RocksDB-specific state metrics are
+      // reported in the query progress
+      val progressJson = query.recentProgress.map(_.json).mkString
+      assert(progressJson.contains("rocksdb"),
+        "query progress carries no rocksdb state metrics — provider not engaged")
+    } finally {
+      query.stop()
+      prev match {
+        case Some(v) => s.conf.set(providerKey, v)
+        case None => s.conf.unset(providerKey)
+      }
+    }
+  }
+
+  test("late events beyond the watermark are dropped, not double-counted") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val streamDf = mem.toDF().toDF("ts", "event_type", "value")
+    val query = StreamingOps.windowedEventCounts(streamDf, watermark = "1 hour")
+      .writeStream.format("memory").queryName("late_win").outputMode("append")
+      .start()
+    try {
+      def ts(v: String) = java.sql.Timestamp.valueOf(v)
+      // window [10:00, 11:00) gets two on-time events
+      mem.addData((ts("2024-01-01 10:00:00"), "a", 1.0), (ts("2024-01-01 10:30:00"), "a", 1.0))
+      query.processAllAvailable()
+      // advance the watermark to 13:00 - 1h = 12:00 -> the 10:00 window
+      // finalizes and is emitted
+      mem.addData((ts("2024-01-01 13:00:00"), "b", 1.0))
+      query.processAllAvailable()
+      // a late event for the finalized window: must be dropped
+      mem.addData((ts("2024-01-01 10:45:00"), "a", 1.0))
+      query.processAllAvailable()
+      // flush the remaining window so all appends are visible
+      mem.addData((ts("2024-01-01 20:00:00"), "c", 1.0))
+      query.processAllAvailable()
+
+      val aCount = s.sql(
+        "SELECT event_count FROM late_win WHERE event_type = 'a'")
+        .collect().map(_.getLong(0))
+      assert(aCount.toSeq === Seq(2L),
+        s"late event must not re-open or re-count the finalized window: $aCount")
+      val dropped = query.recentProgress
+        .flatMap(p => p.stateOperators.map(_.numRowsDroppedByWatermark)).sum
+      assert(dropped >= 1L, "watermark drop metric did not register the late event")
+    } finally query.stop()
+  }
+
   test("stream-stream interval join equals the batch interval join") {
     val s = spark
     import s.implicits._
