@@ -67,9 +67,17 @@ class BaggingClassifier(override val uid: String)
     val handlePersist = dataset.storageLevel == StorageLevel.NONE
     if (handlePersist) instances.persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      val bags = SubBagFit.run(
-        instances, $(baseLearner), $(numBaseLearners), $(replacement),
-        $(subsampleRatio), $(subspaceRatio), $(seed), getExecutionContext)
+      val bags = {
+        val native =
+          if ($(nativeTreeFastPath) && $(subspaceRatio) >= 1.0)
+            SubBagFit.runNativeTrees(
+              instances, $(baseLearner), $(numBaseLearners), $(replacement),
+              $(subsampleRatio), $(seed))
+          else None
+        native.getOrElse(SubBagFit.run(
+          instances, $(baseLearner), $(numBaseLearners), $(replacement),
+          $(subsampleRatio), $(subspaceRatio), $(seed), getExecutionContext))
+      }
       new BaggingClassificationModel(uid, numClasses, bags.map(_._1), bags.map(_._2))
         .setParent(this)
     } finally if (handlePersist) instances.unpersist()

@@ -34,7 +34,8 @@ private[graft] trait GBMParams
     with HasMaxIter
     with HasSubBag
     with HasCheckpointInterval
-    with HasAggregationDepth {
+    with HasAggregationDepth
+    with HasNativeTreeFastPath {
 
   final val learningRate: DoubleParam = new DoubleParam(
     this, "learningRate", "shrinkage in (0,1]", ParamValidators.inRange(0, 1, false, true))
@@ -74,24 +75,10 @@ private[graft] trait GBMParams
     this, "tol", "step-size optimizer tolerance", ParamValidators.gt(0))
   def getTol: Double = $(tol)
 
-  /** Reuse the binned TreePoint representation across boosting iterations
-    * when the base learner is a Spark DecisionTree (the native GBT trick:
-    * feature binning/splits depend only on feature values, so metadata +
-    * findSplits + TreePoint conversion amortize over the whole fit instead
-    * of being re-paid per iteration). Produces the same trees; exposed as
-    * a param so suites can pin generic-vs-fast equivalence.
-    */
-  final val nativeTreeFastPath: BooleanParam = new BooleanParam(
-    this, "nativeTreeFastPath",
-    "reuse binned tree representation across iterations for DecisionTree base learners")
-  def getNativeTreeFastPath: Boolean = $(nativeTreeFastPath)
-  def setNativeTreeFastPath(value: Boolean): this.type = set(nativeTreeFastPath, value)
-
   setDefault(
     learningRate -> 1.0, optimizedWeights -> true, updates -> "gradient",
     maxIter -> 10, numRounds -> 1, validationTol -> 0.01,
-    checkpointInterval -> 10, replacement -> false, tol -> 1e-4,
-    nativeTreeFastPath -> true)
+    checkpointInterval -> 10, replacement -> false, tol -> 1e-4)
 }
 
 private[graft] trait GBMRegressorParams extends GBMParams {

@@ -68,6 +68,25 @@ private[graft] trait HasSubBag extends Params with HasSeed {
   setDefault(replacement -> true, subsampleRatio -> 1.0, subspaceRatio -> 1.0)
 }
 
+/** Reuse the binned TreePoint representation across the estimator's
+  * repeated tree fits when the base learner is a Spark DecisionTree (the
+  * native GBT/RandomForest trick: feature binning and candidate splits
+  * depend only on feature values, so metadata + findSplits + TreePoint
+  * conversion amortize over the whole fit instead of being re-paid per
+  * tree). Only engaged where binning is provably iteration-invariant;
+  * exposed as a param so suites can pin generic-vs-fast equivalence.
+  */
+private[graft] trait HasNativeTreeFastPath extends Params {
+
+  final val nativeTreeFastPath: BooleanParam = new BooleanParam(
+    this, "nativeTreeFastPath",
+    "reuse binned tree representation across fits for DecisionTree base learners")
+  def getNativeTreeFastPath: Boolean = $(nativeTreeFastPath)
+  def setNativeTreeFastPath(value: Boolean): this.type = set(nativeTreeFastPath, value)
+
+  setDefault(nativeTreeFastPath -> true)
+}
+
 private[graft] trait HasVotingStrategy extends Params {
 
   /** hard = majority vote over predicted classes; soft = average of

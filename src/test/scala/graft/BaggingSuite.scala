@@ -49,6 +49,45 @@ class BaggingSuite extends SparkSpec {
     assert(out < baseline, s"bagging rmse $out should beat constant $baseline")
   }
 
+  test("bagging native-tree fast path: K distinct trees, quality parity with generic") {
+    // sampling RNG differs between the paths (BaggedPoint counts vs
+    // DataFrame.sample), so trees are not bit-identical — pin that the
+    // fast path produces K genuinely distinct bootstrap trees whose
+    // ensemble quality matches the generic loop's
+    def rmseOf(m: BaggingRegressionModel): Double = m.transform(regDf)
+      .select(sqrt(avg(pow(col("prediction") - col("label"), 2))).as("rmse"))
+      .head().getDouble(0)
+    def fitWith(fast: Boolean) = new BaggingRegressor()
+      .setBaseLearner(new DecisionTreeRegressor().setMaxDepth(4).setSeed(3))
+      .setNumBaseLearners(5)
+      .setSubsampleRatio(0.8)
+      .setNativeTreeFastPath(fast)
+      .setSeed(0L)
+      .fit(regDf)
+    val fast = fitWith(true)
+    val slow = fitWith(false)
+    assert(fast.models.length === 5)
+    val trees = fast.models.map(
+      _.asInstanceOf[org.apache.spark.ml.regression.DecisionTreeRegressionModel].toDebugString)
+    assert(trees.distinct.length > 1, "bootstrap trees must differ across bags")
+    val (rFast, rSlow) = (rmseOf(fast), rmseOf(slow))
+    assert(rFast < rSlow * 1.5 + 0.1, s"fast rmse $rFast vs generic $rSlow")
+    // determinism: same seed, same ensemble
+    val again = fitWith(true)
+    assert(rmseOf(again) === rFast)
+
+    val clsFast = new BaggingClassifier()
+      .setBaseLearner(new DecisionTreeClassifier().setMaxDepth(4).setSeed(3))
+      .setNumBaseLearners(5)
+      .setVotingStrategy("soft")
+      .setSeed(0L)
+      .fit(clsDf)
+    val acc = clsFast.transform(clsDf)
+      .select(avg(when(col("prediction") === col("label"), 1.0).otherwise(0.0)))
+      .head().getDouble(0)
+    assert(acc > 0.9, s"fast-path soft-vote classifier accuracy $acc")
+  }
+
   test("BaggingRegressor subspaceRatio < 1 slices features per learner") {
     val bag = new BaggingRegressor()
       .setBaseLearner(new DecisionTreeRegressor().setMaxDepth(3))
