@@ -25,6 +25,7 @@ private[graft] trait BoostingClassifierParams
     with HasNumBaseLearners
     with HasBaseLearner
     with HasWeightCol
+    with HasNativeTreeFastPath
     with HasCheckpointInterval
     with HasAggregationDepth {
 
@@ -86,6 +87,14 @@ class BoostingClassifier(override val uid: String)
         dataset, $(labelCol),
         if (isDefined(weightCol)) Some($(weightCol)) else None, $(featuresCol))
       .withColumn("__bw", col("weight"))
+    // SAMME.R stays generic: it consumes calibrated class probabilities
+    // through the base model's own probability pipeline
+    $(baseLearner) match {
+      case dt: org.apache.spark.ml.classification.DecisionTreeClassifier
+          if $(nativeTreeFastPath) && $(algorithm) == "discrete" =>
+        return trainNativeDT(instances, numClasses, dt)
+      case _ => ()
+    }
     val loop = new IterLoopCache($(checkpointInterval))
     var df = loop.next(instances)
 
@@ -158,6 +167,100 @@ class BoostingClassifier(override val uid: String)
       i += 1
     }
     loop.close()
+    new BoostingClassificationModel(uid, numClasses, modelWeights.toArray, models.toArray)
+      .setParent(this)
+  }
+
+  /** Native-tree fast path for discrete SAMME (see
+    * [[BoostingRegressor.trainNativeDT]] for the binning argument): one
+    * binning pass, per-round reweighting of the binned points, exact
+    * SAMME error/alpha recursion — misprediction via binned leaf lookup.
+    */
+  private def trainNativeDT(
+      instances: DataFrame,
+      numClasses: Int,
+      dtc: org.apache.spark.ml.classification.DecisionTreeClassifier): BoostingClassificationModel = {
+    import org.apache.spark.ml.classification.DecisionTreeClassificationModel
+    import org.apache.spark.ml.feature.Instance
+    import org.apache.spark.ml.tree.impl.{
+      BaggedPoint, DecisionTreeMetadata, GraftTreeShim, RandomForest, TreePoint
+    }
+    import org.apache.spark.rdd.RDD
+    import org.apache.spark.rdd.util.PeriodicRDDCheckpointer
+
+    val sc = instances.sparkSession.sparkContext
+    val train = instances.select("label", "weight", "features").rdd
+      .map(r => Instance(r.getDouble(0), r.getDouble(1), r.getAs[Vector](2)))
+    train.persist(StorageLevel.MEMORY_AND_DISK)
+    val categorical = MetadataUtils.getCategoricalFeatures(instances.schema("features"))
+    val strategy = dtc.getOldStrategy(categorical, numClasses)
+    val metadata = DecisionTreeMetadata.buildMetadata(train, strategy, 1, "all")
+    val splits = GraftTreeShim.findSplits(train, metadata, dtc.getSeed)
+    val bcSplits = sc.broadcast(splits)
+    val treePoints = TreePoint.convertToTreeRDD(train, splits, metadata)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val dtSeed = dtc.getSeed
+    val bwCk = new PeriodicRDDCheckpointer[Double]($(checkpointInterval), sc)
+    var bw: RDD[Double] = treePoints.map(_.weight)
+    bwCk.update(bw)
+    bw.count()
+
+    val models = ArrayBuffer.empty[EnsemblePredictionModelType]
+    val modelWeights = ArrayBuffer.empty[Double]
+    var i = 0
+    var done = false
+    while (i < $(numBaseLearners) && !done) {
+      val sw = bw.sum()
+      val relabeled = treePoints.zip(bw).map { case (tp, w) =>
+        new TreePoint(tp.label, tp.binnedFeatures, w / sw)
+      }
+      val bagged = BaggedPoint.convertToBaggedRDD(
+        relabeled, 1.0, 1, false, (tp: TreePoint) => tp.weight, dtSeed + i)
+      bagged.persist(StorageLevel.MEMORY_AND_DISK)
+      val model =
+        try RandomForest.runBagged(
+            bagged, metadata, bcSplits, strategy, 1, "all", dtc.getSeed, None)
+          .head.asInstanceOf[DecisionTreeClassificationModel]
+        finally bagged.unpersist(blocking = false)
+
+      // (mispredicted flag via binned leaf lookup, normalized bw, raw bw)
+      val data = treePoints.zip(bw).map { case (tp, w) =>
+        val pred = model.rootNode.predictBinned(tp.binnedFeatures, bcSplits.value).prediction
+        (pred != tp.label, w / sw, w)
+      }
+      data.persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        val err = data.map { case (mis, bwn, _) => if (mis) bwn else 0.0 }.sum()
+        if (err <= 0.0) {
+          models += model
+          modelWeights += 1.0
+          done = true
+        } else if (err >= 1.0 - 1.0 / numClasses) {
+          if (models.isEmpty) {
+            models += model
+            modelWeights += 1.0
+          }
+          done = true
+        } else {
+          val alpha = math.log((1.0 - err) / err) + math.log(numClasses - 1.0)
+          models += model
+          modelWeights += alpha
+          val newBw = data.map { case (mis, _, w) =>
+            if (mis) w * math.exp(alpha) else w
+          }
+          bwCk.update(newBw)
+          newBw.count()
+          bw = newBw
+        }
+      } finally data.unpersist(blocking = false)
+      i += 1
+    }
+    bwCk.unpersistDataSet()
+    bwCk.deleteAllCheckpoints()
+    treePoints.unpersist(blocking = false)
+    train.unpersist(blocking = false)
+    bcSplits.destroy()
     new BoostingClassificationModel(uid, numClasses, modelWeights.toArray, models.toArray)
       .setParent(this)
   }

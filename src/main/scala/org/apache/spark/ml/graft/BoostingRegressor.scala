@@ -94,6 +94,7 @@ private[graft] trait BoostingRegressorParams
     with HasNumBaseLearners
     with HasBaseLearner
     with HasWeightCol
+    with HasNativeTreeFastPath
     with HasCheckpointInterval
     // kept for API parity with the reference's treeReduce/treeAggregate
     // depth; the DataFrame aggregations here partial-aggregate map-side,
@@ -160,6 +161,12 @@ class BoostingRegressor(override val uid: String)
         dataset, $(labelCol),
         if (isDefined(weightCol)) Some($(weightCol)) else None, $(featuresCol))
       .withColumn("__bw", col("weight"))
+    $(baseLearner) match {
+      case dt: org.apache.spark.ml.regression.DecisionTreeRegressor
+          if $(nativeTreeFastPath) =>
+        return trainNativeDT(instances, dt)
+      case _ => ()
+    }
     val loop = new IterLoopCache($(checkpointInterval))
     var df = loop.next(instances)
 
@@ -214,6 +221,111 @@ class BoostingRegressor(override val uid: String)
       i += 1
     }
     loop.close()
+    new BoostingRegressionModel(uid, modelWeights.toArray, models.toArray).setParent(this)
+  }
+
+  /** Native-tree fast path for AdaBoost.R2: bin features once, reweight
+    * the binned points per boosting round. The candidate split GRID is
+    * computed once from the feature values (the hist-gradient-boosting
+    * convention — LightGBM/XGBoost-hist bin once the same way); each
+    * round's tree still fits the EXACT current boost weights, which enter
+    * the induction through the TreePoint weights. The generic path
+    * recomputes weighted split candidates per round — a per-round
+    * threshold-grid refinement the fixed grid approximates, traded for
+    * removing numBaseLearners-1 full binning passes. The weight recursion
+    * (normalized loss, beta, log(1/beta) model weights, early-stop
+    * conditions) is identical to the generic loop line for line.
+    */
+  private def trainNativeDT(
+      instances: DataFrame,
+      dt: org.apache.spark.ml.regression.DecisionTreeRegressor): BoostingRegressionModel = {
+    import org.apache.spark.ml.feature.Instance
+    import org.apache.spark.ml.regression.DecisionTreeRegressionModel
+    import org.apache.spark.ml.tree.impl.{
+      BaggedPoint, DecisionTreeMetadata, GraftTreeShim, RandomForest, TreePoint
+    }
+    import org.apache.spark.rdd.RDD
+    import org.apache.spark.rdd.util.PeriodicRDDCheckpointer
+
+    val sc = instances.sparkSession.sparkContext
+    val train = instances.select("label", "weight", "features").rdd
+      .map(r => Instance(r.getDouble(0), r.getDouble(1), r.getAs[Vector](2)))
+    train.persist(StorageLevel.MEMORY_AND_DISK)
+    val categorical = MetadataUtils.getCategoricalFeatures(instances.schema("features"))
+    val strategy = dt.getOldStrategy(categorical)
+    val metadata = DecisionTreeMetadata.buildMetadata(train, strategy, 1, "all")
+    val splits = GraftTreeShim.findSplits(train, metadata, dt.getSeed)
+    val bcSplits = sc.broadcast(splits)
+    val treePoints = TreePoint.convertToTreeRDD(train, splits, metadata)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val dtSeed = dt.getSeed
+    val bwCk = new PeriodicRDDCheckpointer[Double]($(checkpointInterval), sc)
+    var bw: RDD[Double] = treePoints.map(_.weight)
+    bwCk.update(bw)
+    bw.count()
+
+    val models = ArrayBuffer.empty[EnsemblePredictionModelType]
+    val modelWeights = ArrayBuffer.empty[Double]
+    var i = 0
+    var done = false
+    while (i < $(numBaseLearners) && !done) {
+      val sw = bw.sum()
+      val relabeled = treePoints.zip(bw).map { case (tp, w) =>
+        new TreePoint(tp.label, tp.binnedFeatures, w / sw)
+      }
+      val bagged = BaggedPoint.convertToBaggedRDD(
+        relabeled, 1.0, 1, false, (tp: TreePoint) => tp.weight, dtSeed + i)
+      bagged.persist(StorageLevel.MEMORY_AND_DISK)
+      val model =
+        try RandomForest.runBagged(
+            bagged, metadata, bcSplits, strategy, 1, "all", dt.getSeed, None)
+          .head.asInstanceOf[DecisionTreeRegressionModel]
+        finally bagged.unpersist(blocking = false)
+
+      // (absolute error via binned prediction, normalized bw, raw bw)
+      val data = treePoints.zip(bw).map { case (tp, w) =>
+        val pred = model.rootNode.predictBinned(tp.binnedFeatures, bcSplits.value).prediction
+        (math.abs(pred - tp.label), w / sw, w)
+      }
+      data.persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        val maxError = data.map(_._1).max()
+        if (maxError == 0.0) {
+          models += model
+          modelWeights += 1.0
+          done = true
+        } else {
+          val lossFn: Double => Double = $(lossType) match {
+            case "linear" => e => e / maxError
+            case "squared" => e => (e / maxError) * (e / maxError)
+            case "exponential" => e => 1.0 - math.exp(-e / maxError)
+          }
+          val estimatorError = data.map { case (e, bwn, _) => bwn * lossFn(e) }.sum()
+          if (estimatorError >= 0.5) {
+            if (models.isEmpty) {
+              models += model
+              modelWeights += 1.0
+            }
+            done = true
+          } else {
+            val beta = estimatorError / (1.0 - estimatorError)
+            models += model
+            modelWeights += math.log(1.0 / beta)
+            val newBw = data.map { case (e, _, w) => w * math.pow(beta, 1.0 - lossFn(e)) }
+            bwCk.update(newBw)
+            newBw.count()
+            bw = newBw
+          }
+        }
+      } finally data.unpersist(blocking = false)
+      i += 1
+    }
+    bwCk.unpersistDataSet()
+    bwCk.deleteAllCheckpoints()
+    treePoints.unpersist(blocking = false)
+    train.unpersist(blocking = false)
+    bcSplits.destroy()
     new BoostingRegressionModel(uid, modelWeights.toArray, models.toArray).setParent(this)
   }
 

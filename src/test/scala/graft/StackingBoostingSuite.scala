@@ -98,6 +98,40 @@ class StackingBoostingSuite extends SparkSpec {
     assert(math.abs(rMedian - rMean) < 0.5, s"median $rMedian vs mean $rMean")
   }
 
+  test("boosting native-tree fast path: same recursion, parity with generic") {
+    // the fast path fixes the candidate-split grid once (hist-boosting
+    // convention) while the generic loop re-derives weighted candidates
+    // per round, so trees are not bit-identical — pin that the weight
+    // recursion produces the same NUMBER of rounds, positive model
+    // weights, and matching ensemble quality
+    def fitReg(fast: Boolean) = new BoostingRegressor()
+      .setBaseLearner(new DecisionTreeRegressor().setMaxDepth(4).setSeed(9))
+      .setNumBaseLearners(4)
+      .setNativeTreeFastPath(fast)
+      .fit(regDf)
+    val fastR = fitReg(true)
+    val slowR = fitReg(false)
+    assert(fastR.models.length === slowR.models.length)
+    assert(fastR.modelWeights.forall(_ > 0))
+    val (rf, rs) = (rmse(fastR.transform(regDf)), rmse(slowR.transform(regDf)))
+    assert(rf < baselineReg && math.abs(rf - rs) < 0.3 * math.max(rs, 0.1),
+      s"fast rmse $rf vs generic $rs (baseline $baselineReg)")
+    // determinism
+    assert(rmse(fitReg(true).transform(regDf)) === rf)
+
+    def fitCls(fast: Boolean) = new BoostingClassifier()
+      .setBaseLearner(new DecisionTreeClassifier().setMaxDepth(4).setSeed(9))
+      .setNumBaseLearners(4)
+      .setAlgorithm("discrete")
+      .setNativeTreeFastPath(fast)
+      .fit(clsDf)
+    val fastC = fitCls(true)
+    val slowC = fitCls(false)
+    assert(fastC.models.length === slowC.models.length)
+    val (af, as) = (accuracy(fastC.transform(clsDf)), accuracy(slowC.transform(clsDf)))
+    assert(af > 0.85 && math.abs(af - as) < 0.1, s"fast acc $af vs generic $as")
+  }
+
   test("BoostingRegressor early-exits on perfectly learnable data") {
     val s = spark
     import s.implicits._
