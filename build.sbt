@@ -28,5 +28,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] ML fits churn task results fast enough that an 8g heap
+  // spends measurable time in GC (bench run-to-run totals spread ~20%);
+  // the machine has 128 GiB — give the single-JVM driver+executor room
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )
