@@ -35,7 +35,7 @@ object Verify {
           finally spark.sparkContext.clearJobGroup()
         }
       })
-      try { task.get(timeoutSec, TimeUnit.SECONDS); spark.catalog.clearCache() }
+      try task.get(timeoutSec, TimeUnit.SECONDS)
       catch {
         case _: TimeoutException =>
           spark.sparkContext.cancelJobGroup(name)
@@ -43,7 +43,10 @@ object Verify {
           System.err.println(s"[verify] $name timed out after ${timeoutSec}s")
         case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
+      // a timed-out/failed query may have persisted partial results; clear
+      // unconditionally so one bad query cannot pressure the rest of the
+      // round (the same leak class the bench fix addressed)
+      } finally spark.catalog.clearCache()
     }
     pool.shutdownNow()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

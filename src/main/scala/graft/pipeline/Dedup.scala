@@ -27,6 +27,14 @@ object Dedup {
     * intermediates (shingle inverted index, signatures, banded tables) are
     * corpus-sized and must not outlive the operator in a long-lived
     * session (round-2's bench showed the leak compounding across queries).
+    *
+    * Callers OWN the returned (persisted) result: `result.unpersist()` it
+    * when done — or `spark.catalog.clearCache()` between passes, as
+    * Bench/Verify do — so many dedup calls in one session don't
+    * accumulate pair sets. The price of this contract is eagerness: the
+    * pipeline runs at call time, so filters composed on the returned
+    * DataFrame don't push into it (dedup output pruning is threshold-side,
+    * which IS a parameter, so nothing of value is lost).
     */
   private def materializeAndRelease(
       result: DataFrame, intermediates: DataFrame*): DataFrame = {
@@ -358,6 +366,10 @@ object Dedup {
         struct(lit(t).as("tbl"), col("sig").bitwiseAND(lit(m)).as("key"))
       }: _*)).as("bb"))
       .select(col("id"), col("sig"), col("bb.tbl"), col("bb.key"))
+    // the C(B,d)-way explode feeds both self-join sides (and the guard's
+    // frequency agg) — persist it like minhash does its banded table, or
+    // the explode re-evaluates up to 3x
+    bandedAll.persist()
     // skew guard, mirroring ngram's maxDocFrequency: a bucket hotter than
     // the cap (boilerplate-dominated signatures) costs count^2 pairs while
     // its members are still covered by their other C(B,d)-1 tables; 0 =
@@ -370,7 +382,7 @@ object Dedup {
           .select("tbl", "key")
         bandedAll.join(broadcast(hot), Seq("tbl", "key"), "left_anti")
       }
-    banded.as("a")
+    val cands = banded.as("a")
       .join(banded.as("b").hint("shuffle_hash"),
         col("a.tbl") === col("b.tbl") && col("a.key") === col("b.key") &&
           col("a.id") < col("b.id"))
@@ -378,6 +390,7 @@ object Dedup {
         col("a.id").as("doc_a"), col("b.id").as("doc_b"),
         bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
       .distinct()
+    materializeAndRelease(cands, bandedAll)
   }
 
   def simhashPairs(
@@ -389,9 +402,9 @@ object Dedup {
       maxBucketFrequency: Long = 0L): DataFrame = {
     val sigs = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
     sigs.persist()
-    val out = simhashCandidates(sigs, maxHamming, numBlocks, maxBucketFrequency)
-      .filter(col("hamming") <= maxHamming)
-    materializeAndRelease(out, sigs)
+    val cands = simhashCandidates(sigs, maxHamming, numBlocks, maxBucketFrequency)
+    val out = cands.filter(col("hamming") <= maxHamming)
+    materializeAndRelease(out, sigs, cands)
   }
 
   /** Embedding near-dup pairs above a cosine threshold. `bruteForce` is

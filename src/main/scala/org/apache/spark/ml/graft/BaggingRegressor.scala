@@ -89,7 +89,8 @@ private[graft] object SubBagFit {
       numLearners: Int,
       replacement: Boolean,
       subsampleRatio: Double,
-      seed: Long): Option[Array[(Array[Int], EnsemblePredictionModelType)]] = {
+      seed: Long,
+      numClasses: Option[Int] = None): Option[Array[(Array[Int], EnsemblePredictionModelType)]] = {
     import org.apache.spark.ml.classification.DecisionTreeClassifier
     import org.apache.spark.ml.feature.Instance
     import org.apache.spark.ml.regression.DecisionTreeRegressor
@@ -103,7 +104,12 @@ private[graft] object SubBagFit {
           org.apache.spark.ml.util.MetadataUtils
             .getCategoricalFeatures(instances.schema("features"))), dt.getSeed))
         case dt: DecisionTreeClassifier =>
-          val k = instances.agg(max(col("label"))).head().getDouble(0).toInt + 1
+          // the caller resolved numClasses from label metadata (or a scan);
+          // re-deriving it here from max(label)+1 would disagree with the
+          // model's numClasses whenever metadata declares classes absent
+          // from the training rows
+          val k = numClasses.getOrElse(
+            instances.agg(max(col("label"))).head().getDouble(0).toInt + 1)
           Some((dt.getOldStrategy(
             org.apache.spark.ml.util.MetadataUtils
               .getCategoricalFeatures(instances.schema("features")), k), dt.getSeed))
@@ -181,16 +187,7 @@ class BaggingRegressor(override val uid: String)
 
   override protected def train(dataset: Dataset[_]): BaggingRegressionModel = instrumented {
     instr =>
-      instr.logPipelineStage(this)
-      instr.logDataset(dataset)
-      // base-learner params hold estimator objects that have no JSON
-      // encoding — log everything else (matching how spark.ml's own
-      // meta-estimators instrument)
-      instr.logParams(this, params.filter(p => get(p).forall {
-        case _: org.apache.spark.ml.param.Params => false
-        case arr: Array[_] => !arr.exists(_.isInstanceOf[org.apache.spark.ml.param.Params])
-        case _ => true
-      }).toIndexedSeq: _*)
+      GraftInstrumentation.logFit(instr, this, dataset)
       trainImpl(dataset, instr)
   }
 

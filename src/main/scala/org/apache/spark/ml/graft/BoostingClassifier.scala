@@ -62,16 +62,7 @@ class BoostingClassifier(override val uid: String)
 
   override protected def train(dataset: Dataset[_]): BoostingClassificationModel = instrumented {
     instr =>
-      instr.logPipelineStage(this)
-      instr.logDataset(dataset)
-      // base-learner params hold estimator objects that have no JSON
-      // encoding — log everything else (matching how spark.ml's own
-      // meta-estimators instrument)
-      instr.logParams(this, params.filter(p => get(p).forall {
-        case _: org.apache.spark.ml.param.Params => false
-        case arr: Array[_] => !arr.exists(_.isInstanceOf[org.apache.spark.ml.param.Params])
-        case _ => true
-      }).toIndexedSeq: _*)
+      GraftInstrumentation.logFit(instr, this, dataset)
       trainImpl(dataset, instr)
   }
 

@@ -68,6 +68,26 @@ private[graft] trait HasSubBag extends Params with HasSeed {
   setDefault(replacement -> true, subsampleRatio -> 1.0, subspaceRatio -> 1.0)
 }
 
+/** Shared fit-time instrumentation: pipeline stage, dataset, and the
+  * param JSON. Base-learner params hold estimator objects that have no
+  * JSON encoding, so they are excluded — matching how spark.ml's own
+  * meta-estimators instrument. One definition for all ten estimators.
+  */
+private[graft] object GraftInstrumentation {
+  def logFit(
+      instr: org.apache.spark.ml.util.Instrumentation,
+      stage: org.apache.spark.ml.PipelineStage,
+      dataset: org.apache.spark.sql.Dataset[_]): Unit = {
+    instr.logPipelineStage(stage)
+    instr.logDataset(dataset)
+    instr.logParams(stage, stage.params.filter(p => stage.get(p).forall {
+      case _: Params => false
+      case arr: Array[_] => !arr.exists(_.isInstanceOf[Params])
+      case _ => true
+    }).toIndexedSeq: _*)
+  }
+}
+
 /** Reuse the binned TreePoint representation across the estimator's
   * repeated tree fits when the base learner is a Spark DecisionTree (the
   * native GBT/RandomForest trick: feature binning and candidate splits

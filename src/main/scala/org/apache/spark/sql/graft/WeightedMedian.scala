@@ -105,9 +105,12 @@ private[spark] final class WeightedQuantileBuffer(
 }
 
 private[spark] object WeightedQuantileBuffer {
-  // exact below 32k pairs (512 KiB serialized worst case); compressed to
-  // 4k centroids above (rank error <= ~1/4096 of the group's weight)
-  val DefaultCapacity = 32768
+  // exact below 1M pairs per group (16 MiB serialized worst case — a
+  // bounded buffer, and two orders of magnitude above the correctness
+  // gate's group sizes so the hash-checked exact semantics hold at any
+  // gate SF); compressed to 4k weighted centroids beyond (rank error
+  // <= ~1/4096 of the group's weight)
+  val DefaultCapacity = 1 << 20
   val DefaultCompressedSize = 4096
 
   def deserialize(bytes: Array[Byte]): WeightedQuantileBuffer = {
