@@ -191,6 +191,28 @@ class GBMSuite extends graft.SparkSpec {
     }
   }
 
+  test("native-tree fast path honors instance weights like the generic loop") {
+    // weights flow TreePoint.weight -> BaggedPoint sampleWeight -> split
+    // stats; with constant (gradient) weights both paths see identical
+    // weighted data, so trees must match under a non-trivial weightCol
+    val weighted = regDf.withColumn("w", (col("label") * 0 + 1.0) + pmod(monotonically_increasing_id(), lit(5)).cast("double"))
+    def fitWith(fast: Boolean) = new GBMRegressor()
+      .setBaseLearner(new DecisionTreeRegressor().setMaxDepth(3).setSeed(1))
+      .setMaxIter(3)
+      .setWeightCol("w")
+      .setLearningRate(0.5)
+      .setNativeTreeFastPath(fast)
+      .setSeed(0L)
+      .fit(weighted)
+    val fast = fitWith(true)
+    val slow = fitWith(false)
+    val diffs = regDf.collect().map { r =>
+      val v = r.getAs[Vector](1)
+      math.abs(fast.predict(v) - slow.predict(v))
+    }
+    assert(diffs.max < 1e-6, s"weighted maxDiff=${diffs.max}")
+  }
+
   test("native-tree fast path replays validation early stopping identically") {
     val withVal = regDf.withColumn("isVal", rand(7) > 0.7)
     def fitWith(fast: Boolean) = new GBMRegressor()

@@ -104,24 +104,28 @@ class PipelineSuite extends SparkSpec {
     // >=0.5-Jaccard output, which holds only while banding recall over the
     // exact pair set is 1 on the gate corpus — pin that property here so a
     // corpus/SF change fails this targeted test, not the opaque hash gate.
-    val gateDir = "/root/testdata/sf0.001"
-    assume(new java.io.File(s"$gateDir/documents.parquet").exists())
-    val gate = spark.read.parquet(s"$gateDir/documents.parquet")
-      .select("doc_id", "text")
-    val exact = Dedup.ngramJaccardPairs(gate, "doc_id", "text", 3, 0.5)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(exact.nonEmpty, "gate corpus lost its planted near-dups")
+    // sf0.001 is the fast smoke; sf0.01 is the SF the driver actually
+    // gates at — pin recall on both
+    for (gateDir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      assume(new java.io.File(s"$gateDir/documents.parquet").exists())
+      val gate = spark.read.parquet(s"$gateDir/documents.parquet")
+        .select("doc_id", "text")
+      val exact = Dedup.ngramJaccardPairs(gate, "doc_id", "text", 3, 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(exact.nonEmpty, s"$gateDir corpus lost its planted near-dups")
 
-    val sigs = Dedup.minhashSignatures(gate, "doc_id", "text", 64)
-    val minhashCands = Dedup.minhashCandidatePairs(sigs, 16, 64)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(exact.subsetOf(minhashCands),
-      s"minhash banding missed: ${exact -- minhashCands}")
+      val sigs = Dedup.minhashSignatures(gate, "doc_id", "text", 64)
+      val minhashCands = Dedup.minhashCandidatePairs(sigs, 16, 64)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(exact.subsetOf(minhashCands),
+        s"$gateDir minhash banding missed: ${exact -- minhashCands}")
 
-    val simPairs = Dedup.simhashPairs(gate, "doc_id", "text", maxHamming = 8)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(exact.subsetOf(simPairs),
-      s"simhash hamming-8 ball missed: ${exact -- simPairs}")
+      val simPairs = Dedup.simhashPairs(gate, "doc_id", "text", maxHamming = 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(exact.subsetOf(simPairs),
+        s"$gateDir simhash hamming-8 ball missed: ${exact -- simPairs}")
+      spark.catalog.clearCache()
+    }
   }
 
   test("simhash block-union banding: wider keys, same exact hamming-ball output") {
