@@ -67,15 +67,33 @@ class RobustnessSuite extends SparkSpec {
     //    path: fit works and close() leaves no checkpoint files behind
     def rddDirs() = Option(ckptRoot.listFiles()).getOrElse(Array.empty[java.io.File])
       .filter(_.getName.startsWith("rdd-"))
+    // both loop implementations must clean up: the native-tree fast path
+    // (PeriodicRDDCheckpointer over the boost-weight RDD) and the generic
+    // DataFrame loop (IterLoopCache)
+    for (fast <- Seq(true, false)) {
+      val before = rddDirs().map(_.getName).toSet
+      val model = new BoostingRegressor()
+        .setBaseLearner(new DecisionTreeRegressor().setMaxDepth(2))
+        .setNumBaseLearners(4)
+        .setCheckpointInterval(1)
+        .setNativeTreeFastPath(fast)
+        .fit(df)
+      assert(model.transform(df).select("prediction").count() === 300)
+      val leftover = rddDirs().map(_.getName).toSet -- before
+      assert(leftover.isEmpty, s"fast=$fast fit must delete its checkpoints, leaked: $leftover")
+    }
+
+    // GBM fast path checkpoints its prediction-state RDD the same way
     val before = rddDirs().map(_.getName).toSet
-    val model = new BoostingRegressor()
+    val gbm = new org.apache.spark.ml.graft.GBMRegressor()
       .setBaseLearner(new DecisionTreeRegressor().setMaxDepth(2))
-      .setNumBaseLearners(4)
+      .setMaxIter(4)
       .setCheckpointInterval(1)
+      .setSeed(1L)
       .fit(df)
-    assert(model.transform(df).select("prediction").count() === 300)
+    assert(gbm.transform(df).select("prediction").count() === 300)
     val leftover = rddDirs().map(_.getName).toSet -- before
-    assert(leftover.isEmpty, s"fit must delete its checkpoints, leaked: $leftover")
+    assert(leftover.isEmpty, s"GBM fast path leaked checkpoints: $leftover")
   }
 
   test("instance weights steer boosting") {
