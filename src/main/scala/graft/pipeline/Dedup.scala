@@ -360,16 +360,18 @@ object Dedup {
       maxBucketFrequency: Long): DataFrame = {
     val blocks = if (numBlocks > 0) numBlocks else autoBlocks(maxHamming)
     val masks = simhashBandMasks(maxHamming, blocks)
+    // the C(B,d)-way explode feeds both self-join sides (and the guard's
+    // frequency agg), so it re-evaluates 2-3x — deliberately NOT persisted:
+    // `sigs` (the expensive simhash pass) is cached by the caller, and
+    // re-deriving the explode from it is 45 AND-ops per row, far cheaper
+    // than caching and re-reading the C(B,d)x-multiplied table (persisting
+    // it measured ~1.5x slower end-to-end at sf0.1)
     val bandedAll = sigs.select(
       col("id"), col("sig"),
       explode(array(masks.zipWithIndex.map { case (m, t) =>
         struct(lit(t).as("tbl"), col("sig").bitwiseAND(lit(m)).as("key"))
       }: _*)).as("bb"))
       .select(col("id"), col("sig"), col("bb.tbl"), col("bb.key"))
-    // the C(B,d)-way explode feeds both self-join sides (and the guard's
-    // frequency agg) — persist it like minhash does its banded table, or
-    // the explode re-evaluates up to 3x
-    bandedAll.persist()
     // skew guard, mirroring ngram's maxDocFrequency: a bucket hotter than
     // the cap (boilerplate-dominated signatures) costs count^2 pairs while
     // its members are still covered by their other C(B,d)-1 tables; 0 =
@@ -382,7 +384,7 @@ object Dedup {
           .select("tbl", "key")
         bandedAll.join(broadcast(hot), Seq("tbl", "key"), "left_anti")
       }
-    val cands = banded.as("a")
+    banded.as("a")
       .join(banded.as("b").hint("shuffle_hash"),
         col("a.tbl") === col("b.tbl") && col("a.key") === col("b.key") &&
           col("a.id") < col("b.id"))
@@ -390,7 +392,6 @@ object Dedup {
         col("a.id").as("doc_a"), col("b.id").as("doc_b"),
         bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
       .distinct()
-    materializeAndRelease(cands, bandedAll)
   }
 
   def simhashPairs(
@@ -402,9 +403,12 @@ object Dedup {
       maxBucketFrequency: Long = 0L): DataFrame = {
     val sigs = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
     sigs.persist()
-    val cands = simhashCandidates(sigs, maxHamming, numBlocks, maxBucketFrequency)
-    val out = cands.filter(col("hamming") <= maxHamming)
-    materializeAndRelease(out, sigs, cands)
+    // only the hamming-filtered output materializes — the unfiltered
+    // candidate set can be an order of magnitude larger and is never
+    // needed as a table by itself
+    val out = simhashCandidates(sigs, maxHamming, numBlocks, maxBucketFrequency)
+      .filter(col("hamming") <= maxHamming)
+    materializeAndRelease(out, sigs)
   }
 
   /** Embedding near-dup pairs above a cosine threshold. `bruteForce` is
