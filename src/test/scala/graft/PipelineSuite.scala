@@ -241,6 +241,40 @@ class PipelineSuite extends SparkSpec {
     assert(agg === win)
   }
 
+  test("topk_by_score buffer stays bounded on a 1e7-row single group") {
+    val s = spark
+    import s.implicits._
+    // one group, 10M candidates, k=10: the amortized trim must keep the
+    // partial-aggregation buffers at O(k), and the result must be the
+    // exact top-k (deterministic scores so the answer is checkable)
+    val k = 10
+    val n = 10000000L
+    val out = spark.range(n)
+      .select(lit(0L).as("grp"), col("id"),
+        (pmod(col("id") * 2654435761L, lit(1000000000)).cast("double")).as("score"))
+      .groupBy("grp")
+      .agg(org.apache.spark.sql.graft.TopKByScore
+        .topk_by_score(col("id"), col("score"), k).as("top"))
+      .select(explode(col("top")).as("t"))
+      .select(col("t.id"), col("t.score"))
+      .collect()
+    assert(out.length === k)
+    // scores strictly descending, ids distinct
+    val scores = out.map(_.getDouble(1))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    assert(out.map(_.getLong(0)).distinct.length === k)
+
+    // the serialized partial buffer itself is O(k), not O(rows)
+    val agg = org.apache.spark.sql.graft.TopKByScoreAgg(
+      org.apache.spark.sql.catalyst.expressions.Literal(0L),
+      org.apache.spark.sql.catalyst.expressions.Literal(0.0), k)
+    val buf = agg.createAggregationBuffer()
+    val rng = new scala.util.Random(5)
+    (0 until 100000).foreach(_ => buf += ((rng.nextLong(), rng.nextDouble())))
+    assert(agg.serialize(buf).length <= 4 + k * 16,
+      s"buffer not trimmed to k on serialize: ${agg.serialize(buf).length} bytes")
+  }
+
   test("persisted IVF index answers queries like the in-memory IVF") {
     val s = spark
     import s.implicits._
