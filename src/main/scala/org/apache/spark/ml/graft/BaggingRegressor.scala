@@ -104,12 +104,13 @@ private[graft] object SubBagFit {
           org.apache.spark.ml.util.MetadataUtils
             .getCategoricalFeatures(instances.schema("features"))), dt.getSeed))
         case dt: DecisionTreeClassifier =>
-          // the caller resolved numClasses from label metadata (or a scan);
-          // re-deriving it here from max(label)+1 would disagree with the
+          // the caller MUST resolve numClasses (label metadata aware);
+          // deriving it here from max(label)+1 would disagree with the
           // model's numClasses whenever metadata declares classes absent
           // from the training rows
-          val k = numClasses.getOrElse(
-            instances.agg(max(col("label"))).head().getDouble(0).toInt + 1)
+          val k = numClasses.getOrElse(throw new IllegalArgumentException(
+            "runNativeTrees with a DecisionTreeClassifier requires the " +
+              "caller's metadata-resolved numClasses"))
           Some((dt.getOldStrategy(
             org.apache.spark.ml.util.MetadataUtils
               .getCategoricalFeatures(instances.schema("features")), k), dt.getSeed))

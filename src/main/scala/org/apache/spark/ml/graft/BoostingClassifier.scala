@@ -172,88 +172,56 @@ class BoostingClassifier(override val uid: String)
       numClasses: Int,
       dtc: org.apache.spark.ml.classification.DecisionTreeClassifier): BoostingClassificationModel = {
     import org.apache.spark.ml.classification.DecisionTreeClassificationModel
-    import org.apache.spark.ml.feature.Instance
-    import org.apache.spark.ml.tree.impl.{
-      BaggedPoint, DecisionTreeMetadata, GraftTreeShim, RandomForest, TreePoint
-    }
     import org.apache.spark.rdd.RDD
-    import org.apache.spark.rdd.util.PeriodicRDDCheckpointer
 
-    val sc = instances.sparkSession.sparkContext
-    val train = instances.select("label", "weight", "features").rdd
-      .map(r => Instance(r.getDouble(0), r.getDouble(1), r.getAs[Vector](2)))
-    train.persist(StorageLevel.MEMORY_AND_DISK)
     val categorical = MetadataUtils.getCategoricalFeatures(instances.schema("features"))
-    val strategy = dtc.getOldStrategy(categorical, numClasses)
-    val metadata = DecisionTreeMetadata.buildMetadata(train, strategy, 1, "all")
-    val splits = GraftTreeShim.findSplits(train, metadata, dtc.getSeed)
-    val bcSplits = sc.broadcast(splits)
-    val treePoints = TreePoint.convertToTreeRDD(train, splits, metadata)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val boost = new NativeTreeBoost(
+      instances, dtc.getOldStrategy(categorical, numClasses), dtc.getSeed,
+      $(checkpointInterval))
+    try {
+      var bw: RDD[Double] = boost.initialWeights()
+      val models = ArrayBuffer.empty[EnsemblePredictionModelType]
+      val modelWeights = ArrayBuffer.empty[Double]
+      var i = 0
+      var done = false
+      while (i < $(numBaseLearners) && !done) {
+        val sw = NativeTreeBoost.orderedSum(bw)
+        val model = boost.fitRound(bw, sw, boost.dtSeed + i)
+          .asInstanceOf[DecisionTreeClassificationModel]
 
-    val dtSeed = dtc.getSeed
-    val bwCk = new PeriodicRDDCheckpointer[Double]($(checkpointInterval), sc)
-    var bw: RDD[Double] = treePoints.map(_.weight)
-    bwCk.update(bw)
-    bw.count()
-
-    val models = ArrayBuffer.empty[EnsemblePredictionModelType]
-    val modelWeights = ArrayBuffer.empty[Double]
-    var i = 0
-    var done = false
-    while (i < $(numBaseLearners) && !done) {
-      val sw = bw.sum()
-      val relabeled = treePoints.zip(bw).map { case (tp, w) =>
-        new TreePoint(tp.label, tp.binnedFeatures, w / sw)
-      }
-      val bagged = BaggedPoint.convertToBaggedRDD(
-        relabeled, 1.0, 1, false, (tp: TreePoint) => tp.weight, dtSeed + i)
-      bagged.persist(StorageLevel.MEMORY_AND_DISK)
-      val model =
-        try RandomForest.runBagged(
-            bagged, metadata, bcSplits, strategy, 1, "all", dtc.getSeed, None)
-          .head.asInstanceOf[DecisionTreeClassificationModel]
-        finally bagged.unpersist(blocking = false)
-
-      // (mispredicted flag via binned leaf lookup, normalized bw, raw bw)
-      val data = treePoints.zip(bw).map { case (tp, w) =>
-        val pred = model.rootNode.predictBinned(tp.binnedFeatures, bcSplits.value).prediction
-        (pred != tp.label, w / sw, w)
-      }
-      data.persist(StorageLevel.MEMORY_AND_DISK)
-      try {
-        val err = data.map { case (mis, bwn, _) => if (mis) bwn else 0.0 }.sum()
-        if (err <= 0.0) {
-          models += model
-          modelWeights += 1.0
-          done = true
-        } else if (err >= 1.0 - 1.0 / numClasses) {
-          if (models.isEmpty) {
+        // (mispredicted flag via binned leaf lookup, normalized bw, raw bw)
+        val bcSplits = boost.bcSplits
+        val data = boost.treePoints.zip(bw).map { case (tp, w) =>
+          val pred = model.rootNode.predictBinned(tp.binnedFeatures, bcSplits.value).prediction
+          (pred != tp.label, w / sw, w)
+        }
+        data.persist(StorageLevel.MEMORY_AND_DISK)
+        try {
+          val err =
+            NativeTreeBoost.orderedSum(data.map { case (mis, bwn, _) => if (mis) bwn else 0.0 })
+          if (err <= 0.0) {
             models += model
             modelWeights += 1.0
+            done = true
+          } else if (err >= 1.0 - 1.0 / numClasses) {
+            if (models.isEmpty) {
+              models += model
+              modelWeights += 1.0
+            }
+            done = true
+          } else {
+            val alpha = math.log((1.0 - err) / err) + math.log(numClasses - 1.0)
+            models += model
+            modelWeights += alpha
+            bw = boost.advance(
+              data.map { case (mis, _, w) => if (mis) w * math.exp(alpha) else w })
           }
-          done = true
-        } else {
-          val alpha = math.log((1.0 - err) / err) + math.log(numClasses - 1.0)
-          models += model
-          modelWeights += alpha
-          val newBw = data.map { case (mis, _, w) =>
-            if (mis) w * math.exp(alpha) else w
-          }
-          bwCk.update(newBw)
-          newBw.count()
-          bw = newBw
-        }
-      } finally data.unpersist(blocking = false)
-      i += 1
-    }
-    bwCk.unpersistDataSet()
-    bwCk.deleteAllCheckpoints()
-    treePoints.unpersist(blocking = false)
-    train.unpersist(blocking = false)
-    bcSplits.destroy()
-    new BoostingClassificationModel(uid, numClasses, modelWeights.toArray, models.toArray)
-      .setParent(this)
+        } finally data.unpersist(blocking = false)
+        i += 1
+      }
+      new BoostingClassificationModel(uid, numClasses, modelWeights.toArray, models.toArray)
+        .setParent(this)
+    } finally boost.close()
   }
 
   override def copy(extra: ParamMap): BoostingClassifier = defaultCopy(extra)

@@ -230,94 +230,63 @@ class BoostingRegressor(override val uid: String)
   private def trainNativeDT(
       instances: DataFrame,
       dt: org.apache.spark.ml.regression.DecisionTreeRegressor): BoostingRegressionModel = {
-    import org.apache.spark.ml.feature.Instance
     import org.apache.spark.ml.regression.DecisionTreeRegressionModel
-    import org.apache.spark.ml.tree.impl.{
-      BaggedPoint, DecisionTreeMetadata, GraftTreeShim, RandomForest, TreePoint
-    }
     import org.apache.spark.rdd.RDD
-    import org.apache.spark.rdd.util.PeriodicRDDCheckpointer
 
-    val sc = instances.sparkSession.sparkContext
-    val train = instances.select("label", "weight", "features").rdd
-      .map(r => Instance(r.getDouble(0), r.getDouble(1), r.getAs[Vector](2)))
-    train.persist(StorageLevel.MEMORY_AND_DISK)
     val categorical = MetadataUtils.getCategoricalFeatures(instances.schema("features"))
-    val strategy = dt.getOldStrategy(categorical)
-    val metadata = DecisionTreeMetadata.buildMetadata(train, strategy, 1, "all")
-    val splits = GraftTreeShim.findSplits(train, metadata, dt.getSeed)
-    val bcSplits = sc.broadcast(splits)
-    val treePoints = TreePoint.convertToTreeRDD(train, splits, metadata)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val boost = new NativeTreeBoost(
+      instances, dt.getOldStrategy(categorical), dt.getSeed, $(checkpointInterval))
+    try {
+      var bw: RDD[Double] = boost.initialWeights()
+      val models = ArrayBuffer.empty[EnsemblePredictionModelType]
+      val modelWeights = ArrayBuffer.empty[Double]
+      var i = 0
+      var done = false
+      while (i < $(numBaseLearners) && !done) {
+        val sw = NativeTreeBoost.orderedSum(bw)
+        val model = boost.fitRound(bw, sw, boost.dtSeed + i)
+          .asInstanceOf[DecisionTreeRegressionModel]
 
-    val dtSeed = dt.getSeed
-    val bwCk = new PeriodicRDDCheckpointer[Double]($(checkpointInterval), sc)
-    var bw: RDD[Double] = treePoints.map(_.weight)
-    bwCk.update(bw)
-    bw.count()
-
-    val models = ArrayBuffer.empty[EnsemblePredictionModelType]
-    val modelWeights = ArrayBuffer.empty[Double]
-    var i = 0
-    var done = false
-    while (i < $(numBaseLearners) && !done) {
-      val sw = bw.sum()
-      val relabeled = treePoints.zip(bw).map { case (tp, w) =>
-        new TreePoint(tp.label, tp.binnedFeatures, w / sw)
-      }
-      val bagged = BaggedPoint.convertToBaggedRDD(
-        relabeled, 1.0, 1, false, (tp: TreePoint) => tp.weight, dtSeed + i)
-      bagged.persist(StorageLevel.MEMORY_AND_DISK)
-      val model =
-        try RandomForest.runBagged(
-            bagged, metadata, bcSplits, strategy, 1, "all", dt.getSeed, None)
-          .head.asInstanceOf[DecisionTreeRegressionModel]
-        finally bagged.unpersist(blocking = false)
-
-      // (absolute error via binned prediction, normalized bw, raw bw)
-      val data = treePoints.zip(bw).map { case (tp, w) =>
-        val pred = model.rootNode.predictBinned(tp.binnedFeatures, bcSplits.value).prediction
-        (math.abs(pred - tp.label), w / sw, w)
-      }
-      data.persist(StorageLevel.MEMORY_AND_DISK)
-      try {
-        val maxError = data.map(_._1).max()
-        if (maxError == 0.0) {
-          models += model
-          modelWeights += 1.0
-          done = true
-        } else {
-          val lossFn: Double => Double = $(lossType) match {
-            case "linear" => e => e / maxError
-            case "squared" => e => (e / maxError) * (e / maxError)
-            case "exponential" => e => 1.0 - math.exp(-e / maxError)
-          }
-          val estimatorError = data.map { case (e, bwn, _) => bwn * lossFn(e) }.sum()
-          if (estimatorError >= 0.5) {
-            if (models.isEmpty) {
-              models += model
-              modelWeights += 1.0
-            }
+        // (absolute error via binned prediction, normalized bw, raw bw)
+        val bcSplits = boost.bcSplits
+        val data = boost.treePoints.zip(bw).map { case (tp, w) =>
+          val pred = model.rootNode.predictBinned(tp.binnedFeatures, bcSplits.value).prediction
+          (math.abs(pred - tp.label), w / sw, w)
+        }
+        data.persist(StorageLevel.MEMORY_AND_DISK)
+        try {
+          val maxError = data.map(_._1).max()
+          if (maxError == 0.0) {
+            models += model
+            modelWeights += 1.0
             done = true
           } else {
-            val beta = estimatorError / (1.0 - estimatorError)
-            models += model
-            modelWeights += math.log(1.0 / beta)
-            val newBw = data.map { case (e, _, w) => w * math.pow(beta, 1.0 - lossFn(e)) }
-            bwCk.update(newBw)
-            newBw.count()
-            bw = newBw
+            val lossFn: Double => Double = $(lossType) match {
+              case "linear" => e => e / maxError
+              case "squared" => e => (e / maxError) * (e / maxError)
+              case "exponential" => e => 1.0 - math.exp(-e / maxError)
+            }
+            val estimatorError =
+              NativeTreeBoost.orderedSum(data.map { case (e, bwn, _) => bwn * lossFn(e) })
+            if (estimatorError >= 0.5) {
+              if (models.isEmpty) {
+                models += model
+                modelWeights += 1.0
+              }
+              done = true
+            } else {
+              val beta = estimatorError / (1.0 - estimatorError)
+              models += model
+              modelWeights += math.log(1.0 / beta)
+              bw = boost.advance(
+                data.map { case (e, _, w) => w * math.pow(beta, 1.0 - lossFn(e)) })
+            }
           }
-        }
-      } finally data.unpersist(blocking = false)
-      i += 1
-    }
-    bwCk.unpersistDataSet()
-    bwCk.deleteAllCheckpoints()
-    treePoints.unpersist(blocking = false)
-    train.unpersist(blocking = false)
-    bcSplits.destroy()
-    new BoostingRegressionModel(uid, modelWeights.toArray, models.toArray).setParent(this)
+        } finally data.unpersist(blocking = false)
+        i += 1
+      }
+      new BoostingRegressionModel(uid, modelWeights.toArray, models.toArray).setParent(this)
+    } finally boost.close()
   }
 
   override def copy(extra: ParamMap): BoostingRegressor = defaultCopy(extra)

@@ -50,6 +50,16 @@ private[spark] final class WeightedQuantileBuffer(
     if (centroids != null) all ++= centroids
     val sorted = all.sortBy(_._1)
     val total = sorted.iterator.map(_._2).sum
+    if (total <= 0.0) {
+      // degenerate all-zero-weight group: the exact path returns the
+      // smallest value (cum 0 >= 0.5*0), so preserve that instead of
+      // dropping everything and flipping the answer to null at the
+      // capacity boundary
+      centroids =
+        if (sorted.isEmpty) Array.empty else Array((sorted.head._1, 0.0))
+      pairs = ArrayBuffer.empty
+      return
+    }
     val maxMass = total / compressedSize
     val out = new ArrayBuffer[(Double, Double)](compressedSize + 1)
     var accW = 0.0
@@ -95,7 +105,12 @@ private[spark] final class WeightedQuantileBuffer(
     if (centroids != null && pairs.nonEmpty) compress()
     val n = pairs.length
     val m = if (centroids == null) -1 else centroids.length
-    val bb = java.nio.ByteBuffer.allocate(8 + n * 16 + math.max(m, 0) * 16)
+    // capacity/compressedSize travel with the bytes: a deserialized
+    // partial must follow the same bounds as the buffer that produced it,
+    // not the defaults
+    val bb = java.nio.ByteBuffer.allocate(16 + n * 16 + math.max(m, 0) * 16)
+    bb.putInt(capacity)
+    bb.putInt(compressedSize)
     bb.putInt(n)
     bb.putInt(m)
     pairs.foreach { case (v, w) => bb.putDouble(v); bb.putDouble(w) }
@@ -115,9 +130,11 @@ private[spark] object WeightedQuantileBuffer {
 
   def deserialize(bytes: Array[Byte]): WeightedQuantileBuffer = {
     val bb = java.nio.ByteBuffer.wrap(bytes)
+    val capacity = bb.getInt()
+    val compressedSize = bb.getInt()
     val n = bb.getInt()
     val m = bb.getInt()
-    val buf = new WeightedQuantileBuffer(DefaultCapacity, DefaultCompressedSize)
+    val buf = new WeightedQuantileBuffer(capacity, compressedSize)
     var i = 0
     while (i < n) { buf.pairs += ((bb.getDouble(), bb.getDouble())); i += 1 }
     if (m >= 0) {

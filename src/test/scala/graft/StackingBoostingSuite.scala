@@ -132,6 +132,27 @@ class StackingBoostingSuite extends SparkSpec {
     assert(af > 0.85 && math.abs(af - as) < 0.1, s"fast acc $af vs generic $as")
   }
 
+  test("boosting fast path honors minWeightFractionPerNode like the generic loop") {
+    // metadata is built once on sum-1-normalized weights so the fraction
+    // threshold matches every round's normalized fit; the raw-weight scale
+    // would make minWeightPerNode unsatisfiable and stump every tree
+    def fitWith(fast: Boolean) = new BoostingRegressor()
+      .setBaseLearner(
+        new DecisionTreeRegressor().setMaxDepth(4).setMinWeightFractionPerNode(0.05).setSeed(9))
+      .setNumBaseLearners(3)
+      .setNativeTreeFastPath(fast)
+      .fit(regDf)
+    val fast = fitWith(true)
+    val slow = fitWith(false)
+    import org.apache.spark.ml.regression.DecisionTreeRegressionModel
+    val fastNodes = fast.models.map(_.asInstanceOf[DecisionTreeRegressionModel].numNodes)
+    val slowNodes = slow.models.map(_.asInstanceOf[DecisionTreeRegressionModel].numNodes)
+    assert(fastNodes.forall(_ > 1), s"fast-path trees degenerated to stumps: ${fastNodes.toSeq}")
+    assert(fastNodes.sum > slowNodes.sum / 2, s"fast ${fastNodes.toSeq} vs generic ${slowNodes.toSeq}")
+    val (rf, rs) = (rmse(fast.transform(regDf)), rmse(slow.transform(regDf)))
+    assert(math.abs(rf - rs) < 0.3 * math.max(rs, 0.1), s"fast rmse $rf vs generic $rs")
+  }
+
   test("BoostingRegressor early-exits on perfectly learnable data") {
     val s = spark
     import s.implicits._

@@ -86,4 +86,23 @@ class WeightedMedianSuite extends graft.SparkSpec {
     // of a N(0,10) at its median (generous 3x slack)
     assert(math.abs(approx - exact) < 0.5, s"approx $approx exact $exact")
   }
+
+  test("compressed and exact modes agree on degenerate zero-weight groups") {
+    // the exact path returns the smallest value when total weight is 0;
+    // crossing the compression capacity must not flip the answer to null
+    val small = new org.apache.spark.sql.graft.WeightedQuantileBuffer(1000000, 16)
+    (0 until 100).foreach(i => small.add(100.0 - i, 0.0))
+    val compressed = new org.apache.spark.sql.graft.WeightedQuantileBuffer(64, 16)
+    (0 until 100).foreach(i => compressed.add(100.0 - i, 0.0))
+    assert(small.quantile(0.5) === 1.0)
+    assert(compressed.quantile(0.5) === 1.0)
+  }
+
+  test("buffer round-trips its own capacity configuration") {
+    val buf = new org.apache.spark.sql.graft.WeightedQuantileBuffer(1024, 128)
+    (0 until 50).foreach(i => buf.add(i.toDouble, 1.0))
+    val back = org.apache.spark.sql.graft.WeightedQuantileBuffer.deserialize(buf.serialize())
+    assert(back.capacity === 1024 && back.compressedSize === 128)
+    assert(back.quantile(0.5) === buf.quantile(0.5))
+  }
 }
