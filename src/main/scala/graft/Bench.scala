@@ -5,14 +5,31 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_SF_DIR. Times every correctness-gate query plus the heavy
   * DecisionTree-base ensemble fits (Queries.benchHeavy, `*_dt` — the
   * perf-comparable successors of the round-1 `ml_*` bench rows; see
-  * BASELINE.md). A small untimed warmup absorbs JVM/codegen/JIT startup so
-  * the first timed query isn't charged ~5s of warmup (the round-1
-  * `q8_pivot` artifact).
+  * BASELINE.md).
+  *
+  * Measurement protocol (round 6): identical binaries measured individual
+  * queries 1.3-3.8x apart across single-shot runs (r3 vs r4), swamping the
+  * per-query 2x gate. Each query now runs once untimed (codegen/JIT/page
+  * cache warm), then `SPARK_GRAFT_BENCH_REPS` (default 3) timed repeats;
+  * `queries` reports the per-query MEDIAN, `queries_min` the per-query min,
+  * and `value` the sum of medians. Cache is cleared between every run so
+  * nothing leaks across repeats or queries (round-2's leaked
+  * shingle/signature caches inflated every late-alphabet query 2-4x).
   */
 object Bench {
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    val n = s.length
+    if (n == 0) 0.0
+    else if (n % 2 == 1) s(n / 2)
+    else (s(n / 2 - 1) + s(n / 2)) / 2.0
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
+    val warmups = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "1").toInt.max(0)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -22,37 +39,40 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val all = (SparkEntry.queries ++ Queries.benchHeavy).toSeq.sortBy(_._1)
-    // warmup: scan/agg/join codegen, window, UDF+fit, dedup expressions
+    // global warmup: scan/agg/join codegen, window, UDF+fit, dedup expressions
     Seq("q1_pricing_summary", "q3_running_qty_window", "ml_dummy_mean", "p_ngram_jaccard")
       .foreach { name =>
         SparkEntry.queries.get(name).foreach { fn =>
           try fn(spark, sfDir).count() catch { case _: Throwable => }
         }
       }
-    // each query starts from a clean cache: operators persist small result
-    // sets (and release their own intermediates), but nothing may leak
-    // across timed queries — round-2's leaked shingle/signature caches
-    // inflated every late-alphabet query 2-4x with unchanged plans
     spark.catalog.clearCache()
     val results = all.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).count(); true }
+      var ok = true
+      def runOnce(): Double = {
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).count()
         catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: $e")
-            false
+            ok = false
         }
-      val sec = (System.nanoTime() - t0) / 1e9
-      spark.catalog.clearCache()
-      (name, sec, ok)
+        val sec = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        sec
+      }
+      (1 to warmups).foreach(_ => runOnce())
+      val times = (1 to reps).map(_ => runOnce())
+      (name, median(times), times.min, ok)
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+    def jsonMap(f: ((String, Double, Double, Boolean)) => Double): String =
+      results.map(r => "\"" + r._1 + "\":" + f(r)).mkString("{", ",", "}")
+    val qs = jsonMap(_._2)
+    val qsMin = jsonMap(_._3)
+    val failed = results.collect { case (k, _, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"queries_min":$qsMin,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

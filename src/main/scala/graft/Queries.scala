@@ -800,6 +800,67 @@ object Queries {
       .orderBy("prediction")
   }
 
+  /** SAMME.R with a real DecisionTree base through the native fast path
+    * (bin once, per-round leaf-probability reweighting).
+    */
+  def boostingClassificationRealDt(spark: SparkSession, sfDir: String): DataFrame = {
+    val df = classificationInstances(spark, sfDir)
+    val model = new BoostingClassifier()
+      .setBaseLearner(new DecisionTreeClassifier().setMaxDepth(5).setSeed(42))
+      .setNumBaseLearners(3)
+      .setAlgorithm("real")
+      .fit(df)
+    model.transform(df)
+      .groupBy("prediction")
+      .agg(count(lit(1)).as("n_rows"))
+      .orderBy("prediction")
+  }
+
+  private def factJoinAgg(li: DataFrame, o: DataFrame): DataFrame =
+    li.hint("merge")
+      .join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,6)"))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("line_count"))
+      .orderBy("o_orderpriority")
+
+  /** The q2-class fact⋈fact join read from tables bucketed+sorted on the
+    * join key: the sort-merge join consumes bucket-local reads with NO
+    * shuffle exchange and NO sort on either side — at 100 TB this removes
+    * the dominant shuffle of every orderkey-keyed query (SCALE.md §joins;
+    * plan asserted shuffle-free in BucketingSuite). The bucketed tables
+    * are written once per scale factor and reused, mirroring the
+    * write-once/join-many economics that motivate bucketing; Bench's
+    * untimed warmup run absorbs the one-time write, so the timed repeats
+    * measure the steady-state join. The merge hint keeps the comparison
+    * with [[q2JoinShuffled]] like-for-like at bench SFs where the orders
+    * side would otherwise be broadcast-able (it is not at 100 TB).
+    */
+  def q2JoinBucketed(spark: SparkSession, sfDir: String): DataFrame = {
+    val tag = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    val liT = s"graft_li_bucketed_$tag"
+    val oT = s"graft_o_bucketed_$tag"
+    if (!spark.catalog.tableExists(liT)) {
+      lineitem(spark, sfDir).write.format("parquet")
+        .bucketBy(32, "l_orderkey").sortBy("l_orderkey")
+        .mode("overwrite").saveAsTable(liT)
+    }
+    if (!spark.catalog.tableExists(oT)) {
+      orders(spark, sfDir).write.format("parquet")
+        .bucketBy(32, "o_orderkey").sortBy("o_orderkey")
+        .mode("overwrite").saveAsTable(oT)
+    }
+    factJoinAgg(spark.table(liT), spark.table(oT))
+  }
+
+  /** Control for [[q2JoinBucketed]]: the same merge join over the raw
+    * parquet reads — both sides shuffle and sort.
+    */
+  def q2JoinShuffled(spark: SparkSession, sfDir: String): DataFrame =
+    factJoinAgg(lineitem(spark, sfDir), orders(spark, sfDir))
+
   /** Bench-only heavy queries (timed by graft.Bench alongside
     * SparkEntry.queries; NOT part of the correctness gate).
     */
@@ -810,7 +871,10 @@ object Queries {
     "ml_stacking_classifier_dt" -> (stackingClassificationDt _),
     "ml_boosting_regressor_dt" -> (boostingRegressionDt _),
     "ml_boosting_classifier_dt" -> (boostingClassificationDt _),
+    "ml_boosting_classifier_rdt" -> (boostingClassificationRealDt _),
     "ml_gbm_regressor_dt" -> (gbmRegressionDt _),
     "ml_gbm_classifier_dt" -> (gbmClassificationDt _),
-    "ml_gbm_multiclass_dt" -> (gbmMulticlassDt _))
+    "ml_gbm_multiclass_dt" -> (gbmMulticlassDt _),
+    "q2_join_bucketed" -> (q2JoinBucketed _),
+    "q2_join_shuffled" -> (q2JoinShuffled _))
 }

@@ -1,7 +1,49 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DoubleType}
+
+/** The vectorized-decoder seam: a real codec (libjpeg/ffmpeg behind a
+  * Pandas UDF or a JNI batch call) drops in by implementing `decodeBatch`
+  * — the Spark-side plumbing ([[Multimodal.decodeFeaturesWith]]) never
+  * changes. The batch-iterator signature is the `mapInPandas` shape: one
+  * call per batch so a native decoder amortizes its dispatch/model-load
+  * cost across rows instead of paying it per row.
+  */
+trait MediaCodec extends Serializable {
+
+  /** Feature width of every decoded vector (fixed per codec). */
+  def featureDim: Int
+
+  /** Decode a batch of payloads to `featureDim`-wide feature vectors,
+    * preserving order and count. A null payload must yield a vector (the
+    * stub yields zeros) — nulls must not change the row count.
+    */
+  def decodeBatch(payloads: Iterator[Array[Byte]]): Iterator[Array[Double]]
+}
+
+/** The deterministic test codec: a 16-bin byte histogram (L1-normalized)
+  * standing in for decoded image features — byte-for-byte the same output
+  * as the scalar `decodeFeaturesUdf` stub.
+  */
+class ByteHistogramCodec extends MediaCodec {
+  override val featureDim: Int = 16
+  override def decodeBatch(payloads: Iterator[Array[Byte]]): Iterator[Array[Double]] =
+    payloads.map { payload =>
+      val hist = new Array[Double](16)
+      if (payload != null && payload.nonEmpty) {
+        var i = 0
+        while (i < payload.length) {
+          hist((payload(i) & 0xFF) >>> 4) += 1.0
+          i += 1
+        }
+        var j = 0
+        while (j < 16) { hist(j) /= payload.length; j += 1 }
+      }
+      hist
+    }
+}
 
 /** Multimodal-column plumbing: media as opaque `binary` payloads plus a
   * typed metadata struct, processed by batch-shaped per-row kernels.
@@ -46,6 +88,30 @@ object Multimodal {
     }
 
   def decodeFeatures(payload: Column): Column = decodeFeaturesUdf(payload)
+
+  /** Batch decode through the [[MediaCodec]] seam: appends `outCol`
+    * (array&lt;double&gt;, width `codec.featureDim`) to the schema, feeding
+    * the codec `batchSize`-row slices per call via `mapPartitions` — the
+    * same batch shape `mapInPandas` would give a Pandas-UDF decoder, with
+    * no driver involvement and partition-level parallelism preserved.
+    * Swapping the stub for a real decoder changes ONLY the codec argument;
+    * schema, nullability, and row count are codec-independent.
+    */
+  def decodeFeaturesWith(
+      df: DataFrame,
+      codec: MediaCodec,
+      payloadCol: String = "payload",
+      outCol: String = "media_features",
+      batchSize: Int = 1024): DataFrame = {
+    val outSchema = df.schema.add(outCol, ArrayType(DoubleType), nullable = false)
+    val idx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        val feats = codec.decodeBatch(batch.iterator.map(_.getAs[Array[Byte]](idx)))
+        batch.iterator.zip(feats).map { case (r, f) => Row.fromSeq(r.toSeq :+ f.toSeq) }
+      }
+    }(Encoders.row(outSchema))
+  }
 
   /** STUB resize: keep every `stride`-th byte — shape-preserving stand-in
     * for a real resample kernel.

@@ -78,12 +78,11 @@ class BoostingClassifier(override val uid: String)
         dataset, $(labelCol),
         if (isDefined(weightCol)) Some($(weightCol)) else None, $(featuresCol))
       .withColumn("__bw", col("weight"))
-    // SAMME.R stays generic: it consumes calibrated class probabilities
-    // through the base model's own probability pipeline
     $(baseLearner) match {
       case dt: org.apache.spark.ml.classification.DecisionTreeClassifier
-          if $(nativeTreeFastPath) && $(algorithm) == "discrete" =>
-        return trainNativeDT(instances, numClasses, dt)
+          if $(nativeTreeFastPath) =>
+        return if ($(algorithm) == "discrete") trainNativeDT(instances, numClasses, dt)
+        else trainNativeSammeR(instances, numClasses, dt)
       case _ => ()
     }
     val loop = new IterLoopCache($(checkpointInterval))
@@ -133,27 +132,38 @@ class BoostingClassifier(override val uid: String)
             prob.rawPredictionCol.w("__raw"),
             prob.probabilityCol.w("__prob"))
           val predicted = prob.transform(weighted, pm)
-          val k = numClasses
-          val factorUdf = udf { (label: Double, p: Vector) =>
-            // w *= exp(-(K-1)/K * sum_k code_k * log p_k),
-            // code = 1 at the true class, -1/(K-1) elsewhere
-            var s = 0.0
-            val li = label.toInt
-            var j = 0
-            while (j < k) {
-              val pj = math.max(p(j), EPSILON)
-              val code = if (j == li) 1.0 else -1.0 / (k - 1.0)
-              s += code * math.log(pj)
-              j += 1
+          predicted.persist(StorageLevel.MEMORY_AND_DISK)
+          try {
+            val k = numClasses
+            val factorUdf = udf { (label: Double, p: Vector) =>
+              // w *= exp(-(K-1)/K * sum_k code_k * log p_k),
+              // code = 1 at the true class, -1/(K-1) elsewhere
+              var s = 0.0
+              val li = label.toInt
+              var j = 0
+              while (j < k) {
+                val pj = math.max(p(j), EPSILON)
+                val code = if (j == li) 1.0 else -1.0 / (k - 1.0)
+                s += code * math.log(pj)
+                j += 1
+              }
+              math.exp(-(k - 1.0) / k * s)
             }
-            math.exp(-(k - 1.0) / k * s)
-          }
-          models += model
-          modelWeights += 1.0
-          val updated = predicted
-            .withColumn("__bw", col("__bw") * factorUdf(col("label"), col("__prob")))
-            .select("label", "weight", "features", "__bw")
-          df = loop.next(updated)
+            models += model
+            modelWeights += 1.0
+            // reference stops once the round's classifier is perfect on the
+            // weighted sample (classification/BoostingClassifier.scala:203-212)
+            val err = predicted
+              .agg(sum(when(col("__pred") =!= col("label"), col("__bwn")).otherwise(0.0)))
+              .head().getDouble(0)
+            if (err <= 0.0) done = true
+            else {
+              val updated = predicted
+                .withColumn("__bw", col("__bw") * factorUdf(col("label"), col("__prob")))
+                .select("label", "weight", "features", "__bw")
+              df = loop.next(updated)
+            }
+          } finally predicted.unpersist()
       }
       i += 1
     }
@@ -216,6 +226,74 @@ class BoostingClassifier(override val uid: String)
             bw = boost.advance(
               data.map { case (mis, _, w) => if (mis) w * math.exp(alpha) else w })
           }
+        } finally data.unpersist(blocking = false)
+        i += 1
+      }
+      new BoostingClassificationModel(uid, numClasses, modelWeights.toArray, models.toArray)
+        .setParent(this)
+    } finally boost.close()
+  }
+
+  /** Native-tree fast path for SAMME.R: same bin-once scaffold as the
+    * discrete path, but each round consumes the leaf's calibrated class
+    * probabilities (normalized `impurityStats` — exactly what
+    * `DecisionTreeClassificationModel.predictProbability` returns) through
+    * a binned leaf lookup, and applies Zhu et al.'s probability-coded
+    * weight recursion (reference:
+    * classification/BoostingClassifier.scala:198-230). All models get
+    * weight 1.0; boosting stops early when a round's tree is perfect on
+    * the weighted sample.
+    */
+  private def trainNativeSammeR(
+      instances: DataFrame,
+      numClasses: Int,
+      dtc: org.apache.spark.ml.classification.DecisionTreeClassifier): BoostingClassificationModel = {
+    import org.apache.spark.ml.classification.DecisionTreeClassificationModel
+    import org.apache.spark.rdd.RDD
+
+    val categorical = MetadataUtils.getCategoricalFeatures(instances.schema("features"))
+    val boost = new NativeTreeBoost(
+      instances, dtc.getOldStrategy(categorical, numClasses), dtc.getSeed,
+      $(checkpointInterval))
+    try {
+      var bw: RDD[Double] = boost.initialWeights()
+      val models = ArrayBuffer.empty[EnsemblePredictionModelType]
+      val modelWeights = ArrayBuffer.empty[Double]
+      var i = 0
+      var done = false
+      while (i < $(numBaseLearners) && !done) {
+        val sw = NativeTreeBoost.orderedSum(bw)
+        val model = boost.fitRound(bw, sw, boost.dtSeed + i)
+          .asInstanceOf[DecisionTreeClassificationModel]
+        models += model
+        modelWeights += 1.0
+
+        val bcSplits = boost.bcSplits
+        val k = numClasses
+        // (normalized error contribution, next round's raw weight)
+        val data = boost.treePoints.zip(bw).map { case (tp, w) =>
+          val leaf = model.rootNode.predictBinned(tp.binnedFeatures, bcSplits.value)
+          val stats = leaf.impurityStats.stats
+          var tot = 0.0
+          var j = 0
+          while (j < k) { tot += stats(j); j += 1 }
+          var s = 0.0
+          val li = tp.label.toInt
+          j = 0
+          while (j < k) {
+            val pj = math.max(stats(j) / tot, EPSILON)
+            val code = if (j == li) 1.0 else -1.0 / (k - 1.0)
+            s += code * math.log(pj)
+            j += 1
+          }
+          val errContrib = if (leaf.prediction != tp.label) w / sw else 0.0
+          (errContrib, w * math.exp(-(k - 1.0) / k * s))
+        }
+        data.persist(StorageLevel.MEMORY_AND_DISK)
+        try {
+          val err = NativeTreeBoost.orderedSum(data.map(_._1))
+          if (err <= 0.0) done = true
+          else bw = boost.advance(data.map(_._2))
         } finally data.unpersist(blocking = false)
         i += 1
       }

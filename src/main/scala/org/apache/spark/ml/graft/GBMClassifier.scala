@@ -87,15 +87,58 @@ class GBMClassifier(override val uid: String)
   def setTol(value: Double): this.type = set(tol, value)
   def setParallelism(value: Int): this.type = set(parallelism, value)
 
-  /** Joint step-size vector via bound-constrained L-BFGS-B over cached
-    * (yenc, f, direction, weight) rows; 10 solver iterations = <=~20
-    * distributed passes per GBM round (the step vector only needs 2
-    * significant digits). Shared by the generic and native-tree loops.
+  /** Joint step-size vector over cached (yenc, f, direction, weight)
+    * rows. Margin losses (dim=1: bernoulli, exponential — analytic
+    * scalar hessian, convex in the step) run guarded 1-D Newton: each
+    * iteration is ONE pass computing (phi', phi'') together, <=8
+    * iterations and typically 2-3 — same guard rails as the regressor's
+    * Newton search. The K-dimensional softmax logloss keeps
+    * bound-constrained L-BFGS-B (its hessian has cross-class terms, so
+    * coordinate-wise Newton is not sound); 10 solver iterations =
+    * <=~20 distributed passes per GBM round (the step vector only needs
+    * 2 significant digits). Shared by the generic and native-tree loops.
     */
   private def stepVectorSearch(
       rdd: org.apache.spark.rdd.RDD[(Array[Double], Array[Double], Array[Double], Double)],
       lossB: GBMClassificationLoss,
       dim: Int): Array[Double] = {
+    if (dim == 1 && lossB.isInstanceOf[HasHessian]) {
+      // bracketed Newton (see GBMRegressor.lineSearch): convex phi, so
+      // phi'(a)'s sign maintains a [lo, hi] bracket; bisect whenever the
+      // raw Newton step escapes it (margin-loss hessians vanish at large
+      // margins, which would otherwise make the step oscillate)
+      val h = lossB.asInstanceOf[GBMClassificationLoss with HasHessian]
+      val depth = $(aggregationDepth)
+      var lo = 0.0
+      var hi = 100.0
+      var a = 1.0
+      var it = 0
+      var converged = false
+      var failed = false
+      while (it < 12 && !converged && !failed) {
+        val step = a
+        val (dphi, d2phi) = rdd.treeAggregate((0.0, 0.0))(
+          seqOp = { case ((accG, accH), (yenc, f, dir, w)) =>
+            val fa = Array(f(0) + step * dir(0))
+            (accG + w * h.gradient(yenc, fa)(0) * dir(0),
+              accH + w * h.hessian(yenc, fa)(0) * dir(0) * dir(0))
+          },
+          combOp = (x, y) => (x._1 + y._1, x._2 + y._2),
+          depth = depth)
+        if (!dphi.isFinite || !d2phi.isFinite) failed = true
+        else {
+          if (dphi > 0) hi = a else lo = a
+          val newton = if (d2phi > 0) a - dphi / d2phi else Double.NaN
+          val next =
+            if (newton.isFinite && newton > lo && newton < hi) newton
+            else (lo + hi) / 2.0
+          if (math.abs(next - a) < $(tol) || hi - lo < $(tol)) converged = true
+          a = next
+        }
+        it += 1
+      }
+      return if (failed) Array(1.0) else Array(a)
+    }
     rdd.count()
     val objective = new DiffFunction[BDV[Double]] {
       override def calculate(a: BDV[Double]): (Double, BDV[Double]) = {

@@ -204,8 +204,14 @@ class GBMRegressor(override val uid: String)
   /** Per-iteration step size over cached (label, f, direction, weight)
     * rows. Squared loss has the closed-form optimum
     * a* = sum(w*d*(y-f)) / sum(w*d^2) — ONE pass instead of Brent's ~25
-    * sequential objective jobs (each a full cluster barrier at scale);
-    * every other loss keeps the Brent search over [0, 100].
+    * sequential objective jobs (each a full cluster barrier at scale).
+    * Losses with an analytic scalar hessian (logcosh, scaled logcosh) run
+    * guarded 1-D Newton on phi(a) = sum w*L(y, f + a*d): each iteration is
+    * ONE pass computing (phi', phi'') together, and the convex phi
+    * converges in 2-3 iterations — same [0, 100] clamp and fall-back-to-1
+    * guard rails as the closed form. Only the losses with no usable
+    * second derivative (absolute, huber, quantile — piecewise-linear
+    * tails) keep the Brent search over [0, 100].
     */
   private def lineSearch(
       data: org.apache.spark.rdd.RDD[(Double, Double, Double, Double)],
@@ -218,6 +224,42 @@ class GBMRegressor(override val uid: String)
         depth)
       if (den <= 0 || !num.isFinite) 1.0
       else math.min(math.max(num / den, 0.0), 100.0)
+    } else if (lossB.isInstanceOf[HasScalarHessian]) {
+      // bracketed Newton: phi is convex, so the sign of phi'(a) tells
+      // which side of the optimum a is on — keep a shrinking [lo, hi]
+      // bracket and fall back to its midpoint whenever the Newton step
+      // escapes it (logcosh's hessian ~ 0 in saturated regions makes the
+      // raw step oscillate between the clamps)
+      val h = lossB.asInstanceOf[GBMRegressionLoss with HasScalarHessian]
+      var lo = 0.0
+      var hi = 100.0
+      var a = 1.0
+      var it = 0
+      var converged = false
+      var failed = false
+      while (it < 12 && !converged && !failed) {
+        val step = a
+        val (dphi, d2phi) = data.treeAggregate((0.0, 0.0))(
+          (acc, t) => {
+            val f = t._2 + step * t._3
+            (acc._1 + t._4 * t._3 * h.gradient(t._1, f),
+              acc._2 + t._4 * t._3 * t._3 * h.hessian(t._1, f))
+          },
+          (x, y) => (x._1 + y._1, x._2 + y._2),
+          depth)
+        if (!dphi.isFinite || !d2phi.isFinite) failed = true
+        else {
+          if (dphi > 0) hi = a else lo = a
+          val newton = if (d2phi > 0) a - dphi / d2phi else Double.NaN
+          val next =
+            if (newton.isFinite && newton > lo && newton < hi) newton
+            else (lo + hi) / 2.0
+          if (math.abs(next - a) < $(tol) || hi - lo < $(tol)) converged = true
+          a = next
+        }
+        it += 1
+      }
+      if (failed) 1.0 else a
     } else {
       data.count()
       val objective = new UnivariateObjectiveFunction(a =>

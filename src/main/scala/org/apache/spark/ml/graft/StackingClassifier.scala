@@ -92,7 +92,7 @@ class StackingClassifier(override val uid: String)
               val mm = other.asInstanceOf[PredictionModel[Vector, _ <: PredictionModel[Vector, _]]]
               mm.transform(df, ParamMap(mm.predictionCol.w(s"__pred_$i")))
           })
-      val stack = Learners.fit($(stacker), meta, "label", "features", Some("weight"))
+      val stack = StackingFit.fitStacker($(stacker), meta)
       new StackingClassificationModel(uid, models, stack).setParent(this)
     } finally if (handlePersist) instances.unpersist()
   }

@@ -59,6 +59,22 @@ private[graft] object StackingFit {
       .transform(withPreds)
       .select(col("label"), col("weight"), col("__meta_features").as("features"))
   }
+
+  /** Fit the meta-learner on a persisted copy of the meta-feature table.
+    * Without the persist, every internal pass of the stacker's fit (e.g. a
+    * DecisionTree's metadata build, split finding, and TreePoint
+    * conversion) re-runs all N base-model transform UDFs over the corpus —
+    * profiled at ~5s of the 10s `ml_stacking_classifier_dt` fit at sf0.1.
+    * The meta table is only label+weight+K·N doubles per row, so caching
+    * it is far cheaper than recomputing the base transforms.
+    */
+  def fitStacker(
+      stacker: EnsemblePredictorType,
+      meta: DataFrame): EnsemblePredictionModelType = {
+    meta.persist(StorageLevel.MEMORY_AND_DISK)
+    try Learners.fit(stacker, meta, "label", "features", Some("weight"))
+    finally meta.unpersist()
+  }
 }
 
 /** Stacking meta-regressor: N heterogeneous base learners fit in parallel
@@ -98,7 +114,7 @@ class StackingRegressor(override val uid: String)
           val mm = m.asInstanceOf[PredictionModel[Vector, _ <: PredictionModel[Vector, _]]]
           mm.transform(df, ParamMap(mm.predictionCol.w(s"__pred_$i")))
         })
-      val stack = Learners.fit($(stacker), meta, "label", "features", Some("weight"))
+      val stack = StackingFit.fitStacker($(stacker), meta)
       new StackingRegressionModel(uid, models, stack).setParent(this)
     } finally if (handlePersist) instances.unpersist()
   }

@@ -51,4 +51,33 @@ class BucketingSuite extends SparkSpec {
       s.sql("DROP TABLE IF EXISTS o_bucketed")
     }
   }
+
+  test("q2_join_bucketed bench query joins shuffle-free on both fact sides") {
+    val s = spark
+    val sfDir = "/root/testdata/sf0.001"
+    val tag = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    val prevAqe = s.conf.get("spark.sql.adaptive.enabled")
+    try {
+      s.conf.set("spark.sql.adaptive.enabled", "false")
+      val bucketed = Queries.q2JoinBucketed(s, sfDir)
+      val plan = bucketed.queryExecution.executedPlan.toString
+      assert(
+        !plan.contains("Exchange hashpartitioning(l_orderkey") &&
+          !plan.contains("Exchange hashpartitioning(o_orderkey"),
+        s"bucketed bench join still shuffles a fact side:\n$plan")
+
+      val shuffled = Queries.q2JoinShuffled(s, sfDir)
+      val planU = shuffled.queryExecution.executedPlan.toString
+      assert(planU.contains("Exchange hashpartitioning(l_orderkey"),
+        s"control: raw-parquet merge join should shuffle:\n$planU")
+
+      val a = bucketed.collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+      val b = shuffled.collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+      assert(a.toSeq === b.toSeq)
+    } finally {
+      s.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      s.sql(s"DROP TABLE IF EXISTS graft_li_bucketed_$tag")
+      s.sql(s"DROP TABLE IF EXISTS graft_o_bucketed_$tag")
+    }
+  }
 }

@@ -143,6 +143,41 @@ class GBMSuite extends graft.SparkSpec {
     }
   }
 
+  test("logcosh/scaledlogcosh Newton line search matches Brent's step (±tol)") {
+    // one boosting round, learningRate 1.0 => modelWeights(0) IS the
+    // line-search step; re-derive Brent's answer on the same
+    // phi(a) = sum w*L(y, f + a*d) driver-side and pin the Newton step
+    // against it
+    import org.apache.commons.math3.optim.MaxEval
+    import org.apache.commons.math3.optim.nonlinear.scalar.GoalType
+    import org.apache.commons.math3.optim.univariate.{
+      BrentOptimizer, SearchInterval, UnivariateObjectiveFunction
+    }
+    for ((lossName, lossObj) <- Seq[(String, GBMRegressionLoss)](
+        "logcosh" -> LogCoshLoss, "scaledlogcosh" -> ScaledLogCoshLoss(0.9))) {
+      val est = new GBMRegressor()
+        .setBaseLearner(new DecisionTreeRegressor().setMaxDepth(3).setSeed(1))
+        .setMaxIter(1)
+        .setLoss(lossName)
+        .setAlpha(0.9)
+        .setLearningRate(1.0)
+        .setSeed(0L)
+      val m = est.fit(regDf)
+      val aNewton = m.modelWeights(0)
+      val rows = regDf.collect().map { r =>
+        val x = r.getAs[Vector](1)
+        (r.getDouble(0), m.init.predict(x), m.models(0).predict(x))
+      }
+      val objective = new UnivariateObjectiveFunction(a =>
+        rows.map { case (y, f, d) => lossObj.loss(y, f + a * d) }.sum)
+      val aBrent = new BrentOptimizer(1e-8, 1e-10)
+        .optimize(new MaxEval(200), objective, GoalType.MINIMIZE, new SearchInterval(0.0, 100.0))
+        .getPoint
+      assert(math.abs(aNewton - aBrent) < 1e-3,
+        s"loss=$lossName newton step $aNewton vs brent $aBrent")
+    }
+  }
+
   test("GBMRegressor newton updates + subbag fit") {
     val m = new GBMRegressor()
       .setBaseLearner(new DecisionTreeRegressor().setMaxDepth(3).setSeed(1))
@@ -308,6 +343,42 @@ class GBMSuite extends graft.SparkSpec {
         .fit(bin)
       val acc = accuracy(m.transform(bin))
       assert(acc > 0.85, s"gbm $l accuracy $acc")
+    }
+  }
+
+  test("bernoulli/exponential Newton step matches Brent's optimum (±tol)") {
+    // dim=1 margin losses take the scalar-Newton branch of
+    // stepVectorSearch; pin its answer against a driver-side Brent
+    // optimum of the same phi(a), like the regressor's parity test
+    import org.apache.commons.math3.optim.MaxEval
+    import org.apache.commons.math3.optim.nonlinear.scalar.GoalType
+    import org.apache.commons.math3.optim.univariate.{
+      BrentOptimizer, SearchInterval, UnivariateObjectiveFunction
+    }
+    val s = spark
+    import s.implicits._
+    val bin = clsDf.withColumn("label", when(col("label") === 2.0, 1.0).otherwise(col("label")))
+    for (lossName <- Seq("bernoulli", "exponential")) {
+      val m = new GBMClassifier()
+        .setBaseLearner(new DecisionTreeRegressor().setMaxDepth(3).setSeed(1))
+        .setMaxIter(1)
+        .setLoss(lossName)
+        .setLearningRate(1.0)
+        .setSeed(0L)
+        .fit(bin)
+      val aNewton = m.modelWeights(0)(0)
+      val lossObj: GBMLoss = if (lossName == "bernoulli") BernoulliLoss else ExponentialLoss
+      val rows = bin.select("label", "features").collect().map { r =>
+        val x = r.getAs[Vector](1)
+        (lossObj.encodeLabel(r.getDouble(0)), m.init(0), m.models(0)(0).predict(x))
+      }
+      val objective = new UnivariateObjectiveFunction(a =>
+        rows.map { case (y, f, d) => lossObj.loss(y, Array(f + a * d)) }.sum)
+      val aBrent = new BrentOptimizer(1e-8, 1e-10)
+        .optimize(new MaxEval(200), objective, GoalType.MINIMIZE, new SearchInterval(0.0, 100.0))
+        .getPoint
+      assert(math.abs(aNewton - aBrent) < 1e-3,
+        s"loss=$lossName newton step $aNewton vs brent $aBrent")
     }
   }
 

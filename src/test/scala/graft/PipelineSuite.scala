@@ -329,6 +329,42 @@ class PipelineSuite extends SparkSpec {
     assert(fb.forall(_ === 64))
   }
 
+  test("multimodal codec seam: stub codec matches scalar stub, codecs swap without schema change") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "abcdefgh" * 32), (2L, "short"), (3L, "")).toDF("doc_id", "text")
+    val withP = Multimodal.withPayload(df, "text")
+
+    // the batch seam with the stub codec reproduces the scalar stub exactly
+    val viaSeam = Multimodal
+      .decodeFeaturesWith(withP, new graft.pipeline.ByteHistogramCodec, batchSize = 2)
+      .select("doc_id", "media_features")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val viaUdf = withP.withColumn("f", Multimodal.decodeFeatures(col("payload")))
+      .select("doc_id", "f")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(viaSeam === viaUdf)
+
+    // a different codec drops in through the same seam: only the vector
+    // content/width changes, never the surrounding schema or row count
+    val meanByte = new graft.pipeline.MediaCodec {
+      override val featureDim = 2
+      override def decodeBatch(payloads: Iterator[Array[Byte]]): Iterator[Array[Double]] =
+        payloads.map { p =>
+          if (p == null || p.isEmpty) Array(0.0, 0.0)
+          else Array(p.length.toDouble, p.map(_ & 0xFF).sum.toDouble / p.length)
+        }
+    }
+    val swapped = Multimodal.decodeFeaturesWith(withP, meanByte, batchSize = 2)
+    assert(swapped.schema.fieldNames.toSeq ===
+      Multimodal.decodeFeaturesWith(withP, new graft.pipeline.ByteHistogramCodec).schema.fieldNames.toSeq)
+    val rows = swapped.select("doc_id", "media_features").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(rows.size === 3)
+    assert(rows(1).length === 2 && rows(1).head === 256.0)
+    assert(rows(3) === Seq(0.0, 0.0)) // empty payload keeps its row
+  }
+
   test("multimodal resize stub downsamples deterministically") {
     val s = spark
     import s.implicits._

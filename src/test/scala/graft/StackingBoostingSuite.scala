@@ -132,6 +132,47 @@ class StackingBoostingSuite extends SparkSpec {
     assert(af > 0.85 && math.abs(af - as) < 0.1, s"fast acc $af vs generic $as")
   }
 
+  test("SAMME.R native-tree fast path: parity with generic loop") {
+    // the fast path reads each leaf's normalized impurityStats — exactly
+    // what predictProbability returns — so the probability-coded weight
+    // recursion matches the generic loop up to the fixed-vs-reweighted
+    // candidate grid (same caveat as the discrete path)
+    def fit(fast: Boolean) = new BoostingClassifier()
+      .setBaseLearner(new DecisionTreeClassifier().setMaxDepth(4).setSeed(9))
+      .setNumBaseLearners(4)
+      .setAlgorithm("real")
+      .setNativeTreeFastPath(fast)
+      .fit(clsDf)
+    val fastC = fit(true)
+    val slowC = fit(false)
+    assert(fastC.models.length === slowC.models.length)
+    assert(fastC.modelWeights.forall(_ === 1.0))
+    assert(slowC.modelWeights.forall(_ === 1.0))
+    val (af, as) = (accuracy(fastC.transform(clsDf)), accuracy(slowC.transform(clsDf)))
+    assert(af > 0.85 && math.abs(af - as) < 0.1, s"fast acc $af vs generic $as")
+    // determinism
+    assert(accuracy(fit(true).transform(clsDf)) === af)
+  }
+
+  test("SAMME.R early-exits when a round's tree is perfect (both paths)") {
+    val s = spark
+    import s.implicits._
+    val sep = (0 until 200).map { i =>
+      val x0 = (i % 2).toDouble
+      (x0, Vectors.dense(x0, (i % 7).toDouble))
+    }.toDF("label", "features")
+    for (fast <- Seq(true, false)) {
+      val model = new BoostingClassifier()
+        .setBaseLearner(new DecisionTreeClassifier().setMaxDepth(3).setSeed(1))
+        .setNumBaseLearners(10)
+        .setAlgorithm("real")
+        .setNativeTreeFastPath(fast)
+        .fit(sep)
+      assert(model.models.length === 1, s"fast=$fast kept boosting past a perfect tree")
+      assert(accuracy(model.transform(sep)) === 1.0)
+    }
+  }
+
   test("boosting fast path honors minWeightFractionPerNode like the generic loop") {
     // metadata is built once on sum-1-normalized weights so the fraction
     // threshold matches every round's normalized fit; the raw-weight scale
