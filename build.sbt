@@ -30,6 +30,15 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   // local[32] ML fits churn task results fast enough that an 8g heap
   // spends measurable time in GC (bench run-to-run totals spread ~20%);
-  // the machine has 128 GiB — give the single-JVM driver+executor room
+  // the machine has 128 GiB — give the single-JVM driver+executor room.
+  // -Xms pinned to -Xmx: G1's heap grow/shrink cycles re-tune region
+  // counts and concurrent-mark cadence mid-run, a measurable source of
+  // run-to-run bench variance on identical plans.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  "-XX:+UseG1GC",
+  // fault the whole heap in at JVM startup: without this the first
+  // allocation-heavy queries pay the page-fault bill inside their timed
+  // repeats (measured 4-28s swings on the alphabetically-first bench query)
+  "-XX:+AlwaysPreTouch",
 )

@@ -38,7 +38,11 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // optional comma-separated allowlist for iterating on single queries
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val all = (SparkEntry.queries ++ Queries.benchHeavy).toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     // global warmup: scan/agg/join codegen, window, UDF+fit, dedup expressions
     Seq("q1_pricing_summary", "q3_running_qty_window", "ml_dummy_mean", "p_ngram_jaccard")
       .foreach { name =>
@@ -59,6 +63,8 @@ object Bench {
         }
         val sec = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
+        if (sys.env.contains("SPARK_GRAFT_BENCH_VERBOSE"))
+          System.err.println(f"[bench] $name rep: $sec%.2f s")
         sec
       }
       (1 to warmups).foreach(_ => runOnce())

@@ -382,6 +382,56 @@ class GBMSuite extends graft.SparkSpec {
     }
   }
 
+  test("logloss K-dim Newton step vector matches L-BFGS-B's optimum (±tol)") {
+    // the K-dim softmax path runs a full-hessian Newton solve; pin the
+    // joint step vector against a driver-side bound-constrained L-BFGS-B
+    // over the same phi(alpha) = sum_i loss(y_i, f0 + alpha o d_i)
+    import breeze.linalg.{DenseVector => BDV}
+    import breeze.optimize.{DiffFunction, LBFGSB}
+    val k = 3
+    val m = new GBMClassifier()
+      .setBaseLearner(new DecisionTreeRegressor().setMaxDepth(3).setSeed(1))
+      .setMaxIter(1)
+      .setLoss("logloss")
+      .setLearningRate(1.0)
+      .setSeed(0L)
+      .fit(clsDf)
+    val aNewton = m.modelWeights(0)
+    val lossObj = LogLoss(k)
+    val rows = clsDf.select("label", "features").collect().map { r =>
+      val x = r.getAs[Vector](1)
+      (lossObj.encodeLabel(r.getDouble(0)),
+        Array.tabulate(k)(j => m.models(0)(j).predict(x)))
+    }
+    def phi(a: Array[Double]): Double = rows.map { case (y, d) =>
+      lossObj.loss(y, Array.tabulate(k)(j => m.init(j) + a(j) * d(j)))
+    }.sum
+    val objective = new DiffFunction[BDV[Double]] {
+      override def calculate(a: BDV[Double]): (Double, BDV[Double]) = {
+        val g = new Array[Double](k)
+        var l = 0.0
+        rows.foreach { case (y, d) =>
+          val fa = Array.tabulate(k)(j => m.init(j) + a(j) * d(j))
+          l += lossObj.loss(y, fa)
+          val gr = lossObj.gradient(y, fa)
+          var j = 0
+          while (j < k) { g(j) += gr(j) * d(j); j += 1 }
+        }
+        (l, BDV(g))
+      }
+    }
+    val solver = new LBFGSB(
+      BDV.zeros[Double](k), BDV.fill(k)(Double.PositiveInfinity),
+      maxIter = 100, m = 7, tolerance = 1e-10)
+    val aRef = solver.minimize(objective, BDV.fill(k)(1.0)).toArray
+    aNewton.indices.foreach { j =>
+      assert(math.abs(aNewton(j) - aRef(j)) < 1e-3,
+        s"alpha($j): newton ${aNewton(j)} vs lbfgsb ${aRef(j)}")
+    }
+    // and the achieved objective can't be worse
+    assert(phi(aNewton) <= phi(aRef) + 1e-6)
+  }
+
   test("GBM early stop fires exactly where the learning curve says (reference §5 cat 5)") {
     val withVal = regDf.withColumn("isVal", rand(11) > 0.7).cache()
     def fit(rounds: Int) = new GBMRegressor()
