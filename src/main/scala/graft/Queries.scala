@@ -174,7 +174,7 @@ object Queries {
 
   // ------------------------------------------------------- data-pipeline ops
 
-  import graft.pipeline.{Dedup, Multimodal, Similarity, TextFunctions => TF}
+  import graft.pipeline.{Dedup, Multimodal, Similarity, SkewJoin, TextFunctions => TF}
 
   /** Per-document text statistics — all pure expressions, single scan. */
   def pTextStats(spark: SparkSession, sfDir: String): DataFrame = {
@@ -376,6 +376,34 @@ object Queries {
         sum("new_session").cast("long").as("n_sessions"),
         count(lit(1)).as("n_events"))
       .orderBy("user_id")
+  }
+
+  /** Skew-aware fact⋈dim join through [[graft.pipeline.SkewJoin]]:
+    * l_suppkey remapped so ~25% of lineitem lands on one sentinel key,
+    * hot keys detected by frequency, the join salted 8 ways. The salt
+    * only routes rows to reducers, so the result is exactly the plain
+    * join's — which the DuckDB oracle pins.
+    */
+  def pSkewJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = lineitem(spark, sfDir).withColumn(
+      "skew_key",
+      when(pmod(col("l_suppkey"), lit(4)) === 0, lit(-1L))
+        .otherwise(col("l_suppkey")))
+    val supp = supplier(spark, sfDir)
+      .withColumn(
+        "skew_key",
+        when(pmod(col("s_suppkey"), lit(4)) === 0, lit(-1L))
+          .otherwise(col("s_suppkey")))
+      .groupBy("skew_key")
+      .agg(count(lit(1)).as("n_supp"))
+    val hot = SkewJoin.hotKeys(li, "skew_key", 0.05)
+    SkewJoin.saltedEquiJoin(li, supp, "skew_key", "skew_key", hot, saltFactor = 8)
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        round(sum("l_quantity"), 4).as("sum_qty"),
+        sum("n_supp").as("sum_supp"))
+      .orderBy("l_returnflag")
   }
 
   // ---------------------------------------------------------------- ML-shaped
@@ -861,6 +889,42 @@ object Queries {
   def q2JoinShuffled(spark: SparkSession, sfDir: String): DataFrame =
     factJoinAgg(lineitem(spark, sfDir), orders(spark, sfDir))
 
+  /** Shared sides for the skew-join bench pair: events with ~25% of rows
+    * remapped to one hot user, joined to a per-user profile. The profile
+    * carries a shuffle_hash hint so the comparison exercises the shuffled
+    * join path (at 100 TB the profile side is not broadcast-able); note
+    * AQE's OptimizeSkewedJoin can also split the hot partition at
+    * runtime — the salted variant moves the same protection into the
+    * plan, where it also covers the groupBy-after-join case AQE can't.
+    */
+  private def skewBenchSides(
+      spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
+    val ev = events(spark, sfDir).withColumn(
+      "skew_key",
+      when(pmod(col("user_id"), lit(4)) === 0, lit(-1L))
+        .otherwise(col("user_id")))
+    val profile = ev.groupBy("skew_key").agg(
+      count(lit(1)).as("n_events"),
+      round(avg("value"), 6).as("avg_value"))
+    (ev, profile.hint("shuffle_hash"))
+  }
+
+  private def skewBenchAgg(joined: DataFrame): DataFrame =
+    joined.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("n_events").as("s"))
+      .orderBy("event_type")
+
+  def q11SkewSalted(spark: SparkSession, sfDir: String): DataFrame = {
+    val (ev, profile) = skewBenchSides(spark, sfDir)
+    skewBenchAgg(graft.pipeline.SkewJoin.saltedEquiJoin(
+      ev, profile, "skew_key", "skew_key", Seq(-1L), saltFactor = 8))
+  }
+
+  def q11SkewPlain(spark: SparkSession, sfDir: String): DataFrame = {
+    val (ev, profile) = skewBenchSides(spark, sfDir)
+    skewBenchAgg(ev.join(profile, "skew_key"))
+  }
+
   /** Bench-only heavy queries (timed by graft.Bench alongside
     * SparkEntry.queries; NOT part of the correctness gate).
     */
@@ -876,5 +940,7 @@ object Queries {
     "ml_gbm_classifier_dt" -> (gbmClassificationDt _),
     "ml_gbm_multiclass_dt" -> (gbmMulticlassDt _),
     "q2_join_bucketed" -> (q2JoinBucketed _),
-    "q2_join_shuffled" -> (q2JoinShuffled _))
+    "q2_join_shuffled" -> (q2JoinShuffled _),
+    "q11_skew_salted" -> (q11SkewSalted _),
+    "q11_skew_plain" -> (q11SkewPlain _))
 }

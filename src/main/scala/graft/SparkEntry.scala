@@ -52,7 +52,8 @@ object SparkEntry {
     "p_multimodal" -> (Queries.pMultimodal _),
     "p_weighted_median" -> (Queries.pWeightedMedian _),
     "p_corpus_pipeline" -> (Queries.pCorpusPipeline _),
-    "p_sessions" -> (Queries.pSessions _)
+    "p_sessions" -> (Queries.pSessions _),
+    "p_skew_join" -> (Queries.pSkewJoin _)
   )
 
   private val EN = "['the','and','of','to','in','is','a','that','it','for']"
@@ -423,6 +424,23 @@ object SparkEntry {
         |  CAST(sum(new_session) AS BIGINT) AS n_sessions,
         |  count(*) AS n_events
         |FROM m
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
+
+    // the salted join must be indistinguishable from the plain join — the
+    // salt only routes rows to reducers
+    "p_skew_join" ->
+      """WITH li AS (
+        |  SELECT CASE WHEN l_suppkey % 4 = 0 THEN -1 ELSE l_suppkey END AS skew_key,
+        |         l_returnflag, l_quantity FROM lineitem),
+        |s AS (
+        |  SELECT CASE WHEN s_suppkey % 4 = 0 THEN -1 ELSE s_suppkey END AS skew_key,
+        |         count(*) AS n_supp FROM supplier GROUP BY 1)
+        |SELECT l_returnflag,
+        |       count(*) AS n_rows,
+        |       round(sum(l_quantity), 4) AS sum_qty,
+        |       CAST(sum(n_supp) AS BIGINT) AS sum_supp
+        |FROM li JOIN s USING (skew_key)
         |GROUP BY 1
         |ORDER BY 1""".stripMargin
   )

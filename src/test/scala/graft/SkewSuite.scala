@@ -1,10 +1,13 @@
 package graft
 
+import graft.pipeline.SkewJoin
 import org.apache.spark.sql.functions._
 
-/** Proves the SCALE.md skew pattern: a salted two-stage aggregation gives
-  * identical results to the direct groupBy on a pathologically skewed key
-  * while bounding any single task's group size to 1/16 of the hot key.
+/** Proves the SCALE.md skew patterns: (1) a salted two-stage aggregation
+  * gives identical results to the direct groupBy on a pathologically
+  * skewed key while bounding any single task's group size; (2) the
+  * SkewJoin operator's salted equi-join is output-identical to the plain
+  * join while spreading the hot key over saltFactor sub-keys.
   */
 class SkewSuite extends SparkSpec {
 
@@ -40,5 +43,61 @@ class SkewSuite extends SparkSpec {
       assert(m2 === m, s"max mismatch for $k")
       assert(math.abs(sv2 - sv) < 1e-6 * math.max(1.0, math.abs(sv)), s"sum mismatch for $k")
     }
+  }
+
+  private lazy val skewed = {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(91)
+    // 40% of fact rows on key -1, the rest uniform over 200 keys
+    val fact = (0 until 60000).map { i =>
+      val k = if (rng.nextDouble() < 0.4) -1L else rng.nextInt(200).toLong
+      (k, rng.nextInt(100).toDouble, s"row$i")
+    }.toDF("k", "v", "tag").repartition(16)
+    val dim = (-1L to 199L).map(k => (k, s"dim$k", k * 10.0))
+      .toDF("k", "name", "weight")
+    (fact, dim)
+  }
+
+  test("hotKeys finds exactly the keys above the threshold") {
+    val (fact, _) = skewed
+    assert(SkewJoin.hotKeys(fact, "k", 0.05) === Seq(-1L))
+    // everything clears a tiny threshold; capped by maxKeys, hottest first
+    val top3 = SkewJoin.hotKeys(fact, "k", 1e-9, maxKeys = 3)
+    assert(top3.length === 3 && top3.head === -1L)
+  }
+
+  test("saltedEquiJoin equals the plain join on skewed keys") {
+    val (fact, dim) = skewed
+    val plain = fact.join(dim, "k")
+      .select("k", "v", "tag", "name", "weight")
+    val salted = SkewJoin.saltedEquiJoin(fact, dim, "k", "k", Seq(-1L), saltFactor = 8)
+      .select("k", "v", "tag", "name", "weight")
+    assert(salted.count() === plain.count())
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+    // empty hot set degenerates to the plain join
+    val unsalted = SkewJoin.saltedEquiJoin(fact, dim, "k", "k", Nil)
+      .select("k", "v", "tag", "name", "weight")
+    assert(unsalted.exceptAll(plain).isEmpty)
+  }
+
+  test("salting spreads the hot key across saltFactor sub-keys") {
+    val (fact, dim) = skewed
+    val saltFactor = 8
+    val hotCount = fact.filter(col("k") === -1L).count()
+    // reconstruct the salted left side the way saltedEquiJoin builds it
+    val groups = fact
+      .withColumn("__salt",
+        when(col("k") === -1L, (rand(42L) * saltFactor).cast("int"))
+          .otherwise(lit(0)))
+      .groupBy("k", "__salt").count()
+      .filter(col("k") === -1L)
+      .collect().map(_.getLong(2))
+    assert(groups.length === saltFactor, "hot key must occupy all salt buckets")
+    assert(groups.max < hotCount / 2,
+      s"largest salted group ${groups.max} should be well under the unsalted $hotCount")
+    // and the replicated dim side matches each hot row exactly once
+    val joined = SkewJoin.saltedEquiJoin(fact, dim, "k", "k", Seq(-1L), saltFactor)
+    assert(joined.filter(col("k") === -1L).count() === hotCount)
   }
 }
