@@ -116,6 +116,8 @@ class GBMClassifier(override val uid: String)
       val depth = $(aggregationDepth)
       var lo = 0.0
       var hi = 100.0
+      var loProbed = false
+      var hiProbed = false
       var a = 1.0
       var it = 0
       var converged = false
@@ -132,10 +134,17 @@ class GBMClassifier(override val uid: String)
           depth = depth)
         if (!dphi.isFinite || !d2phi.isFinite) failed = true
         else {
-          if (dphi > 0) hi = a else lo = a
+          val wantRight = dphi <= 0
+          if (dphi > 0) { hi = a; hiProbed = true } else { lo = a; loProbed = true }
           val newton = if (d2phi > 0) a - dphi / d2phi else Double.NaN
+          // see GBMRegressor.lineSearch: probe a not-yet-probed clamp
+          // directly when the step escapes toward it — near-constant
+          // directions put the constrained optimum AT the clamp, and
+          // bisection would spend log2(range/tol) passes getting there
           val next =
             if (newton.isFinite && newton > lo && newton < hi) newton
+            else if (wantRight && !hiProbed) hi
+            else if (!wantRight && !loProbed) lo
             else (lo + hi) / 2.0
           if (math.abs(next - a) < $(tol) || hi - lo < $(tol)) converged = true
           a = next

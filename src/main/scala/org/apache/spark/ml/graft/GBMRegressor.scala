@@ -233,6 +233,8 @@ class GBMRegressor(override val uid: String)
       val h = lossB.asInstanceOf[GBMRegressionLoss with HasScalarHessian]
       var lo = 0.0
       var hi = 100.0
+      var loProbed = false
+      var hiProbed = false
       var a = 1.0
       var it = 0
       var converged = false
@@ -249,10 +251,17 @@ class GBMRegressor(override val uid: String)
           depth)
         if (!dphi.isFinite || !d2phi.isFinite) failed = true
         else {
-          if (dphi > 0) hi = a else lo = a
+          val wantRight = dphi <= 0
+          if (dphi > 0) { hi = a; hiProbed = true } else { lo = a; loProbed = true }
           val newton = if (d2phi > 0) a - dphi / d2phi else Double.NaN
+          // convex phi: a step escaping toward a NOT-yet-probed clamp means
+          // the optimum may BE the clamp (near-constant directions put it
+          // there) — probe the clamp directly, one pass, instead of
+          // bisecting toward it in log2(range/tol) passes
           val next =
             if (newton.isFinite && newton > lo && newton < hi) newton
+            else if (wantRight && !hiProbed) hi
+            else if (!wantRight && !loProbed) lo
             else (lo + hi) / 2.0
           if (math.abs(next - a) < $(tol) || hi - lo < $(tol)) converged = true
           a = next
