@@ -378,6 +378,25 @@ object Queries {
       .orderBy("user_id")
   }
 
+  /** Near-dup cluster resolution: the exact trigram-Jaccard pairs (same
+    * config as p_ngram_jaccard) resolved to connected components — the
+    * step that turns "similar pairs" into "one survivor per dup group".
+    * Oracle: DuckDB recursive CTE over the same pair derivation.
+    */
+  def pDedupComponents(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = Dedup.ngramJaccardPairs(
+      documents(spark, sfDir), "doc_id", "text", 3, 0.5)
+    val comps = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+    // comps is materialized+persisted (the caller-owned result of every
+    // dedup pipeline — Bench/Verify clearCache between queries); pairs is
+    // only lineage behind it now
+    pairs.unpersist(blocking = false)
+    comps.agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct("component").as("n_clusters"),
+      sum(when(col("id") =!= col("component"), 1L).otherwise(0L)).as("n_removed"))
+  }
+
   /** Skew-aware fact⋈dim join through [[graft.pipeline.SkewJoin]]:
     * l_suppkey remapped so ~25% of lineitem lands on one sentinel key,
     * hot keys detected by frequency, the join salted 8 ways. The salt

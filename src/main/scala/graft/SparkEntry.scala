@@ -53,7 +53,8 @@ object SparkEntry {
     "p_weighted_median" -> (Queries.pWeightedMedian _),
     "p_corpus_pipeline" -> (Queries.pCorpusPipeline _),
     "p_sessions" -> (Queries.pSessions _),
-    "p_skew_join" -> (Queries.pSkewJoin _)
+    "p_skew_join" -> (Queries.pSkewJoin _),
+    "p_dedup_components" -> (Queries.pDedupComponents _)
   )
 
   private val EN = "['the','and','of','to','in','is','a','that','it','for']"
@@ -442,6 +443,26 @@ object SparkEntry {
         |       CAST(sum(n_supp) AS BIGINT) AS sum_supp
         |FROM li JOIN s USING (skew_key)
         |GROUP BY 1
-        |ORDER BY 1""".stripMargin
+        |ORDER BY 1""".stripMargin,
+
+    // connected components over the exact-Jaccard pair graph: min
+    // reachable id per vertex via a recursive closure — pins the Spark
+    // min-label-propagation loop end to end
+    "p_dedup_components" ->
+      s"""WITH RECURSIVE pr AS ($JACCARD_PAIRS_SQL),
+        |edges AS (
+        |  SELECT doc_a AS a, doc_b AS b FROM pr
+        |  UNION SELECT doc_b AS a, doc_a AS b FROM pr),
+        |reach(src, dst) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+        |comp AS (
+        |  SELECT src AS id, least(src, min(dst)) AS component
+        |  FROM reach GROUP BY src)
+        |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(count(DISTINCT component) AS BIGINT) AS n_clusters,
+        |       CAST(sum(CASE WHEN id <> component THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+        |FROM comp""".stripMargin
   )
 }

@@ -70,6 +70,84 @@ object Dedup {
     df.join(keep, Seq(idCol), "left_semi")
   }
 
+  /** Connected components over an undirected pair set — the cluster
+    * resolution every near-dup pipeline needs between "similar pairs" and
+    * "deduplicated corpus" (a transitively-linked dup group must keep ONE
+    * representative, not one per pair). Returns (id, component) for every
+    * vertex in the pair graph, component = min reachable id.
+    *
+    * Min-label propagation: each round every vertex takes the minimum of
+    * its own label and its neighbors' (one join + one partial-aggregated
+    * groupBy per round, all shuffles on the vertex id). Rounds needed =
+    * the cluster diameter, and near-dup graphs are shallow by
+    * construction — a dup of a dup shares most shingles with the original,
+    * so diameters past 3-4 are rare; `maxIter` caps pathological chains.
+    * The edge set is candidate-bounded (banding output), never the corpus
+    * crossed with itself, so each round is linear in the pair count.
+    */
+  def connectedComponents(
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      maxIter: Int = 20): DataFrame = {
+    require(maxIter >= 1, s"maxIter must be >= 1, got $maxIter")
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+    edges.persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id"))
+    var backing = labels // the persisted DataFrame behind `labels`
+    backing.persist()
+    backing.count()
+    var iter = 0
+    var changed = 1L
+    while (iter < maxIter && changed > 0) {
+      val msgs = edges
+        .join(labels.select(col("id").as("dst"), col("component").as("cand")), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min("cand").as("nmin"))
+      val proposed = labels.join(msgs, Seq("id"), "left")
+        .select(
+          col("id"),
+          col("component").as("old"),
+          when(col("nmin") < col("component"), col("nmin"))
+            .otherwise(col("component")).as("component"))
+      proposed.persist()
+      changed = proposed.filter(col("component") =!= col("old")).count()
+      backing.unpersist(blocking = false) // proposed is materialized
+      backing = proposed
+      // rebuild from the persisted RDD to RESET the Catalyst plan: the
+      // round's plan embeds the previous labels twice (directly and via
+      // msgs), so chaining DataFrames doubles the plan tree every round —
+      // analysis time goes exponential while the data stays tiny. The RDD
+      // DAG shares nodes (it's a DAG, not a tree) and recompute stops at
+      // the persisted blocks, so this is purely a planner-cost reset.
+      val slim = proposed.select("id", "component")
+      labels = proposed.sparkSession.createDataFrame(slim.rdd, slim.schema)
+      iter += 1
+    }
+    // `labels` is a projection over the last round's persisted frame; hand
+    // the caller its own persisted copy and release the loop's blocks
+    materializeAndRelease(labels, edges, backing)
+  }
+
+  /** Near-dup-deduplicated corpus: one canonical (min-id) row survives per
+    * connected component of the similar-pair graph; rows not in any pair
+    * pass through. `pairs` is any of the near-dup pipelines' outputs.
+    */
+  def nearDupCorpus(
+      df: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      aCol: String = "doc_a",
+      bCol: String = "doc_b"): DataFrame = {
+    val comps = connectedComponents(pairs, aCol, bCol)
+    val losers = comps.filter(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
+    materializeAndRelease(df.join(losers, Seq(idCol), "left_anti"), comps)
+  }
+
   /** Exact n-gram Jaccard similar pairs >= threshold via the
     * shingle-inverted-index self-join — the exact-verification half of the
     * MinHash pipeline, also usable standalone at moderate scale.

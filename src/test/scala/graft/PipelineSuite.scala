@@ -64,6 +64,33 @@ class PipelineSuite extends SparkSpec {
     }
   }
 
+  test("connectedComponents resolves chains, cliques, and isolated pairs") {
+    val s = spark
+    import s.implicits._
+    // chain 1-2-3 (diameter 2), pair 10-11, long path 20..27 (diameter 7)
+    val pairs = (Seq((1L, 2L), (2L, 3L), (10L, 11L)) ++
+      (20L until 27L).map(i => (i, i + 1))).toDF("doc_a", "doc_b")
+    val comps = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(comps.size === 13)
+    assert(Seq(1L, 2L, 3L).forall(comps(_) == 1L))
+    assert(Seq(10L, 11L).forall(comps(_) == 10L))
+    assert((20L to 27L).forall(comps(_) == 20L))
+  }
+
+  test("nearDupCorpus keeps one survivor per near-dup cluster") {
+    // docs has 100 originals + 10 near-dups of docs 0-9: the pair graph
+    // links each dup to its original, so exactly the 10 dups must drop
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+    val corpus = Dedup.nearDupCorpus(docs, "doc_id", pairs)
+    val ids = corpus.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(corpus.count() === 100)
+    assert((0L until 100L).forall(ids.contains))
+    assert(!(1000L until 1010L).exists(ids.contains))
+    corpus.unpersist(blocking = false)
+    pairs.unpersist(blocking = false)
+  }
+
   test("dedupedCorpus keeps one canonical row per normalized text") {
     val s = spark
     import s.implicits._
