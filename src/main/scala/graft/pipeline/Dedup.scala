@@ -148,6 +148,32 @@ object Dedup {
     materializeAndRelease(df.join(losers, Seq(idCol), "left_anti"), comps)
   }
 
+  /** Like [[nearDupCorpus]] but each dup cluster keeps its
+    * highest-`priorityCol` member (ties broken by min id) — production
+    * dedup retains the best-quality document, not the smallest id. The
+    * per-component window is bounded by the dup-cluster size, which the
+    * pair-generation parameters already control; a corpus whose documents
+    * are ALL near-dups of each other degenerates to one giant component
+    * by definition, not by plan choice.
+    */
+  def nearDupCorpusBy(
+      df: DataFrame,
+      idCol: String,
+      priorityCol: String,
+      pairs: DataFrame,
+      aCol: String = "doc_a",
+      bCol: String = "doc_b"): DataFrame = {
+    val comps = connectedComponents(pairs, aCol, bCol)
+    val ranked = comps.join(
+      df.select(col(idCol).as("id"), col(priorityCol).as("__prio")), "id")
+    val w = Window.partitionBy("component")
+      .orderBy(col("__prio").desc, col("id").asc)
+    val losers = ranked.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") > 1)
+      .select(col("id").as(idCol))
+    materializeAndRelease(df.join(losers, Seq(idCol), "left_anti"), comps)
+  }
+
   /** Exact n-gram Jaccard similar pairs >= threshold via the
     * shingle-inverted-index self-join — the exact-verification half of the
     * MinHash pipeline, also usable standalone at moderate scale.

@@ -91,6 +91,19 @@ class PipelineSuite extends SparkSpec {
     pairs.unpersist(blocking = false)
   }
 
+  test("nearDupCorpusBy keeps the highest-priority member per cluster") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      (1L, "a", 5.0), (2L, "b", 9.0), (3L, "c", 7.0), // cluster {1,2,3}
+      (10L, "d", 1.0) // isolated
+    ).toDF("doc_id", "text", "quality")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val kept = Dedup.nearDupCorpusBy(corpus, "doc_id", "quality", pairs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(2L, 10L)) // 2 has the top quality; 10 untouched
+  }
+
   test("dedupedCorpus keeps one canonical row per normalized text") {
     val s = spark
     import s.implicits._
