@@ -885,16 +885,31 @@ object Queries {
     * with [[q2JoinShuffled]] like-for-like at bench SFs where the orders
     * side would otherwise be broadcast-able (it is not at 100 TB).
     */
+  /** `saveAsTable` on a MANAGED table refuses an existing location even
+    * with overwrite mode when the (in-memory, per-JVM) catalog has no
+    * entry for it — exactly the state a second bench JVM inherits from
+    * the first one's warehouse files. Drop the stale directory so the
+    * write-once-per-JVM pattern survives across sessions.
+    */
+  private def dropStaleWarehouseDir(spark: SparkSession, table: String): Unit = {
+    val wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    val loc = new org.apache.hadoop.fs.Path(wh, table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+  }
+
   def q2JoinBucketed(spark: SparkSession, sfDir: String): DataFrame = {
     val tag = sfDir.replaceAll("[^A-Za-z0-9]", "_")
     val liT = s"graft_li_bucketed_$tag"
     val oT = s"graft_o_bucketed_$tag"
     if (!spark.catalog.tableExists(liT)) {
+      dropStaleWarehouseDir(spark, liT)
       lineitem(spark, sfDir).write.format("parquet")
         .bucketBy(32, "l_orderkey").sortBy("l_orderkey")
         .mode("overwrite").saveAsTable(liT)
     }
     if (!spark.catalog.tableExists(oT)) {
+      dropStaleWarehouseDir(spark, oT)
       orders(spark, sfDir).write.format("parquet")
         .bucketBy(32, "o_orderkey").sortBy("o_orderkey")
         .mode("overwrite").saveAsTable(oT)
