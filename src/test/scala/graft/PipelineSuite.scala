@@ -91,6 +91,15 @@ class PipelineSuite extends SparkSpec {
     pairs.unpersist(blocking = false)
   }
 
+  test("connectedComponents and nearDupCorpus handle an empty pair set") {
+    val s = spark
+    import s.implicits._
+    val noPairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(Dedup.connectedComponents(noPairs, "doc_a", "doc_b").count() === 0)
+    // a corpus with no near-dups passes through unchanged
+    assert(Dedup.nearDupCorpus(docs, "doc_id", noPairs).count() === docs.count())
+  }
+
   test("nearDupCorpusBy keeps the highest-priority member per cluster") {
     val s = spark
     import s.implicits._

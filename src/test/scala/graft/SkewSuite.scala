@@ -65,6 +65,9 @@ class SkewSuite extends SparkSpec {
     // everything clears a tiny threshold; capped by maxKeys, hottest first
     val top3 = SkewJoin.hotKeys(fact, "k", 1e-9, maxKeys = 3)
     assert(top3.length === 3 && top3.head === -1L)
+    // uniform data has no hot keys at a meaningful threshold
+    val uniform = fact.filter(col("k") =!= -1L)
+    assert(SkewJoin.hotKeys(uniform, "k", 0.05).isEmpty)
   }
 
   test("saltedEquiJoin equals the plain join on skewed keys") {
