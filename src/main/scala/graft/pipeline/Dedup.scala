@@ -190,6 +190,23 @@ object Dedup {
       n: Int,
       threshold: Double,
       maxDocFrequency: Long = 0L): DataFrame = {
+    val (pairs, sh) =
+      ngramJaccardPairsLazy(df, idCol, textCol, n, threshold, maxDocFrequency)
+    materializeAndRelease(pairs, sh)
+  }
+
+  /** The un-materialized plan behind [[ngramJaccardPairs]] plus the
+    * shingle table it persists — exposed so PlanSuite can assert the
+    * physical shape (no cartesian, hash join on the 8-byte key) on the
+    * REAL pipeline rather than a test copy.
+    */
+  private[graft] def ngramJaccardPairsLazy(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      threshold: Double,
+      maxDocFrequency: Long = 0L): (DataFrame, DataFrame) = {
     // shingle_hashes produces the distinct 8-byte shingle keys directly
     // from the token array (no intermediate shingle strings), and the
     // self-join shuffles longs instead of ~20-byte UTF8 keys (collisions
@@ -227,7 +244,7 @@ object Dedup {
         col("c").cast("double") / (col("sa.n") + col("sb.n") - col("c")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
-    materializeAndRelease(pairs, sh)
+    (pairs, sh)
   }
 
   /** MinHash signatures: each shingle is string-hashed ONCE (xxhash64),
@@ -260,6 +277,13 @@ object Dedup {
     */
   def minhashCandidatePairs(
       signatures: DataFrame, bands: Int, numHashes: Int): DataFrame = {
+    val (cands, banded) = minhashCandidatePairsLazy(signatures, bands, numHashes)
+    materializeAndRelease(cands, banded)
+  }
+
+  /** Un-materialized banding plan (see [[ngramJaccardPairsLazy]]). */
+  private[graft] def minhashCandidatePairsLazy(
+      signatures: DataFrame, bands: Int, numHashes: Int): (DataFrame, DataFrame) = {
     val rows = numHashes / bands
     require(rows > 0, s"bands=$bands > numHashes=$numHashes")
     require(numHashes % bands == 0,
@@ -286,7 +310,7 @@ object Dedup {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
       .distinct()
-    materializeAndRelease(cands, banded)
+    (cands, banded)
   }
 
   /** MinHash near-dup pipeline: candidates from banding, verified with the

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FormattedMode
+import org.apache.spark.sql.functions._
+
+/** Physical-plan assertions for the properties SCALE.md claims: filters
+  * and projections reach the parquet scan, small dims broadcast, and no
+  * dedup/similarity pipeline ever plans a cartesian product. These pin
+  * the PLAN, not the timing — the properties that decide whether a query
+  * survives a 100x scale-up.
+  */
+class PlanSuite extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def formatted(df: DataFrame): String =
+    df.queryExecution.explainString(FormattedMode)
+
+  test("q1: shipdate filter pushed to the parquet scan, columns pruned") {
+    val plan = formatted(Queries.q1PricingSummary(spark, sf))
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"filter not pushed:\n$plan")
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    // 7 needed columns, not all 11
+    assert(readSchema.contains("l_shipdate") && readSchema.contains("l_quantity"))
+    assert(!readSchema.contains("l_partkey") && !readSchema.contains("l_comment"),
+      s"scan reads unneeded columns: $readSchema")
+  }
+
+  test("q2: dimension joins broadcast; no dim-side shuffle") {
+    val plan = formatted(Queries.q2RevenueByNation(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), s"dims not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("text-stats scan prunes documents to the used columns") {
+    val plan = formatted(Queries.pTextStats(spark, sf))
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("doc_id") && readSchema.contains("text"))
+    assert(!readSchema.contains("source") && !readSchema.contains("lang"),
+      s"scan reads unneeded columns: $readSchema")
+  }
+
+  test("no dedup or similarity pipeline plans a cartesian product") {
+    val docs = Tables.documents(spark, sf)
+    val embs = Tables.embeddings(spark, sf)
+    try {
+      val plans = Seq(
+        "ngram" ->
+          pipeline.Dedup.ngramJaccardPairsLazy(docs, "doc_id", "text", 3, 0.5)._1,
+        "banded-minhash" -> {
+          val sigs = pipeline.Dedup.minhashSignatures(docs, "doc_id", "text", 16)
+          pipeline.Dedup.minhashCandidatePairsLazy(sigs, 4, 16)._1
+        },
+        "embedding-lsh" ->
+          pipeline.Dedup.embeddingDupPairsLsh(embs, "vec_id", "embedding", 0.9, 8, 6, 2)
+      ).map { case (n, df) => (n, formatted(df)) }
+      plans.foreach { case (name, plan) =>
+        assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+          s"$name plans an all-pairs join:\n$plan")
+        // the self-joins must key on the bucket/shingle hash, not re-sort
+        assert(plan.contains("Join") || plan.contains("ShuffledHashJoin"),
+          s"$name has no join at all?\n$plan")
+      }
+    } finally spark.catalog.clearCache() // lazy builders mark persists
+  }
+}
