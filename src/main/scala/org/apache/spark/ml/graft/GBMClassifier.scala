@@ -193,26 +193,35 @@ class GBMClassifier(override val uid: String)
 
   /** Damped Newton over the full KxK hessian of
     * phi(alpha) = sum_i w_i loss(yenc_i, f_i + alpha o d_i): one
-    * treeAggregate per iteration computes grad_j = sum w g_j d_j and
+    * treeAggregate per iteration computes phi, grad_j = sum w g_j d_j and
     * H_jk = sum w (d2 loss / df_j df_k) d_j d_k together. phi is convex
     * (convex loss composed with an affine map), so the Newton direction
-    * descends; coordinates are clamped to [0, 100]. Returns null to
-    * signal "use the L-BFGS-B fallback" — active bound, singular solve,
-    * or non-finite numerics — so boundary behavior stays exactly the
-    * reference's bound-constrained semantics.
+    * descends — but softmax logloss flattens asymptotically, so a full
+    * step can overshoot. The damping is the phi value that rides along
+    * free in the same pass: a step that failed to decrease phi is halved
+    * back toward the best evaluated point instead of Newton-stepping from
+    * a worse one, and the answer is always the best EVALUATED point — by
+    * construction never worse than the 1-vector init the fallback also
+    * starts at. Returns null to signal "use the L-BFGS-B fallback" —
+    * active bound on EITHER side (a coordinate pushed to 0, or past 100,
+    * where the fallback's [0, +inf) bounds admit the true optimum),
+    * singular solve, or non-finite numerics — so boundary behavior stays
+    * exactly the reference's bound-constrained semantics.
     */
   private def newtonStepVector(
       rdd: org.apache.spark.rdd.RDD[(Array[Double], Array[Double], Array[Double], Double)],
       loss: GBMClassificationLoss with HasFullHessian,
       dim: Int): Array[Double] = {
     val depth = $(aggregationDepth)
-    val alpha = Array.fill(dim)(1.0)
+    var alpha = Array.fill(dim)(1.0)
+    var bestAlpha: Array[Double] = null
+    var bestPhi = Double.PositiveInfinity
     var it = 0
     while (it < 8) {
       val step = alpha.clone()
-      val (g, h) = rdd.treeAggregate(
-        (new Array[Double](dim), new Array[Double](dim * dim)))(
-        seqOp = { case ((accG, accH), (yenc, f, dir, w)) =>
+      val (phi, g, h) = rdd.treeAggregate(
+        (0.0, new Array[Double](dim), new Array[Double](dim * dim)))(
+        seqOp = { case ((accL, accG, accH), (yenc, f, dir, w)) =>
           val fa = new Array[Double](dim)
           var j = 0
           while (j < dim) { fa(j) = f(j) + step(j) * dir(j); j += 1 }
@@ -228,17 +237,17 @@ class GBMClassifier(override val uid: String)
             }
             j += 1
           }
-          (accG, accH)
+          (accL + w * loss.loss(yenc, fa), accG, accH)
         },
-        combOp = { case ((g1, h1), (g2, h2)) =>
+        combOp = { case ((l1, g1, h1), (l2, g2, h2)) =>
           var j = 0
           while (j < g1.length) { g1(j) += g2(j); j += 1 }
           j = 0
           while (j < h1.length) { h1(j) += h2(j); j += 1 }
-          (g1, h1)
+          (l1 + l2, g1, h1)
         },
         depth = depth)
-      var nonFinite = false
+      var nonFinite = !phi.isFinite
       var gMax = 0.0
       var j = 0
       while (j < dim) {
@@ -249,27 +258,46 @@ class GBMClassifier(override val uid: String)
       j = 0
       while (j < h.length) { if (!h(j).isFinite) nonFinite = true; j += 1 }
       if (nonFinite) return null
-      // stationary already (e.g. a near-zero direction): any bounded step
-      // is as good as another; keep the 1-init the fallback also starts at
-      if (gMax < $(tol)) return alpha
-      val delta = solveLinear(h, g, dim)
-      if (delta == null) return null
-      var maxMove = 0.0
-      var boundary = false
-      j = 0
-      while (j < dim) {
-        var next = alpha(j) - delta(j)
-        if (next < 0.0) { next = 0.0; boundary = true }
-        if (next > 100.0) next = 100.0
-        maxMove = math.max(maxMove, math.abs(next - alpha(j)))
-        alpha(j) = next
-        j += 1
+      if (phi <= bestPhi) {
+        bestPhi = phi
+        bestAlpha = step
+        // stationary at the evaluated point (e.g. a near-zero direction):
+        // it is the convex minimum; nothing better exists
+        if (gMax < $(tol)) return step
+        val delta = solveLinear(h, g, dim)
+        if (delta == null) return null
+        val next = new Array[Double](dim)
+        var maxMove = 0.0
+        j = 0
+        while (j < dim) {
+          val nj = step(j) - delta(j)
+          // an active bound (either side) belongs to the bound-constrained
+          // solver: [0, +inf) there, so an optimum above 100 is found, not
+          // clamped to the probe box
+          if (nj < 0.0 || nj > 100.0) return null
+          maxMove = math.max(maxMove, math.abs(nj - step(j)))
+          next(j) = nj
+          j += 1
+        }
+        if (maxMove < $(tol)) return step
+        alpha = next
+      } else {
+        // the last Newton step overshot (phi rose): halve back toward the
+        // best evaluated point rather than stepping from a worse one
+        val next = new Array[Double](dim)
+        var maxMove = 0.0
+        j = 0
+        while (j < dim) {
+          next(j) = (step(j) + bestAlpha(j)) / 2.0
+          maxMove = math.max(maxMove, math.abs(next(j) - step(j)))
+          j += 1
+        }
+        if (maxMove < $(tol)) return bestAlpha
+        alpha = next
       }
-      if (boundary) return null
-      if (maxMove < $(tol)) return alpha
       it += 1
     }
-    alpha
+    bestAlpha
   }
 
   /** Solve H x = g for a small dense row-major dim x dim system by

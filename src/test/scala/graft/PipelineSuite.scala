@@ -91,6 +91,37 @@ class PipelineSuite extends SparkSpec {
     pairs.unpersist(blocking = false)
   }
 
+  test("connectedComponents folds a diameter-64 chain in log rounds") {
+    val s = spark
+    import s.implicits._
+    // an adversarial templated-doc series: each doc within range only of
+    // its neighbor — a 65-vertex path, diameter 64. Pure min-label
+    // propagation needs 64 rounds (and would blow the default maxIter=20
+    // silently wrong); the pointer-jumping shortcut folds it in O(log).
+    val chain = (0L until 64L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val (comps, rounds, converged) =
+      Dedup.connectedComponentsWithStats(chain, "doc_a", "doc_b")
+    val labels = comps.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    comps.unpersist(blocking = false)
+    assert(converged)
+    assert(rounds <= 10, s"expected log-round convergence, took $rounds")
+    assert(labels.size === 65 && (0L to 64L).forall(labels(_) == 0L))
+  }
+
+  test("connectedComponents fails loudly when maxIter is too small") {
+    val s = spark
+    import s.implicits._
+    val chain = (0L until 64L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, "doc_a", "doc_b", maxIter = 2)
+    }
+    // opt-out path: partial labels come back, flagged not-converged
+    val (partial, _, converged) = Dedup.connectedComponentsWithStats(
+      chain, "doc_a", "doc_b", maxIter = 2, failOnNonConvergence = false)
+    assert(!converged && partial.count() === 65)
+    partial.unpersist(blocking = false)
+  }
+
   test("connectedComponents and nearDupCorpus handle an empty pair set") {
     val s = spark
     import s.implicits._
