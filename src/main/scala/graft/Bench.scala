@@ -53,6 +53,11 @@ object Bench {
     spark.catalog.clearCache()
     val results = all.map { case (name, fn) =>
       var ok = true
+      // per-query conf overrides (Queries.benchConfs), restored after the
+      // query's reps so nothing leaks into the next measurement
+      val overrides = Queries.benchConfs.getOrElse(name, Map.empty)
+      val saved = overrides.keys.map(k => k -> spark.conf.getOption(k)).toMap
+      overrides.foreach { case (k, v) => spark.conf.set(k, v) }
       def runOnce(): Double = {
         val t0 = System.nanoTime()
         try fn(spark, sfDir).count()
@@ -69,6 +74,10 @@ object Bench {
       }
       (1 to warmups).foreach(_ => runOnce())
       val times = (1 to reps).map(_ => runOnce())
+      saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
       (name, median(times), times.min, ok)
     }
     def jsonMap(f: ((String, Double, Double, Boolean)) => Double): String =

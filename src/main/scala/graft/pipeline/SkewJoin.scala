@@ -23,31 +23,55 @@ import org.apache.spark.sql.functions._
   */
 object SkewJoin {
 
-  /** Keys holding more than `thresholdFraction` of `df`'s rows, by exact
-    * count (one shuffle on `key`, partial-aggregated map-side). At very
-    * large scale pass a `df.sample(...)` instead — hot keys by definition
-    * survive sampling.
+  /** Keys holding more than `thresholdFraction` of `df`'s rows.
+    * `sampleFraction < 1` counts a uniform sample instead of the full
+    * table — hot keys by definition survive sampling (a key worth salting
+    * holds ≥1% of ALL rows; at any realistic sample size its observed
+    * share concentrates tightly around its true share), and the detection
+    * scan stops being a full-table pass. At 100 TB the sampled path is
+    * the only sane default, so `hotKeysSampled` bakes in 1e-3; the exact
+    * path (sampleFraction = 1.0) remains for oracle-deterministic tests.
+    * One shuffle on `key`, partial-aggregated map-side, either way.
     */
   def hotKeys(
       df: DataFrame,
       key: String,
       thresholdFraction: Double = 0.01,
-      maxKeys: Int = 1000): Seq[Any] = {
+      maxKeys: Int = 1000,
+      sampleFraction: Double = 1.0,
+      seed: Long = 7L): Seq[Any] = {
     require(thresholdFraction > 0 && thresholdFraction <= 1,
       s"thresholdFraction must be in (0,1], got $thresholdFraction")
-    val counted = df.groupBy(col(key)).agg(count(lit(1)).as("__n"))
+    require(sampleFraction > 0 && sampleFraction <= 1,
+      s"sampleFraction must be in (0,1], got $sampleFraction")
+    val src = if (sampleFraction < 1.0) df.sample(sampleFraction, seed) else df
+    val counted = src.groupBy(col(key)).agg(count(lit(1)).as("__n"))
     counted.persist()
     try {
       // total from the per-key counts (already shuffled/combined) — an
-      // all-rows window here would funnel every group through one task
-      val total = counted.agg(sum("__n")).head().getLong(0)
-      counted
+      // all-rows window here would funnel every group through one task;
+      // coalesce covers the zero-row frame (sum over nothing is null)
+      val total = counted.agg(coalesce(sum("__n"), lit(0L))).head().getLong(0)
+      if (total == 0L) Seq.empty
+      else counted
         .filter(col("__n") > total * thresholdFraction)
         .orderBy(col("__n").desc)
         .limit(maxKeys)
         .select(key).collect().map(_.get(0)).toSeq
     } finally counted.unpersist(blocking = false)
   }
+
+  /** [[hotKeys]] over a 0.1% uniform sample — the 100 TB default: a
+    * `thresholdFraction`-hot key appears ~`thresholdFraction` of any
+    * large sample too, so detection needs none of the full-table scan.
+    */
+  def hotKeysSampled(
+      df: DataFrame,
+      key: String,
+      thresholdFraction: Double = 0.01,
+      maxKeys: Int = 1000,
+      seed: Long = 7L): Seq[Any] =
+    hotKeys(df, key, thresholdFraction, maxKeys, sampleFraction = 1e-3, seed = seed)
 
   /** Inner equi-join of a skewed `left` against a one-row-per-key-ish
     * `right`, salting only the keys in `hot`. Result columns are

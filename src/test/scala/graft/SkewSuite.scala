@@ -70,6 +70,18 @@ class SkewSuite extends SparkSpec {
     assert(SkewJoin.hotKeys(uniform, "k", 0.05).isEmpty)
   }
 
+  test("hotKeys: hot keys survive sampling; empty input yields no keys") {
+    val (fact, _) = skewed
+    // 5% sample of 60k rows: the 40%-hot key is unmissable, and the
+    // sampled path never scans the full table
+    val sampled = SkewJoin.hotKeys(fact, "k", 0.05, sampleFraction = 0.05)
+    assert(sampled === Seq(-1L))
+    // zero-row frame: sum over nothing is SQL null — must not NPE
+    val empty = fact.filter(col("k") === 12345L)
+    assert(SkewJoin.hotKeys(empty, "k", 0.05).isEmpty)
+    assert(SkewJoin.hotKeys(empty, "k", 0.05, sampleFraction = 0.1).isEmpty)
+  }
+
   test("saltedEquiJoin equals the plain join on skewed keys") {
     val (fact, dim) = skewed
     val plain = fact.join(dim, "k")
@@ -82,6 +94,43 @@ class SkewSuite extends SparkSpec {
     val unsalted = SkewJoin.saltedEquiJoin(fact, dim, "k", "k", Nil)
       .select("k", "v", "tag", "name", "weight")
     assert(unsalted.exceptAll(plain).isEmpty)
+  }
+
+  test("salting bounds the hot reducer: max join-task rows drop saltFactor-ish-fold") {
+    val (fact, dim) = skewed
+    // the dim must not broadcast (201 rows would) — the skew problem only
+    // exists on the shuffled path, as in the bench pair / at 100 TB
+    val dimSH = dim.hint("shuffle_hash")
+    def maxJoinTaskRows(df: org.apache.spark.sql.DataFrame): Long =
+      df.groupBy(spark_partition_id().as("pid")).count()
+        .agg(max("count")).head().getLong(0)
+    // AQE's small-partition coalescing would re-merge the salted
+    // sub-partitions at this toy scale (they're KBs; advisory target is
+    // MBs) — at real scale partitions are fat and stay split. Pin the
+    // mechanism itself, not AQE's re-bundling of a 60k-row fixture.
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val partsKey = "spark.sql.shuffle.partitions"
+    val before = spark.conf.get(coalesceKey)
+    val beforeParts = spark.conf.get(partsKey)
+    try {
+      spark.conf.set(coalesceKey, "false")
+      // the suite default of 4 reducers caps ANY spread at total/4 —
+      // mirror the bench's 32 so the salted spread is observable
+      spark.conf.set(partsKey, "32")
+      val saltFactor = 8
+      val hotCount = fact.filter(col("k") === -1L).count() // ~24k of 60k
+      val plainMax = maxJoinTaskRows(fact.join(dimSH, "k"))
+      val saltedMax = maxJoinTaskRows(
+        SkewJoin.saltedEquiJoin(fact, dimSH, "k", "k", Seq(-1L), saltFactor))
+      assert(plainMax >= hotCount,
+        s"plain join should funnel the whole hot key ($hotCount rows) " +
+          s"through one task, saw max $plainMax")
+      assert(saltedMax <= plainMax / (saltFactor / 2),
+        s"salted max task rows $saltedMax not well under plain $plainMax")
+    } finally {
+      spark.conf.set(coalesceKey, before)
+      spark.conf.set(partsKey, beforeParts)
+    }
   }
 
   test("salting spreads the hot key across saltFactor sub-keys") {
