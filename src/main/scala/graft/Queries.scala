@@ -981,7 +981,7 @@ object Queries {
     val hot = SkewJoin.hotKeys(
       skewKeyedEvents(spark, sfDir), "skew_key", 0.25, sampleFraction = 0.05)
     skewBenchAgg(graft.pipeline.SkewJoin.saltedEquiJoin(
-      ev, profile, "skew_key", "skew_key", hot, saltFactor = 16))
+      ev, profile, "skew_key", "skew_key", hot, saltFactor = 32))
   }
 
   def q11SkewPlain(spark: SparkSession, sfDir: String): DataFrame = {
@@ -1002,8 +1002,8 @@ object Queries {
     */
   def benchConfs: Map[String, Map[String, String]] = {
     val atScaleAqe = Map(
-      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1MB",
-      "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "256KB")
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "256KB",
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "64KB")
     Map("q11_skew_salted" -> atScaleAqe, "q11_skew_plain" -> atScaleAqe)
   }
 
