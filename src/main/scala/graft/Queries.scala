@@ -397,6 +397,25 @@ object Queries {
       sum(when(col("id") =!= col("component"), 1L).otherwise(0L)).as("n_removed"))
   }
 
+  /** Survivor-priority near-dup resolution: same pair graph as
+    * [[pDedupComponents]], but each dup cluster keeps its LONGEST member
+    * (n_chars desc, ties to min doc_id) instead of the min id — the
+    * production policy of retaining the best document. Oracle: the same
+    * DuckDB recursive closure plus a per-component window.
+    */
+  def pDedupSurvivors(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = documents(spark, sfDir)
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+    val surv = Dedup.nearDupCorpusBy(docs, "doc_id", "n_chars", pairs)
+    pairs.unpersist(blocking = false)
+    surv.groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_chars").as("sum_chars"),
+        min("doc_id").as("min_id"))
+      .orderBy("source")
+  }
+
   /** Skew-aware fact⋈dim join through [[graft.pipeline.SkewJoin]]:
     * l_suppkey remapped so ~25% of lineitem lands on one sentinel key,
     * hot keys detected by frequency, the join salted 8 ways. The salt

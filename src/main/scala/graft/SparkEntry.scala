@@ -54,7 +54,8 @@ object SparkEntry {
     "p_corpus_pipeline" -> (Queries.pCorpusPipeline _),
     "p_sessions" -> (Queries.pSessions _),
     "p_skew_join" -> (Queries.pSkewJoin _),
-    "p_dedup_components" -> (Queries.pDedupComponents _)
+    "p_dedup_components" -> (Queries.pDedupComponents _),
+    "p_dedup_survivors" -> (Queries.pDedupSurvivors _)
   )
 
   private val EN = "['the','and','of','to','in','is','a','that','it','for']"
@@ -463,6 +464,37 @@ object SparkEntry {
         |SELECT CAST(count(*) AS BIGINT) AS n_docs,
         |       CAST(count(DISTINCT component) AS BIGINT) AS n_clusters,
         |       CAST(sum(CASE WHEN id <> component THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
-        |FROM comp""".stripMargin
+        |FROM comp""".stripMargin,
+
+    // survivor-priority dedup: same recursive closure, then a window keeps
+    // the longest doc (ties min id) per component; unpaired docs pass
+    // through untouched
+    "p_dedup_survivors" ->
+      s"""WITH RECURSIVE pr AS ($JACCARD_PAIRS_SQL),
+        |edges AS (
+        |  SELECT doc_a AS a, doc_b AS b FROM pr
+        |  UNION SELECT doc_b AS a, doc_a AS b FROM pr),
+        |reach(src, dst) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+        |comp AS (
+        |  SELECT src AS id, least(src, min(dst)) AS component
+        |  FROM reach GROUP BY src),
+        |ranked AS (
+        |  SELECT c.id,
+        |    row_number() OVER (PARTITION BY c.component
+        |      ORDER BY d.n_chars DESC, c.id ASC) AS rk
+        |  FROM comp c JOIN documents d ON d.doc_id = c.id),
+        |surv AS (
+        |  SELECT * FROM documents
+        |  WHERE doc_id NOT IN (SELECT id FROM ranked WHERE rk > 1))
+        |SELECT source,
+        |       count(*) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |       min(doc_id) AS min_id
+        |FROM surv
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin
   )
 }
