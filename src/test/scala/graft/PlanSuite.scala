@@ -46,22 +46,34 @@ class PlanSuite extends SparkSpec {
     val docs = Tables.documents(spark, sf)
     val embs = Tables.embeddings(spark, sf)
     try {
+      // (name, plan, expected self-join key pattern in FormattedMode):
+      // the candidate self-join must be a hash EQUI-join keyed on the
+      // shingle hash / band bucket — that key is what bounds the join to
+      // candidate pairs instead of corpus x corpus
       val plans = Seq(
-        "ngram" ->
+        ("ngram",
           pipeline.Dedup.ngramJaccardPairsLazy(docs, "doc_id", "text", 3, 0.5)._1,
-        "banded-minhash" -> {
+          """Left keys \[1\]: \[s#\d+L\]""".r),
+        ("banded-minhash", {
           val sigs = pipeline.Dedup.minhashSignatures(docs, "doc_id", "text", 16)
           pipeline.Dedup.minhashCandidatePairsLazy(sigs, 4, 16)._1
-        },
-        "embedding-lsh" ->
-          pipeline.Dedup.embeddingDupPairsLsh(embs, "vec_id", "embedding", 0.9, 8, 6, 2)
-      ).map { case (n, df) => (n, formatted(df)) }
-      plans.foreach { case (name, plan) =>
+        }, """Left keys \[2\]: \[band#\d+, bucket#\d+L\]""".r),
+        ("embedding-lsh",
+          pipeline.Dedup.embeddingDupPairsLsh(embs, "vec_id", "embedding", 0.9, 8, 6, 2),
+          """Left keys \[2\]: \[t#\d+, bucket#\d+L\]""".r)
+      ).map { case (n, df, re) => (n, formatted(df), re) }
+      plans.foreach { case (name, plan, keyPattern) =>
         assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
           s"$name plans an all-pairs join:\n$plan")
-        // the self-joins must key on the bucket/shingle hash, not re-sort
-        assert(plan.contains("Join") || plan.contains("ShuffledHashJoin"),
-          s"$name has no join at all?\n$plan")
+        // a real equi-join operator (shuffled or broadcast at this tiny
+        // SF; never nested-loop) ...
+        assert(
+          plan.contains("ShuffledHashJoin") || plan.contains("SortMergeJoin") ||
+            plan.contains("BroadcastHashJoin"),
+          s"$name has no hash equi-join:\n$plan")
+        // ... keyed on the bucket/shingle hash columns specifically
+        assert(keyPattern.findFirstIn(plan).isDefined,
+          s"$name self-join does not key on ${keyPattern.regex}:\n$plan")
       }
     } finally spark.catalog.clearCache() // lazy builders mark persists
   }
