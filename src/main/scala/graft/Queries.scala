@@ -446,6 +446,17 @@ object Queries {
 
   // ---------------------------------------------------------------- ML-shaped
 
+  /** The testdata parquet is ONE row group per file, so a bare scan
+    * yields single-digit splits and every downstream training pass
+    * inherits them — on local[32] that ran the whole ML surface on ~3
+    * cores (profiled: executor threads 97% idle during ml_gbm_multiclass).
+    * A real 100 TB input arrives in thousands of splits; restore that
+    * property explicitly with one narrow-column round-robin shuffle, paid
+    * once per fit (the estimators cache immediately downstream).
+    */
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   /** lineitem lowered to (label, features) instances — the canonical input
     * shape of every estimator (FIXTURES.md §1).
     */
@@ -461,7 +472,11 @@ object Queries {
       .transform(li)
   }
 
-  def classificationInstances(spark: SparkSession, sfDir: String): DataFrame = {
+  def classificationInstances(spark: SparkSession, sfDir: String): DataFrame =
+    classificationInstancesImpl(spark, sfDir, spreadInput = false)
+
+  private def classificationInstancesImpl(
+      spark: SparkSession, sfDir: String, spreadInput: Boolean): DataFrame = {
     val li = lineitem(spark, sfDir)
       .select(
         when(col("l_returnflag") === "R", 1.0).otherwise(0.0).as("label"),
@@ -469,7 +484,7 @@ object Queries {
     new VectorAssembler()
       .setInputCols(Array("l_quantity", "l_discount", "l_tax", "l_extendedprice"))
       .setOutputCol("features")
-      .transform(li)
+      .transform(if (spreadInput) spread(li) else li)
   }
 
   /** DummyRegressor(mean) — the first end-to-end estimator slice; its
@@ -669,7 +684,11 @@ object Queries {
   }
 
   /** 3-class instances (return-flag) for the K-dimensional GBM path. */
-  def multiclassInstances(spark: SparkSession, sfDir: String): DataFrame = {
+  def multiclassInstances(spark: SparkSession, sfDir: String): DataFrame =
+    multiclassInstancesImpl(spark, sfDir, spreadInput = false)
+
+  private def multiclassInstancesImpl(
+      spark: SparkSession, sfDir: String, spreadInput: Boolean): DataFrame = {
     val li = lineitem(spark, sfDir)
       .select(
         when(col("l_returnflag") === "A", 0.0)
@@ -679,7 +698,7 @@ object Queries {
     new VectorAssembler()
       .setInputCols(Array("l_quantity", "l_discount", "l_tax", "l_extendedprice"))
       .setOutputCol("features")
-      .transform(li)
+      .transform(if (spreadInput) spread(li) else li)
   }
 
   /** K-dimensional GBM(logloss) over Dummy(mean): log-prior init + per-class
@@ -688,7 +707,10 @@ object Queries {
     * with an exact count-argmax oracle.
     */
   def gbmMulticlass(spark: SparkSession, sfDir: String): DataFrame = {
-    val df = multiclassInstances(spark, sfDir)
+    // spreadInput: the K-dim generic loop's per-row Newton/softmax work is
+    // heavy enough that the fixture's 3 parquet splits leave 29 of 32
+    // cores idle (profiled round 7); see `spread`
+    val df = multiclassInstancesImpl(spark, sfDir, spreadInput = true)
     val model = new GBMClassifier()
       .setBaseLearner(new DummyRegressor().setStrategy("mean"))
       .setMaxIter(2)
@@ -778,7 +800,9 @@ object Queries {
   }
 
   def stackingClassificationDt(spark: SparkSession, sfDir: String): DataFrame = {
-    val df = classificationInstances(spark, sfDir)
+    // spreadInput: DT + LR base fits and the stacker fit are compute-heavy
+    // passes that the fixture's 3 parquet splits would serialize
+    val df = classificationInstancesImpl(spark, sfDir, spreadInput = true)
     val model = new StackingClassifier()
       .setBaseLearners(Array(
         new DecisionTreeClassifier().setMaxDepth(5).setSeed(42),
