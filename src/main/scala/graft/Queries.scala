@@ -707,10 +707,7 @@ object Queries {
     * with an exact count-argmax oracle.
     */
   def gbmMulticlass(spark: SparkSession, sfDir: String): DataFrame = {
-    // spreadInput: the K-dim generic loop's per-row Newton/softmax work is
-    // heavy enough that the fixture's 3 parquet splits leave 29 of 32
-    // cores idle (profiled round 7); see `spread`
-    val df = multiclassInstancesImpl(spark, sfDir, spreadInput = true)
+    val df = multiclassInstances(spark, sfDir)
     val model = new GBMClassifier()
       .setBaseLearner(new DummyRegressor().setStrategy("mean"))
       .setMaxIter(2)

@@ -138,7 +138,11 @@ object Dedup {
       // coalesce is belt-and-braces for it. This is what makes long
       // chains fold in log rounds — propagation alone moves the min ONE
       // hop per round, the shortcut doubles the effective hop length.
-      val proposed = propagated.join(
+      // Skipped on the first two rounds: diameter<=2 graphs (the common
+      // near-dup case) converge there from propagation alone, so they
+      // never pay the extra self-join; deeper graphs still fold in
+      // O(log diameter) rounds overall.
+      val proposed = if (iter < 2) propagated else propagated.join(
         propagated.select(col("id").as("component"), col("component").as("jump")),
         Seq("component"), "left")
         .select(

@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.ml.classification.{DecisionTreeClassifier, LogisticRegression}
+import org.apache.spark.ml.graft._
+import org.apache.spark.ml.regression.DecisionTreeRegressor
+import org.apache.spark.sql.functions._
+
+/** Runs the docs/ usage snippets against the sf0.001 fixtures — docs
+  * parity is only real if every documented call compiles and executes.
+  * Each test mirrors one page; keep them in sync when a page changes.
+  */
+class DocsSuite extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val reg = Queries.regressionInstances(spark, sf).cache()
+  private lazy val clf = Queries.classificationInstances(spark, sf).cache()
+  private lazy val docs = Tables.documents(spark, sf)
+  private lazy val embs = Tables.embeddings(spark, sf)
+
+  test("overview: bagging fit/transform/persist round-trip") {
+    val model = new BaggingRegressor()
+      .setBaseLearner(new DecisionTreeRegressor().setMaxDepth(5))
+      .setNumBaseLearners(3)
+      .setSubsampleRatio(0.8)
+      .setSeed(42L)
+      .fit(reg)
+    assert(model.transform(reg).columns.contains("prediction"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-docs").toString + "/bag"
+    model.write.save(dir)
+    val back = BaggingRegressionModel.load(dir)
+    assert(back.transform(reg).count() === reg.count())
+  }
+
+  test("overview: SQL extensions register") {
+    org.apache.spark.sql.graft.GraftExpressions.register(spark)
+    org.apache.spark.sql.graft.WeightedMedian.register(spark)
+    reg.createOrReplaceTempView("docs_reg")
+    val r = spark.sql(
+      "SELECT weighted_median(label, 1.0) AS wm FROM docs_reg").head()
+    assert(!r.isNullAt(0))
+  }
+
+  test("bagging: soft-voting classifier config fits") {
+    val model = new BaggingClassifier()
+      .setBaseLearner(new DecisionTreeClassifier().setMaxDepth(10))
+      .setNumBaseLearners(4)
+      .setSubsampleRatio(0.7)
+      .setSubspaceRatio(0.5)
+      .setVotingStrategy("soft")
+      .setParallelism(4)
+      .setSeed(42L)
+      .fit(clf)
+    assert(model.transform(clf).select("prediction").distinct().count() <= 2)
+  }
+
+  test("boosting: R2 regressor and SAMME classifier configs fit") {
+    val r2 = new BoostingRegressor()
+      .setBaseLearner(new DecisionTreeRegressor().setMaxDepth(5))
+      .setNumBaseLearners(3)
+      .setLossType("exponential")
+      .setVotingStrategy("median")
+      .fit(reg)
+    assert(r2.modelWeights.nonEmpty)
+    val samme = new BoostingClassifier()
+      .setBaseLearner(new DecisionTreeClassifier().setMaxDepth(3))
+      .setNumBaseLearners(2)
+      .setAlgorithm("discrete")
+      .fit(clf)
+    assert(samme.transform(clf).columns.contains("prediction"))
+  }
+
+  test("stacking: DT+LR proba stack fits") {
+    val model = new StackingClassifier()
+      .setBaseLearners(Array(
+        new DecisionTreeClassifier().setMaxDepth(5),
+        new LogisticRegression().setMaxIter(10)))
+      .setStacker(new DecisionTreeClassifier().setMaxDepth(3))
+      .setStackMethod("proba")
+      .fit(clf)
+    assert(model.transform(clf).columns.contains("prediction"))
+  }
+
+  test("gbm: documented classifier config fits") {
+    val model = new GBMClassifier()
+      .setBaseLearner(new DecisionTreeRegressor().setMaxDepth(3))
+      .setMaxIter(3)
+      .setLoss("logloss")
+      .setLearningRate(0.1)
+      .setUpdates("newton")
+      .fit(Queries.multiclassInstances(spark, sf))
+    assert(model.transform(Queries.multiclassInstances(spark, sf))
+      .columns.contains("prediction"))
+  }
+
+  test("dummy: documented accessors") {
+    val base = new DummyRegressor()
+      .setStrategy("quantile").setQuantile(0.9).setTol(0.0).fit(reg)
+    assert(base.constantValue > 0)
+    val prior = new DummyClassifier().setStrategy("prior").fit(clf)
+    assert(math.abs(prior.classProbabilities.sum - 1.0) < 1e-9)
+  }
+
+  test("pipeline-ops: dedup + components + survivors snippets run") {
+    assert(pipeline.Dedup.exactDedup(docs, "doc_id", "text").count() > 0)
+    val pairs = pipeline.Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8,
+      maxDocFrequency = 10000)
+    val mh = pipeline.Dedup.minhashPairsVerified(docs, "doc_id", "text")
+    val comps = pipeline.Dedup.connectedComponents(mh, "doc_a", "doc_b")
+    val corpus = pipeline.Dedup.nearDupCorpus(docs, "doc_id", mh)
+    val best = pipeline.Dedup.nearDupCorpusBy(docs, "doc_id", "n_chars", mh)
+    assert(comps.columns.toSeq === Seq("id", "component"))
+    assert(best.count() === corpus.count()) // same clusters, different survivor
+    Seq(pairs, mh, comps, corpus, best).foreach(_.unpersist(blocking = false))
+  }
+
+  test("pipeline-ops: skew + similarity snippets run") {
+    val fact = reg.withColumn("user_id", (col("l_quantity") % 5).cast("long"))
+    val dim = fact.groupBy("user_id").agg(count(lit(1)).as("n"))
+    val hot = pipeline.SkewJoin.hotKeysSampled(
+      fact, "user_id", thresholdFraction = 0.01)
+    val joined = pipeline.SkewJoin.saltedEquiJoin(
+      fact, dim, "user_id", "user_id", hot, saltFactor = 16)
+    assert(joined.count() === fact.count())
+    val q = embs.filter(col("vec_id") < 5)
+    assert(pipeline.Similarity.bruteForceTopK(q, embs, "vec_id", "embedding", 10)
+      .count() === 50)
+    assert(pipeline.Similarity.ivfTopK(q, embs, "vec_id", "embedding", 10,
+      numCentroids = 8, nprobe = 4).count() > 0)
+  }
+}
