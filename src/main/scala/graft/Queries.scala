@@ -684,11 +684,7 @@ object Queries {
   }
 
   /** 3-class instances (return-flag) for the K-dimensional GBM path. */
-  def multiclassInstances(spark: SparkSession, sfDir: String): DataFrame =
-    multiclassInstancesImpl(spark, sfDir, spreadInput = false)
-
-  private def multiclassInstancesImpl(
-      spark: SparkSession, sfDir: String, spreadInput: Boolean): DataFrame = {
+  def multiclassInstances(spark: SparkSession, sfDir: String): DataFrame = {
     val li = lineitem(spark, sfDir)
       .select(
         when(col("l_returnflag") === "A", 0.0)
@@ -698,7 +694,7 @@ object Queries {
     new VectorAssembler()
       .setInputCols(Array("l_quantity", "l_discount", "l_tax", "l_extendedprice"))
       .setOutputCol("features")
-      .transform(if (spreadInput) spread(li) else li)
+      .transform(li)
   }
 
   /** K-dimensional GBM(logloss) over Dummy(mean): log-prior init + per-class
@@ -969,8 +965,8 @@ object Queries {
       when(pmod(col("user_id"), lit(2)) === 0, lit(-1L))
         .otherwise(col("user_id")))
 
-  /** Shared sides for the skew-join bench pair: events replicated 32x
-    * (~3.2M fact rows at sf0.1) with HALF the rows remapped to one hot
+  /** Shared sides for the skew-join bench pair: events replicated 128x
+    * (~12.8M fact rows at sf0.1) with HALF the rows remapped to one hot
     * user, joined to a per-user profile. The profile carries a
     * shuffle_hash hint so the comparison exercises the shuffled join path
     * (at 100 TB the profile side is not broadcast-able).
@@ -978,7 +974,7 @@ object Queries {
   private def skewBenchSides(
       spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
     // the sf0.1 events parquet is one row group = ONE scan task; spread
-    // the 100k base rows first so the 32x explode and the shuffle write
+    // the 100k base rows first so the 128x explode and the shuffle write
     // parallelize (a real 100 TB fact table arrives in thousands of
     // splits — a single-split fixture would serialize the map side and
     // hide the reduce-side skew this pair exists to measure)
@@ -1031,7 +1027,7 @@ object Queries {
 
   /** Per-query SQL confs Bench sets for the query (and restores after).
     * The q11 pair scales AQE's partition-size targets DOWN with the
-    * data: at sf0.1 the whole 3.2M-row shuffle compresses below ONE
+    * data: at sf0.1 the whole 12.8M-row shuffle compresses below ONE
     * default 64 MB advisory partition, so AQE coalesces both variants
     * into a single reduce task and the comparison measures nothing. At
     * 100 TB the hot key alone is GBs — many advisory partitions — so the

@@ -79,9 +79,9 @@ object Dedup {
     * Min-label propagation with pointer jumping: each round every vertex
     * takes the minimum of its own label and its neighbors' (one join +
     * one partial-aggregated groupBy, shuffles on the vertex id), then
-    * labels shortcut through themselves — component := component's
-    * component, the path-halving step of pointer-jumping union-find (one
-    * self-join). Labels always name a vertex of the same component with a
+    * labels shortcut — component := label(component), the path-halving
+    * step of pointer-jumping union-find (one join against the previous
+    * round's labels). Labels always name a vertex of the same component with a
     * smaller-or-equal id, so the shortcut is sound, and it turns the
     * round count from O(diameter) into O(log diameter): a chain of 10^6
     * templated documents converges in ~20 rounds instead of 10^6. The
@@ -132,18 +132,23 @@ object Dedup {
           col("component").as("old"),
           when(col("nmin") < col("component"), col("nmin"))
             .otherwise(col("component")).as("component"))
-      // pointer jumping: component := label(component). Every label value
-      // is a vertex id present in the table (labels start as ids and only
-      // ever take existing label values), so the lookup always hits; the
-      // coalesce is belt-and-braces for it. This is what makes long
-      // chains fold in log rounds — propagation alone moves the min ONE
-      // hop per round, the shortcut doubles the effective hop length.
+      // pointer jumping: component := label(component). The lookup maps
+      // through the PREVIOUS round's labels (the persisted RDD-backed
+      // frame) rather than `propagated` itself — self-joining the
+      // unpersisted `propagated` would evaluate its join+agg subtree
+      // twice per round. Every label value is a vertex id present in the
+      // table (labels start as ids and only ever take existing label
+      // values), so the lookup always hits; the coalesce is
+      // belt-and-braces for it. This is what makes long chains fold in
+      // log-ish rounds — propagation alone moves the min ONE hop per
+      // round, the shortcut roughly doubles the effective hop length.
       // Skipped on the first two rounds: diameter<=2 graphs (the common
       // near-dup case) converge there from propagation alone, so they
-      // never pay the extra self-join; deeper graphs still fold in
-      // O(log diameter) rounds overall.
+      // never pay the extra join; deeper graphs still fold in
+      // O(log diameter)-ish rounds overall (diameter-64 chain: <=10,
+      // suite-pinned).
       val proposed = if (iter < 2) propagated else propagated.join(
-        propagated.select(col("id").as("component"), col("component").as("jump")),
+        labels.select(col("id").as("component"), col("component").as("jump")),
         Seq("component"), "left")
         .select(
           col("id"),
@@ -166,9 +171,13 @@ object Dedup {
     }
     val converged = changed == 0
     if (!converged) {
-      val msg = s"connectedComponents did NOT converge in $maxIter rounds " +
-        s"($changed labels still changing) — components would be silently " +
-        "split; raise maxIter (rounds grow with log(diameter))"
+      // NB: labels still changed in the LAST round, so completeness
+      // cannot be confirmed (a zero-change confirming round is part of
+      // the budget — size maxIter as changing-rounds + 1)
+      val msg = s"connectedComponents could not CONFIRM convergence in " +
+        s"$maxIter rounds ($changed labels changed in the last round) — " +
+        "components may be split; raise maxIter (rounds grow with " +
+        "log(diameter), plus one zero-change confirming round)"
       if (failOnNonConvergence) {
         edges.unpersist(blocking = false)
         backing.unpersist(blocking = false)
