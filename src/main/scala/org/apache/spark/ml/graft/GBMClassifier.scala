@@ -208,7 +208,7 @@ class GBMClassifier(override val uid: String)
     * singular solve, or non-finite numerics — so boundary behavior stays
     * exactly the reference's bound-constrained semantics.
     */
-  private def newtonStepVector(
+  private[graft] def newtonStepVector(
       rdd: org.apache.spark.rdd.RDD[(Array[Double], Array[Double], Array[Double], Double)],
       loss: GBMClassificationLoss with HasFullHessian,
       dim: Int): Array[Double] = {

@@ -432,6 +432,41 @@ class GBMSuite extends graft.SparkSpec {
     assert(phi(aNewton) <= phi(aRef) + 1e-6)
   }
 
+  test("newtonStepVector: optimum beyond the probe box falls back (null), never a silent clamp") {
+    // one separable row with a near-constant direction: the constrained
+    // optimum sits far past 100, and the first Newton jump (~1000) must
+    // signal the L-BFGS-B fallback instead of silently returning 100
+    val clf = new GBMClassifier()
+    val loss = LogLoss(2)
+    val rdd = spark.sparkContext.parallelize(Seq(
+      (loss.encodeLabel(0.0), Array(0.0, 0.0), Array(0.001, -0.001), 1.0)), 2)
+    assert(clf.newtonStepVector(rdd, loss, 2) == null)
+  }
+
+  test("newtonStepVector: accepted step is never worse than the 1-init") {
+    // mixed pulls with very different scales; whatever path the damped
+    // loop takes, the returned alpha must achieve phi <= phi(1-vector)
+    val clf = new GBMClassifier()
+    val k = 3
+    val loss = LogLoss(k)
+    val rng = new scala.util.Random(7)
+    val rows = (0 until 200).map { i =>
+      val y = loss.encodeLabel((i % k).toDouble)
+      val f = Array.fill(k)(rng.nextGaussian() * 2)
+      val d = Array.fill(k)(rng.nextGaussian())
+      (y, f, d, 1.0)
+    }
+    val rdd = spark.sparkContext.parallelize(rows, 4)
+    val a = clf.newtonStepVector(rdd, loss, k)
+    def phi(alpha: Array[Double]): Double = rows.map { case (y, f, d, w) =>
+      w * loss.loss(y, Array.tabulate(k)(j => f(j) + alpha(j) * d(j)))
+    }.sum
+    if (a != null) {
+      assert(phi(a) <= phi(Array.fill(k)(1.0)) + 1e-9,
+        s"newton result ${a.toSeq} worse than the 1-init")
+    } // null = fallback path; the generic L-BFGS-B covers it
+  }
+
   test("GBM early stop fires exactly where the learning curve says (reference §5 cat 5)") {
     val withVal = regDf.withColumn("isVal", rand(11) > 0.7).cache()
     def fit(rounds: Int) = new GBMRegressor()
