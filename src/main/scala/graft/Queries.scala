@@ -434,7 +434,11 @@ object Queries {
           .otherwise(col("s_suppkey")))
       .groupBy("skew_key")
       .agg(count(lit(1)).as("n_supp"))
-    val hot = SkewJoin.hotKeys(li, "skew_key", 0.05)
+    // detection on the SAMPLED path — the 100 TB default (1e-3 uniform
+    // sample, fixed seed so the run is deterministic). The oracle pins the
+    // result either way: the salt only routes rows to reducers, so even a
+    // sample that picked a different hot set would produce identical output
+    val hot = SkewJoin.hotKeysSampled(li, "skew_key", 0.05)
     SkewJoin.saltedEquiJoin(li, supp, "skew_key", "skew_key", hot, saltFactor = 8)
       .groupBy("l_returnflag")
       .agg(
@@ -472,11 +476,8 @@ object Queries {
       .transform(li)
   }
 
-  def classificationInstances(spark: SparkSession, sfDir: String): DataFrame =
-    classificationInstancesImpl(spark, sfDir, spreadInput = false)
-
-  private def classificationInstancesImpl(
-      spark: SparkSession, sfDir: String, spreadInput: Boolean): DataFrame = {
+  def classificationInstances(
+      spark: SparkSession, sfDir: String, spreadInput: Boolean = false): DataFrame = {
     val li = lineitem(spark, sfDir)
       .select(
         when(col("l_returnflag") === "R", 1.0).otherwise(0.0).as("label"),
@@ -795,7 +796,7 @@ object Queries {
   def stackingClassificationDt(spark: SparkSession, sfDir: String): DataFrame = {
     // spreadInput: DT + LR base fits and the stacker fit are compute-heavy
     // passes that the fixture's 3 parquet splits would serialize
-    val df = classificationInstancesImpl(spark, sfDir, spreadInput = true)
+    val df = classificationInstances(spark, sfDir, spreadInput = true)
     val model = new StackingClassifier()
       .setBaseLearners(Array(
         new DecisionTreeClassifier().setMaxDepth(5).setSeed(42),

@@ -96,8 +96,8 @@ class PipelineSuite extends SparkSpec {
     import s.implicits._
     // an adversarial templated-doc series: each doc within range only of
     // its neighbor — a 65-vertex path, diameter 64. Pure min-label
-    // propagation needs 64 rounds (and would blow the default maxIter=20
-    // silently wrong); the pointer-jumping shortcut folds it in O(log).
+    // propagation needs 64 rounds (past even the default maxIter=32);
+    // the pointer-jumping shortcut folds it in O(log).
     val chain = (0L until 64L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
     val (comps, rounds, converged) =
       Dedup.connectedComponentsWithStats(chain, "doc_a", "doc_b")
@@ -106,6 +106,28 @@ class PipelineSuite extends SparkSpec {
     assert(converged)
     assert(rounds <= 10, s"expected log-round convergence, took $rounds")
     assert(labels.size === 65 && (0L to 64L).forall(labels(_) == 0L))
+  }
+
+  test("connectedComponentsAuto converges a diameter-2^7 chain within its cap") {
+    val s = spark
+    import s.implicits._
+    // diameter 128 > the default maxIter=32's halving reach would still
+    // fit, but the point of auto mode is not guessing: the budget is the
+    // hard cap 64, the loop exits on the first zero-change round, and the
+    // stats (via the same budget) show log-ish rounds actually used
+    val chain = (0L until 128L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val (comps, rounds, converged) =
+      Dedup.connectedComponentsWithStats(chain, "doc_a", "doc_b", maxIter = 64)
+    val labels = comps.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    comps.unpersist(blocking = false)
+    assert(converged)
+    assert(rounds <= 12, s"expected log-round convergence, took $rounds")
+    assert(labels.size === 129 && (0L to 128L).forall(labels(_) == 0L))
+    // the public auto wrapper itself (cheap graph — just the plumbing)
+    val tiny = Seq((5L, 6L), (6L, 7L)).toDF("doc_a", "doc_b")
+    val auto = Dedup.connectedComponentsAuto(tiny, "doc_a", "doc_b")
+    assert(auto.collect().map(_.getLong(1)).forall(_ == 5L))
+    auto.unpersist(blocking = false)
   }
 
   test("connectedComponents fails loudly when maxIter is too small") {
