@@ -41,6 +41,27 @@ object Bench {
       .split("\\s+").take(3).toSeq.map(_.toDouble)
     catch { case _: Throwable => Seq.empty }
 
+  /** Fixed single-thread integer workload, timed — a machine-speed anchor
+    * recorded as `calib_sec` so different rounds' numbers can be compared
+    * with the host's (drifting, externally contended) speed factored out.
+    * Volatile sink so the loop can't be optimized away.
+    */
+  @volatile private var calibSink = 0L
+  private def calibrate(): Double = {
+    var best = Double.MaxValue
+    var r = 0
+    while (r < 3) {
+      val t0 = System.nanoTime()
+      var i = 0L
+      var s = 0L
+      while (i < 200_000_000L) { s += i * i; i += 1 }
+      calibSink = s
+      best = math.min(best, (System.nanoTime() - t0) / 1e9)
+      r += 1
+    }
+    best
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -68,6 +89,7 @@ object Bench {
       }
     spark.catalog.clearCache()
     val loadBefore = loadAvg()
+    val calib = calibrate()
     val results = all.map { case (name, fn) =>
       var ok = true
       // per-query conf overrides (Queries.benchConfs), restored after the
@@ -92,7 +114,20 @@ object Bench {
       val times =
         try {
           (1 to warmups).foreach(_ => runOnce())
-          (1 to reps).map(_ => runOnce())
+          val base = (1 to reps).toVector.map(_ => runOnce())
+          // JIT-churn guard: heavy queries intermittently hit 2-14x reps
+          // when a deopt/recompile storm drops the hot (often
+          // single-straggler-task) loops to C1/interpreter tier until C2
+          // catches up — profiled round 8: one executor thread RUNNABLE at
+          // 100% doing 5s of work in 20-70s while C2 threads saturate; no
+          // GC, no host load, 32-wide CPU batches stable. With 3 reps, two
+          // such spikes poison the median (observed [3.96, 17.3, 13.3]).
+          // When the spread is wild, buy up to 2 extra reps so the median
+          // reflects the steady state, not the compiler.
+          var ts = base
+          while (ts.length < reps + 2 && ts.nonEmpty && ts.max > 2 * ts.min)
+            ts = ts :+ runOnce()
+          ts
         } finally saved.foreach {
           // unconditional restore: a throwable escaping runOnce's catch must
           // not leak this query's conf overrides into every later timing
@@ -115,6 +150,7 @@ object Bench {
     def jsonArr(xs: Seq[Double]): String = xs.mkString("[", ",", "]")
     val shared =
       s""""unit":"sec","reps":$reps,"sf":"$sfDir","failed":$failed,""" +
+        f""""calib_sec":$calib%.4f,""" +
         s""""loadavg_before":${jsonArr(loadBefore)},"loadavg_after":${jsonArr(loadAfter)}"""
     // Sidecar file with the FULL result (incl. per-rep times): the driver
     // archives only the tail of stdout, which truncated the medians map out

@@ -704,6 +704,12 @@ object Queries {
     * with an exact count-argmax oracle.
     */
   def gbmMulticlass(spark: SparkSession, sfDir: String): DataFrame = {
+    // deliberately NOT spread: an r8 A/B with spike-robust reps showed the
+    // r7 steady-state win does not reproduce (spread ~7.0-7.8s vs plain
+    // ~7.4-7.7s) while spread's extra shuffle+codegen surface makes
+    // JIT-cold reps far worse (47/31s vs ~10s). The residual ~7s is ~40
+    // sequential barrier jobs x scheduling/JIT floor, not data
+    // parallelism — see TODO.md round-8 root-cause note.
     val df = multiclassInstances(spark, sfDir)
     val model = new GBMClassifier()
       .setBaseLearner(new DummyRegressor().setStrategy("mean"))
