@@ -174,7 +174,7 @@ object Queries {
 
   // ------------------------------------------------------- data-pipeline ops
 
-  import graft.pipeline.{Dedup, Multimodal, Similarity, SkewJoin, TextFunctions => TF}
+  import graft.pipeline.{Dedup, Multimodal, Sampling, Similarity, SkewJoin, TextFunctions => TF}
 
   /** Per-document text statistics — all pure expressions, single scan. */
   def pTextStats(spark: SparkSession, sfDir: String): DataFrame = {
@@ -235,6 +235,34 @@ object Queries {
     Dedup.simhashPairsVerified(documents(spark, sfDir), "doc_id", "text",
         maxHamming = 8, threshold = 0.5)
       .orderBy("doc_a", "doc_b")
+
+  /** Deterministic hash-stratified sampling — the training-mix operator:
+    * per-language keep rates over the documents table, decided by LCG
+    * arithmetic on doc_id so the keep-set is a pure function of the data
+    * (DuckDB recomputes the identical arithmetic for the oracle). Output
+    * is per-stratum kept-count + id checksum.
+    */
+  def pStratifiedSample(spark: SparkSession, sfDir: String): DataFrame =
+    Sampling.hashStratifiedSample(
+        documents(spark, sfDir), "doc_id", "lang",
+        Map("en" -> 1.0, "de" -> 0.5, "fr" -> 0.5, "es" -> 0.25, "zh" -> 0.1))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_kept"), sum("doc_id").as("id_sum"))
+      .orderBy("lang")
+
+  /** Incremental dedup: the corpus/batch split is doc_id mod 3 (batch =
+    * multiples of 3), so the fixture exercises all three drop reasons —
+    * batch doc near-dup of a corpus doc, of an earlier batch doc, and
+    * corpus-precedence beating id order. Output = surviving batch ids.
+    */
+  def pIncrementalDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = documents(spark, sfDir)
+    val corpus = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+    val batch = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+    Dedup.incrementalDedupSurvivors(corpus, batch, "doc_id", "text")
+      .select("doc_id")
+      .orderBy("doc_id")
+  }
 
   def pFingerprint(spark: SparkSession, sfDir: String): DataFrame =
     documents(spark, sfDir)

@@ -55,7 +55,9 @@ object SparkEntry {
     "p_sessions" -> (Queries.pSessions _),
     "p_skew_join" -> (Queries.pSkewJoin _),
     "p_dedup_components" -> (Queries.pDedupComponents _),
-    "p_dedup_survivors" -> (Queries.pDedupSurvivors _)
+    "p_dedup_survivors" -> (Queries.pDedupSurvivors _),
+    "p_stratified_sample" -> (Queries.pStratifiedSample _),
+    "p_dedup_incremental" -> (Queries.pIncrementalDedup _)
   )
 
   private val EN = "['the','and','of','to','in','is','a','that','it','for']"
@@ -320,6 +322,50 @@ object SparkEntry {
     "p_ngram_jaccard" -> JACCARD_PAIRS_SQL,
     "p_minhash_dedup" -> JACCARD_PAIRS_SQL,
     "p_simhash_dedup" -> JACCARD_PAIRS_SQL,
+    // same LCG arithmetic as Sampling.lcgBucket; cutoffs are
+    // Sampling.rateCutoff literals for en=1.0 de=0.5 fr=0.5 es=0.25 zh=0.1
+    "p_stratified_sample" ->
+      """WITH s AS (
+        |  SELECT lang, doc_id,
+        |    ((doc_id % 4294967296) * 1103515245 + 12345) % 4294967296 AS bucket
+        |  FROM documents),
+        |k AS (
+        |  SELECT lang, doc_id FROM s WHERE bucket <
+        |    CASE lang WHEN 'en' THEN 4294967296 WHEN 'de' THEN 2147483648
+        |              WHEN 'fr' THEN 2147483648 WHEN 'es' THEN 1073741824
+        |              WHEN 'zh' THEN 429496729 ELSE 0 END)
+        |SELECT lang, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM k GROUP BY lang ORDER BY lang""".stripMargin,
+    // incremental dedup: drop a batch doc (doc_id % 3 = 0) iff a
+    // preceding doc — corpus doc, or batch doc with smaller id — has
+    // exact trigram Jaccard >= 0.5 with it; survivors in id order
+    "p_dedup_incremental" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents),
+        |shing AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(t) >= 3 THEN t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+        |         ELSE array_to_string(t, ' ') END AS s
+        |  FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(t) - 1, 2))) AS i)),
+        |dsh AS (SELECT DISTINCT doc_id, s FROM shing),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
+        |  FROM dsh a JOIN dsh b ON a.s = b.s AND a.doc_id <> b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT ia, ib FROM inter
+        |  JOIN sizes sa ON ia = sa.doc_id JOIN sizes sb ON ib = sb.doc_id
+        |  WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5),
+        |ranked AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 3 <> 0 THEN 0 ELSE 1 END AS rk FROM documents),
+        |victims AS (
+        |  SELECT DISTINCT p.ib AS doc_id
+        |  FROM pairs p JOIN ranked ra ON p.ia = ra.doc_id JOIN ranked rb ON p.ib = rb.doc_id
+        |  WHERE rb.rk = 1 AND (ra.rk < rb.rk OR (ra.rk = rb.rk AND p.ia < p.ib)))
+        |SELECT d.doc_id FROM documents d
+        |WHERE d.doc_id % 3 = 0 AND d.doc_id NOT IN (SELECT doc_id FROM victims)
+        |ORDER BY d.doc_id""".stripMargin,
     "p_fingerprint" ->
       """SELECT count(*) AS n_docs,
         | count(DISTINCT lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS n_distinct_fp

@@ -479,6 +479,80 @@ object Dedup {
     verified
   }
 
+  /** Incremental near-dup dedup — the daily-batch production shape: a new
+    * `batch` lands next to an already-deduplicated `corpus`, and only
+    * batch docs may be dropped. A batch doc is dropped iff some doc that
+    * PRECEDES it — any corpus doc, or a batch doc with a smaller id — is
+    * a near-dup at `threshold` exact trigram Jaccard. Returns the
+    * surviving batch rows.
+    *
+    * Precedence makes the rule non-iterative by construction: one
+    * banding pass over corpus ∪ batch, one shuffle-hash equi-join on
+    * (band, bucket) restricted to batch-side victims, exact verification
+    * proportional to the candidate count — no connected components over
+    * the (static) corpus, which a full re-dedup would redo daily. At
+    * 100 TB the corpus side's signatures and band buckets are a
+    * precomputed artifact maintained alongside the corpus (this method
+    * recomputes them from text for self-containment; the banding stage
+    * is corpus-linear and embarrassingly parallel), so each day's
+    * marginal cost is banding the batch plus candidate verification.
+    * Recall at the threshold is the standard LSH S-curve (16 bands × 4
+    * rows: per-pair miss ≈ 1e-5 at j = 0.85); precision is exact.
+    *
+    * Note the one semantic difference vs re-running [[nearDupCorpusBy]]
+    * from scratch: a batch doc near-duplicate of a DROPPED batch doc is
+    * still dropped (its pair precedes it), which is the conservative
+    * choice for training data — a near-dup chain admits one survivor,
+    * its smallest-id member, exactly like the min-label component rule.
+    */
+  def incrementalDedupSurvivors(
+      corpus: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      shingleSize: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    // rank 0 = corpus, 1 = batch; precedence = (rank, id) lexicographic
+    val all = corpus.select(col(idCol).as("id"), col(textCol).as("text"), lit(0).as("rk"))
+      .unionByName(batch.select(col(idCol).as("id"), col(textCol).as("text"), lit(1).as("rk")))
+    val rows = numHashes / bands
+    require(rows > 0 && numHashes % bands == 0,
+      s"bands=$bands must divide evenly into numHashes=$numHashes")
+    val sigs = minhashSignatures(all, "id", "text", numHashes, shingleSize)
+      .join(all.select(col("id"), col("rk")), "id")
+    val banded = sigs.select(
+      col("id"), col("rk"),
+      explode(
+        array((0 until bands).map { b =>
+          struct(
+            lit(b).as("band"),
+            org.apache.spark.sql.graft.GraftExpressions
+              .longSliceHash(col("signature"), b * rows, rows, b.toLong)
+              .as("bucket"))
+        }: _*)).as("bb"))
+      .select(col("id"), col("rk"), col("bb.band"), col("bb.bucket"))
+    banded.persist()
+    val cands = banded.as("a")
+      .join(banded.as("b").hint("shuffle_hash"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("b.rk") === 1 &&
+          (struct(col("a.rk"), col("a.id")) < struct(col("b.rk"), col("b.id"))))
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+      .distinct()
+    cands.persist()
+    cands.count()
+    banded.unpersist(blocking = false)
+    val verified = verifyPairsExactJaccard(all, "id", "text", cands, shingleSize, threshold)
+    val victims = verified.select(col("doc_b").as(idCol)).distinct()
+    val out = batch.join(victims, Seq(idCol), "left_anti")
+    // release the persisted frames themselves (verified, not its
+    // projection — unpersisting a derived plan would leave the cached
+    // blocks behind)
+    materializeAndRelease(out, cands, verified)
+  }
+
   /** SimHash near-dup pipeline with EXACT verification: Hamming-ball
     * banding proposes candidates, exact Jaccard disposes. `maxHamming`
     * trades recall (wider ball catches more true pairs) against candidate

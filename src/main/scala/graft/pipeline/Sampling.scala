@@ -1,0 +1,67 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling operators for training-mix construction.
+  *
+  * A pipeline that mixes N corpora at fixed rates ("50% web, 25% code,
+  * 1% transcripts") needs sampling that is (a) reproducible across runs
+  * and engines, (b) independent of partition layout and task retries, and
+  * (c) a narrow map-side filter so it composes with column pruning and
+  * partition pruning at 100 TB. `rand()`-per-row sampling fails (a) and
+  * (b): the keep-set changes with the partition layout, a retried task
+  * re-rolls its rows, and no other system can reproduce the choice.
+  * Keying the decision on arithmetic over a stable id column fails none:
+  * the keep-set is a pure function of the data.
+  *
+  * The bucket function is a 32-bit LCG (the classic glibc constants)
+  * evaluated in 64-bit integer arithmetic: `((id mod 2^32) * 1103515245
+  * + 12345) mod 2^32`. Chosen over xxhash64/crc32 deliberately: the SAME
+  * arithmetic is expressible verbatim in any ANSI SQL engine (the
+  * correctness oracle runs it in DuckDB), and statistical quality beyond
+  * rate-accuracy is irrelevant here — ids are assigned, not adversarial.
+  * The inner mod keeps every intermediate below 2^63 for any Long id
+  * (max (2^32-1) * 1103515245 ≈ 4.7e18).
+  */
+object Sampling {
+  private val Mod = 4294967296L // 2^32
+
+  /** Keep-bucket in [0, 2^32) for a stable integral id column. */
+  def lcgBucket(id: Column): Column =
+    pmod(pmod(id, lit(Mod)) * lit(1103515245L) + lit(12345L), lit(Mod))
+
+  /** Integer keep-cutoff for a [0,1] rate: rows keep iff bucket < cutoff.
+    * Exposed so an external oracle can embed the identical literal.
+    */
+  def rateCutoff(rate: Double): Long = (rate * Mod).toLong
+
+  /** Keep each row iff its stratum's rate admits the row's bucket
+    * (`lcgBucket(id) < rate * 2^32`). `rates` maps stratum value to a
+    * [0,1] keep rate; strata not listed get `defaultRate`. One projection
+    * + filter, no shuffle, no state: at 100 TB this runs entirely
+    * map-side, and the per-stratum rates can be retuned without touching
+    * previously sampled data (a row's fate depends only on its id and
+    * its stratum's rate — growing a rate strictly grows the keep-set,
+    * which is what iterative mix tuning wants).
+    */
+  def hashStratifiedSample(
+      df: DataFrame,
+      idCol: String,
+      strataCol: String,
+      rates: Map[String, Double],
+      defaultRate: Double = 0.0): DataFrame = {
+    require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0.0 && r <= 1.0),
+      s"rates must be in [0,1], got $rates default $defaultRate")
+    val cutoff = rates.foldLeft(lit(rateCutoff(defaultRate))) {
+      case (acc, (k, r)) => when(col(strataCol) === k, lit(rateCutoff(r))).otherwise(acc)
+    }
+    df.filter(lcgBucket(col(idCol)) < cutoff)
+  }
+
+  /** Unstratified variant: one global rate. */
+  def hashSample(df: DataFrame, idCol: String, rate: Double): DataFrame = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate must be in [0,1], got $rate")
+    df.filter(lcgBucket(col(idCol)) < lit(rateCutoff(rate)))
+  }
+}

@@ -113,6 +113,18 @@ class DocsSuite extends SparkSpec {
     Seq(pairs, mh, comps, corpus, best).foreach(_.unpersist(blocking = false))
   }
 
+  test("pipeline-ops: incremental dedup + sampling snippets run") {
+    val corpus = docs.filter(col("doc_id") % 2 === 0)
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+    val fresh = pipeline.Dedup.incrementalDedupSurvivors(corpus, batch, "doc_id", "text")
+    assert(fresh.count() > 0 && fresh.count() <= batch.count())
+    fresh.unpersist(blocking = false)
+    assert(pipeline.Sampling.hashSample(docs, "doc_id", 0.1).count() > 0)
+    val mixed = pipeline.Sampling.hashStratifiedSample(docs, "doc_id", "lang",
+      Map("en" -> 1.0, "de" -> 0.5, "zh" -> 0.1), defaultRate = 0.25)
+    assert(mixed.count() > 0 && mixed.count() < docs.count())
+  }
+
   test("pipeline-ops: skew + similarity snippets run") {
     val fact = reg.withColumn("user_id", (col("l_quantity") % 5).cast("long"))
     val dim = fact.groupBy("user_id").agg(count(lit(1)).as("n"))

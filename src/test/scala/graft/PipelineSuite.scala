@@ -1,6 +1,6 @@
 package graft
 
-import graft.pipeline.{Dedup, Multimodal, Similarity, TextFunctions => TF}
+import graft.pipeline.{Dedup, Multimodal, Sampling, Similarity, TextFunctions => TF}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -106,6 +106,57 @@ class PipelineSuite extends SparkSpec {
     assert(converged)
     assert(rounds <= 10, s"expected log-round convergence, took $rounds")
     assert(labels.size === 65 && (0L to 64L).forall(labels(_) == 0L))
+  }
+
+  test("hashStratifiedSample is deterministic, layout-invariant, rate-accurate") {
+    val s = spark
+    import s.implicits._
+    val rows = (0L until 4000L).map(i => (i, if (i % 2 == 0) "a" else "b")).toDF("id", "stratum")
+    val rates = Map("a" -> 0.25, "b" -> 0.75)
+    val keep1 = Sampling.hashStratifiedSample(rows, "id", "stratum", rates)
+      .select("id").collect().map(_.getLong(0)).toSet
+    // identical on a different partition layout (rand()-sampling fails this)
+    val keep2 = Sampling.hashStratifiedSample(rows.repartition(7), "id", "stratum", rates)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(keep1 === keep2)
+    val aKept = keep1.count(_ % 2 == 0) / 2000.0
+    val bKept = keep1.count(_ % 2 == 1) / 2000.0
+    assert(math.abs(aKept - 0.25) < 0.05, s"stratum a kept $aKept, want ~0.25")
+    assert(math.abs(bKept - 0.75) < 0.05, s"stratum b kept $bKept, want ~0.75")
+    // growing a rate strictly grows the keep-set (monotone mix tuning)
+    val keepMore = Sampling.hashStratifiedSample(rows, "id", "stratum", Map("a" -> 0.5, "b" -> 0.75))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(keep1.subsetOf(keepMore))
+    // edge rates: 0 drops all, 1 keeps all
+    assert(Sampling.hashSample(rows, "id", 0.0).count() === 0)
+    assert(Sampling.hashSample(rows, "id", 1.0).count() === 4000)
+  }
+
+  test("incrementalDedupSurvivors drops only batch docs, with corpus precedence") {
+    val s = spark
+    import s.implicits._
+    // docs: 100 originals (0-99) + near-dups of 0-9 at ids 1000-1009.
+    // corpus = originals 0-4 and all of 10-99; batch = originals 5-9 and
+    // every planted dup. Expected:
+    //  - dups 1000-1004: near-dup of corpus docs 0-4 -> dropped
+    //  - batch originals 5-9: precede their dups (smaller id) -> survive
+    //  - dups 1005-1009: near-dup of earlier batch docs 5-9 -> dropped
+    val corpus = docs.filter(col("doc_id") < 5 || (col("doc_id") >= 10 && col("doc_id") < 1000))
+    val batch = docs.filter((col("doc_id") >= 5 && col("doc_id") < 10) || col("doc_id") >= 1000)
+    val out = Dedup.incrementalDedupSurvivors(corpus, batch, "doc_id", "text")
+    val ids = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    out.unpersist(blocking = false)
+    assert(ids === Set(5L, 6L, 7L, 8L, 9L))
+
+    // corpus precedence beats id order: corpus doc with the LARGER id
+    // still wins over a batch near-dup with a smaller id
+    val corpus2 = docs.filter(col("doc_id") >= 1000) // the dups
+    val batch2 = docs.filter(col("doc_id") < 1000) // the originals
+    val out2 = Dedup.incrementalDedupSurvivors(corpus2, batch2, "doc_id", "text")
+    val ids2 = out2.select("doc_id").collect().map(_.getLong(0)).toSet
+    out2.unpersist(blocking = false)
+    // originals 0-9 are near-dups of corpus docs 1000-1009 -> dropped
+    assert(ids2 === (10L until 100L).toSet)
   }
 
   test("connectedComponentsAuto converges a diameter-2^7 chain within its cap") {
