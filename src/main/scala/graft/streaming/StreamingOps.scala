@@ -82,6 +82,130 @@ object StreamingOps {
         unix_timestamp(col("r_ts")).as("r_epoch"))
   }
 
+  // -------- streaming near-dup dedup: MinHash bucket state ---------------
+
+  /** One (band, bucket) row of a streaming doc's banded MinHash signature. */
+  case class BandedDoc(
+      doc_id: Long, ts: java.sql.Timestamp, band: Int, bucket: Long, signature: Seq[Long])
+
+  /** A detected near-dup: `doc_id` matched `dup_of` (an earlier-seen doc in
+    * a shared bucket) at `est_jaccard` estimated similarity. The same pair
+    * can surface from several bands; aggregate per doc downstream.
+    */
+  case class NearDupHit(doc_id: Long, dup_of: Long, est_jaccard: Double)
+
+  /** Per-bucket keyed state: the docs seen in this bucket (bounded). */
+  case class BucketState(docs: Seq[BucketStateDoc])
+  case class BucketStateDoc(doc_id: Long, signature: Seq[Long])
+
+  /** Streaming half of the batch MinHash pipeline: per-row signatures
+    * (scalar — no streaming aggregation needed) banded into (band, bucket)
+    * keys. Buckets are bit-identical to the batch path's
+    * (`MinHashSignature.signatureOf` / `sliceHash` share the aggregate's
+    * seeds and mixer — parity is suite-pinned), so a streaming detector
+    * can be backfilled or cross-checked against `Dedup.minhashPairs`
+    * output on the same data.
+    */
+  def minhashBanded(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      tsCol: String,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      shingleSize: Int = 3,
+      watermark: String = "1 hour"): Dataset[BandedDoc] = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.graft.MinHashSignature
+    import org.apache.spark.sql.graft.ShingleHashesFn.shingle_hashes
+    val rows = numHashes / bands
+    require(rows > 0 && numHashes % bands == 0,
+      s"bands=$bands must divide evenly into numHashes=$numHashes")
+    docs
+      .select(
+        col(idCol).cast("long"),
+        col(tsCol),
+        shingle_hashes(graft.pipeline.TextFunctions.tokens(col(textCol)), shingleSize))
+      .as[(Long, java.sql.Timestamp, Seq[Long])]
+      .flatMap { case (id, ts, sh) =>
+        val sig = MinHashSignature.signatureOf(sh, numHashes)
+        val sigSeq = sig.toSeq
+        (0 until bands).map { b =>
+          BandedDoc(id, ts, b, MinHashSignature.sliceHash(sig, b * rows, rows, b.toLong), sigSeq)
+        }
+      }
+      // AFTER the typed flatMap: an opaque map severs event-time lineage,
+      // so the watermark must be declared on the output's ts field
+      .withWatermark("ts", watermark)
+  }
+
+  /** Streaming near-dup detection: per-(band, bucket) keyed state stores
+    * the signatures seen in that bucket; an arriving doc is flagged
+    * against its best signature match at >= `threshold` estimated Jaccard
+    * (fraction of agreeing components — the same estimator as the batch
+    * `minhashPairs`). The per-bucket store is capped at `maxPerBucket`
+    * (the batch path's bucket-frequency guard: a degenerate bucket holding
+    * half the corpus must not become O(n) state and O(n^2) compares), and
+    * event-time timeout purges buckets idle past the watermark plus
+    * `stateHorizonMs` — state is bounded by rate x horizon, the RocksDB
+    * state-store knobs tune the rest at scale.
+    */
+  def nearDupHitsStream(
+      banded: Dataset[BandedDoc],
+      threshold: Double = 0.5,
+      maxPerBucket: Int = 64,
+      stateHorizonMs: Long = 3600000L): Dataset[NearDupHit] = {
+    import banded.sparkSession.implicits._
+    banded
+      .groupByKey(d => (d.band, d.bucket))
+      .flatMapGroupsWithState[BucketState, NearDupHit](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: (Int, Long), rows: Iterator[BandedDoc], state: GroupState[BucketState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var docs = state.getOption.map(_.docs).getOrElse(Seq.empty)
+            val hits = Seq.newBuilder[NearDupHit]
+            var maxTs = 0L
+            // arrival order within the batch: event time, then id — the
+            // deterministic "earlier doc wins" rule of the batch dedup
+            rows.toSeq.sortBy(d => (d.ts.getTime, d.doc_id)).foreach { d =>
+              if (d.ts.getTime > maxTs) maxTs = d.ts.getTime
+              if (!docs.exists(_.doc_id == d.doc_id)) {
+                var bestId = -1L
+                var bestJ = 0.0
+                docs.foreach { sd =>
+                  val n = math.min(sd.signature.length, d.signature.length)
+                  var agree = 0
+                  var i = 0
+                  while (i < n) {
+                    if (sd.signature(i) == d.signature(i)) agree += 1
+                    i += 1
+                  }
+                  val j = if (n == 0) 0.0 else agree.toDouble / n
+                  if (j > bestJ || (j == bestJ && bestId >= 0 && sd.doc_id < bestId)) {
+                    bestJ = j
+                    bestId = sd.doc_id
+                  }
+                }
+                if (bestId >= 0 && bestJ >= threshold)
+                  hits += NearDupHit(d.doc_id, bestId, math.rint(bestJ * 1e6) / 1e6)
+                if (docs.length < maxPerBucket)
+                  docs = docs :+ BucketStateDoc(d.doc_id, d.signature)
+              }
+            }
+            state.update(BucketState(docs))
+            // anchor on max(event time, watermark): on the FIRST batch the
+            // watermark is still 0, and a watermark-only anchor would
+            // expire every bucket before the second batch arrives
+            state.setTimeoutTimestamp(
+              math.max(maxTs, state.getCurrentWatermarkMs()) + stateHorizonMs)
+            hits.result().iterator
+          }
+      }
+  }
+
   // -------- custom keyed state: running per-user counters ----------------
 
   case class UserEvent(user_id: Long, event_type: String, value: Double)

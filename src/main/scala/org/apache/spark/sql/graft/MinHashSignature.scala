@@ -98,4 +98,35 @@ object MinHashSignature {
   def minhash_signature(hash64: Column, k: Int): Column =
     ExpressionUtils.column(
       MinHashSignatureAgg(ExpressionUtils.expression(hash64), k).toAggregateExpression())
+
+  /** Per-row signature of one document's shingle-hash set — the
+    * streaming-safe scalar twin of [[minhash_signature]] (identical seeds
+    * and mixer, so a doc gets bit-identical signatures on both paths;
+    * parity is suite-pinned).
+    */
+  def signatureOf(hashes: Seq[Long], k: Int): Array[Long] = {
+    require(k > 0 && k <= MinHashSignatureAgg.seeds.length,
+      s"k must be in [1, ${MinHashSignatureAgg.seeds.length}]")
+    val sig = Array.fill(k)(Long.MaxValue)
+    hashes.foreach { hv =>
+      var i = 0
+      while (i < k) {
+        val v = MinHashSignatureAgg.mix(hv ^ MinHashSignatureAgg.seeds(i))
+        if (v < sig(i)) sig(i) = v
+        i += 1
+      }
+    }
+    sig
+  }
+
+  /** Scala twin of the [[LongArraySliceHash]] banding fold (same splitmix
+    * constants) — streaming banding buckets equal batch banding buckets.
+    */
+  def sliceHash(sig: Array[Long], start: Int, len: Int, seed: Long): Long = {
+    val end = math.min(start + len, sig.length)
+    var h = MinHashSignatureAgg.mix(seed)
+    var i = start
+    while (i < end) { h = MinHashSignatureAgg.mix(h ^ sig(i)); i += 1 }
+    h
+  }
 }

@@ -240,6 +240,64 @@ class StreamingSuite extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("streaming minhash near-dup detection flags planted dups; banding matches batch") {
+    val s = spark
+    import s.implicits._
+    // 20 distinct docs + near-dups of docs 0 and 1 arriving later
+    val rng = new scala.util.Random(7)
+    val vocab = Array("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "quick", "brown", "fox", "jumps")
+    val base = (0 until 20).map(i =>
+      (i.toLong, Array.fill(40)(vocab(rng.nextInt(vocab.length))).mkString(" ")))
+    def dupOf(i: Int, id: Long) = {
+      val toks = base(i)._2.split(" ")
+      (id, (toks.dropRight(2) ++ Array("x", "y")).mkString(" "))
+    }
+    val dups = Seq(dupOf(0, 100L), dupOf(1, 101L))
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(m: Int) = new java.sql.Timestamp(t0.getTime + m * 60000L)
+
+    // batch-parity check: the streaming banding of the same docs yields
+    // exactly the batch pipeline's (id, band, bucket) rows
+    val allDocs = (base ++ dups).toDF("doc_id", "text")
+      .withColumn("ts", lit(t0))
+    val streamingBands = StreamingOps.minhashBanded(
+        allDocs, "doc_id", "text", "ts", numHashes = 16, bands = 4)
+      .collect().map(b => (b.doc_id, b.band, b.bucket)).toSet
+    val sigs = pipeline.Dedup.minhashSignatures(allDocs, "doc_id", "text", 16)
+    val batchBands = sigs.select(
+        col("id"),
+        explode(array((0 until 4).map { b =>
+          struct(lit(b).as("band"),
+            org.apache.spark.sql.graft.GraftExpressions
+              .longSliceHash(col("signature"), b * 4, 4, b.toLong).as("bucket"))
+        }: _*)).as("bb"))
+      .select(col("id"), col("bb.band"), col("bb.bucket"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(streamingBands === batchBands)
+
+    // streaming detection: originals first, dups in a later micro-batch
+    implicit val sq = s.sqlContext
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val streamDf = mem.toDF().toDF("doc_id", "text", "ts")
+    val banded = StreamingOps.minhashBanded(
+      streamDf, "doc_id", "text", "ts", numHashes = 16, bands = 4)
+    val query = StreamingOps.nearDupHitsStream(banded, threshold = 0.5)
+      .writeStream.format("memory").queryName("near_dups").outputMode("append")
+      .start()
+    try {
+      mem.addData(base.map { case (id, t) => (id, t, ts(0)) })
+      query.processAllAvailable()
+      mem.addData(dups.map { case (id, t) => (id, t, ts(10)) })
+      query.processAllAvailable()
+      val hits = s.sql("SELECT doc_id, dup_of FROM near_dups")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // each planted dup is flagged against its original (possibly from
+      // several bands — set semantics); no original is flagged
+      assert(hits === Set((100L, 0L), (101L, 1L)), s"hits: $hits")
+    } finally query.stop()
+  }
+
   test("flatMapGroupsWithState running stats accumulate across batches") {
     val s = spark
     import s.implicits._
