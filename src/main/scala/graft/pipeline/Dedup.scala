@@ -514,6 +514,33 @@ object Dedup {
       bands: Int = 16,
       shingleSize: Int = 3,
       threshold: Double = 0.5): DataFrame = {
+    val (cands, all, banded) = incrementalCandidatesLazy(
+      corpus, batch, idCol, textCol, numHashes, bands, shingleSize)
+    cands.persist()
+    cands.count()
+    banded.unpersist(blocking = false)
+    val verified = verifyPairsExactJaccard(all, "id", "text", cands, shingleSize, threshold)
+    val victims = verified.select(col("doc_b").as(idCol)).distinct()
+    val out = batch.join(victims, Seq(idCol), "left_anti")
+    // release the persisted frames themselves (verified, not its
+    // projection — unpersisting a derived plan would leave the cached
+    // blocks behind)
+    materializeAndRelease(out, cands, verified)
+  }
+
+  /** Un-materialized incremental-candidate plan (see
+    * [[ngramJaccardPairsLazy]]): (candidates, corpus ∪ batch with rank,
+    * persisted banded frame). Candidates are (doc_a precedes doc_b,
+    * doc_b is a batch doc) pairs sharing a (band, bucket).
+    */
+  private[graft] def incrementalCandidatesLazy(
+      corpus: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int,
+      bands: Int,
+      shingleSize: Int): (DataFrame, DataFrame, DataFrame) = {
     // rank 0 = corpus, 1 = batch; precedence = (rank, id) lexicographic
     val all = corpus.select(col(idCol).as("id"), col(textCol).as("text"), lit(0).as("rk"))
       .unionByName(batch.select(col(idCol).as("id"), col(textCol).as("text"), lit(1).as("rk")))
@@ -541,16 +568,7 @@ object Dedup {
           (struct(col("a.rk"), col("a.id")) < struct(col("b.rk"), col("b.id"))))
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
       .distinct()
-    cands.persist()
-    cands.count()
-    banded.unpersist(blocking = false)
-    val verified = verifyPairsExactJaccard(all, "id", "text", cands, shingleSize, threshold)
-    val victims = verified.select(col("doc_b").as(idCol)).distinct()
-    val out = batch.join(victims, Seq(idCol), "left_anti")
-    // release the persisted frames themselves (verified, not its
-    // projection — unpersisting a derived plan would leave the cached
-    // blocks behind)
-    materializeAndRelease(out, cands, verified)
+    (cands, all, banded)
   }
 
   /** SimHash near-dup pipeline with EXACT verification: Hamming-ball

@@ -62,7 +62,13 @@ class PlanSuite extends SparkSpec {
         }, Seq("""\bband#\d+""".r, """\bbucket#\d+""".r)),
         ("embedding-lsh",
           pipeline.Dedup.embeddingDupPairsLsh(embs, "vec_id", "embedding", 0.9, 8, 6, 2),
-          Seq("""\bt#\d+""".r, """\bbucket#\d+""".r))
+          Seq("""\bt#\d+""".r, """\bbucket#\d+""".r)),
+        ("incremental", {
+          val corpus = docs.filter(col("doc_id") % 2 === 0)
+          val batch = docs.filter(col("doc_id") % 2 === 1)
+          pipeline.Dedup.incrementalCandidatesLazy(
+            corpus, batch, "doc_id", "text", 16, 4, 3)._1
+        }, Seq("""\bband#\d+""".r, """\bbucket#\d+""".r))
       ).map { case (n, df, res) => (n, formatted(df), res) }
       plans.foreach { case (name, plan, keyPatterns) =>
         assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
