@@ -140,17 +140,23 @@ object Bench {
       results.map(r => "\"" + r._1 + "\":" + f(r)).mkString("{", ",", "}")
     val qs = jsonMap(_._2)
     val qsMin = jsonMap(_._3)
+    // Locale.ROOT: the default-locale f"" interpolator renders a comma
+    // decimal separator on some JVMs, which corrupts the JSON
+    def fmt4(t: Double): String = String.format(java.util.Locale.ROOT, "%.4f", Double.box(t))
     val qsReps = results
-      .map(r => "\"" + r._1 + "\":" + r._4.map(t => f"$t%.4f").mkString("[", ",", "]"))
+      .map(r => "\"" + r._1 + "\":" + r._4.map(fmt4).mkString("[", ",", "]"))
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, _, _, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum
     val loadAfter = loadAvg()
     def jsonArr(xs: Seq[Double]): String = xs.mkString("[", ",", "]")
+    // "reps" is the CONFIGURED base; queries_reps arrays are authoritative
+    // per query (the spike guard may have bought up to 2 extra), so the
+    // policy is spelled out for consumers that would otherwise truncate
     val shared =
-      s""""unit":"sec","reps":$reps,"sf":"$sfDir","failed":$failed,""" +
-        f""""calib_sec":$calib%.4f,""" +
+      s""""unit":"sec","reps":$reps,"rep_policy":"median over all reps in queries_reps; guard adds up to 2 reps when max>2*min","sf":"$sfDir","failed":$failed,""" +
+        s""""calib_sec":${fmt4(calib)},""" +
         s""""loadavg_before":${jsonArr(loadBefore)},"loadavg_after":${jsonArr(loadAfter)}"""
     // Sidecar file with the FULL result (incl. per-rep times): the driver
     // archives only the tail of stdout, which truncated the medians map out

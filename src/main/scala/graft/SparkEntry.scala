@@ -323,11 +323,15 @@ object SparkEntry {
     "p_minhash_dedup" -> JACCARD_PAIRS_SQL,
     "p_simhash_dedup" -> JACCARD_PAIRS_SQL,
     // same LCG arithmetic as Sampling.lcgBucket; cutoffs are
-    // Sampling.rateCutoff literals for en=1.0 de=0.5 fr=0.5 es=0.25 zh=0.1
+    // Sampling.rateCutoff literals for en=1.0 de=0.5 fr=0.5 es=0.25 zh=0.1.
+    // The trailing `+ m) % m` normalization matches Spark's pmod for
+    // NEGATIVE ids too (SQL % is sign-preserving; without it every
+    // negative-bucket row would pass any cutoff)
     "p_stratified_sample" ->
       """WITH s AS (
         |  SELECT lang, doc_id,
-        |    ((doc_id % 4294967296) * 1103515245 + 12345) % 4294967296 AS bucket
+        |    ((((doc_id % 4294967296) * 1103515245 + 12345) % 4294967296)
+        |      + 4294967296) % 4294967296 AS bucket
         |  FROM documents),
         |k AS (
         |  SELECT lang, doc_id FROM s WHERE bucket <

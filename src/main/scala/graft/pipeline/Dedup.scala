@@ -358,6 +358,28 @@ object Dedup {
     materializeAndRelease(cands, banded)
   }
 
+  /** Band-explode a signature frame into (carry..., band, bucket) — the
+    * ONE banding projection shared by the batch candidate join and the
+    * incremental dedup (the streaming path mirrors it through the
+    * `MinHashSignature.sliceHash` Scala twin); all three parities are
+    * suite-pinned, so the banding math must live in exactly one place.
+    * The bucket is a codegen'd splitmix fold over the band's longs in
+    * place — no slice allocation, no per-row string rendering (the
+    * previous xxhash64(slice(...).cast("string")) dominated this loop).
+    */
+  private def bandedSignatures(
+      sigs: DataFrame, bands: Int, rows: Int, carry: Seq[String]): DataFrame =
+    sigs.select(
+      carry.map(col) :+ explode(
+        array((0 until bands).map { b =>
+          struct(
+            lit(b).as("band"),
+            org.apache.spark.sql.graft.GraftExpressions
+              .longSliceHash(col("signature"), b * rows, rows, b.toLong)
+              .as("bucket"))
+        }: _*)).as("bb"): _*)
+      .select(carry.map(col) :+ col("bb.band") :+ col("bb.bucket"): _*)
+
   /** Un-materialized banding plan (see [[ngramJaccardPairsLazy]]). */
   private[graft] def minhashCandidatePairsLazy(
       signatures: DataFrame, bands: Int, numHashes: Int): (DataFrame, DataFrame) = {
@@ -366,20 +388,7 @@ object Dedup {
     require(numHashes % bands == 0,
       s"bands=$bands must divide evenly into numHashes=$numHashes " +
         "(a remainder would silently leave signature tail components unbanded)")
-    val banded = signatures.select(
-      col("id"),
-      explode(
-        array((0 until bands).map { b =>
-          struct(
-            lit(b).as("band"),
-            // codegen'd splitmix fold over the band's longs in place — no
-            // slice allocation, no per-row string rendering (the previous
-            // xxhash64(slice(...).cast("string")) dominated this loop)
-            org.apache.spark.sql.graft.GraftExpressions
-              .longSliceHash(col("signature"), b * rows, rows, b.toLong)
-              .as("bucket"))
-        }: _*)).as("bb"))
-      .select(col("id"), col("bb.band"), col("bb.bucket"))
+    val banded = bandedSignatures(signatures, bands, rows, Seq("id"))
     banded.persist()
     val cands = banded.as("a")
       .join(banded.as("b").hint("shuffle_hash"),
@@ -514,11 +523,10 @@ object Dedup {
       bands: Int = 16,
       shingleSize: Int = 3,
       threshold: Double = 0.5): DataFrame = {
-    val (cands, all, banded) = incrementalCandidatesLazy(
+    val (cands0, all, banded) = incrementalCandidatesLazy(
       corpus, batch, idCol, textCol, numHashes, bands, shingleSize)
-    cands.persist()
-    cands.count()
-    banded.unpersist(blocking = false)
+    // persist + count + release-banded with failure-path cleanup
+    val cands = materializeAndRelease(cands0, banded)
     val verified = verifyPairsExactJaccard(all, "id", "text", cands, shingleSize, threshold)
     val victims = verified.select(col("doc_b").as(idCol)).distinct()
     val out = batch.join(victims, Seq(idCol), "left_anti")
@@ -547,19 +555,19 @@ object Dedup {
     val rows = numHashes / bands
     require(rows > 0 && numHashes % bands == 0,
       s"bands=$bands must divide evenly into numHashes=$numHashes")
-    val sigs = minhashSignatures(all, "id", "text", numHashes, shingleSize)
-      .join(all.select(col("id"), col("rk")), "id")
-    val banded = sigs.select(
-      col("id"), col("rk"),
-      explode(
-        array((0 until bands).map { b =>
-          struct(
-            lit(b).as("band"),
-            org.apache.spark.sql.graft.GraftExpressions
-              .longSliceHash(col("signature"), b * rows, rows, b.toLong)
-              .as("bucket"))
-        }: _*)).as("bb"))
-      .select(col("id"), col("rk"), col("bb.band"), col("bb.bucket"))
+    // rk rides in the groupBy key (it is functionally determined by id),
+    // so no second scan of the union and no corpus-wide re-join to
+    // re-attach it
+    val sigs = {
+      import org.apache.spark.sql.graft.MinHashSignature.minhash_signature
+      import org.apache.spark.sql.graft.ShingleHashesFn.shingle_hashes
+      all.select(
+          col("id"), col("rk"),
+          explode(shingle_hashes(tokens(col("text")), shingleSize)).as("h"))
+        .groupBy("id", "rk")
+        .agg(minhash_signature(col("h"), numHashes).as("signature"))
+    }
+    val banded = bandedSignatures(sigs, bands, rows, Seq("id", "rk"))
     banded.persist()
     val cands = banded.as("a")
       .join(banded.as("b").hint("shuffle_hash"),

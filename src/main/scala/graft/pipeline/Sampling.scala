@@ -17,12 +17,17 @@ import org.apache.spark.sql.functions._
   *
   * The bucket function is a 32-bit LCG (the classic glibc constants)
   * evaluated in 64-bit integer arithmetic: `((id mod 2^32) * 1103515245
-  * + 12345) mod 2^32`. Chosen over xxhash64/crc32 deliberately: the SAME
-  * arithmetic is expressible verbatim in any ANSI SQL engine (the
-  * correctness oracle runs it in DuckDB), and statistical quality beyond
-  * rate-accuracy is irrelevant here — ids are assigned, not adversarial.
-  * The inner mod keeps every intermediate below 2^63 for any Long id
-  * (max (2^32-1) * 1103515245 ≈ 4.7e18).
+  * + 12345) mod 2^32` with `mod` = Spark's `pmod` (non-negative result).
+  * Chosen over xxhash64/crc32 deliberately: the SAME arithmetic is
+  * expressible verbatim in any ANSI SQL engine, and statistical quality
+  * beyond rate-accuracy is irrelevant here — ids are assigned, not
+  * adversarial. The inner mod keeps every intermediate below 2^63 for
+  * any Long id (max (2^32-1) * 1103515245 ≈ 4.7e18). NB for porting:
+  * SQL `%` is sign-preserving, so the portable formula for ids that may
+  * be negative (hash-derived ids!) normalizes at the end —
+  * `((((id % m) * 1103515245 + 12345) % m) + m) % m` with m = 2^32 —
+  * which equals pmod's result for every Long id; the gate oracle uses
+  * exactly this form.
   */
 object Sampling {
   private val Mod = 4294967296L // 2^32

@@ -122,6 +122,11 @@ object StreamingOps {
     require(rows > 0 && numHashes % bands == 0,
       s"bands=$bands must divide evenly into numHashes=$numHashes")
     docs
+      // drop null id/text rows up front: the batch twin sheds them
+      // harmlessly in its explode, but here a null would hit the typed
+      // flatMap (NPE in signatureOf / non-nullable Long decode) and a
+      // single bad record must not kill a continuous query
+      .where(col(idCol).isNotNull && col(textCol).isNotNull)
       .select(
         col(idCol).cast("long"),
         col(tsCol),

@@ -130,6 +130,18 @@ class PipelineSuite extends SparkSpec {
     // edge rates: 0 drops all, 1 keeps all
     assert(Sampling.hashSample(rows, "id", 0.0).count() === 0)
     assert(Sampling.hashSample(rows, "id", 1.0).count() === 4000)
+    // NEGATIVE ids (hash-derived ids are negative half the time): Spark's
+    // pmod bucket must equal the portable sign-normalized SQL formula the
+    // oracle documents, so cross-engine reproducibility holds off the
+    // non-negative fixture too
+    val negIds = (-2000L until 2000L).toDF("id")
+    val kept = Sampling.hashSample(negIds, "id", 0.1)
+      .collect().map(_.getLong(0)).toSet
+    val m = 4294967296L
+    def portableBucket(id: Long): Long =
+      ((((id % m) * 1103515245L + 12345L) % m) + m) % m
+    val expected = (-2000L until 2000L).filter(portableBucket(_) < (0.1 * m).toLong).toSet
+    assert(kept === expected)
   }
 
   test("incrementalDedupSurvivors drops only batch docs, with corpus precedence") {
