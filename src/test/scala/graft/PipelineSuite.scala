@@ -207,6 +207,38 @@ class PipelineSuite extends SparkSpec {
     partial.unpersist(blocking = false)
   }
 
+  test("sampling and incremental dedup edge cases: empty inputs, no dups, all dups") {
+    val s = spark
+    import s.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    // empty frames pass through every path without error
+    assert(Sampling.hashSample(empty, "doc_id", 0.5).count() === 0)
+    assert(Dedup.incrementalDedupSurvivors(docs, empty, "doc_id", "text").count() === 0)
+    val out = Dedup.incrementalDedupSurvivors(empty, docs, "doc_id", "text")
+    // empty corpus: within-batch precedence still applies — the 10
+    // planted dups (ids 1000+) drop against their lower-id originals
+    assert(out.count() === 100)
+    out.unpersist(blocking = false)
+    // a batch with no near-dups of anything survives intact
+    val distinctBatch = docs.filter(col("doc_id") >= 10 && col("doc_id") < 30)
+    val corpus = docs.filter(col("doc_id") < 10)
+    val out2 = Dedup.incrementalDedupSurvivors(corpus, distinctBatch, "doc_id", "text")
+    assert(out2.count() === 20)
+    out2.unpersist(blocking = false)
+    // a batch that is ALL near-dups of the corpus drops entirely
+    val dupBatch = docs.filter(col("doc_id") >= 1000)
+    val dupCorpus = docs.filter(col("doc_id") < 100)
+    val out3 = Dedup.incrementalDedupSurvivors(dupCorpus, dupBatch, "doc_id", "text")
+    assert(out3.count() === 0)
+    out3.unpersist(blocking = false)
+    // unknown stratum falls to defaultRate
+    val strat = Seq((1L, "x"), (2L, "y")).toDF("id", "stratum")
+    assert(Sampling.hashStratifiedSample(strat, "id", "stratum",
+      Map("x" -> 1.0), defaultRate = 0.0).count() === 1)
+    assert(Sampling.hashStratifiedSample(strat, "id", "stratum",
+      Map("x" -> 1.0), defaultRate = 1.0).count() === 2)
+  }
+
   test("connectedComponents and nearDupCorpus handle an empty pair set") {
     val s = spark
     import s.implicits._
