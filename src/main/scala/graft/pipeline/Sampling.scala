@@ -69,4 +69,26 @@ object Sampling {
     require(rate >= 0.0 && rate <= 1.0, s"rate must be in [0,1], got $rate")
     df.filter(lcgBucket(col(idCol)) < lit(rateCutoff(rate)))
   }
+
+  /** Deterministic disjoint splits (train/val/test, data mixes): row i of
+    * the result holds the rows whose bucket falls in the i-th cumulative
+    * half-open interval of `fractions` (which must sum to <= 1; any
+    * remainder is simply in no split). Split membership is a pure
+    * function of the id — reproducible across runs, engines, partition
+    * layouts, and retries — and CONSISTENT with [[hashSample]]: a 10%
+    * `hashSample` equals the first split of `hashSplit(df, id,
+    * Seq(0.1, ...))`, so a pipeline can carve validation data out of the
+    * exact sample it trained on. Each split is still a pure map-side
+    * filter over the base frame.
+    */
+  def hashSplit(df: DataFrame, idCol: String, fractions: Seq[Double]): Seq[DataFrame] = {
+    require(fractions.nonEmpty && fractions.forall(f => f >= 0.0 && f <= 1.0),
+      s"fractions must each be in [0,1], got $fractions")
+    require(fractions.sum <= 1.0 + 1e-9, s"fractions must sum to <= 1, got ${fractions.sum}")
+    val cuts = fractions.scanLeft(0.0)(_ + _).map(f => rateCutoff(math.min(f, 1.0)))
+    fractions.indices.map { i =>
+      val b = lcgBucket(col(idCol))
+      df.filter(b >= lit(cuts(i)) && b < lit(cuts(i + 1)))
+    }
+  }
 }

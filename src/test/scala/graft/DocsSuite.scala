@@ -123,6 +123,9 @@ class DocsSuite extends SparkSpec {
     val mixed = pipeline.Sampling.hashStratifiedSample(docs, "doc_id", "lang",
       Map("en" -> 1.0, "de" -> 0.5, "zh" -> 0.1), defaultRate = 0.25)
     assert(mixed.count() > 0 && mixed.count() < docs.count())
+    val Seq(train, valid, test) =
+      pipeline.Sampling.hashSplit(docs, "doc_id", Seq(0.8, 0.1, 0.1))
+    assert(train.count() + valid.count() + test.count() === docs.count())
   }
 
   test("pipeline-ops: skew + similarity snippets run") {

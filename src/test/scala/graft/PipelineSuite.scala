@@ -144,6 +144,27 @@ class PipelineSuite extends SparkSpec {
     assert(kept === expected)
   }
 
+  test("hashSplit yields disjoint covering splits consistent with hashSample") {
+    val s = spark
+    import s.implicits._
+    val rows = (0L until 5000L).toDF("id")
+    val splits = Sampling.hashSplit(rows, "id", Seq(0.7, 0.2, 0.1))
+    val sets = splits.map(_.collect().map(_.getLong(0)).toSet)
+    // disjoint and (fractions sum to 1) covering
+    assert(sets.map(_.size).sum === 5000)
+    assert(sets.reduce(_ ++ _).size === 5000)
+    // sizes track fractions
+    assert(math.abs(sets(0).size / 5000.0 - 0.7) < 0.03)
+    assert(math.abs(sets(1).size / 5000.0 - 0.2) < 0.03)
+    // consistency: the first split IS the 70% hashSample
+    val sample = Sampling.hashSample(rows, "id", 0.7)
+      .collect().map(_.getLong(0)).toSet
+    assert(sets(0) === sample)
+    // fractions summing below 1 leave a remainder in no split
+    val partial = Sampling.hashSplit(rows, "id", Seq(0.3, 0.3))
+    assert(partial.map(_.count()).sum < 5000)
+  }
+
   test("incrementalDedupSurvivors drops only batch docs, with corpus precedence") {
     val s = spark
     import s.implicits._
