@@ -298,6 +298,54 @@ class StreamingSuite extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming near-dup hits equal the batch minhashPairs pair set") {
+    val s = spark
+    import s.implicits._
+    // a corpus with planted near-dups (same generator shape as
+    // PipelineSuite.docs), streamed in id order across 3 micro-batches:
+    // for every batch pair (a < b), a is already in bucket state when b
+    // arrives, the pair shares a band bucket (that is how batch banding
+    // found it), and both paths use the same signature-agreement
+    // estimator — so the streaming hit set must equal the batch pair set
+    val rng = new scala.util.Random(23)
+    val vocab = Array("alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta",
+      "theta", "iota", "kappa", "the", "and", "of", "quick", "brown", "fox")
+    val base = (0 until 60).map { i =>
+      (i.toLong, Array.fill(40)(vocab(rng.nextInt(vocab.length))).mkString(" "))
+    }
+    val dups = (0 until 6).map { i =>
+      val toks = base(i)._2.split(" ")
+      (1000L + i, (toks.dropRight(3) ++ Array("x", "y", "z")).mkString(" "))
+    }
+    val all = base ++ dups
+    val batchPairs = pipeline.Dedup.minhashPairs(
+        all.toDF("doc_id", "text"), "doc_id", "text",
+        numHashes = 16, bands = 4, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    implicit val sq = s.sqlContext
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val streamDf = mem.toDF().toDF("doc_id", "text", "ts")
+    val banded = StreamingOps.minhashBanded(
+      streamDf, "doc_id", "text", "ts", numHashes = 16, bands = 4)
+    val query = StreamingOps.nearDupHitsStream(banded, threshold = 0.5)
+      .writeStream.format("memory").queryName("near_dup_parity").outputMode("append")
+      .start()
+    try {
+      all.sortBy(_._1).grouped(25).zipWithIndex.foreach { case (chunk, i) =>
+        mem.addData(chunk.map { case (id, t) =>
+          (id, t, new java.sql.Timestamp(t0.getTime + i * 60000L))
+        })
+        query.processAllAvailable()
+      }
+      val hits = s.sql("SELECT dup_of, doc_id FROM near_dup_parity")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(hits === batchPairs, s"streaming hits $hits vs batch pairs $batchPairs")
+      assert(batchPairs.nonEmpty) // the comparison must not be vacuous
+    } finally query.stop()
+  }
+
   test("flatMapGroupsWithState running stats accumulate across batches") {
     val s = spark
     import s.implicits._
