@@ -32,7 +32,11 @@ import org.apache.spark.sql.functions._
 object Sampling {
   private val Mod = 4294967296L // 2^32
 
-  /** Keep-bucket in [0, 2^32) for a stable integral id column. */
+  /** Keep-bucket in [0, 2^32) for a stable integral id column. A NULL id
+    * yields a NULL bucket, which fails every `<` comparison — so
+    * null-id rows are silently excluded from every sample and every
+    * split, the same answer a SQL engine gives for the oracle formula.
+    */
   def lcgBucket(id: Column): Column =
     pmod(pmod(id, lit(Mod)) * lit(1103515245L) + lit(12345L), lit(Mod))
 

@@ -258,6 +258,11 @@ class PipelineSuite extends SparkSpec {
       Map("x" -> 1.0), defaultRate = 0.0).count() === 1)
     assert(Sampling.hashStratifiedSample(strat, "id", "stratum",
       Map("x" -> 1.0), defaultRate = 1.0).count() === 2)
+    // null ids are excluded from every sample and split (null bucket
+    // fails every comparison — same answer as the SQL oracle formula)
+    val withNull = Seq(Some(1L), Some(2L), None).toDF("id")
+    assert(Sampling.hashSample(withNull, "id", 1.0).count() === 2)
+    assert(Sampling.hashSplit(withNull, "id", Seq(0.5, 0.5)).map(_.count()).sum === 2)
   }
 
   test("connectedComponents and nearDupCorpus handle an empty pair set") {
