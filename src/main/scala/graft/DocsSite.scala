@@ -27,14 +27,22 @@ object DocsSite {
   private def escape(s: String): String =
     s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
 
-  /** Inline markup over already-escaped text. */
+  /** Inline markup over already-escaped text. Code spans are extracted to
+    * placeholders FIRST so bold/link syntax inside backticks (e.g. a code
+    * span containing `**` or `](`) is never rewritten, then reinserted.
+    */
   private def inline(raw: String): String = {
+    val spans = scala.collection.mutable.ArrayBuffer.empty[String]
     var s = escape(raw)
-    s = "`([^`]+)`".r.replaceAllIn(s,
-      m => scala.util.matching.Regex.quoteReplacement(s"<code>${m.group(1)}</code>"))
+    s = "`([^`]+)`".r.replaceAllIn(s, m => {
+      spans += m.group(1)
+      "\u0000" + (spans.length - 1) + "\u0000"
+    })
     s = "\\*\\*([^*]+)\\*\\*".r.replaceAllIn(s, "<b>$1</b>")
     s = "\\[([^\\]]+)\\]\\(([^)]+)\\)".r.replaceAllIn(s, "<a href=\"$2\">$1</a>")
-    s
+    "\u0000(\\d+)\u0000".r.replaceAllIn(s, m =>
+      scala.util.matching.Regex.quoteReplacement(
+        s"<code>${spans(m.group(1).toInt)}</code>"))
   }
 
   private[graft] def render(md: String): String = {
@@ -109,9 +117,12 @@ object DocsSite {
     */
   def generate(docsDir: Path, outDir: Path): Seq[String] = {
     Files.createDirectories(outDir)
-    val mds = Files.list(docsDir).iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".md")).toSeq
-      .sortBy(_.getFileName.toString)
+    val listing = Files.list(docsDir)
+    val mds =
+      try listing.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".md")).toList
+        .sortBy(_.getFileName.toString)
+      finally listing.close()
     require(mds.nonEmpty, s"no .md files under $docsDir")
     val names = mds.map(_.getFileName.toString.stripSuffix(".md"))
     val ordered = names.sortBy { n =>

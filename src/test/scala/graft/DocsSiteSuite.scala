@@ -46,11 +46,20 @@ class DocsSiteSuite extends AnyFunSuite {
     assert(html.contains("&lt;angle&gt;"))
   }
 
+  test("code spans protect bold/link syntax; prose digits survive") {
+    val html = DocsSite.render(
+      "Use `a ** b` and `Seq[Double](0.8)` with 0 and 1 in prose.\n")
+    assert(html.contains("<code>a ** b</code>"), html)
+    assert(html.contains("<code>Seq[Double](0.8)</code>"), html)
+    assert(html.contains("with 0 and 1 in prose"), html)
+  }
+
   test("generate renders every docs page with nav, index, and stylesheet") {
     val out = Files.createTempDirectory("graft-site")
     val docsDir = Paths.get("docs")
     val pages = DocsSite.generate(docsDir, out)
-    val mdCount = Files.list(docsDir).filter(_.toString.endsWith(".md")).count()
+    val listing = Files.list(docsDir)
+    val mdCount = try listing.filter(_.toString.endsWith(".md")).count() finally listing.close()
     assert(pages.length === mdCount)
     assert(pages.head === "overview") // nav order starts at the overview
     pages.foreach { p =>
@@ -68,5 +77,22 @@ class DocsSiteSuite extends AnyFunSuite {
     val overview = new String(
       Files.readAllBytes(out.resolve("overview.html")), StandardCharsets.UTF_8)
     assert(overview.contains("<pre><code>"), "overview should carry rendered code fences")
+  }
+
+  test("committed site/ is in sync with docs/ (fresh render byte-equals it)") {
+    // site/ is build output checked in for parity with the reference's
+    // built website; without this guard a docs/ edit that skips
+    // `runMain graft.DocsSite docs site` would ship a silently stale site
+    val fresh = Files.createTempDirectory("graft-site-sync")
+    val pages = DocsSite.generate(Paths.get("docs"), fresh)
+    val committed = Paths.get("site")
+    (pages.map(_ + ".html") :+ "index.html" :+ "style.css").foreach { f =>
+      assert(Files.exists(committed.resolve(f)), s"site/$f missing — re-run graft.DocsSite")
+      assert(
+        java.util.Arrays.equals(
+          Files.readAllBytes(fresh.resolve(f)),
+          Files.readAllBytes(committed.resolve(f))),
+        s"site/$f is stale — re-run `runMain graft.DocsSite docs site` and commit")
+    }
   }
 }

@@ -302,11 +302,14 @@ class StreamingSuite extends SparkSpec {
     val s = spark
     import s.implicits._
     // a corpus with planted near-dups (same generator shape as
-    // PipelineSuite.docs), streamed in id order across 3 micro-batches:
-    // for every batch pair (a < b), a is already in bucket state when b
-    // arrives, the pair shares a band bucket (that is how batch banding
-    // found it), and both paths use the same signature-agreement
-    // estimator — so the streaming hit set must equal the batch pair set
+    // PipelineSuite.docs), streamed in id order across 3 micro-batches.
+    // Structural invariants (hold for ANY data): every streaming hit is a
+    // batch pair (same estimator over a candidate subset), and every doc
+    // with a qualifying earlier partner gets flagged (they share a band
+    // bucket, and in id-order arrival the partner is already in state).
+    // Streaming emits only the BEST match per arriving doc, so hit-set
+    // EQUALITY additionally relies on this fixture's single-partner
+    // planting (each dup near-dups exactly one original).
     val rng = new scala.util.Random(23)
     val vocab = Array("alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta",
       "theta", "iota", "kappa", "the", "and", "of", "quick", "brown", "fox")
@@ -341,6 +344,11 @@ class StreamingSuite extends SparkSpec {
       }
       val hits = s.sql("SELECT dup_of, doc_id FROM near_dup_parity")
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // structural: hits ⊆ pairs, and the flagged-doc sets coincide
+      assert(hits.subsetOf(batchPairs), s"streaming hits not in batch pairs: ${hits -- batchPairs}")
+      assert(hits.map(_._2) === batchPairs.map(_._2),
+        s"flagged docs ${hits.map(_._2)} vs batch victims ${batchPairs.map(_._2)}")
+      // fixture-specific (single partner per dup): exact pair equality
       assert(hits === batchPairs, s"streaming hits $hits vs batch pairs $batchPairs")
       assert(batchPairs.nonEmpty) // the comparison must not be vacuous
     } finally query.stop()
