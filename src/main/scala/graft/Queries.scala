@@ -250,10 +250,37 @@ object Queries {
       .agg(count(lit(1)).as("n_kept"), sum("doc_id").as("id_sum"))
       .orderBy("lang")
 
+  /** Deterministic train/val/test split — gates [[Sampling.hashSplit]],
+    * the operator a training pipeline actually calls: 0.7/0.2/0.1 over
+    * documents on the LCG bucket, per-split row count + id checksum. The
+    * oracle recomputes the same buckets and compares them against the
+    * SAME integer cutoffs (literals interpolated from
+    * [[Sampling.rateCutoff]] in SparkEntry, so operator and oracle cannot
+    * drift).
+    */
+  def pHashSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    val splits = Sampling.hashSplit(documents(spark, sfDir), "doc_id", Seq(0.7, 0.2, 0.1))
+    splits.zipWithIndex.map { case (df, i) =>
+      df.groupBy()
+        .agg(count(lit(1)).as("n_rows"), sum("doc_id").as("id_sum"))
+        .select(lit(i).as("split_idx"), col("n_rows"), col("id_sum"))
+    }.reduce(_ unionByName _).orderBy("split_idx")
+  }
+
   /** Incremental dedup: the corpus/batch split is doc_id mod 3 (batch =
     * multiples of 3), so the fixture exercises all three drop reasons —
     * batch doc near-dup of a corpus doc, of an earlier batch doc, and
     * corpus-precedence beating id order. Output = surviving batch ids.
+    *
+    * Oracle coupling: the DuckDB oracle computes EXACT Jaccard pairs,
+    * while the operator's recall follows the 16×4 LSH S-curve — a true
+    * pair at exactly j = 0.5 is missed ~36% of the time (see
+    * [[Dedup.incrementalDedupSurvivors]]). The comparison is
+    * deterministic only because this corpus's planted near-dups are
+    * high-similarity (j ≥ 0.8, where the miss rate is < 1e-3 — verified
+    * empirically: banding recall is 1.0 here, like the other verified-LSH
+    * gates). A fixture with mid-similarity pairs would need more bands at
+    * the gated threshold.
     */
   def pIncrementalDedup(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = documents(spark, sfDir)

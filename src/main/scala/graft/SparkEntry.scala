@@ -57,6 +57,7 @@ object SparkEntry {
     "p_dedup_components" -> (Queries.pDedupComponents _),
     "p_dedup_survivors" -> (Queries.pDedupSurvivors _),
     "p_stratified_sample" -> (Queries.pStratifiedSample _),
+    "p_hash_split" -> (Queries.pHashSplit _),
     "p_dedup_incremental" -> (Queries.pIncrementalDedup _)
   )
 
@@ -340,6 +341,26 @@ object SparkEntry {
         |              WHEN 'zh' THEN 429496729 ELSE 0 END)
         |SELECT lang, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS id_sum
         |FROM k GROUP BY lang ORDER BY lang""".stripMargin,
+    // train/val/test split on the same LCG bucket: the two interior
+    // cutoffs are interpolated from Sampling.rateCutoff over the SAME
+    // cumulative sums hashSplit computes (0.7, then 0.7+0.2 — NOT a
+    // hand-written 0.9, whose double value differs from the sum), and the
+    // final cut is the snapped-to-1 bucket bound, under which every
+    // non-null id falls in split 2's ELSE branch
+    "p_hash_split" ->
+      s"""WITH s AS (
+         |  SELECT doc_id,
+         |    ((((doc_id % 4294967296) * 1103515245 + 12345) % 4294967296)
+         |      + 4294967296) % 4294967296 AS bucket
+         |  FROM documents),
+         |b AS (
+         |  SELECT doc_id,
+         |    CASE WHEN bucket < ${pipeline.Sampling.rateCutoff(0.7)} THEN 0
+         |         WHEN bucket < ${pipeline.Sampling.rateCutoff(0.7 + 0.2)} THEN 1
+         |         ELSE 2 END AS split_idx
+         |  FROM s)
+         |SELECT split_idx, count(*) AS n_rows, CAST(sum(doc_id) AS BIGINT) AS id_sum
+         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
     // incremental dedup: drop a batch doc (doc_id % 3 = 0) iff a
     // preceding doc — corpus doc, or batch doc with smaller id — has
     // exact trigram Jaccard >= 0.5 with it; survivors in id order

@@ -508,6 +508,19 @@ object Dedup {
     * Recall at the threshold is the standard LSH S-curve (16 bands × 4
     * rows: per-pair miss ≈ 1e-5 at j = 0.85); precision is exact.
     *
+    * RECALL / THRESHOLD COUPLING: the default `threshold = 0.5` sits well
+    * below the 16×4 S-curve's steep region — a true pair at exactly
+    * j = 0.5 is missed with probability (1 − 0.5^4)^16 ≈ 36%, dropping
+    * to ≈ 1% at j = 0.7 and ≈ 1e-5 at j = 0.85. Callers whose dup
+    * population has mass near the threshold should raise `bands` (at the
+    * same `numHashes`, fewer rows per band steepens the curve leftward at
+    * the cost of more candidates to verify) rather than trust the default
+    * banding at j ≈ 0.5. An exact-recall oracle (e.g. a brute-force
+    * Jaccard join) only agrees with this method when the actual dup pairs
+    * sit in the high-recall region — the gate fixture's near-dups are
+    * high-similarity by construction, which is what keeps its DuckDB
+    * comparison deterministic.
+    *
     * Note the one semantic difference vs re-running [[nearDupCorpusBy]]
     * from scratch: a batch doc near-duplicate of a DROPPED batch doc is
     * still dropped (its pair precedes it), which is the conservative

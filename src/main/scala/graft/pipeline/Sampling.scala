@@ -89,14 +89,18 @@ object Sampling {
     require(fractions.nonEmpty && fractions.forall(f => f >= 0.0 && f <= 1.0),
       s"fractions must each be in [0,1], got $fractions")
     require(fractions.sum <= 1.0 + 1e-9, s"fractions must sum to <= 1, got ${fractions.sum}")
-    // snap near-1 cumulative sums to exactly 1: Seq(0.7, 0.2, 0.1) sums to
-    // 0.9999999999999999 in doubles, and without the snap the last cut is
-    // 2^32 - 1 — a row whose bucket is exactly that value (a preimage
-    // exists for every bucket; the LCG multiplier is odd, hence invertible
-    // mod 2^32) would fall in NO split despite fully covering fractions
-    val cuts = fractions.scanLeft(0.0)(_ + _)
-      .map(f => if (f >= 1.0 - 1e-9) 1.0 else math.min(f, 1.0))
-      .map(rateCutoff)
+    // snap a near-1 FINAL cumulative sum to exactly 1: Seq(0.7, 0.2, 0.1)
+    // sums to 0.9999999999999999 in doubles, and without the snap the last
+    // cut is 2^32 - 1 — a row whose bucket is exactly that value (a
+    // preimage exists for every bucket; the LCG multiplier is odd, hence
+    // invertible mod 2^32) would fall in NO split despite fully covering
+    // fractions. Only the LAST sum is snapped: an intermediate sum that
+    // legitimately sits within 1e-9 of 1 (e.g. Seq(1.0 - 1e-10, 1e-10))
+    // must keep its exact cut or every later split collapses to empty.
+    val sums = fractions.scanLeft(0.0)(_ + _)
+    val cuts = sums.zipWithIndex.map { case (f, i) =>
+      if (i == sums.length - 1 && f >= 1.0 - 1e-9) 1.0 else math.min(f, 1.0)
+    }.map(rateCutoff)
     fractions.indices.map { i =>
       val b = lcgBucket(col(idCol))
       df.filter(b >= lit(cuts(i)) && b < lit(cuts(i + 1)))

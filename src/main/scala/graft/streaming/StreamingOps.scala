@@ -94,8 +94,17 @@ object StreamingOps {
     */
   case class NearDupHit(doc_id: Long, dup_of: Long, est_jaccard: Double)
 
-  /** Per-bucket keyed state: the docs seen in this bucket (bounded). */
-  case class BucketState(docs: Seq[BucketStateDoc])
+  /** Per-bucket keyed state: the docs seen in this bucket (bounded), plus
+    * a FIFO of ids that arrived while the signature store was full —
+    * their signatures are not kept (the `maxPerBucket` cap is the point),
+    * but remembering the ids keeps a doc that re-arrives in a later
+    * micro-batch from being compared and emitted a second time. The FIFO
+    * is itself capped (ids are 8 bytes, so the cap is generous); past it
+    * the operator degrades to at-least-once per doc — consumers that
+    * need exactly-one hit per doc aggregate on doc_id downstream (they
+    * already must: the same pair can surface from several bands).
+    */
+  case class BucketState(docs: Seq[BucketStateDoc], overflowIds: Seq[Long] = Seq.empty)
   case class BucketStateDoc(doc_id: Long, signature: Seq[Long])
 
   /** Streaming half of the batch MinHash pipeline: per-row signatures
@@ -122,15 +131,21 @@ object StreamingOps {
     require(rows > 0 && numHashes % bands == 0,
       s"bands=$bands must divide evenly into numHashes=$numHashes")
     docs
-      // drop null id/text rows up front: the batch twin sheds them
-      // harmlessly in its explode, but here a null would hit the typed
-      // flatMap (NPE in signatureOf / non-nullable Long decode) and a
-      // single bad record must not kill a continuous query
-      .where(col(idCol).isNotNull && col(textCol).isNotNull)
+      // drop bad rows up front: the batch twin sheds them harmlessly in
+      // its explode, but here they would hit the typed flatMap (NPE in
+      // signatureOf / non-nullable Long decode) and a single bad record
+      // must not kill a continuous query. Filter AFTER the cast, on the
+      // casted column — and use try_cast, which yields null on a
+      // malformed value where ANSI-mode cast would throw: a non-numeric
+      // string id is not null pre-cast, so a pre-cast guard lets it
+      // through to the decode. Null text propagates through
+      // tokens/shingle_hashes to a null shingle column; null ts would
+      // NPE in the state function's sort.
       .select(
-        col(idCol).cast("long"),
-        col(tsCol),
-        shingle_hashes(graft.pipeline.TextFunctions.tokens(col(textCol)), shingleSize))
+        col(idCol).try_cast("long").as("doc_id"),
+        col(tsCol).as("ts"),
+        shingle_hashes(graft.pipeline.TextFunctions.tokens(col(textCol)), shingleSize).as("sh"))
+      .where(col("doc_id").isNotNull && col("ts").isNotNull && col("sh").isNotNull)
       .as[(Long, java.sql.Timestamp, Seq[Long])]
       .flatMap { case (id, ts, sh) =>
         val sig = MinHashSignature.signatureOf(sh, numHashes)
@@ -170,14 +185,17 @@ object StreamingOps {
             state.remove()
             Iterator.empty
           } else {
-            var docs = state.getOption.map(_.docs).getOrElse(Seq.empty)
+            val prev = state.getOption.getOrElse(BucketState(Seq.empty))
+            var docs = prev.docs
+            var overflow = prev.overflowIds
+            val overflowCap = maxPerBucket * 8
             val hits = Seq.newBuilder[NearDupHit]
             var maxTs = 0L
             // arrival order within the batch: event time, then id — the
             // deterministic "earlier doc wins" rule of the batch dedup
             rows.toSeq.sortBy(d => (d.ts.getTime, d.doc_id)).foreach { d =>
               if (d.ts.getTime > maxTs) maxTs = d.ts.getTime
-              if (!docs.exists(_.doc_id == d.doc_id)) {
+              if (!docs.exists(_.doc_id == d.doc_id) && !overflow.contains(d.doc_id)) {
                 var bestId = -1L
                 var bestJ = 0.0
                 docs.foreach { sd =>
@@ -198,9 +216,13 @@ object StreamingOps {
                   hits += NearDupHit(d.doc_id, bestId, math.rint(bestJ * 1e6) / 1e6)
                 if (docs.length < maxPerBucket)
                   docs = docs :+ BucketStateDoc(d.doc_id, d.signature)
+                else {
+                  overflow = overflow :+ d.doc_id
+                  if (overflow.length > overflowCap) overflow = overflow.drop(1)
+                }
               }
             }
-            state.update(BucketState(docs))
+            state.update(BucketState(docs, overflow))
             // anchor on max(event time, watermark): on the FIRST batch the
             // watermark is still 0, and a watermark-only anchor would
             // expire every bucket before the second batch arrives

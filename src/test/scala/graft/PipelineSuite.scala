@@ -165,6 +165,21 @@ class PipelineSuite extends SparkSpec {
     assert(partial.map(_.count()).sum < 5000)
   }
 
+  test("hashSplit: intermediate near-1 cut keeps later splits non-collapsed") {
+    val s = spark
+    import s.implicits._
+    // id 230538014 is the LCG preimage of bucket 2^32 - 1 (the multiplier
+    // is odd, hence invertible mod 2^32): it belongs in the SECOND split
+    // of Seq(1 - 1e-10, 1e-10). Snapping the intermediate cumulative sum
+    // (within 1e-9 of 1) to 1.0 would collapse split 1 to empty and
+    // misroute this row into split 0; only the FINAL sum may snap.
+    val rows = Seq(230538014L, 0L, 1L).toDF("id")
+    val splits = Sampling.hashSplit(rows, "id", Seq(1.0 - 1e-10, 1e-10))
+    val second = splits(1).collect().map(_.getLong(0)).toSet
+    assert(second === Set(230538014L), s"split 1 was $second")
+    assert(splits.map(_.count()).sum === 3) // still a full cover
+  }
+
   test("incrementalDedupSurvivors drops only batch docs, with corpus precedence") {
     val s = spark
     import s.implicits._

@@ -17,6 +17,24 @@ class PlanSuite extends SparkSpec {
   private def formatted(df: DataFrame): String =
     df.queryExecution.explainString(FormattedMode)
 
+  /** Operator-detail blocks of a FormattedMode plan (the `(N) OpName`
+    * sections after the tree) whose operator is a hash equi-join.
+    */
+  private def hashJoinBlocks(plan: String): Seq[String] = {
+    val start = """^\(\d+\) (.+)$""".r
+    val blocks = scala.collection.mutable.ArrayBuffer.empty[(String, StringBuilder)]
+    plan.linesIterator.foreach {
+      case l @ start(op) => blocks += ((op, new StringBuilder(l + "\n")))
+      case l => if (blocks.nonEmpty) blocks.last._2.append(l).append('\n')
+    }
+    blocks.toSeq.collect {
+      case (op, sb)
+          if Seq("ShuffledHashJoin", "SortMergeJoin", "BroadcastHashJoin")
+            .exists(op.contains) =>
+        sb.toString
+    }
+  }
+
   test("q1: shipdate filter pushed to the parquet scan, columns pruned") {
     val plan = formatted(Queries.q1PricingSummary(spark, sf))
     assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
@@ -79,14 +97,24 @@ class PlanSuite extends SparkSpec {
           plan.contains("ShuffledHashJoin") || plan.contains("SortMergeJoin") ||
             plan.contains("BroadcastHashJoin"),
           s"$name has no hash equi-join:\n$plan")
-        // ... keyed on the bucket/shingle hash columns specifically: every
-        // expected key column appears in some join-keys line of the plan
-        val keyLines = plan.linesIterator
-          .filter(l => l.contains("keys") && l.contains("#")).mkString("\n")
-        keyPatterns.foreach { re =>
-          assert(re.findFirstIn(keyLines).isDefined,
-            s"$name self-join does not key on ${re.regex}; key lines:\n$keyLines\nplan:\n$plan")
+        // ... keyed on the bucket/shingle hash columns specifically. The
+        // match is scoped to hash-join OPERATOR BLOCKS of the formatted
+        // plan (not every 'keys' line anywhere): some single hash-join
+        // block must carry ALL expected key columns, so a regression where
+        // the candidate self-join stops keying on band/bucket cannot hide
+        // behind another join elsewhere in the plan that happens to
+        // mention those columns.
+        val joinBlocks = hashJoinBlocks(plan)
+        assert(joinBlocks.nonEmpty, s"$name: no hash-join operator block found:\n$plan")
+        val ok = joinBlocks.exists { block =>
+          val keyLines = block.linesIterator
+            .filter(l => l.contains("keys") && l.contains("#")).mkString("\n")
+          keyPatterns.forall(re => re.findFirstIn(keyLines).isDefined)
         }
+        assert(ok,
+          s"$name: no single hash-join block keys on all of " +
+            s"${keyPatterns.map(_.regex).mkString(", ")}; join blocks:\n" +
+            s"${joinBlocks.mkString("\n---\n")}\nplan:\n$plan")
       }
     } finally spark.catalog.clearCache() // lazy builders mark persists
   }

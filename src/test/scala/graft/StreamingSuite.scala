@@ -354,6 +354,56 @@ class StreamingSuite extends SparkSpec {
     } finally query.stop()
   }
 
+  test("near-dup bucket overflow: a re-arriving doc is not re-emitted") {
+    val s = spark
+    import s.implicits._
+    // maxPerBucket = 1: doc 0 fills the bucket; doc 1 is compared and
+    // flagged but NOT stored (cap). Its id must still be remembered so a
+    // re-arrival in a later micro-batch does not emit the same hit twice.
+    val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(m: Int) = new java.sql.Timestamp(t0.getTime + m * 60000L)
+    implicit val sq = s.sqlContext
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val banded = StreamingOps.minhashBanded(
+      mem.toDF().toDF("doc_id", "text", "ts"), "doc_id", "text", "ts",
+      numHashes = 16, bands = 4)
+    val query = StreamingOps.nearDupHitsStream(banded, threshold = 0.5, maxPerBucket = 1)
+      .writeStream.format("memory").queryName("near_dup_overflow")
+      .outputMode("append").start()
+    try {
+      mem.addData(Seq((0L, text, ts(0))))
+      query.processAllAvailable()
+      mem.addData(Seq((1L, text, ts(1))))
+      query.processAllAvailable()
+      val afterFirst = s.sql("SELECT * FROM near_dup_overflow WHERE doc_id = 1").count()
+      assert(afterFirst > 0, "overflow doc was not flagged on first arrival")
+      mem.addData(Seq((1L, text, ts(2))))
+      query.processAllAvailable()
+      val afterSecond = s.sql("SELECT * FROM near_dup_overflow WHERE doc_id = 1").count()
+      assert(afterSecond === afterFirst, "re-arriving overflow doc was emitted again")
+    } finally query.stop()
+  }
+
+  test("minhashBanded sheds non-numeric ids, null ts, null text instead of failing") {
+    val s = spark
+    import s.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    // the guard must filter on the CASTED id: "not-a-number" is non-null
+    // before the cast but null after it, and would otherwise kill the
+    // query in the non-nullable Long decode
+    val df = Seq(
+      ("7", "alpha beta gamma delta", t0),
+      ("not-a-number", "alpha beta gamma delta", t0),
+      ("8", "alpha beta gamma delta", null.asInstanceOf[java.sql.Timestamp]),
+      (null.asInstanceOf[String], "alpha beta gamma delta", t0),
+      ("9", null.asInstanceOf[String], t0)
+    ).toDF("doc_id", "text", "ts")
+    val ids = StreamingOps.minhashBanded(df, "doc_id", "text", "ts", 16, 4)
+      .collect().map(_.doc_id).toSet
+    assert(ids === Set(7L))
+  }
+
   test("flatMapGroupsWithState running stats accumulate across batches") {
     val s = spark
     import s.implicits._
