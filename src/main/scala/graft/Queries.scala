@@ -174,7 +174,7 @@ object Queries {
 
   // ------------------------------------------------------- data-pipeline ops
 
-  import graft.pipeline.{Dedup, Multimodal, Sampling, Similarity, SkewJoin, TextFunctions => TF}
+  import graft.pipeline.{Dedup, ImageRgbStatsCodec, MediaSynth, Multimodal, Sampling, Similarity, SkewJoin, TextFunctions => TF, WavPcmStatsCodec}
 
   /** Per-document text statistics — all pure expressions, single scan. */
   def pTextStats(spark: SparkSession, sfDir: String): DataFrame = {
@@ -381,6 +381,39 @@ object Queries {
         round(avg(col("media_meta.n_bytes")), 2).as("avg_bytes"),
         sum(octet_length(col("frame_bytes")).cast("long")).as("sum_frame_bytes"))
       .orderBy("source")
+  }
+
+  /** REAL media decode end to end: hand-rolled RIFF/WAVE and BMP writers
+    * (public container specs) build payloads from integer recipes keyed
+    * on doc_id; [[WavPcmStatsCodec]] (javax.sound.sampled) and
+    * [[ImageRgbStatsCodec]] (javax.imageio) decode them through the
+    * [[Multimodal.decodeFeaturesWith]] batch seam; the DuckDB oracle
+    * recomputes the expected sample/pixel statistics from the recipes
+    * arithmetically. Writer, container, and reader are pinned end to end:
+    * any header, endianness, padding, or channel-order error shifts the
+    * decoded stats. Per-partition batch decode, no shuffle before the
+    * final per-lang aggregate — the 100 TB decode shape.
+    */
+  def pMediaDecode(spark: SparkSession, sfDir: String): DataFrame = {
+    val wavUdf = udf { (id: Long) => MediaSynth.wavPayload(id) }
+    val bmpUdf = udf { (id: Long) => MediaSynth.bmpBytes(id) }
+    val docs = documents(spark, sfDir).select(col("doc_id"), col("lang"))
+      .withColumn("wav_payload", wavUdf(col("doc_id")))
+      .withColumn("bmp_payload", bmpUdf(col("doc_id")))
+    val audio = Multimodal.decodeFeaturesWith(docs, new WavPcmStatsCodec, "wav_payload", "af")
+    val both = Multimodal.decodeFeaturesWith(audio, new ImageRgbStatsCodec, "bmp_payload", "imf")
+    both.groupBy("lang").agg(
+        count(lit(1)).as("n_docs"),
+        sum(element_at(col("af"), 1)).cast("long").as("a_n_samples"),
+        sum(element_at(col("af"), 4)).cast("long").as("a_sum"),
+        sum(element_at(col("af"), 5)).cast("long").as("a_sum_sq"),
+        min(element_at(col("af"), 6)).cast("long").as("a_min"),
+        max(element_at(col("af"), 7)).cast("long").as("a_max"),
+        sum(element_at(col("imf"), 3)).cast("long").as("i_n_pixels"),
+        sum(element_at(col("imf"), 4)).cast("long").as("i_sum_r"),
+        sum(element_at(col("imf"), 5)).cast("long").as("i_sum_g"),
+        sum(element_at(col("imf"), 6)).cast("long").as("i_sum_b"))
+      .orderBy("lang")
   }
 
   /** The composed corpus-cleaning pipeline: quality gate -> language gate

@@ -50,6 +50,7 @@ object SparkEntry {
     "p_ann_brute_force" -> (Queries.pAnnBruteForce _),
     "p_ann_ivf" -> (Queries.pAnnIvf _),
     "p_multimodal" -> (Queries.pMultimodal _),
+    "p_media_decode" -> (Queries.pMediaDecode _),
     "p_weighted_median" -> (Queries.pWeightedMedian _),
     "p_corpus_pipeline" -> (Queries.pCorpusPipeline _),
     "p_sessions" -> (Queries.pSessions _),
@@ -417,6 +418,39 @@ object SparkEntry {
         |  round(sum(nb * ns) * 1.0 / sum(ns), 2) AS avg_bytes,
         |  CAST(sum(fb) AS BIGINT) AS sum_frame_bytes
         |FROM g GROUP BY source ORDER BY source""".stripMargin,
+    // REAL media decode: Spark builds WAV/BMP containers from integer
+    // recipes (MediaSynth), decodes them with javax.sound / javax.imageio,
+    // and this oracle recomputes the expected decoded statistics from the
+    // SAME recipes purely arithmetically — encode and decode cannot share
+    // a canceling error with the oracle
+    "p_media_decode" ->
+      """WITH a AS (
+        |  SELECT d.lang, ((31 * d.doc_id + 7 * s.i) % 65521) - 32760 AS smp
+        |  FROM documents d,
+        |    LATERAL (SELECT unnest(range(0, 64 + d.doc_id % 129)) AS i) s),
+        |ast AS (
+        |  SELECT lang, count(*) AS n, sum(smp) AS sm, sum(smp * smp) AS sq,
+        |         min(smp) AS mn, max(smp) AS mx
+        |  FROM a GROUP BY 1),
+        |px AS (
+        |  SELECT d.lang,
+        |    (d.doc_id + 3 * (s.i % (8 + d.doc_id % 9)) + 5 * (s.i // (8 + d.doc_id % 9))) % 256 AS r,
+        |    (2 * d.doc_id + 7 * (s.i % (8 + d.doc_id % 9)) + (s.i // (8 + d.doc_id % 9))) % 256 AS g,
+        |    (5 * d.doc_id + (s.i % (8 + d.doc_id % 9)) + 11 * (s.i // (8 + d.doc_id % 9))) % 256 AS b
+        |  FROM documents d,
+        |    LATERAL (SELECT unnest(range(0, (8 + d.doc_id % 9) * (8 + d.doc_id % 7))) AS i) s),
+        |ist AS (
+        |  SELECT lang, count(*) AS np, sum(r) AS sr, sum(g) AS sg, sum(b) AS sb
+        |  FROM px GROUP BY 1),
+        |nd AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1)
+        |SELECT nd.lang, n_docs,
+        |  CAST(n AS BIGINT) AS a_n_samples, CAST(sm AS BIGINT) AS a_sum,
+        |  CAST(sq AS BIGINT) AS a_sum_sq, CAST(mn AS BIGINT) AS a_min,
+        |  CAST(mx AS BIGINT) AS a_max,
+        |  CAST(np AS BIGINT) AS i_n_pixels, CAST(sr AS BIGINT) AS i_sum_r,
+        |  CAST(sg AS BIGINT) AS i_sum_g, CAST(sb AS BIGINT) AS i_sum_b
+        |FROM nd JOIN ast USING (lang) JOIN ist USING (lang)
+        |ORDER BY lang""".stripMargin,
     "p_embedding_dedup" ->
       """WITH base AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings

@@ -48,12 +48,14 @@ class ByteHistogramCodec extends MediaCodec {
 /** Multimodal-column plumbing: media as opaque `binary` payloads plus a
   * typed metadata struct, processed by batch-shaped per-row kernels.
   *
-  * The actual codec step is a clearly-marked deterministic STUB — no
-  * image/audio libraries ship in this environment. In production the
-  * `decode*` UDFs would be replaced by vectorized decoders (e.g. Pandas
-  * UDFs over mapInPandas feeding libjpeg/ffmpeg); the Spark-side contract —
-  * schema, null behavior, partition-parallel execution, frame explosion —
-  * is real and tested.
+  * REAL decoders ship behind the [[MediaCodec]] seam with zero external
+  * dependencies: [[WavPcmStatsCodec]] (WAV PCM via `javax.sound.sampled`)
+  * and [[ImageRgbStatsCodec]] (BMP/PNG/any ImageIO container via
+  * `javax.imageio`), gated end to end by `p_media_decode` against an
+  * arithmetic DuckDB oracle (see [[MediaSynth]]). The scalar UDFs below
+  * remain clearly-marked deterministic STUBS used as cheap test codecs;
+  * a production CNN/ffmpeg feature extractor drops in the same way the
+  * real codecs do — `decodeFeaturesWith` never changes.
   */
 object Multimodal {
 

@@ -603,6 +603,57 @@ class PipelineSuite extends SparkSpec {
     assert(rows(3) === Seq(0.0, 0.0)) // empty payload keeps its row
   }
 
+  test("real WAV codec: javax.sound decode of the hand-rolled RIFF writer matches the recipe") {
+    import graft.pipeline.{MediaSynth, WavPcmStatsCodec}
+    val codec = new WavPcmStatsCodec
+    Seq(0L, 5L, 128L, 1000L, 65520L).foreach { id =>
+      val samples = MediaSynth.synthSamples(id)
+      val feats = codec.decodeBatch(Iterator(MediaSynth.wavPayload(id))).next()
+      assert(feats(0) === samples.length.toDouble, s"id=$id n_samples")
+      assert(feats(1) === MediaSynth.SampleRate.toDouble && feats(2) === 1.0)
+      assert(feats(3) === samples.map(_.toDouble).sum, s"id=$id sum")
+      assert(feats(4) === samples.map(v => v.toDouble * v).sum, s"id=$id sum_sq")
+      assert(feats(5) === samples.min.toDouble && feats(6) === samples.max.toDouble)
+      assert(feats(7) === samples.head.toDouble)
+    }
+    // null/empty payloads yield zero vectors, preserving count
+    val zeros = codec.decodeBatch(Iterator(null, Array.empty[Byte])).toSeq
+    assert(zeros.map(_.toSeq) === Seq(Seq.fill(8)(0.0), Seq.fill(8)(0.0)))
+  }
+
+  test("real image codec: BMP (hand-rolled) and PNG (ImageIO) decode to identical recipe stats") {
+    import graft.pipeline.{ImageRgbStatsCodec, MediaSynth}
+    val codec = new ImageRgbStatsCodec
+    Seq(0L, 7L, 62L, 999L).foreach { id =>
+      val (w, h) = MediaSynth.imageDims(id)
+      val pix = for { y <- 0 until h; x <- 0 until w } yield MediaSynth.pixelRgb(id, x, y)
+      val expected = Array(
+        w.toDouble, h.toDouble, (w * h).toDouble,
+        pix.map(_._1.toDouble).sum, pix.map(_._2.toDouble).sum, pix.map(_._3.toDouble).sum,
+        pix.map(_._1).min.toDouble, pix.map(_._1).max.toDouble)
+      val viaBmp = codec.decodeBatch(Iterator(MediaSynth.bmpBytes(id))).next()
+      val viaPng = codec.decodeBatch(Iterator(MediaSynth.pngPayload(id))).next()
+      assert(viaBmp.toSeq === expected.toSeq, s"id=$id BMP")
+      // PNG is lossless: the container-agnostic codec must agree exactly
+      assert(viaPng.toSeq === expected.toSeq, s"id=$id PNG")
+    }
+  }
+
+  test("real codecs run through the decodeFeaturesWith seam with schema/rows intact") {
+    val s = spark
+    import s.implicits._
+    import graft.pipeline.{MediaSynth, WavPcmStatsCodec}
+    val df = Seq(1L, 2L, 3L).toDF("doc_id")
+      .withColumn("payload", udf { (id: Long) => MediaSynth.wavPayload(id) }.apply(col("doc_id")))
+    val out = Multimodal.decodeFeaturesWith(df, new WavPcmStatsCodec, "payload", "af", 2)
+    val rows = out.select("doc_id", "af").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(rows.size === 3)
+    rows.foreach { case (id, f) =>
+      assert(f(0) === MediaSynth.audioNumSamples(id).toDouble, s"id=$id")
+    }
+  }
+
   test("multimodal resize stub downsamples deterministically") {
     val s = spark
     import s.implicits._
