@@ -493,7 +493,10 @@ object Dedup {
     * batch docs may be dropped. A batch doc is dropped iff some doc that
     * PRECEDES it — any corpus doc, or a batch doc with a smaller id — is
     * a near-dup at `threshold` exact trigram Jaccard. Returns the
-    * surviving batch rows.
+    * surviving batch rows. Pass `corpusBanded = Some(artifact)` (a
+    * persisted [[bandedCorpusArtifact]]) to skip re-banding the corpus:
+    * the run is then batch-linear plus candidate verification — the
+    * production daily shape.
     *
     * Precedence makes the rule non-iterative by construction: one
     * banding pass over corpus ∪ batch, one shuffle-hash equi-join on
@@ -501,10 +504,12 @@ object Dedup {
     * proportional to the candidate count — no connected components over
     * the (static) corpus, which a full re-dedup would redo daily. At
     * 100 TB the corpus side's signatures and band buckets are a
-    * precomputed artifact maintained alongside the corpus (this method
-    * recomputes them from text for self-containment; the banding stage
-    * is corpus-linear and embarrassingly parallel), so each day's
-    * marginal cost is banding the batch plus candidate verification.
+    * precomputed artifact maintained alongside the corpus —
+    * [[bandedCorpusArtifact]] builds it, `corpusBanded = Some(_)` uses
+    * it (without it this method recomputes the corpus banding from text
+    * for self-containment; the banding stage is corpus-linear and
+    * embarrassingly parallel) — so each day's marginal cost is banding
+    * the batch plus candidate verification.
     * Recall at the threshold is the standard LSH S-curve (16 bands × 4
     * rows: per-pair miss ≈ 1e-5 at j = 0.85); precision is exact.
     *
@@ -535,9 +540,10 @@ object Dedup {
       numHashes: Int = 64,
       bands: Int = 16,
       shingleSize: Int = 3,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5,
+      corpusBanded: Option[DataFrame] = None): DataFrame = {
     val (cands0, all, banded) = incrementalCandidatesLazy(
-      corpus, batch, idCol, textCol, numHashes, bands, shingleSize)
+      corpus, batch, idCol, textCol, numHashes, bands, shingleSize, corpusBanded)
     // persist + count + release-banded with failure-path cleanup
     val cands = materializeAndRelease(cands0, banded)
     val verified = verifyPairsExactJaccard(all, "id", "text", cands, shingleSize, threshold)
@@ -549,10 +555,45 @@ object Dedup {
     materializeAndRelease(out, cands, verified)
   }
 
+  /** The corpus-linear banding artifact the 100 TB incremental shape
+    * maintains ALONGSIDE the corpus: one `(id, band, bucket)` row per
+    * corpus doc per band, computed once and persisted (plain parquet —
+    * `artifact.write.parquet(path)` / `spark.read.parquet(path)` round-
+    * trips it; the schema is three primitive columns). Passing it back
+    * through `incrementalDedupSurvivors(..., corpusBanded = Some(art))`
+    * makes each daily run batch-linear: only the BATCH is shingled,
+    * signed, and banded — the corpus contributes this artifact to the
+    * candidate join and raw text only for the candidate-bounded exact
+    * verification. The banding math is [[bandedSignatures]], the same
+    * single projection every other MinHash path uses, so
+    * `recomputed == precomputed` holds by construction (and is
+    * suite-pinned in PipelineSuite).
+    *
+    * The artifact is only valid for the `(numHashes, bands, shingleSize)`
+    * it was built with — pass the same values when using it (the
+    * signature seeds are deterministic, so equal parameters give equal
+    * buckets across runs and Spark versions).
+    */
+  def bandedCorpusArtifact(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      shingleSize: Int = 3): DataFrame = {
+    val rows = numHashes / bands
+    require(rows > 0 && numHashes % bands == 0,
+      s"bands=$bands must divide evenly into numHashes=$numHashes")
+    val sigs = minhashSignatures(corpus, idCol, textCol, numHashes, shingleSize)
+    bandedSignatures(sigs, bands, rows, Seq("id"))
+  }
+
   /** Un-materialized incremental-candidate plan (see
     * [[ngramJaccardPairsLazy]]): (candidates, corpus ∪ batch with rank,
     * persisted banded frame). Candidates are (doc_a precedes doc_b,
-    * doc_b is a batch doc) pairs sharing a (band, bucket).
+    * doc_b is a batch doc) pairs sharing a (band, bucket). With
+    * `corpusBanded` supplied (a [[bandedCorpusArtifact]], possibly read
+    * back from parquet), only the batch side is signed and banded.
     */
   private[graft] def incrementalCandidatesLazy(
       corpus: DataFrame,
@@ -561,26 +602,39 @@ object Dedup {
       textCol: String,
       numHashes: Int,
       bands: Int,
-      shingleSize: Int): (DataFrame, DataFrame, DataFrame) = {
+      shingleSize: Int,
+      corpusBanded: Option[DataFrame] = None): (DataFrame, DataFrame, DataFrame) = {
     // rank 0 = corpus, 1 = batch; precedence = (rank, id) lexicographic
     val all = corpus.select(col(idCol).as("id"), col(textCol).as("text"), lit(0).as("rk"))
       .unionByName(batch.select(col(idCol).as("id"), col(textCol).as("text"), lit(1).as("rk")))
     val rows = numHashes / bands
     require(rows > 0 && numHashes % bands == 0,
       s"bands=$bands must divide evenly into numHashes=$numHashes")
-    // rk rides in the groupBy key (it is functionally determined by id),
-    // so no second scan of the union and no corpus-wide re-join to
-    // re-attach it
-    val sigs = {
-      import org.apache.spark.sql.graft.MinHashSignature.minhash_signature
-      import org.apache.spark.sql.graft.ShingleHashesFn.shingle_hashes
-      all.select(
-          col("id"), col("rk"),
-          explode(shingle_hashes(tokens(col("text")), shingleSize)).as("h"))
-        .groupBy("id", "rk")
-        .agg(minhash_signature(col("h"), numHashes).as("signature"))
+    val banded = corpusBanded match {
+      case Some(art) =>
+        require(Seq("id", "band", "bucket").forall(art.columns.contains),
+          s"corpusBanded must have (id, band, bucket) columns, got ${art.columns.toSeq}")
+        // batch-linear marginal cost: sign + band ONLY the batch; the
+        // corpus rides in through its precomputed artifact
+        val batchSigs = minhashSignatures(batch, idCol, textCol, numHashes, shingleSize)
+          .withColumn("rk", lit(1))
+        bandedSignatures(batchSigs, bands, rows, Seq("id", "rk"))
+          .unionByName(art.select(col("id"), lit(0).as("rk"), col("band"), col("bucket")))
+      case None =>
+        // rk rides in the groupBy key (it is functionally determined by
+        // id), so no second scan of the union and no corpus-wide re-join
+        // to re-attach it
+        val sigs = {
+          import org.apache.spark.sql.graft.MinHashSignature.minhash_signature
+          import org.apache.spark.sql.graft.ShingleHashesFn.shingle_hashes
+          all.select(
+              col("id"), col("rk"),
+              explode(shingle_hashes(tokens(col("text")), shingleSize)).as("h"))
+            .groupBy("id", "rk")
+            .agg(minhash_signature(col("h"), numHashes).as("signature"))
+        }
+        bandedSignatures(sigs, bands, rows, Seq("id", "rk"))
     }
-    val banded = bandedSignatures(sigs, bands, rows, Seq("id", "rk"))
     banded.persist()
     val cands = banded.as("a")
       .join(banded.as("b").hint("shuffle_hash"),

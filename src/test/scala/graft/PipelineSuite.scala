@@ -207,6 +207,45 @@ class PipelineSuite extends SparkSpec {
     assert(ids2 === (10L until 100L).toSet)
   }
 
+  test("incremental dedup with a precomputed banding artifact equals the recomputed path") {
+    val corpus = docs.filter(col("doc_id") < 5 || (col("doc_id") >= 10 && col("doc_id") < 1000))
+    val batch = docs.filter((col("doc_id") >= 5 && col("doc_id") < 10) || col("doc_id") >= 1000)
+    val recomputed = Dedup.incrementalDedupSurvivors(corpus, batch, "doc_id", "text",
+      numHashes = 16, bands = 4)
+    val recomputedIds = recomputed.select("doc_id").collect().map(_.getLong(0)).toSet
+    recomputed.unpersist(blocking = false)
+
+    // the production shape: build the corpus artifact once, round-trip it
+    // through parquet (what a daily job reads back), and feed it in
+    val dir = java.nio.file.Files.createTempDirectory("banded_artifact").toString
+    try {
+      Dedup.bandedCorpusArtifact(corpus, "doc_id", "text", numHashes = 16, bands = 4)
+        .write.mode("overwrite").parquet(dir)
+      val art = spark.read.parquet(dir)
+      val precomputed = Dedup.incrementalDedupSurvivors(corpus, batch, "doc_id", "text",
+        numHashes = 16, bands = 4, corpusBanded = Some(art))
+      val precomputedIds = precomputed.select("doc_id").collect().map(_.getLong(0)).toSet
+      precomputed.unpersist(blocking = false)
+      assert(precomputedIds === recomputedIds)
+      assert(precomputedIds === Set(5L, 6L, 7L, 8L, 9L)) // not vacuous
+
+      // the artifact path must consume the PERSISTED banding, not re-sign
+      // the corpus: the candidate plan reads the artifact's (id, band,
+      // bucket) from a parquet scan (the corpus fixture itself is a local
+      // relation, so the only parquet scan is the artifact's)
+      val (candsArt, _, bandedArt) = Dedup.incrementalCandidatesLazy(
+        corpus, batch, "doc_id", "text", 16, 4, 3, Some(art))
+      val planStr = candsArt.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      bandedArt.unpersist(blocking = false)
+      val artifactScan = planStr.linesIterator.exists(l =>
+        l.contains("ReadSchema") && l.contains("bucket"))
+      assert(artifactScan, s"artifact parquet scan not in the candidate plan:\n$planStr")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("connectedComponentsAuto converges a diameter-2^7 chain within its cap") {
     val s = spark
     import s.implicits._
