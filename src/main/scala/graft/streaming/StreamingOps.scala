@@ -169,6 +169,12 @@ object StreamingOps {
     * event-time timeout purges buckets idle past the watermark plus
     * `stateHorizonMs` — state is bounded by rate x horizon, the RocksDB
     * state-store knobs tune the rest at scale.
+    *
+    * Payload note: exact in-bucket comparison requires each doc's FULL
+    * signature in every one of its band rows, so the state shuffle and
+    * store carry a bands× signature multiplier. At production volume use
+    * [[nearDupCandidatesStream]], which shuffles and stores ids only and
+    * defers verification downstream (the batch propose/verify split).
     */
   def nearDupHitsStream(
       banded: Dataset[BandedDoc],
@@ -229,6 +235,90 @@ object StreamingOps {
             state.setTimeoutTimestamp(
               math.max(maxTs, state.getCurrentWatermarkMs()) + stateHorizonMs)
             hits.result().iterator
+          }
+      }
+  }
+
+  /** Signature-free band row: what [[nearDupCandidatesStream]] actually
+    * shuffles — 4 primitive columns, no `Seq[Long]` payload.
+    */
+  case class BandedIdRow(doc_id: Long, ts: java.sql.Timestamp, band: Int, bucket: Long)
+
+  /** An LSH candidate pair: `doc_id` shares a band bucket with the
+    * earlier-seen `candidate_of`. NOT yet a verified near-dup — verify
+    * downstream exactly as the batch path does (the same pair can also
+    * surface from several bands; aggregate before verifying).
+    */
+  case class CandidatePair(doc_id: Long, candidate_of: Long)
+
+  /** Per-bucket keyed state of [[nearDupCandidatesStream]]: ids only —
+    * 8 bytes per stored doc instead of a full signature. (Public: the
+    * state encoder's generated code instantiates it.)
+    */
+  case class BucketIdState(ids: Seq[Long], overflowIds: Seq[Long])
+
+  /** The production-volume streaming near-dup shape: CANDIDATE generation
+    * only, with the signature payload stripped BEFORE the state shuffle.
+    *
+    * [[nearDupHitsStream]] compares full signatures inside every bucket,
+    * which forces each doc's signature to ride all `bands` of its band
+    * rows through the shuffle and sit in every bucket's state — a bands×
+    * payload multiplier (default 16-hash config: ~136 bytes of signature
+    * per row and per stored doc) that single-stage exact-hit semantics
+    * cannot avoid. This operator instead mirrors the batch pipeline's
+    * propose/verify split ([[graft.pipeline.Dedup.minhashCandidatePairs]]
+    * then exact verification): per-bucket state keeps only doc IDS
+    * (8 bytes each, same `maxPerBucket` cap and re-arrival FIFO), the
+    * shuffle carries 4 primitive columns (enforced by projecting the
+    * typed input down to [[BandedIdRow]] — Catalyst prunes the signature
+    * out of the exchange), and every arriving doc emits one
+    * [[CandidatePair]] per stored earlier doc in its bucket. Verification
+    * — estimated-Jaccard against a maintained signature artifact (cf.
+    * [[graft.pipeline.Dedup.bandedCorpusArtifact]]) or exact-Jaccard
+    * against text — runs downstream in `foreachBatch`, where it joins a
+    * candidate-bounded set instead of riding every state row. State is
+    * rate × horizon × 8 bytes instead of × signature width; candidate
+    * counts are bounded by `maxPerBucket` per bucket per arrival exactly
+    * like the batch bucket-frequency guard.
+    */
+  def nearDupCandidatesStream(
+      banded: Dataset[BandedDoc],
+      maxPerBucket: Int = 64,
+      stateHorizonMs: Long = 3600000L): Dataset[CandidatePair] = {
+    import banded.sparkSession.implicits._
+    val slim = banded
+      .select(col("doc_id"), col("ts"), col("band"), col("bucket"))
+      .as[BandedIdRow]
+    slim
+      .groupByKey(d => (d.band, d.bucket))
+      .flatMapGroupsWithState[BucketIdState, CandidatePair](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: (Int, Long), rows: Iterator[BandedIdRow], state: GroupState[BucketIdState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val prev = state.getOption.getOrElse(BucketIdState(Seq.empty, Seq.empty))
+            var ids = prev.ids
+            var overflow = prev.overflowIds
+            val overflowCap = maxPerBucket * 8
+            val out = Seq.newBuilder[CandidatePair]
+            var maxTs = 0L
+            rows.toSeq.sortBy(d => (d.ts.getTime, d.doc_id)).foreach { d =>
+              if (d.ts.getTime > maxTs) maxTs = d.ts.getTime
+              if (!ids.contains(d.doc_id) && !overflow.contains(d.doc_id)) {
+                ids.foreach(earlier => out += CandidatePair(d.doc_id, earlier))
+                if (ids.length < maxPerBucket) ids = ids :+ d.doc_id
+                else {
+                  overflow = overflow :+ d.doc_id
+                  if (overflow.length > overflowCap) overflow = overflow.drop(1)
+                }
+              }
+            }
+            state.update(BucketIdState(ids, overflow))
+            state.setTimeoutTimestamp(
+              math.max(maxTs, state.getCurrentWatermarkMs()) + stateHorizonMs)
+            out.result().iterator
           }
       }
   }

@@ -354,6 +354,73 @@ class StreamingSuite extends SparkSpec {
     } finally query.stop()
   }
 
+  test("candidate stream strips the signature from the state shuffle and covers batch pairs") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(41)
+    val vocab = Array("alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta",
+      "theta", "iota", "kappa", "the", "and", "of", "quick", "brown", "fox")
+    val base = (0 until 40).map { i =>
+      (i.toLong, Array.fill(40)(vocab(rng.nextInt(vocab.length))).mkString(" "))
+    }
+    val dups = (0 until 4).map { i =>
+      val toks = base(i)._2.split(" ")
+      (1000L + i, (toks.dropRight(3) ++ Array("x", "y", "z")).mkString(" "))
+    }
+    val all = base ++ dups
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+
+    // row-width pin (batch-mode planning of the same operators): the
+    // candidate path's state shuffle must NOT carry the signature array,
+    // while the exact-hit path's one does — that is the whole point
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // the exchange is inserted by EnsureRequirements (executedPlan), and
+    // AQE would wrap it behind an adaptive root — disable AQE for the
+    // width check so the exchange is directly collectible
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val allDf = all.toDF("doc_id", "text").withColumn("ts", lit(t0))
+      val bandedBatch = StreamingOps.minhashBanded(allDf, "doc_id", "text", "ts", 16, 4)
+      def exchangeCols(df: org.apache.spark.sql.Dataset[_]): Seq[Seq[String]] =
+        df.queryExecution.executedPlan.collect {
+          case e: ShuffleExchangeExec => e.output.map(_.name.toLowerCase)
+        }
+      val candCols = exchangeCols(StreamingOps.nearDupCandidatesStream(bandedBatch))
+      assert(candCols.nonEmpty)
+      assert(candCols.forall(!_.exists(_.contains("signature"))),
+        s"candidate-path shuffle still carries the signature: $candCols")
+      val hitCols = exchangeCols(StreamingOps.nearDupHitsStream(bandedBatch))
+      assert(hitCols.exists(_.exists(_.contains("signature"))),
+        s"expected the exact-hit path to carry signatures (baseline): $hitCols")
+    } finally s.conf.set("spark.sql.adaptive.enabled", "true")
+
+    // parity: streamed candidates (id-order arrival) = the batch LSH
+    // candidate pair set over the same banding
+    val sigs = pipeline.Dedup.minhashSignatures(all.toDF("doc_id", "text"), "doc_id", "text", 16)
+    val batchCands = pipeline.Dedup.minhashCandidatePairs(sigs, 4, 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    implicit val sq = s.sqlContext
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val banded = StreamingOps.minhashBanded(
+      mem.toDF().toDF("doc_id", "text", "ts"), "doc_id", "text", "ts", 16, 4)
+    val query = StreamingOps.nearDupCandidatesStream(banded)
+      .writeStream.format("memory").queryName("near_dup_cands").outputMode("append")
+      .start()
+    try {
+      all.sortBy(_._1).grouped(20).zipWithIndex.foreach { case (chunk, i) =>
+        mem.addData(chunk.map { case (id, t) =>
+          (id, t, new java.sql.Timestamp(t0.getTime + i * 60000L))
+        })
+        query.processAllAvailable()
+      }
+      val streamed = s.sql("SELECT candidate_of, doc_id FROM near_dup_cands")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed === batchCands,
+        s"streamed candidates ${streamed} vs batch ${batchCands}")
+      assert(batchCands.nonEmpty)
+    } finally query.stop()
+  }
+
   test("near-dup bucket overflow: a re-arriving doc is not re-emitted") {
     val s = spark
     import s.implicits._
