@@ -440,10 +440,23 @@ class GBMClassifier(override val uid: String)
           .withColumn("__sf", sliceUdf(col("features")))
           .withMetadata("__sf", GraftUtils.featuresMetadata(indices.length, "__sf"))
       }
-      fitBase.persist(StorageLevel.MEMORY_AND_DISK)
 
       val featCol = if (full) "features" else "__sf"
-      val dimModels: Array[EnsemblePredictionModelType] =
+      // fused multi-target fit first: one job for all K classes when the
+      // base learner's fit is a single aggregation (K separate fit
+      // actions are K job floors on a small-partition input); the same
+      // per-class (label, weight) expressions feed both paths
+      val fused = Learners.fitMulti(
+        $(baseLearner), fitBase,
+        IndexedSeq.tabulate(dim) { k =>
+          val rk = element_at(col("__r"), k + 1)
+          if (newton) {
+            val hk = element_at(col("__h"), k + 1)
+            (rk / hk, col("weight") * hk)
+          } else (rk, col("weight"))
+        })
+      val dimModels: Array[EnsemblePredictionModelType] = fused.getOrElse {
+        fitBase.persist(StorageLevel.MEMORY_AND_DISK)
         try {
           val futures = Array.tabulate(dim) { k =>
             Future {
@@ -460,6 +473,7 @@ class GBMClassifier(override val uid: String)
           }
           futures.map(ThreadUtils.awaitResult(_, Duration.Inf))
         } finally fitBase.unpersist()
+      }
 
       // directions for all rows
       var withDir =

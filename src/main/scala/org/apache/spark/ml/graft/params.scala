@@ -154,6 +154,46 @@ private[graft] object Learners {
     learner.fit(df, pm).asInstanceOf[EnsemblePredictionModelType]
   }
 
+  /** Fused multi-target fit: K models over the SAME rows in ONE Spark job,
+    * for learners whose fit is a single weighted aggregation. The K-dim
+    * GBM loop otherwise pays K separate fit actions per iteration — on a
+    * few-partition input that is K job-scheduling floors for microseconds
+    * of arithmetic each (and under AQE, K× the stage-materialization
+    * jobs). Each element of `targets` is that class's (label, weight)
+    * expression pair; the fused aggregation computes all 2K sums in one
+    * pass, and each per-class weighted mean sum(l·w)/sum(w) accumulates
+    * exactly as the standalone `DummyRegressor` fit does, so the models
+    * are bit-identical to the unfused path's. Returns None for learners
+    * that cannot fuse (real trees etc.) — callers fall back to the
+    * concurrent per-class fit pool.
+    */
+  def fitMulti(
+      learner: EnsemblePredictorType,
+      df: DataFrame,
+      targets: Seq[(org.apache.spark.sql.Column, org.apache.spark.sql.Column)])
+      : Option[Array[EnsemblePredictionModelType]] = {
+    import org.apache.spark.sql.functions.sum
+    learner match {
+      case d: DummyRegressor if d.getStrategy == "mean" =>
+        val aggs = targets.zipWithIndex.flatMap { case ((l, w), k) =>
+          Seq(sum(l * w).as(s"lw_$k"), sum(w).as(s"w_$k"))
+        }
+        val row = df.agg(aggs.head, aggs.tail: _*).head()
+        Some(targets.indices.map { k =>
+          val c = row.getDouble(2 * k) / row.getDouble(2 * k + 1)
+          new DummyRegressionModel(
+            org.apache.spark.ml.util.Identifiable.randomUID("DummyRegressionModel"), c)
+            .asInstanceOf[EnsemblePredictionModelType]
+        }.toArray)
+      case d: DummyRegressor if d.getStrategy == "constant" =>
+        Some(Array.fill(targets.length)(
+          new DummyRegressionModel(
+            org.apache.spark.ml.util.Identifiable.randomUID("DummyRegressionModel"),
+            d.getOrDefault(d.constant)).asInstanceOf[EnsemblePredictionModelType]))
+      case _ => None
+    }
+  }
+
   private type VectorModel = org.apache.spark.ml.PredictionModel[
     org.apache.spark.ml.linalg.Vector,
     M] forSome { type M <: org.apache.spark.ml.PredictionModel[org.apache.spark.ml.linalg.Vector, M] }

@@ -467,6 +467,43 @@ class GBMSuite extends graft.SparkSpec {
     } // null = fallback path; the generic L-BFGS-B covers it
   }
 
+  test("fitMulti fused Dummy-mean fits equal per-class fits exactly") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(31)
+    val df = (0 until 500).map { _ =>
+      (Vectors.dense(rng.nextGaussian()),
+        rng.nextGaussian(), rng.nextGaussian(), rng.nextGaussian(),
+        0.5 + rng.nextDouble())
+    }.toDF("features", "l0", "l1", "l2", "w").repartition(3)
+    df.cache().count()
+    try {
+      val learner = new DummyRegressor().setStrategy("mean")
+      val targets = IndexedSeq(
+        (col("l0"), col("w")),
+        (col("l1"), col("w") * 2.0),
+        (col("l2"), col("w")))
+      val fused = Learners.fitMulti(learner, df, targets).get
+        .map(_.asInstanceOf[DummyRegressionModel].constantValue)
+      val unfused = IndexedSeq(
+        ("l0", col("w")), ("l1", col("w") * 2.0), ("l2", col("w"))).map {
+        case (lc, wc) =>
+          Learners.fit(learner, df.withColumn("__wk", wc), lc, "features", Some("__wk"))
+            .asInstanceOf[DummyRegressionModel].constantValue
+      }
+      // same partial-sum accumulation per partition and combine order ->
+      // bit-identical, not merely approximately equal
+      assert(fused.toSeq === unfused)
+      // real trees cannot fuse: the caller must fall back
+      assert(Learners.fitMulti(
+        new DecisionTreeRegressor(), df, targets).isEmpty)
+      // quantile/median Dummy strategies are sketch-based, not a single
+      // weighted aggregation: they must not fuse either
+      assert(Learners.fitMulti(
+        new DummyRegressor().setStrategy("median"), df, targets).isEmpty)
+    } finally df.unpersist()
+  }
+
   test("GBM early stop fires exactly where the learning curve says (reference §5 cat 5)") {
     val withVal = regDf.withColumn("isVal", rand(11) > 0.7).cache()
     def fit(rounds: Int) = new GBMRegressor()
