@@ -72,7 +72,15 @@ final class ImageRgbStatsCodec extends MediaCodec {
     payloads.map { payload =>
       if (payload == null || payload.isEmpty) new Array[Double](featureDim)
       else {
-        val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(payload))
+        // explicit MemoryCacheImageInputStream: the default ImageIO.read
+        // path wraps the stream in a DISK-backed FileCacheImageInputStream
+        // (a temp-file create/write/delete per row in the executor hot
+        // loop, and an outright failure on a read-only tmpdir) — these
+        // payloads are already in memory
+        val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+          new ByteArrayInputStream(payload))
+        // NB ImageIO.read(ImageInputStream) closes the stream itself
+        val img = javax.imageio.ImageIO.read(iis)
         require(img != null, "ImageIO found no reader for payload (not an image?)")
         val w = img.getWidth
         val h = img.getHeight
@@ -201,7 +209,10 @@ object MediaSynth {
       y += 1
     }
     val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
+    // memory-backed output stream for the same reason the codec reads
+    // through MemoryCacheImageInputStream: no temp file per payload
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    try javax.imageio.ImageIO.write(img, "png", ios) finally ios.close()
     bos.toByteArray
   }
 }

@@ -94,18 +94,72 @@ object StreamingOps {
     */
   case class NearDupHit(doc_id: Long, dup_of: Long, est_jaccard: Double)
 
-  /** Per-bucket keyed state: the docs seen in this bucket (bounded), plus
-    * a FIFO of ids that arrived while the signature store was full —
-    * their signatures are not kept (the `maxPerBucket` cap is the point),
-    * but remembering the ids keeps a doc that re-arrives in a later
-    * micro-batch from being compared and emitted a second time. The FIFO
-    * is itself capped (ids are 8 bytes, so the cap is generous); past it
+  /** Per-bucket keyed state: the docs seen in this bucket. POSITIONAL
+    * semantics keep the state-store schema stable across upgrades (an
+    * added field would fail Spark's state-schema compatibility check on
+    * checkpoint resume): the first `maxPerBucket` entries are the STORED
+    * docs (with signatures on the exact-hit path), and entries past that
+    * are an id-only FIFO of docs that arrived while the store was full —
+    * their signatures are not kept (the cap is the point), but
+    * remembering the ids keeps a doc that re-arrives in a later
+    * micro-batch from being emitted a second time. The FIFO region is
+    * itself capped (ids are 8 bytes, so the cap is generous); past it
     * the operator degrades to at-least-once per doc — consumers that
     * need exactly-one hit per doc aggregate on doc_id downstream (they
     * already must: the same pair can surface from several bands).
     */
-  case class BucketState(docs: Seq[BucketStateDoc], overflowIds: Seq[Long] = Seq.empty)
+  case class BucketState(docs: Seq[BucketStateDoc])
   case class BucketStateDoc(doc_id: Long, signature: Seq[Long])
+
+  /** The shared per-bucket state protocol of [[nearDupHitsStream]] and
+    * [[nearDupCandidatesStream]] — ONE copy of the invariants both docs
+    * claim to share: deterministic arrival order (event time, then id),
+    * re-arrival suppression via an O(1) membership set, store-then-
+    * overflow append with FIFO eviction of the oldest overflow entry,
+    * and the max(event time, watermark) + horizon timeout anchor.
+    * `emit` sees each NEW doc plus the currently stored entries (never
+    * the overflow region) and produces that doc's output rows.
+    */
+  private def bucketStateLoop[T](
+      rows: Iterator[BandedDoc],
+      state: GroupState[BucketState],
+      maxPerBucket: Int,
+      stateHorizonMs: Long,
+      keepSignature: Boolean)(
+      emit: (BandedDoc, Seq[BucketStateDoc]) => Iterator[T]): Iterator[T] = {
+    if (state.hasTimedOut) {
+      state.remove()
+      Iterator.empty
+    } else {
+      var docs = state.getOption.map(_.docs).getOrElse(Seq.empty)
+      val seen = scala.collection.mutable.HashSet.empty[Long]
+      docs.foreach(d => seen += d.doc_id)
+      val overflowCap = maxPerBucket * 8
+      val out = Seq.newBuilder[T]
+      var maxTs = 0L
+      rows.toSeq.sortBy(d => (d.ts.getTime, d.doc_id)).foreach { d =>
+        if (d.ts.getTime > maxTs) maxTs = d.ts.getTime
+        if (!seen.contains(d.doc_id)) {
+          seen += d.doc_id
+          out ++= emit(d, docs.take(maxPerBucket))
+          if (docs.length < maxPerBucket)
+            docs = docs :+ BucketStateDoc(d.doc_id, if (keepSignature) d.signature else Seq.empty)
+          else {
+            docs = docs :+ BucketStateDoc(d.doc_id, Seq.empty)
+            if (docs.length - maxPerBucket > overflowCap)
+              docs = docs.patch(maxPerBucket, Nil, 1)
+          }
+        }
+      }
+      state.update(BucketState(docs))
+      // anchor on max(event time, watermark): on the FIRST batch the
+      // watermark is still 0, and a watermark-only anchor would expire
+      // every bucket before the second batch arrives
+      state.setTimeoutTimestamp(
+        math.max(maxTs, state.getCurrentWatermarkMs()) + stateHorizonMs)
+      out.result().iterator
+    }
+  }
 
   /** Streaming half of the batch MinHash pipeline: per-row signatures
     * (scalar — no streaming aggregation needed) banded into (band, bucket)
@@ -187,54 +241,27 @@ object StreamingOps {
       .flatMapGroupsWithState[BucketState, NearDupHit](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (_: (Int, Long), rows: Iterator[BandedDoc], state: GroupState[BucketState]) =>
-          if (state.hasTimedOut) {
-            state.remove()
-            Iterator.empty
-          } else {
-            val prev = state.getOption.getOrElse(BucketState(Seq.empty))
-            var docs = prev.docs
-            var overflow = prev.overflowIds
-            val overflowCap = maxPerBucket * 8
-            val hits = Seq.newBuilder[NearDupHit]
-            var maxTs = 0L
-            // arrival order within the batch: event time, then id — the
-            // deterministic "earlier doc wins" rule of the batch dedup
-            rows.toSeq.sortBy(d => (d.ts.getTime, d.doc_id)).foreach { d =>
-              if (d.ts.getTime > maxTs) maxTs = d.ts.getTime
-              if (!docs.exists(_.doc_id == d.doc_id) && !overflow.contains(d.doc_id)) {
-                var bestId = -1L
-                var bestJ = 0.0
-                docs.foreach { sd =>
-                  val n = math.min(sd.signature.length, d.signature.length)
-                  var agree = 0
-                  var i = 0
-                  while (i < n) {
-                    if (sd.signature(i) == d.signature(i)) agree += 1
-                    i += 1
-                  }
-                  val j = if (n == 0) 0.0 else agree.toDouble / n
-                  if (j > bestJ || (j == bestJ && bestId >= 0 && sd.doc_id < bestId)) {
-                    bestJ = j
-                    bestId = sd.doc_id
-                  }
-                }
-                if (bestId >= 0 && bestJ >= threshold)
-                  hits += NearDupHit(d.doc_id, bestId, math.rint(bestJ * 1e6) / 1e6)
-                if (docs.length < maxPerBucket)
-                  docs = docs :+ BucketStateDoc(d.doc_id, d.signature)
-                else {
-                  overflow = overflow :+ d.doc_id
-                  if (overflow.length > overflowCap) overflow = overflow.drop(1)
-                }
+          bucketStateLoop(rows, state, maxPerBucket, stateHorizonMs,
+            keepSignature = true) { (d, stored) =>
+            var bestId = -1L
+            var bestJ = 0.0
+            stored.foreach { sd =>
+              val n = math.min(sd.signature.length, d.signature.length)
+              var agree = 0
+              var i = 0
+              while (i < n) {
+                if (sd.signature(i) == d.signature(i)) agree += 1
+                i += 1
+              }
+              val j = if (n == 0) 0.0 else agree.toDouble / n
+              if (j > bestJ || (j == bestJ && bestId >= 0 && sd.doc_id < bestId)) {
+                bestJ = j
+                bestId = sd.doc_id
               }
             }
-            state.update(BucketState(docs, overflow))
-            // anchor on max(event time, watermark): on the FIRST batch the
-            // watermark is still 0, and a watermark-only anchor would
-            // expire every bucket before the second batch arrives
-            state.setTimeoutTimestamp(
-              math.max(maxTs, state.getCurrentWatermarkMs()) + stateHorizonMs)
-            hits.result().iterator
+            if (bestId >= 0 && bestJ >= threshold)
+              Iterator.single(NearDupHit(d.doc_id, bestId, math.rint(bestJ * 1e6) / 1e6))
+            else Iterator.empty
           }
       }
   }
@@ -251,12 +278,6 @@ object StreamingOps {
     */
   case class CandidatePair(doc_id: Long, candidate_of: Long)
 
-  /** Per-bucket keyed state of [[nearDupCandidatesStream]]: ids only —
-    * 8 bytes per stored doc instead of a full signature. (Public: the
-    * state encoder's generated code instantiates it.)
-    */
-  case class BucketIdState(ids: Seq[Long], overflowIds: Seq[Long])
-
   /** The production-volume streaming near-dup shape: CANDIDATE generation
     * only, with the signature payload stripped BEFORE the state shuffle.
     *
@@ -267,8 +288,9 @@ object StreamingOps {
     * per row and per stored doc) that single-stage exact-hit semantics
     * cannot avoid. This operator instead mirrors the batch pipeline's
     * propose/verify split ([[graft.pipeline.Dedup.minhashCandidatePairs]]
-    * then exact verification): per-bucket state keeps only doc IDS
-    * (8 bytes each, same `maxPerBucket` cap and re-arrival FIFO), the
+    * then exact verification): per-bucket state keeps only doc ids
+    * (empty signatures in the shared [[BucketState]] — 8 meaningful
+    * bytes per doc, same `maxPerBucket` cap and re-arrival FIFO), the
     * shuffle carries 4 primitive columns (enforced by projecting the
     * typed input down to [[BandedIdRow]] — Catalyst prunes the signature
     * out of the exchange), and every arriving doc emits one
@@ -291,34 +313,16 @@ object StreamingOps {
       .as[BandedIdRow]
     slim
       .groupByKey(d => (d.band, d.bucket))
-      .flatMapGroupsWithState[BucketIdState, CandidatePair](
+      .flatMapGroupsWithState[BucketState, CandidatePair](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (_: (Int, Long), rows: Iterator[BandedIdRow], state: GroupState[BucketIdState]) =>
-          if (state.hasTimedOut) {
-            state.remove()
-            Iterator.empty
-          } else {
-            val prev = state.getOption.getOrElse(BucketIdState(Seq.empty, Seq.empty))
-            var ids = prev.ids
-            var overflow = prev.overflowIds
-            val overflowCap = maxPerBucket * 8
-            val out = Seq.newBuilder[CandidatePair]
-            var maxTs = 0L
-            rows.toSeq.sortBy(d => (d.ts.getTime, d.doc_id)).foreach { d =>
-              if (d.ts.getTime > maxTs) maxTs = d.ts.getTime
-              if (!ids.contains(d.doc_id) && !overflow.contains(d.doc_id)) {
-                ids.foreach(earlier => out += CandidatePair(d.doc_id, earlier))
-                if (ids.length < maxPerBucket) ids = ids :+ d.doc_id
-                else {
-                  overflow = overflow :+ d.doc_id
-                  if (overflow.length > overflowCap) overflow = overflow.drop(1)
-                }
-              }
-            }
-            state.update(BucketIdState(ids, overflow))
-            state.setTimeoutTimestamp(
-              math.max(maxTs, state.getCurrentWatermarkMs()) + stateHorizonMs)
-            out.result().iterator
+        (_: (Int, Long), rows: Iterator[BandedIdRow], state: GroupState[BucketState]) =>
+          // re-widen AFTER the shuffle (free: the slim projection already
+          // paid off in the exchange) so both operators share ONE state
+          // loop and state schema
+          val widened = rows.map(r => BandedDoc(r.doc_id, r.ts, r.band, r.bucket, Seq.empty))
+          bucketStateLoop(widened, state, maxPerBucket, stateHorizonMs,
+            keepSignature = false) { (d, stored) =>
+            stored.iterator.map(earlier => CandidatePair(d.doc_id, earlier.doc_id))
           }
       }
   }

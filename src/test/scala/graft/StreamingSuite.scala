@@ -376,7 +376,10 @@ class StreamingSuite extends SparkSpec {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     // the exchange is inserted by EnsureRequirements (executedPlan), and
     // AQE would wrap it behind an adaptive root — disable AQE for the
-    // width check so the exchange is directly collectible
+    // width check so the exchange is directly collectible. Restore the
+    // PRIOR value, not a hardcoded one, so the shared session's conf is
+    // exactly what the next test expects.
+    val aqeBefore = s.conf.get("spark.sql.adaptive.enabled")
     s.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       val allDf = all.toDF("doc_id", "text").withColumn("ts", lit(t0))
@@ -392,7 +395,7 @@ class StreamingSuite extends SparkSpec {
       val hitCols = exchangeCols(StreamingOps.nearDupHitsStream(bandedBatch))
       assert(hitCols.exists(_.exists(_.contains("signature"))),
         s"expected the exact-hit path to carry signatures (baseline): $hitCols")
-    } finally s.conf.set("spark.sql.adaptive.enabled", "true")
+    } finally s.conf.set("spark.sql.adaptive.enabled", aqeBefore)
 
     // parity: streamed candidates (id-order arrival) = the batch LSH
     // candidate pair set over the same banding
