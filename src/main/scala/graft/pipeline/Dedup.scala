@@ -588,6 +588,26 @@ object Dedup {
     bandedSignatures(sigs, bands, rows, Seq("id"))
   }
 
+  /** Day-over-day artifact maintenance: after a batch's survivors join
+    * the corpus, tomorrow's artifact is today's artifact plus the
+    * SURVIVORS' bandings — the corpus is never re-banded. The invariant
+    * `extendCorpusArtifact(art(C), S) == bandedCorpusArtifact(C ∪ S)`
+    * (as a row set) holds because banding is per-doc; it is what keeps
+    * the daily loop corpus-recompute-free forever, and it is
+    * suite-pinned across a simulated two-day run in PipelineSuite.
+    * Parameters must match the artifact's, as in [[bandedCorpusArtifact]].
+    */
+  def extendCorpusArtifact(
+      artifact: DataFrame,
+      newDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      shingleSize: Int = 3): DataFrame =
+    artifact.select("id", "band", "bucket").unionByName(
+      bandedCorpusArtifact(newDocs, idCol, textCol, numHashes, bands, shingleSize))
+
   /** Un-materialized incremental-candidate plan (see
     * [[ngramJaccardPairsLazy]]): (candidates, corpus ∪ batch with rank,
     * persisted banded frame). Candidates are (doc_a precedes doc_b,

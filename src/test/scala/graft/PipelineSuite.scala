@@ -246,6 +246,48 @@ class PipelineSuite extends SparkSpec {
     }
   }
 
+  test("two-day incremental loop: extended artifact equals a full corpus re-band") {
+    // day 1: batch1 lands against corpus0; survivors join the corpus.
+    // day 2 must give the SAME answer whether the corpus banding is
+    // recomputed from scratch (corpus0 ∪ survivors1) or maintained by
+    // extendCorpusArtifact — the invariant that keeps the daily loop
+    // corpus-recompute-free forever.
+    val corpus0 = docs.filter(col("doc_id") >= 10 && col("doc_id") < 1000)
+    val batch1 = docs.filter(col("doc_id") < 5 || (col("doc_id") >= 1000 && col("doc_id") < 1005))
+    val batch2 = docs.filter((col("doc_id") >= 5 && col("doc_id") < 10) || col("doc_id") >= 1005)
+    val nh = 16
+    val nb = 4
+
+    val art0 = Dedup.bandedCorpusArtifact(corpus0, "doc_id", "text", nh, nb)
+    val surv1 = Dedup.incrementalDedupSurvivors(corpus0, batch1, "doc_id", "text",
+      numHashes = nh, bands = nb, corpusBanded = Some(art0))
+    surv1.persist()
+    val surv1Ids = surv1.select("doc_id").collect().map(_.getLong(0)).toSet
+    // originals 0-4 survive (no partner in corpus0); dups 1000-1004 are
+    // near-dups of earlier batch docs 0-4 -> dropped
+    assert(surv1Ids === Set(0L, 1L, 2L, 3L, 4L))
+
+    val corpus1 = corpus0.unionByName(docs.filter(col("doc_id").isin(surv1Ids.toSeq: _*)))
+    val art1 = Dedup.extendCorpusArtifact(art0, surv1, "doc_id", "text", nh, nb)
+    // the maintained artifact is row-set-identical to a full re-band
+    val full = Dedup.bandedCorpusArtifact(corpus1, "doc_id", "text", nh, nb)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val ext = art1.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(ext === full)
+
+    // and day 2 gives identical survivors through either path
+    val viaExtended = Dedup.incrementalDedupSurvivors(corpus1, batch2, "doc_id", "text",
+      numHashes = nh, bands = nb, corpusBanded = Some(art1))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val viaRecompute = Dedup.incrementalDedupSurvivors(corpus1, batch2, "doc_id", "text",
+      numHashes = nh, bands = nb)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    surv1.unpersist(blocking = false)
+    assert(viaExtended === viaRecompute)
+    // originals 5-9 survive; dups 1005-1009 dropped against them
+    assert(viaExtended === Set(5L, 6L, 7L, 8L, 9L))
+  }
+
   test("connectedComponentsAuto converges a diameter-2^7 chain within its cap") {
     val s = spark
     import s.implicits._
