@@ -291,6 +291,23 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** The PRECOMPUTED-artifact path of incremental dedup against the same
+    * oracle as [[pIncrementalDedup]]: the corpus banding is built as the
+    * persisted artifact would be and fed back through `corpusBanded`, so
+    * the driver gate pins that the batch-linear daily path computes
+    * exactly the recomputed path's survivors.
+    */
+  def pIncrementalDedupArtifact(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = documents(spark, sfDir)
+    val corpus = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+    val batch = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+    val art = Dedup.bandedCorpusArtifact(corpus, "doc_id", "text")
+    Dedup.incrementalDedupSurvivors(corpus, batch, "doc_id", "text",
+        corpusBanded = Some(art))
+      .select("doc_id")
+      .orderBy("doc_id")
+  }
+
   def pFingerprint(spark: SparkSession, sfDir: String): DataFrame =
     documents(spark, sfDir)
       .select(col("doc_id"), TF.fingerprint(col("text")).as("fp"))

@@ -59,7 +59,8 @@ object SparkEntry {
     "p_dedup_survivors" -> (Queries.pDedupSurvivors _),
     "p_stratified_sample" -> (Queries.pStratifiedSample _),
     "p_hash_split" -> (Queries.pHashSplit _),
-    "p_dedup_incremental" -> (Queries.pIncrementalDedup _)
+    "p_dedup_incremental" -> (Queries.pIncrementalDedup _),
+    "p_dedup_incr_artifact" -> (Queries.pIncrementalDedupArtifact _)
   )
 
   private val EN = "['the','and','of','to','in','is','a','that','it','for']"
@@ -133,6 +134,40 @@ object SparkEntry {
       |SELECT CAST(CASE WHEN n1 * 2 > n THEN 1.0 ELSE 0.0 END AS DOUBLE) AS prediction,
       |       n AS n_rows
       |FROM c""".stripMargin
+
+  /** Incremental-dedup oracle, shared by the recomputed-path and
+    * precomputed-artifact-path gate queries: identical survivors are
+    * exactly the artifact path's contract. Drop a batch doc
+    * (doc_id % 3 = 0) iff a preceding doc — corpus doc, or batch doc
+    * with smaller id — has exact trigram Jaccard >= 0.5 with it.
+    */
+  private val INCREMENTAL_DEDUP_SQL =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents),
+      |shing AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(t) >= 3 THEN t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+      |         ELSE array_to_string(t, ' ') END AS s
+      |  FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(t) - 1, 2))) AS i)),
+      |dsh AS (SELECT DISTINCT doc_id, s FROM shing),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY 1),
+      |inter AS (
+      |  SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
+      |  FROM dsh a JOIN dsh b ON a.s = b.s AND a.doc_id <> b.doc_id
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT ia, ib FROM inter
+      |  JOIN sizes sa ON ia = sa.doc_id JOIN sizes sb ON ib = sb.doc_id
+      |  WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5),
+      |ranked AS (
+      |  SELECT doc_id, CASE WHEN doc_id % 3 <> 0 THEN 0 ELSE 1 END AS rk FROM documents),
+      |victims AS (
+      |  SELECT DISTINCT p.ib AS doc_id
+      |  FROM pairs p JOIN ranked ra ON p.ia = ra.doc_id JOIN ranked rb ON p.ib = rb.doc_id
+      |  WHERE rb.rk = 1 AND (ra.rk < rb.rk OR (ra.rk = rb.rk AND p.ia < p.ib)))
+      |SELECT d.doc_id FROM documents d
+      |WHERE d.doc_id % 3 = 0 AND d.doc_id NOT IN (SELECT doc_id FROM victims)
+      |ORDER BY d.doc_id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -364,34 +399,11 @@ object SparkEntry {
          |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
     // incremental dedup: drop a batch doc (doc_id % 3 = 0) iff a
     // preceding doc — corpus doc, or batch doc with smaller id — has
-    // exact trigram Jaccard >= 0.5 with it; survivors in id order
-    "p_dedup_incremental" ->
-      """WITH toks AS (
-        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents),
-        |shing AS (
-        |  SELECT doc_id,
-        |    CASE WHEN len(t) >= 3 THEN t[i] || ' ' || t[i+1] || ' ' || t[i+2]
-        |         ELSE array_to_string(t, ' ') END AS s
-        |  FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(t) - 1, 2))) AS i)),
-        |dsh AS (SELECT DISTINCT doc_id, s FROM shing),
-        |sizes AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY 1),
-        |inter AS (
-        |  SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
-        |  FROM dsh a JOIN dsh b ON a.s = b.s AND a.doc_id <> b.doc_id
-        |  GROUP BY 1, 2),
-        |pairs AS (
-        |  SELECT ia, ib FROM inter
-        |  JOIN sizes sa ON ia = sa.doc_id JOIN sizes sb ON ib = sb.doc_id
-        |  WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5),
-        |ranked AS (
-        |  SELECT doc_id, CASE WHEN doc_id % 3 <> 0 THEN 0 ELSE 1 END AS rk FROM documents),
-        |victims AS (
-        |  SELECT DISTINCT p.ib AS doc_id
-        |  FROM pairs p JOIN ranked ra ON p.ia = ra.doc_id JOIN ranked rb ON p.ib = rb.doc_id
-        |  WHERE rb.rk = 1 AND (ra.rk < rb.rk OR (ra.rk = rb.rk AND p.ia < p.ib)))
-        |SELECT d.doc_id FROM documents d
-        |WHERE d.doc_id % 3 = 0 AND d.doc_id NOT IN (SELECT doc_id FROM victims)
-        |ORDER BY d.doc_id""".stripMargin,
+    // exact trigram Jaccard >= 0.5 with it; survivors in id order.
+    // The artifact variant runs the precomputed-banding path against the
+    // SAME oracle: identical survivors are exactly the claim being gated.
+    "p_dedup_incremental" -> INCREMENTAL_DEDUP_SQL,
+    "p_dedup_incr_artifact" -> INCREMENTAL_DEDUP_SQL,
     "p_fingerprint" ->
       """SELECT count(*) AS n_docs,
         | count(DISTINCT lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS n_distinct_fp
