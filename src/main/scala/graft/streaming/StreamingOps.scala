@@ -327,6 +327,43 @@ object StreamingOps {
       }
   }
 
+  /** The verify half of the streaming propose/verify split: estimate
+    * Jaccard for a micro-batch of [[CandidatePair]]s by signature
+    * component agreement — the SAME estimator as the batch
+    * `Dedup.minhashPairs` — against a signature table (the maintained
+    * corpus artifact's signatures plus the recent batch's; at 100 TB
+    * this joins a CANDIDATE-BOUNDED set, never the corpus). Designed for
+    * `foreachBatch` on [[nearDupCandidatesStream]] output:
+    *
+    * {{{
+    * cands.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+    *   StreamingOps.verifyCandidatesBatch(batch, signatures, 0.5)
+    *     .write.mode("append").parquet(out)
+    * }.start()
+    * }}}
+    *
+    * Emits ALL qualifying (doc_id, dup_of, est_jaccard) pairs (the
+    * candidate generator already deduplicates per (pair, band) via its
+    * distinct and bounded state; this applies a final `distinct`), so
+    * streamed-candidates + this verification equals the batch
+    * `minhashPairs` output — suite-pinned.
+    */
+  def verifyCandidatesBatch(
+      cands: DataFrame,
+      signatures: DataFrame,
+      threshold: Double = 0.5): DataFrame = {
+    val agree = aggregate(
+      zip_with(col("sa.signature"), col("sb.signature"),
+        (x, y) => when(x === y, 1.0).otherwise(0.0)),
+      lit(0.0), (acc, x) => acc + x)
+    cands.select("doc_id", "candidate_of").distinct()
+      .join(signatures.as("sa"), col("candidate_of") === col("sa.id"))
+      .join(signatures.as("sb"), col("doc_id") === col("sb.id"))
+      .withColumn("est_jaccard", round(agree / size(col("sa.signature")), 6))
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("doc_id"), col("candidate_of").as("dup_of"), col("est_jaccard"))
+  }
+
   // -------- custom keyed state: running per-user counters ----------------
 
   case class UserEvent(user_id: Long, event_type: String, value: Double)

@@ -424,6 +424,64 @@ class StreamingSuite extends SparkSpec {
     } finally query.stop()
   }
 
+  test("candidates + foreachBatch verification equal the batch minhashPairs") {
+    val s = spark
+    import s.implicits._
+    // the full streaming propose/verify loop: signature-free candidate
+    // stream, then per-micro-batch verification against a signature
+    // table — must reproduce the batch pipeline's verified pairs exactly
+    val rng = new scala.util.Random(57)
+    val vocab = Array("alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta",
+      "theta", "iota", "kappa", "the", "and", "of", "quick", "brown", "fox")
+    val base = (0 until 50).map { i =>
+      (i.toLong, Array.fill(40)(vocab(rng.nextInt(vocab.length))).mkString(" "))
+    }
+    val dups = (0 until 5).map { i =>
+      val toks = base(i)._2.split(" ")
+      (1000L + i, (toks.dropRight(3) ++ Array("x", "y", "z")).mkString(" "))
+    }
+    val all = base ++ dups
+    val allDf = all.toDF("doc_id", "text")
+    val sigs = pipeline.Dedup.minhashSignatures(allDf, "doc_id", "text", 16)
+    sigs.persist()
+    val batchPairs = pipeline.Dedup.minhashPairs(allDf, "doc_id", "text",
+        numHashes = 16, bands = 4, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    implicit val sq = s.sqlContext
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val banded = StreamingOps.minhashBanded(
+      mem.toDF().toDF("doc_id", "text", "ts"), "doc_id", "text", "ts", 16, 4)
+    val verified = scala.collection.mutable.Set.empty[(Long, Long, Double)]
+    val query = StreamingOps.nearDupCandidatesStream(banded)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[StreamingOps.CandidatePair], _: Long) =>
+        StreamingOps.verifyCandidatesBatch(batch.toDF(), sigs, 0.5)
+          .collect().foreach(r =>
+            verified += ((r.getLong(1), r.getLong(0), r.getDouble(2))))
+        ()
+      }
+      .start()
+    try {
+      all.sortBy(_._1).grouped(20).zipWithIndex.foreach { case (chunk, i) =>
+        mem.addData(chunk.map { case (id, t) =>
+          (id, t, new java.sql.Timestamp(t0.getTime + i * 60000L))
+        })
+        query.processAllAvailable()
+      }
+      // (dup_of, doc_id, est) with id-order arrival == batch (doc_a <
+      // doc_b, est): same candidate set (suite-pinned upstream), same
+      // component-agreement estimator, same rounding
+      assert(verified.toSet === batchPairs,
+        s"verified ${verified.toSet} vs batch $batchPairs")
+      assert(batchPairs.nonEmpty)
+    } finally {
+      query.stop()
+      sigs.unpersist(blocking = false)
+    }
+  }
+
   test("near-dup bucket overflow: a re-arriving doc is not re-emitted") {
     val s = spark
     import s.implicits._
