@@ -596,6 +596,10 @@ object Dedup {
     * the daily loop corpus-recompute-free forever, and it is
     * suite-pinned across a simulated two-day run in PipelineSuite.
     * Parameters must match the artifact's, as in [[bandedCorpusArtifact]].
+    * Pass only docs NOT already in the artifact (the survivors, not the
+    * raw batch): this method does not deduplicate, and re-extending with
+    * an already-banded doc duplicates its rows — harmless for the drop
+    * rule (victims are distinct) but wasted artifact bytes forever.
     */
   def extendCorpusArtifact(
       artifact: DataFrame,
