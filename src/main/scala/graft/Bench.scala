@@ -62,6 +62,32 @@ object Bench {
     best
   }
 
+  /** Memory-bandwidth anchor (`calib_mem_sec`) next to the CPU one: the
+    * shuffle-heavy queries (q11 pair, simhash, bucketed joins) scale with
+    * stream bandwidth, not scalar ALU speed, and the two drift
+    * independently on shared hosts — 256 MiB of long-array copies is far
+    * beyond L3, so this times DRAM traffic. Best of 3, same as the CPU
+    * loop.
+    */
+  private def calibrateMem(): Double = {
+    val n = 16 * 1024 * 1024 // 128 MiB of longs
+    val a = new Array[Long](n)
+    val b = new Array[Long](n)
+    var i = 0
+    while (i < n) { a(i) = i.toLong * 2654435761L; i += 1 }
+    var best = Double.MaxValue
+    var r = 0
+    while (r < 3) {
+      val t0 = System.nanoTime()
+      System.arraycopy(a, 0, b, 0, n)
+      System.arraycopy(b, 0, a, 0, n)
+      calibSink += a(((r + 1) * 7919) % n)
+      best = math.min(best, (System.nanoTime() - t0) / 1e9)
+      r += 1
+    }
+    best
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -90,6 +116,7 @@ object Bench {
     spark.catalog.clearCache()
     val loadBefore = loadAvg()
     val calib = calibrate()
+    val calibMem = calibrateMem()
     val results = all.map { case (name, fn) =>
       var ok = true
       // per-query conf overrides (Queries.benchConfs), restored after the
@@ -156,7 +183,7 @@ object Bench {
     // policy is spelled out for consumers that would otherwise truncate
     val shared =
       s""""unit":"sec","reps":$reps,"rep_policy":"median over all reps in queries_reps; guard adds up to 2 reps when max>2*min","sf":"$sfDir","failed":$failed,""" +
-        s""""calib_sec":${fmt4(calib)},""" +
+        s""""calib_sec":${fmt4(calib)},"calib_mem_sec":${fmt4(calibMem)},""" +
         s""""loadavg_before":${jsonArr(loadBefore)},"loadavg_after":${jsonArr(loadAfter)}"""
     // Sidecar file with the FULL result (incl. per-rep times): the driver
     // archives only the tail of stdout, which truncated the medians map out

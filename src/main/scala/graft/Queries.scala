@@ -419,17 +419,56 @@ object Queries {
       .withColumn("bmp_payload", bmpUdf(col("doc_id")))
     val audio = Multimodal.decodeFeaturesWith(docs, new WavPcmStatsCodec, "wav_payload", "af")
     val both = Multimodal.decodeFeaturesWith(audio, new ImageRgbStatsCodec, "bmp_payload", "imf")
+    // per-doc values are exact integers in the double slots (each < 2^53),
+    // but the RUNNING sums are not: a_sum_sq can pass 2^53 around ~40k
+    // docs per lang — cast each element to long BEFORE summing so the
+    // aggregation itself is exact integer arithmetic at any corpus size
     both.groupBy("lang").agg(
         count(lit(1)).as("n_docs"),
-        sum(element_at(col("af"), 1)).cast("long").as("a_n_samples"),
-        sum(element_at(col("af"), 4)).cast("long").as("a_sum"),
-        sum(element_at(col("af"), 5)).cast("long").as("a_sum_sq"),
-        min(element_at(col("af"), 6)).cast("long").as("a_min"),
-        max(element_at(col("af"), 7)).cast("long").as("a_max"),
-        sum(element_at(col("imf"), 3)).cast("long").as("i_n_pixels"),
-        sum(element_at(col("imf"), 4)).cast("long").as("i_sum_r"),
-        sum(element_at(col("imf"), 5)).cast("long").as("i_sum_g"),
-        sum(element_at(col("imf"), 6)).cast("long").as("i_sum_b"))
+        sum(element_at(col("af"), 1).cast("long")).as("a_n_samples"),
+        sum(element_at(col("af"), 4).cast("long")).as("a_sum"),
+        sum(element_at(col("af"), 5).cast("long")).as("a_sum_sq"),
+        min(element_at(col("af"), 6).cast("long")).as("a_min"),
+        max(element_at(col("af"), 7).cast("long")).as("a_max"),
+        sum(element_at(col("imf"), 3).cast("long")).as("i_n_pixels"),
+        sum(element_at(col("imf"), 4).cast("long")).as("i_sum_r"),
+        sum(element_at(col("imf"), 5).cast("long")).as("i_sum_g"),
+        sum(element_at(col("imf"), 6).cast("long")).as("i_sum_b"))
+      .orderBy("lang")
+  }
+
+  /** Malformed-media tolerance, gated end to end: a deterministic subset
+    * of docs carries payloads the decoder must REJECT — `doc_id % 5 == 0`
+    * gets non-media garbage (parser failure) and `doc_id % 5 == 1` gets a
+    * well-formed STEREO WAV (parsed fine, rejected by the mono-layout
+    * check) — and the job must survive, emitting the zero vector for
+    * both. The aggregate counts undecodable rows via the documented
+    * `count_slot == 0` contract and sums exact stats over the decodable
+    * remainder; the DuckDB oracle recomputes everything arithmetically
+    * from the id recipes. One corrupt file per million must not abort a
+    * 100 TB decode — this gate pins exactly that.
+    */
+  def pMediaDecodeRobust(spark: SparkSession, sfDir: String): DataFrame = {
+    val payloadUdf = udf { (id: Long) =>
+      if (id % 5 == 0) MediaSynth.corruptBytes(id)
+      else if (id % 5 == 1) MediaSynth.stereoWavPayload(id)
+      else MediaSynth.wavPayload(id)
+    }
+    val docs = documents(spark, sfDir).select(col("doc_id"), col("lang"))
+      .withColumn("wav_payload", payloadUdf(col("doc_id")))
+    val decoded = Multimodal.decodeFeaturesWith(docs, new WavPcmStatsCodec, "wav_payload", "af")
+    // every decodable WAV here has >= 64 samples, so n_samples == 0 is
+    // exactly the undecodable marker; min/max must skip the zero vectors
+    // (a 0 from a rejected row is not a sample value)
+    val nSamples = element_at(col("af"), 1)
+    decoded.groupBy("lang").agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(nSamples === 0.0, 1L).otherwise(0L)).as("n_undecodable"),
+        sum(nSamples.cast("long")).as("a_n_samples"),
+        sum(element_at(col("af"), 4).cast("long")).as("a_sum"),
+        sum(element_at(col("af"), 5).cast("long")).as("a_sum_sq"),
+        min(when(nSamples =!= 0.0, element_at(col("af"), 6).cast("long"))).as("a_min"),
+        max(when(nSamples =!= 0.0, element_at(col("af"), 7).cast("long"))).as("a_max"))
       .orderBy("lang")
   }
 

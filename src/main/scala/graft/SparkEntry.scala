@@ -51,6 +51,7 @@ object SparkEntry {
     "p_ann_ivf" -> (Queries.pAnnIvf _),
     "p_multimodal" -> (Queries.pMultimodal _),
     "p_media_decode" -> (Queries.pMediaDecode _),
+    "p_media_decode_robust" -> (Queries.pMediaDecodeRobust _),
     "p_weighted_median" -> (Queries.pWeightedMedian _),
     "p_corpus_pipeline" -> (Queries.pCorpusPipeline _),
     "p_sessions" -> (Queries.pSessions _),
@@ -462,6 +463,30 @@ object SparkEntry {
         |  CAST(np AS BIGINT) AS i_n_pixels, CAST(sr AS BIGINT) AS i_sum_r,
         |  CAST(sg AS BIGINT) AS i_sum_g, CAST(sb AS BIGINT) AS i_sum_b
         |FROM nd JOIN ast USING (lang) JOIN ist USING (lang)
+        |ORDER BY lang""".stripMargin,
+    // Malformed-media tolerance: doc_id % 5 == 0 carries garbage bytes,
+    // % 5 == 1 a stereo WAV the mono-only codec rejects — both must
+    // decode to the zero vector (job survives), counted via the
+    // n_samples == 0 contract; stats cover only the decodable remainder
+    "p_media_decode_robust" ->
+      """WITH a AS (
+        |  SELECT d.lang, ((31 * d.doc_id + 7 * s.i) % 65521) - 32760 AS smp
+        |  FROM documents d,
+        |    LATERAL (SELECT unnest(range(0, 64 + d.doc_id % 129)) AS i) s
+        |  WHERE d.doc_id % 5 >= 2),
+        |ast AS (
+        |  SELECT lang, count(*) AS n, sum(smp) AS sm, sum(smp * smp) AS sq,
+        |         min(smp) AS mn, max(smp) AS mx
+        |  FROM a GROUP BY 1),
+        |nd AS (
+        |  SELECT lang, count(*) AS n_docs,
+        |    count(*) FILTER (WHERE doc_id % 5 <= 1) AS n_undec
+        |  FROM documents GROUP BY 1)
+        |SELECT nd.lang, n_docs, CAST(n_undec AS BIGINT) AS n_undecodable,
+        |  CAST(n AS BIGINT) AS a_n_samples, CAST(sm AS BIGINT) AS a_sum,
+        |  CAST(sq AS BIGINT) AS a_sum_sq, CAST(mn AS BIGINT) AS a_min,
+        |  CAST(mx AS BIGINT) AS a_max
+        |FROM nd JOIN ast USING (lang)
         |ORDER BY lang""".stripMargin,
     "p_embedding_dedup" ->
       """WITH base AS (

@@ -76,6 +76,17 @@ class DummyRegressor(override val uid: String)
     new DummyRegressionModel(uid, c).setParent(this)
   }
 
+  /** Construct a fitted model the way `fit` would: same uid, params
+    * copied, parent set. The fused multi-target path
+    * ([[Learners.fitMulti]]) bypasses `Predictor.fit` and so must
+    * replicate its metadata contract (`fit` does
+    * `copyValues(train(...).setParent(this))`) — otherwise fused-path
+    * models carry only default params, a metadata-only divergence (e.g.
+    * in saved-model params) from the unfused fallback.
+    */
+  private[graft] def constructModel(constantValue: Double): DummyRegressionModel =
+    copyValues(new DummyRegressionModel(uid, constantValue).setParent(this))
+
   /** Unweighted: exact/approx Greenwald-Khanna sketch. Weighted: the exact
     * weighted quantile via [[DummyRegressor.weightedQuantile]] — range
     * partition + per-partition prefix sums, so no task ever sorts more

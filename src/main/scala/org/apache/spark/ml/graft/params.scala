@@ -181,15 +181,12 @@ private[graft] object Learners {
         val row = df.agg(aggs.head, aggs.tail: _*).head()
         Some(targets.indices.map { k =>
           val c = row.getDouble(2 * k) / row.getDouble(2 * k + 1)
-          new DummyRegressionModel(
-            org.apache.spark.ml.util.Identifiable.randomUID("DummyRegressionModel"), c)
-            .asInstanceOf[EnsemblePredictionModelType]
+          d.constructModel(c).asInstanceOf[EnsemblePredictionModelType]
         }.toArray)
       case d: DummyRegressor if d.getStrategy == "constant" =>
         Some(Array.fill(targets.length)(
-          new DummyRegressionModel(
-            org.apache.spark.ml.util.Identifiable.randomUID("DummyRegressionModel"),
-            d.getOrDefault(d.constant)).asInstanceOf[EnsemblePredictionModelType]))
+          d.constructModel(d.getOrDefault(d.constant))
+            .asInstanceOf[EnsemblePredictionModelType]))
       case _ => None
     }
   }

@@ -494,6 +494,18 @@ class GBMSuite extends graft.SparkSpec {
       // same partial-sum accumulation per partition and combine order ->
       // bit-identical, not merely approximately equal
       assert(fused.toSeq === unfused)
+      // fused-path models must honor the Predictor.fit metadata contract
+      // (copyValues + setParent + same uid), not just the values — else
+      // saved-model params diverge from the unfused fallback's
+      val weighted = new DummyRegressor().setStrategy("mean").setWeightCol("w")
+      val fusedModels = Learners.fitMulti(weighted, df, targets).get
+      fusedModels.foreach { m =>
+        val dm = m.asInstanceOf[DummyRegressionModel]
+        assert(dm.parent === weighted)
+        assert(dm.uid === weighted.uid)
+        assert(dm.getOrDefault(dm.strategy) === "mean")
+        assert(dm.getOrDefault(dm.weightCol) === "w")
+      }
       // real trees cannot fuse: the caller must fall back
       assert(Learners.fitMulti(
         new DecisionTreeRegressor(), df, targets).isEmpty)

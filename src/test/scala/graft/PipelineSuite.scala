@@ -720,6 +720,29 @@ class PipelineSuite extends SparkSpec {
     }
   }
 
+  test("real codecs tolerate malformed payloads: zero vector, batch survives") {
+    import graft.pipeline.{ImageRgbStatsCodec, MediaSynth, WavPcmStatsCodec}
+    val wav = new WavPcmStatsCodec
+    val img = new ImageRgbStatsCodec
+    val zero = Seq.fill(8)(0.0)
+    // garbage bytes: no installed parser accepts them
+    assert(wav.decodeBatch(Iterator(MediaSynth.corruptBytes(3L))).next().toSeq === zero)
+    assert(img.decodeBatch(Iterator(MediaSynth.corruptBytes(3L))).next().toSeq === zero)
+    // a WELL-FORMED stereo WAV: container parses, the mono-layout check
+    // rejects it (interleaved per-"sample" stats would mix channels)
+    assert(wav.decodeBatch(Iterator(MediaSynth.stereoWavPayload(7L))).next().toSeq === zero)
+    // cross-modal payloads: a WAV is not an image and vice versa
+    assert(img.decodeBatch(Iterator(MediaSynth.wavPayload(7L))).next().toSeq === zero)
+    assert(wav.decodeBatch(Iterator(MediaSynth.bmpBytes(7L))).next().toSeq === zero)
+    // a bad row in the middle of a batch must not lose or reorder rows
+    val batch = wav.decodeBatch(Iterator(
+      MediaSynth.wavPayload(1L), MediaSynth.corruptBytes(2L), MediaSynth.wavPayload(3L))).toSeq
+    assert(batch.length === 3)
+    assert(batch(0)(0) === MediaSynth.audioNumSamples(1L).toDouble)
+    assert(batch(1).toSeq === zero)
+    assert(batch(2)(0) === MediaSynth.audioNumSamples(3L).toDouble)
+  }
+
   test("real codecs run through the decodeFeaturesWith seam with schema/rows intact") {
     val s = spark
     import s.implicits._
