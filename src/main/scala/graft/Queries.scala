@@ -308,6 +308,37 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** The composed DAILY pipeline a production training-data run executes,
+    * gated end to end: dedup the day's batch (doc_id % 3 == 0) against
+    * the static corpus through the precomputed banding artifact (the
+    * batch-linear daily path), split the survivors train/val/test on the
+    * deterministic LCG bucket, and report per-split doc count, id
+    * checksum, and exact token sum. Every stage is gated alone
+    * (`p_dedup_incr_artifact`, `p_hash_split`, `p_text_stats`); this row
+    * pins their COMPOSITION — survivor set feeding the splitter feeding
+    * the stats — which is what breaks when stage contracts drift apart.
+    * Scale shape: artifact-joined dedup is batch-linear, the split is a
+    * map-side filter, the stats one partial agg — no new shuffles beyond
+    * the stages' own.
+    */
+  def pDailyPipeline(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = documents(spark, sfDir)
+    val corpus = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+    val batch = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+    val art = Dedup.bandedCorpusArtifact(corpus, "doc_id", "text")
+    val survivors = Dedup.incrementalDedupSurvivors(corpus, batch, "doc_id", "text",
+      corpusBanded = Some(art))
+    val splits = Sampling.hashSplit(survivors, "doc_id", Seq(0.7, 0.2, 0.1))
+    splits.zipWithIndex.map { case (df, i) =>
+      df.groupBy()
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("doc_id").as("id_sum"),
+          sum(TF.tokenCount(col("text")).cast("long")).as("n_tokens"))
+        .select(lit(i).as("split_idx"), col("n_docs"), col("id_sum"), col("n_tokens"))
+    }.reduce(_ unionByName _).orderBy("split_idx")
+  }
+
   def pFingerprint(spark: SparkSession, sfDir: String): DataFrame =
     documents(spark, sfDir)
       .select(col("doc_id"), TF.fingerprint(col("text")).as("fp"))

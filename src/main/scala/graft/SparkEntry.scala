@@ -61,7 +61,8 @@ object SparkEntry {
     "p_stratified_sample" -> (Queries.pStratifiedSample _),
     "p_hash_split" -> (Queries.pHashSplit _),
     "p_dedup_incremental" -> (Queries.pIncrementalDedup _),
-    "p_dedup_incr_artifact" -> (Queries.pIncrementalDedupArtifact _)
+    "p_dedup_incr_artifact" -> (Queries.pIncrementalDedupArtifact _),
+    "p_daily_pipeline" -> (Queries.pDailyPipeline _)
   )
 
   private val EN = "['the','and','of','to','in','is','a','that','it','for']"
@@ -405,6 +406,57 @@ object SparkEntry {
     // SAME oracle: identical survivors are exactly the claim being gated.
     "p_dedup_incremental" -> INCREMENTAL_DEDUP_SQL,
     "p_dedup_incr_artifact" -> INCREMENTAL_DEDUP_SQL,
+    // composed daily pipeline: incremental-dedup survivors (same rule as
+    // INCREMENTAL_DEDUP_SQL) -> LCG train/val/test split (same cutoff
+    // literals as p_hash_split) -> per-split count / id checksum / exact
+    // token sum; VALUES(0..2) left join keeps empty splits as rows, like
+    // Spark's global agg does
+    "p_daily_pipeline" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t FROM documents),
+         |shing AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(t) >= 3 THEN t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+         |         ELSE array_to_string(t, ' ') END AS s
+         |  FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(t) - 1, 2))) AS i)),
+         |dsh AS (SELECT DISTINCT doc_id, s FROM shing),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY 1),
+         |inter AS (
+         |  SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
+         |  FROM dsh a JOIN dsh b ON a.s = b.s AND a.doc_id <> b.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT ia, ib FROM inter
+         |  JOIN sizes sa ON ia = sa.doc_id JOIN sizes sb ON ib = sb.doc_id
+         |  WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5),
+         |ranked AS (
+         |  SELECT doc_id, CASE WHEN doc_id % 3 <> 0 THEN 0 ELSE 1 END AS rk FROM documents),
+         |victims AS (
+         |  SELECT DISTINCT p.ib AS doc_id
+         |  FROM pairs p JOIN ranked ra ON p.ia = ra.doc_id JOIN ranked rb ON p.ib = rb.doc_id
+         |  WHERE rb.rk = 1 AND (ra.rk < rb.rk OR (ra.rk = rb.rk AND p.ia < p.ib))),
+         |surv AS (
+         |  SELECT d.doc_id, d.text FROM documents d
+         |  WHERE d.doc_id % 3 = 0 AND d.doc_id NOT IN (SELECT doc_id FROM victims)),
+         |bkt AS (
+         |  SELECT doc_id, text,
+         |    ((((doc_id % 4294967296) * 1103515245 + 12345) % 4294967296)
+         |      + 4294967296) % 4294967296 AS bucket
+         |  FROM surv),
+         |spl AS (
+         |  SELECT doc_id, text,
+         |    CASE WHEN bucket < ${pipeline.Sampling.rateCutoff(0.7)} THEN 0
+         |         WHEN bucket < ${pipeline.Sampling.rateCutoff(0.7 + 0.2)} THEN 1
+         |         ELSE 2 END AS split_idx
+         |  FROM bkt),
+         |agg AS (
+         |  SELECT split_idx, count(*) AS n_docs, sum(doc_id) AS id_sum,
+         |    sum(len(regexp_split_to_array(lower(trim(text)), '\\s+'))) AS n_tokens
+         |  FROM spl GROUP BY 1)
+         |SELECT g.split_idx, coalesce(n_docs, 0) AS n_docs,
+         |  CAST(id_sum AS BIGINT) AS id_sum, CAST(n_tokens AS BIGINT) AS n_tokens
+         |FROM (VALUES (0), (1), (2)) g(split_idx) LEFT JOIN agg USING (split_idx)
+         |ORDER BY g.split_idx""".stripMargin,
     "p_fingerprint" ->
       """SELECT count(*) AS n_docs,
         | count(DISTINCT lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS n_distinct_fp
