@@ -276,8 +276,14 @@ object GraftExpressions {
     ExpressionUtils.column(
       LshHyperplaneBucket(ExpressionUtils.expression(vec), planes))
 
-  /** Register `array_dot` for SQL text queries on an existing session. */
+  /** Register every graft SQL function as a temp function on an existing
+    * session — the same builder table `GraftExtensions` injects at
+    * session build, for callers who cannot rebuild their session with
+    * `.withExtensions`.
+    */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "array_dot", exprs => ArrayDotProduct(exprs(0), exprs(1)), "built-in")
+    GraftExtensions.functions.foreach { case (name, _, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
 }

@@ -156,14 +156,33 @@ class RobustnessSuite extends SparkSpec {
   test("custom SQL functions usable from SQL text and Column API") {
     val s = spark
     import s.implicits._
-    org.apache.spark.sql.graft.GraftExpressions.register(s)
+    import org.apache.spark.sql.graft.GraftExpressions
+    GraftExpressions.register(s)
     Seq((Array(1.0, 2.0), Array(3.0, 4.0))).toDF("a", "b").createOrReplaceTempView("vv")
     assert(s.sql("SELECT array_dot(a, b) FROM vv").head().getDouble(0) === 11.0)
     val viaExpr = Seq((Array(1.0, 2.0), Array(3.0, 4.0))).toDF("a", "b")
-      .select(org.apache.spark.sql.graft.GraftExpressions.arrayDot(col("a"), col("b")))
+      .select(GraftExpressions.arrayDot(col("a"), col("b")))
       .head().getDouble(0)
     assert(viaExpr === 11.0)
-    // the SparkSessionExtensions hook wires the same functions at build time
+    // every registered SQL function == its Column-API twin on the same input
+    val tdf = Seq(("some text here and more", Seq("some", "text", "here"), 2.5, 1.0))
+      .toDF("txt", "toks", "v", "w")
+    tdf.createOrReplaceTempView("tv")
+    def one(sql: String): org.apache.spark.sql.Row = s.sql(sql).head()
+    assert(one("SELECT simhash64(toks) FROM tv").getLong(0) ===
+      tdf.select(GraftExpressions.simhash64(col("toks"))).head().getLong(0))
+    assert(one("SELECT fnv1a_fingerprint(txt) FROM tv").getLong(0) ===
+      tdf.select(GraftExpressions.fnv1aFingerprint(col("txt"))).head().getLong(0))
+    assert(one("SELECT slice_hash(shingle_hashes(toks, 2), 0, 2, 42) FROM tv").getLong(0) ===
+      tdf.select(GraftExpressions.longSliceHash(
+        org.apache.spark.sql.graft.ShingleHashesFn.shingle_hashes(col("toks"), 2), 0, 2, 42L))
+        .head().getLong(0))
+    assert(one("SELECT weighted_median(v, w) FROM tv").getDouble(0) === 2.5)
+    // non-literal codegen parameter -> clear error, not a wrong plan
+    val err = intercept[Exception](s.sql("SELECT shingle_hashes(toks, v) FROM tv").head())
+    assert(err.getMessage.contains("integer literal")
+      || err.getCause != null && err.getCause.getMessage.contains("integer literal"))
+    // the SparkSessionExtensions hook wires the same builder table at build time
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new org.apache.spark.sql.graft.GraftExtensions()(ext) // must not throw
   }
