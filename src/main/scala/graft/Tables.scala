@@ -20,14 +20,21 @@ object Tables {
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.types.LongType
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val raw = table(spark, sfDir, "events")
-    if (raw.schema("ts").dataType == LongType)
+    raw.schema("ts").dataType match {
+      // TIMESTAMP(NANOS) parquet read as long (legacy.parquet.nanosAsLong):
       // integral `div`, NOT `/`: long/long division evaluates in double,
       // whose 256ns ULP at epoch-nano magnitudes silently shifts
       // microseconds and would desynchronize every event-time oracle
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // TIMESTAMP(MICROS, isAdjustedToUTC=false) reads as TIMESTAMP_NTZ;
+      // under the fixed UTC session timezone the NTZ->LTZ cast is the
+      // identity instant, and downstream epoch extraction (unix_micros)
+      // requires the LTZ type
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")
