@@ -174,7 +174,7 @@ object Queries {
 
   // ------------------------------------------------------- data-pipeline ops
 
-  import graft.pipeline.{Dedup, ImageRgbStatsCodec, MediaSynth, Multimodal, Sampling, Similarity, SkewJoin, TextFunctions => TF, WavPcmStatsCodec}
+  import graft.pipeline.{CorpusStats, Decontaminate, Dedup, ImageRgbStatsCodec, MediaSynth, Multimodal, Sampling, Similarity, SkewJoin, TextFunctions => TF, WavPcmStatsCodec}
 
   /** Per-document text statistics — all pure expressions, single scan. */
   def pTextStats(spark: SparkSession, sfDir: String): DataFrame = {
@@ -337,6 +337,75 @@ object Queries {
           sum(TF.tokenCount(col("text")).cast("long")).as("n_tokens"))
         .select(lit(i).as("split_idx"), col("n_docs"), col("id_sum"), col("n_tokens"))
     }.reduce(_ unionByName _).orderBy("split_idx")
+  }
+
+  /** Gopher-style bigram repetition signals per document — one map-side
+    * pass of the [[org.apache.spark.sql.graft.NgramRepetition]] scalar,
+    * zero shuffles for the scoring itself (vs. the explode + per-doc
+    * groupBy formulation, which shuffles one row per n-gram occurrence
+    * of the entire corpus).
+    */
+  def pNgramRepetition(spark: SparkSession, sfDir: String): DataFrame =
+    documents(spark, sfDir)
+      .select(col("doc_id"), TF.repetitionSignals(col("text"), 2).as("r"))
+      .select(
+        col("doc_id"),
+        round(element_at(col("r"), 1), 6).as("top_frac"),
+        round(element_at(col("r"), 2), 6).as("dup_frac"))
+      .orderBy("doc_id")
+
+  /** PII redaction gate. The synthetic corpus carries no PII, so the text
+    * is synthesized deterministically from customer keys — identically on
+    * both engines — and the gate compares the EXACT redacted strings,
+    * proving the three patterns behave the same under Java regex (Spark)
+    * and RE2 (DuckDB): the reproducibility contract redaction needs when
+    * a corpus is touched by more than one engine.
+    */
+  def pPiiRedaction(spark: SparkSession, sfDir: String): DataFrame = {
+    val email = concat(
+      lower(regexp_replace(col("c_name"), "[^A-Za-z0-9]", "")),
+      lit("@corp-"), col("c_nationkey").cast("string"), lit(".example.com"))
+    val ip = concat_ws(".",
+      lit("10"),
+      pmod(col("c_custkey"), lit(256)).cast("string"),
+      pmod(col("c_custkey"), lit(100)).cast("string"),
+      (pmod(col("c_custkey"), lit(7)) + 1).cast("string"))
+    val phone = concat_ws("-",
+      (pmod(col("c_custkey"), lit(90)) + 10).cast("string"),
+      (pmod(col("c_custkey"), lit(900)) + 100).cast("string"),
+      (pmod(col("c_custkey") * 7, lit(900)) + 100).cast("string"),
+      (pmod(col("c_custkey") * 13, lit(9000)) + 1000).cast("string"))
+    val text = concat_ws(" ",
+      col("c_name"), lit("contact"), email, lit("from"), ip,
+      lit("tel"), phone, col("c_mktsegment"))
+    customer(spark, sfDir)
+      .select(col("c_custkey"), TF.redactPii(text).as("redacted"))
+      .orderBy("c_custkey")
+  }
+
+  /** Top-5 TF-IDF terms per language ([[CorpusStats.tfidfTopTerms]]):
+    * corpus-sized work collapses at the first map-side partial agg; df
+    * join and top-k window run on vocabulary-sized data.
+    */
+  def pTfidfTopTerms(spark: SparkSession, sfDir: String): DataFrame =
+    CorpusStats.tfidfTopTerms(documents(spark, sfDir), "lang", "text", 5)
+      .orderBy("grp", "rnk")
+
+  /** Benchmark decontamination report: every 10th doc plays the eval set,
+    * the rest the training corpus. The eval n-gram set is broadcast —
+    * eval suites are thousands of docs against a corpus of billions, so
+    * the corpus-side scan is one explode + broadcast hash join + one
+    * partially-aggregated groupBy, exactly one shuffle at any scale.
+    */
+  def pDecontaminate(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = documents(spark, sfDir)
+    val evalDocs = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+    val train = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+    Decontaminate.contaminationReport(train, "doc_id", "text", evalDocs, "text", 3)
+      .select(
+        col("doc_id"), col("n_ngrams"), col("n_hits"), col("contamination"),
+        col("contaminated").cast("long").as("contaminated"))
+      .orderBy("doc_id")
   }
 
   def pFingerprint(spark: SparkSession, sfDir: String): DataFrame =

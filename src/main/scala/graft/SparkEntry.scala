@@ -62,7 +62,11 @@ object SparkEntry {
     "p_hash_split" -> (Queries.pHashSplit _),
     "p_dedup_incremental" -> (Queries.pIncrementalDedup _),
     "p_dedup_incr_artifact" -> (Queries.pIncrementalDedupArtifact _),
-    "p_daily_pipeline" -> (Queries.pDailyPipeline _)
+    "p_daily_pipeline" -> (Queries.pDailyPipeline _),
+    "p_ngram_repetition" -> (Queries.pNgramRepetition _),
+    "p_pii_redaction" -> (Queries.pPiiRedaction _),
+    "p_tfidf_top_terms" -> (Queries.pTfidfTopTerms _),
+    "p_decontaminate" -> (Queries.pDecontaminate _)
   )
 
   private val EN = "['the','and','of','to','in','is','a','that','it','for']"
@@ -571,6 +575,90 @@ object SparkEntry {
         |FROM (
         |  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
         |  FROM documents)""".stripMargin,
+    // Non-distinct bigram occurrence counts per doc; total = len-1
+    // (short docs: the whole token sequence is the one n-gram). top =
+    // max count, dup = occurrences of any gram seen more than once —
+    // the Gopher repetition-filter quantities.
+    "p_ngram_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(t) >= 2 THEN t[i] || ' ' || t[i+1]
+        |         ELSE array_to_string(t, ' ') END AS s
+        |  FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(t), 2))) AS i)),
+        |cnt AS (SELECT doc_id, s, count(*) AS c FROM g GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT doc_id, sum(c) AS total, max(c) AS top,
+        |    sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup
+        |  FROM cnt GROUP BY 1)
+        |SELECT doc_id,
+        |  round(top * 1.0 / total, 6) AS top_frac,
+        |  round(dup * 1.0 / total, 6) AS dup_frac
+        |FROM agg ORDER BY doc_id""".stripMargin,
+    // Same deterministic synthesized-PII text on both engines; the gate
+    // compares exact redacted strings, pinning Java-regex == RE2
+    // behavior for the three (deliberately RE2-compatible) patterns.
+    "p_pii_redaction" ->
+      """WITH t AS (
+        |  SELECT c_custkey,
+        |    concat_ws(' ', c_name, 'contact',
+        |      lower(regexp_replace(c_name, '[^A-Za-z0-9]', '', 'g'))
+        |        || '@corp-' || c_nationkey || '.example.com',
+        |      'from',
+        |      '10.' || (c_custkey % 256) || '.' || (c_custkey % 100)
+        |        || '.' || (c_custkey % 7 + 1),
+        |      'tel',
+        |      (c_custkey % 90 + 10) || '-' || (c_custkey % 900 + 100) || '-'
+        |        || (c_custkey * 7 % 900 + 100) || '-' || (c_custkey * 13 % 9000 + 1000),
+        |      c_mktsegment) AS text
+        |  FROM customer)
+        |SELECT c_custkey,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\b\d{2,4}[-. ]\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g') AS redacted
+        |FROM t ORDER BY c_custkey""".stripMargin,
+    "p_tfidf_top_terms" ->
+      """WITH toks AS (
+        |  SELECT lang AS grp, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+        |  FROM documents),
+        |tf AS (SELECT grp, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(DISTINCT lang) AS ng FROM documents),
+        |scored AS (
+        |  SELECT grp, token, tf, df,
+        |    round(tf * ln(1 + ng * 1.0 / df), 6) AS tfidf
+        |  FROM tf JOIN df USING (token), n),
+        |r AS (
+        |  SELECT grp, token, tf, df, tfidf,
+        |    row_number() OVER (PARTITION BY grp
+        |      ORDER BY tfidf DESC, tf DESC, token ASC) AS rnk
+        |  FROM scored)
+        |SELECT grp, token, tf, df, tfidf, rnk FROM r WHERE rnk <= 5
+        |ORDER BY grp, rnk""".stripMargin,
+    // Distinct trigram overlap of each training doc (doc_id % 10 != 0)
+    // against the eval set (doc_id % 10 = 0); every training doc keeps
+    // a row (zero hits included).
+    "p_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents),
+        |shing AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(t) >= 3 THEN t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+        |         ELSE array_to_string(t, ' ') END AS s
+        |  FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(t) - 1, 2))) AS i)),
+        |dsh AS (SELECT DISTINCT doc_id, s FROM shing),
+        |ev AS (SELECT DISTINCT s FROM dsh WHERE doc_id % 10 = 0),
+        |tr AS (SELECT doc_id, s FROM dsh WHERE doc_id % 10 <> 0),
+        |agg AS (
+        |  SELECT tr.doc_id, count(*) AS n_ngrams,
+        |    CAST(sum(CASE WHEN ev.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+        |  FROM tr LEFT JOIN ev ON tr.s = ev.s GROUP BY 1)
+        |SELECT doc_id, n_ngrams, n_hits,
+        |  round(n_hits * 1.0 / n_ngrams, 6) AS contamination,
+        |  CAST(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+        |FROM agg ORDER BY doc_id""".stripMargin,
     "p_ann_brute_force" -> ANN_TOP5_SQL,
     "p_corpus_pipeline" ->
       s"""WITH toks AS (

@@ -26,7 +26,14 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     val pool = Executors.newSingleThreadExecutor()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Local-iteration filter (comma-separated query names); the driver
+    // never sets it, so the round dump always covers every query.
+    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = SparkEntry.queries.filter { case (name, _) =>
+      only.forall(_.contains(name))
+    }
+    selected.foreach { case (name, fn) =>
       val task = pool.submit(new java.util.concurrent.Callable[Unit] {
         override def call(): Unit = {
           spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)

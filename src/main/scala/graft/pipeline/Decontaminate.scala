@@ -1,0 +1,85 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ShingleHashesFn.shingle_hashes
+
+import TextFunctions.tokens
+
+/** Benchmark decontamination: find (and drop) training documents that
+  * overlap an evaluation/benchmark set at the token n-gram level — the
+  * standard guard against test-set leakage into a training corpus (the
+  * GPT-3/PaLM-style "remove any training doc sharing an n-gram with the
+  * benchmark" rule, with the n-gram length as the knob).
+  *
+  * 100 TB shape: the benchmark side is SMALL by definition (eval suites
+  * are thousands of docs, the corpus is billions), so its distinct n-gram
+  * set is built once and BROADCAST — the corpus-side scan is one explode +
+  * map-side broadcast hash join + one partially-aggregated groupBy on
+  * doc_id. Exactly one shuffle, carrying two longs per corpus doc; no
+  * corpus self-join, nothing driver-side. N-grams are keyed by the shared
+  * 64-bit shingle hash ([[org.apache.spark.sql.graft.ShingleHashes]] —
+  * zero intermediate strings; collisions at the 2^-40 level can only
+  * perturb one count).
+  *
+  * Reference scope note: the reference library (pierrenodet/spark-ensemble)
+  * has no data-pipeline surface; this operator is part of graft's
+  * beyond-reference training-data toolkit (SURVEY §2.5).
+  */
+object Decontaminate {
+
+  /** Per-document contamination report against `evalDocs`:
+    * `(doc_id, n_ngrams, n_hits, contamination, contaminated)` where
+    * `n_ngrams` is the doc's DISTINCT n-gram count, `n_hits` how many of
+    * those appear anywhere in the eval set, `contamination` their ratio
+    * (rounded 1e-6 for cross-engine stability), and `contaminated` the
+    * any-overlap flag. Every input doc gets a row (zero hits included) —
+    * thresholding is the caller's policy, the report is the mechanism.
+    */
+  def contaminationReport(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      evalDocs: DataFrame,
+      evalTextCol: String,
+      n: Int): DataFrame = {
+    val evalGrams = evalDocs
+      .select(explode(shingle_hashes(tokens(col(evalTextCol)), n)).as("s"))
+      .distinct()
+      .withColumn("hit", lit(1L))
+    docs
+      // shingle_hashes emits the doc's distinct shingle set, so
+      // count(*) after the explode IS the distinct n-gram count and the
+      // left join can only match each (doc, gram) once
+      .select(col(idCol).as("doc_id"),
+        explode(shingle_hashes(tokens(col(textCol)), n)).as("s"))
+      .join(broadcast(evalGrams), Seq("s"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_ngrams"),
+        coalesce(sum("hit"), lit(0L)).as("n_hits"))
+      .withColumn("contamination",
+        round(col("n_hits").cast("double") / col("n_ngrams"), 6))
+      .withColumn("contaminated", col("n_hits") > 0)
+  }
+
+  /** The corpus with contaminated documents removed: docs whose distinct
+    * n-gram overlap with the eval set exceeds `maxHits` (default 0 — any
+    * shared n-gram disqualifies) are dropped, all original columns kept.
+    * Implemented as a broadcast-able left-anti join against the flagged
+    * id set, which is hit-bounded (≤ corpus docs, in practice tiny).
+    */
+  def decontaminatedCorpus(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      evalDocs: DataFrame,
+      evalTextCol: String,
+      n: Int,
+      maxHits: Long = 0L): DataFrame = {
+    val flagged = contaminationReport(docs, idCol, textCol, evalDocs, evalTextCol, n)
+      .filter(col("n_hits") > maxHits)
+      .select(col("doc_id"))
+    docs.join(flagged, docs(idCol) === flagged("doc_id"), "left_anti")
+  }
+}

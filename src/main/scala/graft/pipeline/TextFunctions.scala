@@ -94,4 +94,49 @@ object TextFunctions {
       i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*))
     array_distinct(when(size(toks) >= n, ngrams).otherwise(array(concat_ws(" ", toks))))
   }
+
+  /** Gopher-style repetition signals as `array(top_fraction, dup_fraction)`
+    * — one per-row pass (see [[org.apache.spark.sql.graft.NgramRepetition]]).
+    * Select the array ONCE and `element_at` both slots; calling the two
+    * fraction helpers separately evaluates the expression twice.
+    */
+  def repetitionSignals(text: Column, n: Int): Column =
+    org.apache.spark.sql.graft.NgramRepetitionFn.ngram_repetition(tokens(text), n)
+
+  /** Share of n-gram occurrences taken by the most frequent n-gram. */
+  def topNgramFraction(text: Column, n: Int): Column =
+    element_at(repetitionSignals(text, n), 1)
+
+  /** Share of n-gram occurrences belonging to n-grams seen more than once. */
+  def dupNgramFraction(text: Column, n: Int): Column =
+    element_at(repetitionSignals(text, n), 2)
+
+  /** Email addresses: local@domain.tld. Kept deliberately RE2-compatible
+    * (no lookarounds/backrefs) so the same pattern runs under Java regex
+    * (Spark) and RE2 (DuckDB/Go tooling) — redaction must be reproducible
+    * across the engines that touch a corpus.
+    */
+  val EmailPattern: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** Dotted-quad IPv4 (unanchored beyond word boundaries). */
+  val Ipv4Pattern: String = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Separator-grouped phone numbers (2-4 / 3 / 3 / 4 digit groups — the
+    * TPC-H `c_phone` shape among others). Digit runs inside longer
+    * numbers are NOT matched; redaction is pattern-, not digit-, based.
+    */
+  val PhonePattern: String = "\\b\\d{2,4}[-. ]\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b"
+
+  /** PII redaction for training corpora: emails, then IPv4s, then phone
+    * numbers are replaced with typed placeholder tags. Order matters —
+    * emails can embed digit groups and IPv4s are dotted digit groups, so
+    * the more specific patterns must consume their text first. Pure
+    * chained `regexp_replace` (codegen'd, map-side, zero shuffle); the
+    * 100 TB cost is one regex scan per pattern per row.
+    */
+  def redactPii(text: Column): Column = {
+    val noEmail = regexp_replace(text, EmailPattern, "<EMAIL>")
+    val noIp = regexp_replace(noEmail, Ipv4Pattern, "<IP>")
+    regexp_replace(noIp, PhonePattern, "<PHONE>")
+  }
 }

@@ -43,6 +43,8 @@ object GraftExtensions {
         MinHashSignatureAgg(exprs(0), literalInt(exprs(1))).toAggregateExpression()),
     ("shingle_hashes", classOf[ShingleHashes],
       (exprs: Seq[Expression]) => ShingleHashes(exprs(0), literalInt(exprs(1)))),
+    ("ngram_repetition", classOf[NgramRepetition],
+      (exprs: Seq[Expression]) => NgramRepetition(exprs(0), literalInt(exprs(1)))),
     ("simhash64", classOf[SimHash64],
       (exprs: Seq[Expression]) => SimHash64(exprs(0))),
     ("fnv1a_fingerprint", classOf[Fnv1aFingerprint],

@@ -31,13 +31,7 @@ case class ShingleHashes(child: Expression, n: Int)
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
-  private def tokenHash(s: UTF8String): Long = {
-    val bytes = s.getBytes
-    var h = 0xcbf29ce484222325L
-    var i = 0
-    while (i < bytes.length) { h = (h ^ bytes(i)) * 0x100000001b3L; i += 1 }
-    MinHashSignatureAgg.mix(h)
-  }
+  private def tokenHash(s: UTF8String): Long = ShingleHashes.tokenHash(s)
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
@@ -76,6 +70,21 @@ case class ShingleHashes(child: Expression, n: Int)
 
   override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
     copy(child = newChild)
+}
+
+object ShingleHashes {
+  /** 64-bit token hash shared by every shingle-keyed operator
+    * ([[ShingleHashes]], [[NgramRepetition]]): FNV-1a over the UTF-8
+    * bytes, finished with the splitmix mixer. One definition so the
+    * n-gram key spaces of dedup and repetition scoring cannot drift.
+    */
+  private[graft] def tokenHash(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) { h = (h ^ bytes(i)) * 0x100000001b3L; i += 1 }
+    MinHashSignatureAgg.mix(h)
+  }
 }
 
 object ShingleHashesFn {

@@ -1,0 +1,159 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{CorpusStats, Decontaminate, TextFunctions => TF}
+
+/** Round-10 corpus operators: n-gram repetition signals, PII redaction,
+  * TF-IDF corpus stats, benchmark decontamination.
+  */
+class CorpusOpsSuite extends SparkSpec {
+
+  private def oneRow(df: DataFrame): org.apache.spark.sql.Row = df.head()
+
+  // ------------------------------------------------------------- repetition
+
+  test("ngram repetition: hand-computed fixtures") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "a b a b a"),    // bigrams: "a b"x2, "b a"x2 -> top 0.5, dup 1.0
+      (2L, "a b c d"),      // 3 distinct bigrams -> top 1/3, dup 0
+      (3L, "x"),            // short doc: whole seq is the one gram
+      (4L, "t t t t")       // "t t"x3 -> top 1.0, dup 1.0
+    ).toDF("doc_id", "text")
+    val out = df.select(
+        col("doc_id"),
+        round(TF.topNgramFraction(col("text"), 2), 6).as("top"),
+        round(TF.dupNgramFraction(col("text"), 2), 6).as("dup"))
+      .orderBy("doc_id").collect()
+    assert(out(0).getDouble(1) === 0.5 && out(0).getDouble(2) === 1.0)
+    assert(out(1).getDouble(1) === 0.333333 && out(1).getDouble(2) === 0.0)
+    assert(out(2).getDouble(1) === 1.0 && out(2).getDouble(2) === 0.0)
+    assert(out(3).getDouble(1) === 1.0 && out(3).getDouble(2) === 1.0)
+  }
+
+  test("ngram repetition: null text yields null, SQL twin matches Column API") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, Some("u v u v w")), (2L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    val viaCol = df.select(TF.repetitionSignals(col("text"), 2).as("r"))
+      .orderBy(lit(1)).collect()
+    assert(viaCol.exists(_.isNullAt(0)))
+    org.apache.spark.sql.graft.GraftExpressions.register(s)
+    df.createOrReplaceTempView("rep_docs")
+    val viaSql = s.sql(
+      """SELECT ngram_repetition(split(lower(trim(text)), '\\s+'), 2) AS r
+        |FROM rep_docs WHERE text IS NOT NULL""".stripMargin).head().getSeq[Double](0)
+    val expected = df.filter(col("text").isNotNull)
+      .select(TF.repetitionSignals(col("text"), 2)).head().getSeq[Double](0)
+    assert(viaSql === expected)
+  }
+
+  // -------------------------------------------------------------- redaction
+
+  test("PII redaction: emails, IPv4s, phones replaced; lookalikes kept") {
+    val s = spark
+    import s.implicits._
+    val cases = Seq(
+      ("contact john.doe+spam@mail.example.org now",
+       "contact <EMAIL> now"),
+      ("server 192.168.0.1 down", "server <IP> down"),
+      ("call 123-456-789-0123 or 22.333.444.5555",
+       "call <PHONE> or <PHONE>"),
+      // embedded in a word: no boundary, must NOT redact
+      ("release v1.2.3.4 shipped", "release v1.2.3.4 shipped"),
+      // wrong group shape: not a phone
+      ("code 12-34-56 stays", "code 12-34-56 stays"),
+      ("mail a@b.co ip 8.8.8.8 tel 10-200-300-4000 end",
+       "mail <EMAIL> ip <IP> tel <PHONE> end"))
+    val out = cases.toDF("text", "expected")
+      .select(TF.redactPii(col("text")).as("got"), col("expected"))
+      .collect()
+    out.foreach(r => assert(r.getString(0) === r.getString(1)))
+  }
+
+  // ------------------------------------------------------------------ tfidf
+
+  test("tfidf top terms: hand-computed two-group fixture") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      ("g1", "apple banana apple"),
+      ("g2", "banana cherry")
+    ).toDF("grp_in", "text")
+    val out = CorpusStats.tfidfTopTerms(docs, "grp_in", "text", 2)
+      .orderBy("grp", "rnk").collect()
+    // df: apple 1, banana 2, cherry 1; nGroups = 2; the product is
+    // rounded (not the log), so expectations round tf * ln(...)
+    val ln3 = math.round(math.log(3.0) * 1e6) / 1e6
+    val ln2 = math.round(math.log(2.0) * 1e6) / 1e6
+    val twoLn3 = math.round(2 * math.log(3.0) * 1e6) / 1e6
+    assert(out.length === 4)
+    val g1 = out.filter(_.getString(0) == "g1")
+    assert(g1(0).getString(1) === "apple" && g1(0).getLong(2) === 2L &&
+      g1(0).getLong(3) === 1L && g1(0).getDouble(4) === twoLn3 && g1(0).getLong(5) === 1L)
+    assert(g1(1).getString(1) === "banana" && g1(1).getDouble(4) === ln2)
+    val g2 = out.filter(_.getString(0) == "g2")
+    assert(g2(0).getString(1) === "cherry" && g2(0).getDouble(4) === ln3)
+    assert(g2(1).getString(1) === "banana" && g2(1).getDouble(4) === ln2)
+  }
+
+  test("tfidf top terms: k bounds output per group, ties break by token") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      ("a", "z y x w v"),
+      ("b", "z y x w v")
+    ).toDF("g", "text")
+    val out = CorpusStats.tfidfTopTerms(docs, "g", "text", 3)
+      .orderBy("grp", "rnk").collect()
+    assert(out.length === 6)
+    // all tf=1, df=2 -> identical tfidf; token asc breaks the tie
+    assert(out.filter(_.getString(0) == "a").map(_.getString(1)).toSeq === Seq("v", "w", "x"))
+  }
+
+  // --------------------------------------------------------- decontaminate
+
+  private lazy val decontFixture = {
+    val s = spark
+    import s.implicits._
+    val train = Seq(
+      (1L, "five one two three six"),   // shares trigram "one two three"
+      (2L, "alpha beta gamma delta"),   // clean
+      (3L, "one two"),                  // short, no eval overlap
+      (4L, "tiny doc")                  // exact short-doc eval dup
+    ).toDF("doc_id", "text")
+    val evalDocs = Seq("one two three four", "tiny doc").toDF("text")
+    (train, evalDocs)
+  }
+
+  test("contamination report: per-doc distinct-ngram hit accounting") {
+    val (train, evalDocs) = decontFixture
+    val rep = Decontaminate
+      .contaminationReport(train, "doc_id", "text", evalDocs, "text", 3)
+      .orderBy("doc_id").collect()
+    assert(rep.length === 4)
+    // (n_ngrams, n_hits, contaminated)
+    assert(rep(0).getLong(1) === 3L && rep(0).getLong(2) === 1L && rep(0).getBoolean(4))
+    assert(rep(1).getLong(1) === 2L && rep(1).getLong(2) === 0L && !rep(1).getBoolean(4))
+    assert(rep(2).getLong(1) === 1L && rep(2).getLong(2) === 0L && !rep(2).getBoolean(4))
+    assert(rep(3).getLong(1) === 1L && rep(3).getLong(2) === 1L && rep(3).getBoolean(4))
+    assert(math.abs(rep(0).getDouble(3) - 0.333333) < 1e-9)
+  }
+
+  test("decontaminated corpus: drops flagged docs, keeps all columns; eval side broadcast") {
+    val (train, evalDocs) = decontFixture
+    val clean = Decontaminate
+      .decontaminatedCorpus(train, "doc_id", "text", evalDocs, "text", 3)
+    assert(clean.columns.toSeq === train.columns.toSeq)
+    assert(clean.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq === Seq(2L, 3L))
+    // the 100 TB shape: the eval n-gram set joins broadcast, never shuffled
+    val plan = Decontaminate
+      .contaminationReport(train, "doc_id", "text", evalDocs, "text", 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join in:\n$plan")
+  }
+}
