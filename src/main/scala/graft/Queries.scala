@@ -408,6 +408,46 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Same contamination contract as [[pDecontaminate]] through the
+    * map-only broadcast-set path ([[Decontaminate.markContaminated]]):
+    * no join, no shuffle — the variant a streaming ingest runs. Shares
+    * [[pDecontaminate]]'s oracle; both paths must agree with it exactly.
+    */
+  def pDecontaminateBcast(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = documents(spark, sfDir)
+    val evalDocs = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+    val train = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+    val grams = Decontaminate.evalGramArray(evalDocs, "text", 3)
+    Decontaminate.markContaminated(train, "text", 3, grams)
+      .select(
+        col("doc_id"), col("n_ngrams"), col("n_hits"), col("contamination"),
+        col("contaminated").cast("long").as("contaminated"))
+      .orderBy("doc_id")
+  }
+
+  /** Composed Gopher-style corpus filter: quality score + bigram
+    * repetition thresholds, survivors grouped by predicted language.
+    * Every signal is a pure map-side expression; the only shuffle is the
+    * 5-group aggregate. All comparisons run on 1e-6-rounded values — the
+    * same values the per-signal gates pin — so the filter decision is
+    * engine-stable. sum_quality goes through decimal(18,6) so group
+    * summation order cannot perturb the double.
+    */
+  def pQualityFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    val r = TF.repetitionSignals(col("text"), 2)
+    documents(spark, sfDir)
+      .withColumn("q", TF.qualityScore(col("text"), TF.LangStopwords.head._2))
+      .withColumn("top2", round(element_at(r, 1), 6))
+      .withColumn("dup2", round(element_at(r, 2), 6))
+      .filter(col("q") >= 0.45 && col("top2") <= 0.05 && col("dup2") <= 0.09)
+      .groupBy(TF.langId(col("text")).as("lang_pred"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("doc_id").as("id_sum"),
+        sum(col("q").cast("decimal(18,6)")).cast("double").as("sum_quality"))
+      .orderBy("lang_pred")
+  }
+
   def pFingerprint(spark: SparkSession, sfDir: String): DataFrame =
     documents(spark, sfDir)
       .select(col("doc_id"), TF.fingerprint(col("text")).as("fp"))

@@ -66,7 +66,9 @@ object SparkEntry {
     "p_ngram_repetition" -> (Queries.pNgramRepetition _),
     "p_pii_redaction" -> (Queries.pPiiRedaction _),
     "p_tfidf_top_terms" -> (Queries.pTfidfTopTerms _),
-    "p_decontaminate" -> (Queries.pDecontaminate _)
+    "p_decontaminate" -> (Queries.pDecontaminate _),
+    "p_decontaminate_bcast" -> (Queries.pDecontaminateBcast _),
+    "p_quality_filter" -> (Queries.pQualityFilter _)
   )
 
   private val EN = "['the','and','of','to','in','is','a','that','it','for']"
@@ -98,6 +100,31 @@ object SparkEntry {
       |JOIN sizes sb ON doc_b = sb.doc_id
       |WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5
       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Distinct trigram overlap of each training doc (doc_id % 10 != 0)
+    * against the eval set (doc_id % 10 = 0); every training doc keeps a
+    * row (zero hits included). Shared by the join-based report and the
+    * map-only broadcast-set path — both must match it exactly.
+    */
+  private val DECONTAM_SQL =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents),
+      |shing AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(t) >= 3 THEN t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+      |         ELSE array_to_string(t, ' ') END AS s
+      |  FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(t) - 1, 2))) AS i)),
+      |dsh AS (SELECT DISTINCT doc_id, s FROM shing),
+      |ev AS (SELECT DISTINCT s FROM dsh WHERE doc_id % 10 = 0),
+      |tr AS (SELECT doc_id, s FROM dsh WHERE doc_id % 10 <> 0),
+      |agg AS (
+      |  SELECT tr.doc_id, count(*) AS n_ngrams,
+      |    CAST(sum(CASE WHEN ev.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+      |  FROM tr LEFT JOIN ev ON tr.s = ev.s GROUP BY 1)
+      |SELECT doc_id, n_ngrams, n_hits,
+      |  round(n_hits * 1.0 / n_ngrams, 6) AS contamination,
+      |  CAST(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+      |FROM agg ORDER BY doc_id""".stripMargin
 
   /** Exact brute-force cosine top-5 — oracle for both the bounded-heap
     * brute-force aggregate and the (full-recall-tuned) IVF path.
@@ -637,28 +664,54 @@ object SparkEntry {
         |  FROM scored)
         |SELECT grp, token, tf, df, tfidf, rnk FROM r WHERE rnk <= 5
         |ORDER BY grp, rnk""".stripMargin,
-    // Distinct trigram overlap of each training doc (doc_id % 10 != 0)
-    // against the eval set (doc_id % 10 = 0); every training doc keeps
-    // a row (zero hits included).
-    "p_decontaminate" ->
-      """WITH toks AS (
-        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents),
-        |shing AS (
-        |  SELECT doc_id,
-        |    CASE WHEN len(t) >= 3 THEN t[i] || ' ' || t[i+1] || ' ' || t[i+2]
-        |         ELSE array_to_string(t, ' ') END AS s
-        |  FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(t) - 1, 2))) AS i)),
-        |dsh AS (SELECT DISTINCT doc_id, s FROM shing),
-        |ev AS (SELECT DISTINCT s FROM dsh WHERE doc_id % 10 = 0),
-        |tr AS (SELECT doc_id, s FROM dsh WHERE doc_id % 10 <> 0),
-        |agg AS (
-        |  SELECT tr.doc_id, count(*) AS n_ngrams,
-        |    CAST(sum(CASE WHEN ev.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
-        |  FROM tr LEFT JOIN ev ON tr.s = ev.s GROUP BY 1)
-        |SELECT doc_id, n_ngrams, n_hits,
-        |  round(n_hits * 1.0 / n_ngrams, 6) AS contamination,
-        |  CAST(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
-        |FROM agg ORDER BY doc_id""".stripMargin,
+    "p_decontaminate" -> DECONTAM_SQL,
+    "p_decontaminate_bcast" -> DECONTAM_SQL,
+    // Composed Gopher-style filter: every threshold compares the same
+    // 1e-6-rounded value its per-signal gate pins; sum_quality summed
+    // as DECIMAL(18,6) on both engines (order-independent exact sum).
+    "p_quality_filter" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+         |  FROM documents),
+         |rep AS (
+         |  SELECT doc_id, sum(c) AS total, max(c) AS top,
+         |    sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup
+         |  FROM (
+         |    SELECT doc_id, s, count(*) AS c FROM (
+         |      SELECT doc_id,
+         |        CASE WHEN len(t) >= 2 THEN t[i] || ' ' || t[i+1]
+         |             ELSE array_to_string(t, ' ') END AS s
+         |      FROM base, LATERAL (SELECT unnest(range(1, greatest(len(t), 2))) AS i))
+         |    GROUP BY 1, 2)
+         |  GROUP BY 1),
+         |sig AS (
+         |  SELECT b.doc_id,
+         |    round(
+         |      least(len(t) / 100.0, 1.0) * 0.5
+         |      + (len(list_distinct(t)) * 1.0 / len(t)) * 0.3
+         |      + least((len(list_filter(t, x -> list_contains($EN, x))) * 1.0 / len(t)) * 4.0, 1.0) * 0.2,
+         |      6) AS q,
+         |    round(top * 1.0 / total, 6) AS top2,
+         |    round(dup * 1.0 / total, 6) AS dup2,
+         |    len(list_filter(t, x -> list_contains($EN, x))) AS en,
+         |    len(list_filter(t, x -> list_contains(['der','die','und','das','ist','ein','nicht','mit','auf','zu'], x))) AS de,
+         |    len(list_filter(t, x -> list_contains(['le','la','et','les','des','est','une','dans','que','pour'], x))) AS fr,
+         |    len(list_filter(t, x -> list_contains(['el','la','que','de','los','una','es','por','con','para'], x))) AS es
+         |  FROM base b JOIN rep USING (doc_id))
+         |SELECT
+         |  CASE
+         |    WHEN greatest(en, de, fr, es) <= 0 THEN 'und'
+         |    WHEN en = greatest(en, de, fr, es) THEN 'en'
+         |    WHEN de = greatest(en, de, fr, es) THEN 'de'
+         |    WHEN fr = greatest(en, de, fr, es) THEN 'fr'
+         |    WHEN es = greatest(en, de, fr, es) THEN 'es'
+         |    ELSE 'und' END AS lang_pred,
+         |  count(*) AS n_docs,
+         |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+         |  CAST(sum(CAST(q AS DECIMAL(18,6))) AS DOUBLE) AS sum_quality
+         |FROM sig
+         |WHERE q >= 0.45 AND top2 <= 0.05 AND dup2 <= 0.09
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "p_ann_brute_force" -> ANN_TOP5_SQL,
     "p_corpus_pipeline" ->
       s"""WITH toks AS (

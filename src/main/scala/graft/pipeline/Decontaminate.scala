@@ -63,6 +63,57 @@ object Decontaminate {
       .withColumn("contaminated", col("n_hits") > 0)
   }
 
+  /** The eval set's distinct n-gram hashes, collected to the driver and
+    * sorted for binary search. Eval suites are small by definition, so
+    * the array is at most a few million longs — well inside driver and
+    * broadcast budgets. Feed to [[markContaminated]].
+    */
+  def evalGramArray(evalDocs: DataFrame, evalTextCol: String, n: Int): Array[Long] = {
+    val a = evalDocs
+      .select(explode(shingle_hashes(tokens(col(evalTextCol)), n)).as("s"))
+      .distinct()
+      .collect()
+      .map(_.getLong(0))
+    java.util.Arrays.sort(a)
+    a
+  }
+
+  /** Map-only contamination marking against a driver-collected eval gram
+    * set: appends `(n_ngrams, n_hits, contamination, contaminated)` to
+    * every input row, all original columns kept. Semantics identical to
+    * [[contaminationReport]] (suite-pinned parity), but the plan is a
+    * single projection — no join, no shuffle, no aggregation state — so
+    * it runs verbatim on a STREAMING DataFrame (continuous-ingestion
+    * decontamination) and costs one broadcast + one binary search per
+    * n-gram at any corpus size.
+    */
+  def markContaminated(
+      docs: DataFrame,
+      textCol: String,
+      n: Int,
+      evalGrams: Array[Long]): DataFrame = {
+    val sorted = evalGrams.clone()
+    java.util.Arrays.sort(sorted)
+    val bc = docs.sparkSession.sparkContext.broadcast(sorted)
+    val hitsUdf = udf { grams: scala.collection.Seq[Long] =>
+      val a = bc.value
+      var h = 0L
+      val it = grams.iterator
+      while (it.hasNext) {
+        if (java.util.Arrays.binarySearch(a, it.next()) >= 0) h += 1
+      }
+      h
+    }
+    docs
+      .withColumn("__grams", shingle_hashes(tokens(col(textCol)), n))
+      .withColumn("n_ngrams", size(col("__grams")).cast("long"))
+      .withColumn("n_hits", hitsUdf(col("__grams")))
+      .drop("__grams")
+      .withColumn("contamination",
+        round(col("n_hits").cast("double") / col("n_ngrams"), 6))
+      .withColumn("contaminated", col("n_hits") > 0)
+  }
+
   /** The corpus with contaminated documents removed: docs whose distinct
     * n-gram overlap with the eval set exceeds `maxHits` (default 0 — any
     * shared n-gram disqualifies) are dropped, all original columns kept.

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
 import graft.pipeline.{CorpusStats, Decontaminate, TextFunctions => TF}
@@ -142,6 +143,49 @@ class CorpusOpsSuite extends SparkSpec {
     assert(rep(2).getLong(1) === 1L && rep(2).getLong(2) === 0L && !rep(2).getBoolean(4))
     assert(rep(3).getLong(1) === 1L && rep(3).getLong(2) === 1L && rep(3).getBoolean(4))
     assert(math.abs(rep(0).getDouble(3) - 0.333333) < 1e-9)
+  }
+
+  test("markContaminated: map-only path matches the join-based report, keeps columns") {
+    val (train, evalDocs) = decontFixture
+    val grams = Decontaminate.evalGramArray(evalDocs, "text", 3)
+    val marked = Decontaminate.markContaminated(train, "text", 3, grams)
+    assert(marked.columns.take(train.columns.length).toSeq === train.columns.toSeq)
+    val viaMap = marked
+      .select("doc_id", "n_ngrams", "n_hits", "contamination", "contaminated")
+      .orderBy("doc_id").collect().map(_.toSeq)
+    val viaJoin = Decontaminate
+      .contaminationReport(train, "doc_id", "text", evalDocs, "text", 3)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    assert(viaMap.toSeq === viaJoin.toSeq)
+    // map-only contract: no exchange anywhere in the marking plan
+    val plan = marked.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"expected shuffle-free plan:\n$plan")
+  }
+
+  test("markContaminated runs verbatim on a streaming frame, parity with batch") {
+    val s = spark
+    import s.implicits._
+    val (train, evalDocs) = decontFixture
+    val grams = Decontaminate.evalGramArray(evalDocs, "text", 3)
+    implicit val sq = s.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val streamDf = mem.toDF().toDF("doc_id", "text")
+    val query = Decontaminate.markContaminated(streamDf, "text", 3, grams)
+      .writeStream.format("memory").queryName("decont_stream")
+      .outputMode("append").start()
+    try {
+      val rows = train.collect().map(r => (r.getLong(0), r.getString(1)))
+      val (a, b) = rows.splitAt(2)
+      mem.addData(a.toSeq); query.processAllAvailable()
+      mem.addData(b.toSeq); query.processAllAvailable()
+      val streamed = s.sql(
+        "SELECT doc_id, n_ngrams, n_hits, contamination, contaminated FROM decont_stream")
+        .orderBy("doc_id").collect().map(_.toSeq)
+      val batch = Decontaminate.markContaminated(train, "text", 3, grams)
+        .select("doc_id", "n_ngrams", "n_hits", "contamination", "contaminated")
+        .orderBy("doc_id").collect().map(_.toSeq)
+      assert(streamed.toSeq === batch.toSeq)
+    } finally query.stop()
   }
 
   test("decontaminated corpus: drops flagged docs, keeps all columns; eval side broadcast") {
