@@ -89,6 +89,28 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    // Idle-start guard (round 11): r10's committed reference row was taken
+    // on a loaded host (loadavg 12.3 at start) and its analytics block was
+    // garbage (q3 reported 62 s vs 0.15 s re-measured idle). Sample the
+    // 1-minute loadavg BEFORE Spark spins up 32 threads; optionally wait
+    // for the host to go idle, and if it still isn't, stamp the output
+    // "invalid_start": true so a contaminated run can never again be
+    // archived as a round's reference row without the flag showing.
+    val maxStartLoad = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_LOAD", "1.0").toDouble
+    val waitIdleSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_WAIT_IDLE_SEC", "0").toInt
+    var loadStart = loadAvg()
+    val waitDeadline = System.nanoTime() + waitIdleSec * 1_000_000_000L
+    while (loadStart.headOption.exists(_ > maxStartLoad) && System.nanoTime() < waitDeadline) {
+      System.err.println(
+        f"[bench] waiting for idle host: loadavg ${loadStart.head}%.2f > $maxStartLoad%.2f")
+      Thread.sleep(10000)
+      loadStart = loadAvg()
+    }
+    val invalidStart = loadStart.headOption.exists(_ > maxStartLoad)
+    if (invalidStart)
+      System.err.println(
+        f"[bench] WARNING: starting 1-min loadavg ${loadStart.head}%.2f exceeds " +
+          f"$maxStartLoad%.2f — result will carry \"invalid_start\": true")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
@@ -184,6 +206,8 @@ object Bench {
     val shared =
       s""""unit":"sec","reps":$reps,"rep_policy":"median over all reps in queries_reps; guard adds up to 2 reps when max>2*min","sf":"$sfDir","failed":$failed,""" +
         s""""calib_sec":${fmt4(calib)},"calib_mem_sec":${fmt4(calibMem)},""" +
+        s""""invalid_start":$invalidStart,"max_start_load":$maxStartLoad,""" +
+        s""""loadavg_start":${jsonArr(loadStart)},""" +
         s""""loadavg_before":${jsonArr(loadBefore)},"loadavg_after":${jsonArr(loadAfter)}"""
     // Sidecar file with the FULL result (incl. per-rep times): the driver
     // archives only the tail of stdout, which truncated the medians map out

@@ -434,12 +434,22 @@ object Queries {
     * summation order cannot perturb the double.
     */
   def pQualityFilter(spark: SparkSession, sfDir: String): DataFrame = {
-    val r = TF.repetitionSignals(col("text"), 2)
+    // The repetition thresholds are one zip_with over the signal array, so
+    // the (non-cheap, CodegenFallback) NgramRepetition expression appears
+    // exactly ONCE in the filter condition. Two separate element_at
+    // conjuncts — even via an aliased helper column — get re-inlined by
+    // predicate pushdown and tokenize+hash the text twice per row.
+    // Semantics unchanged: [top2, dup2] zip [0.05, 0.09], each
+    // round(x, 6) <= threshold, all must hold.
+    val repOk = forall(
+      zip_with(
+        TF.repetitionSignals(col("text"), 2),
+        array(lit(0.05), lit(0.09)),
+        (x, t) => round(x, 6) <= t),
+      b => b)
     documents(spark, sfDir)
       .withColumn("q", TF.qualityScore(col("text"), TF.LangStopwords.head._2))
-      .withColumn("top2", round(element_at(r, 1), 6))
-      .withColumn("dup2", round(element_at(r, 2), 6))
-      .filter(col("q") >= 0.45 && col("top2") <= 0.05 && col("dup2") <= 0.09)
+      .filter(col("q") >= 0.45 && repOk)
       .groupBy(TF.langId(col("text")).as("lang_pred"))
       .agg(
         count(lit(1)).as("n_docs"),

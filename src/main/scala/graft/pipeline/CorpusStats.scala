@@ -1,8 +1,8 @@
 package graft.pipeline
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.TopKRows.topk_rows
 
 import TextFunctions.tokens
 
@@ -27,10 +27,14 @@ object CorpusStats {
     * Scale shape: the only corpus-sized stage is the explode +
     * `groupBy(group, token)` — map-side partial aggregation collapses it
     * to vocabulary size before the shuffle. Everything after (df
-    * aggregation, the df join, the per-group top-k window) is
-    * vocabulary-sized, shuffle-keyed on token or group; nothing is
-    * collected, nothing is quadratic. The df join deliberately does NOT
-    * assume the vocabulary is broadcast-able — at web scale it isn't.
+    * aggregation, the df join, the per-group top-k) is vocabulary-sized,
+    * shuffle-keyed on token or group; nothing is collected, nothing is
+    * quadratic. The df join deliberately does NOT assume the vocabulary
+    * is broadcast-able — at web scale it isn't. The top-k stage is the
+    * bounded-heap `topk_rows` aggregate, not a window: map tasks keep at
+    * most ~2k rows per group, so the final shuffle carries
+    * O(groups x k) rows instead of sorting the whole vocabulary through
+    * `row_number()`.
     */
   def tfidfTopTerms(
       docs: DataFrame,
@@ -51,12 +55,13 @@ object CorpusStats {
       .crossJoin(broadcast(nGroups))
       .withColumn("tfidf",
         round(col("tf") * log(lit(1.0) + col("n_groups").cast("double") / col("df")), 6))
-    val w = Window.partitionBy("grp")
-      .orderBy(col("tfidf").desc, col("tf").desc, col("token").asc)
     scored
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("grp"), col("token"), col("tf"), col("df"), col("tfidf"),
-        col("rnk").cast("long").as("rnk"))
+      .groupBy("grp")
+      .agg(topk_rows(k, Seq(true, true, false),
+        col("tfidf"), col("tf"), col("token"), col("df")).as("top"))
+      .select(col("grp"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("grp"), col("t.token").as("token"), col("t.tf").as("tf"),
+        col("t.df").as("df"), col("t.tfidf").as("tfidf"),
+        (col("pos") + 1).cast("long").as("rnk"))
   }
 }

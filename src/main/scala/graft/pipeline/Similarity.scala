@@ -15,7 +15,8 @@ import org.apache.spark.sql.functions._
   * - `ivfTopK`: the scale path — KMeans coarse quantizer; corpus rows are
   *   bucketed by nearest centroid (one narrow pass), queries probe only
   *   their `nprobe` closest centroids, so the join fan-out is
-  *   |corpus|/#centroids * nprobe per query instead of |corpus|.
+  *   |corpus|/#centroids * nprobe per query instead of |corpus|. Ranking
+  *   uses the bounded-heap `topk_by_score` aggregate (see [[rankTopK]]).
   */
 object Similarity {
 
@@ -126,19 +127,45 @@ object Similarity {
       .select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
       .withColumn("list_id", explode(probeLists(centroids, nprobe)(col("qv"))))
     val lists = spark.read.parquet(s"$indexPath/lists")
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
     // the list_id equi-join prunes the scan to the probed partitions
-    lists.join(broadcast(q),
+    val scored = lists.join(broadcast(q),
         lists("list_id") === q("list_id") && col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", Dedup.cosine(col("qv"), col("cv")))
-      .filter(!isnan(col("cos"))) // match the brute-force paths' NaN policy
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"), round(col("cos"), 6).as("cos"))
+    rankTopK(scored, k)
   }
 
-  /** IVF: coarse-quantize the corpus with KMeans, probe nprobe lists. */
+  /** Shared IVF ranking stage: per-query top-k via the bounded-heap
+    * `topk_by_score` aggregate (map-side partial top-k, NaN cosines
+    * dropped inside the aggregate), so the rank shuffle carries
+    * O(queries x k) rows — a `row_number()` window here would sort every
+    * scored candidate pair through one shuffle, the plan that dies first
+    * at corpus scale. Candidate (query, neighbor) pairs are unique
+    * because each corpus row lives in exactly one inverted list.
+    */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.graft.TopKByScore.topk_by_score
+    scored
+      .groupBy("query_id")
+      .agg(topk_by_score(col("neighbor_id"), col("cos"), k).as("nn"))
+      .select(col("query_id"), posexplode(col("nn")).as(Seq("pos", "n")))
+      .select(
+        col("query_id"),
+        col("n.id").as("neighbor_id"),
+        (col("pos") + 1).as("rank"),
+        round(col("n.score"), 6).as("cos"))
+  }
+
+  /** IVF: coarse-quantize the corpus with KMeans, probe nprobe lists.
+    *
+    * Centroid sizing: the classic IVF balance point is
+    * `numCentroids ~ sqrt(n)` (n = corpus rows) — each inverted list then
+    * holds ~sqrt(n) rows, so a probe scans `nprobe * sqrt(n)` candidates
+    * instead of n, and the quantizer fit (k-means over numCentroids
+    * centers) stays tractable. The default of 16 suits the tiny test
+    * corpora; at 1e9 rows plan for ~3e4 centroids and fit the quantizer
+    * on a sample (KMeans cost grows with n x k). `nprobe` then trades
+    * recall for scan cost along the usual IVF curve.
+    */
   def ivfTopK(
       queries: DataFrame,
       corpus: DataFrame,
@@ -166,15 +193,10 @@ object Similarity {
         "list_id",
         explode(probeLists(centroids.zipWithIndex.map(_.swap), nprobe)(col("qv"))))
 
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    assigned.join(broadcast(q),
+    val scored = assigned.join(broadcast(q),
         col("query_id") =!= col("neighbor_id") &&
           assigned("list_id") === q("list_id"))
       .withColumn("cos", Dedup.cosine(col("qv"), col("cv")))
-      .filter(!isnan(col("cos"))) // match the brute-force paths' NaN policy
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"), round(col("cos"), 6).as("cos"))
+    rankTopK(scored, k)
   }
 }

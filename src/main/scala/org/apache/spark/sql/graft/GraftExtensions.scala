@@ -38,6 +38,13 @@ object GraftExtensions {
     ("topk_by_score", classOf[TopKByScoreAgg],
       (exprs: Seq[Expression]) =>
         TopKByScoreAgg(exprs(0), exprs(1), literalInt(exprs(2))).toAggregateExpression()),
+    ("topk_rows", classOf[TopKRowsAgg],
+      (exprs: Seq[Expression]) =>
+        TopKRowsAgg(
+          exprs(0),
+          literalInt(exprs(1)),
+          TopKRows.parseMask(literalString(exprs(2))),
+          literalInt(exprs(3))).toAggregateExpression()),
     ("minhash_signature", classOf[MinHashSignatureAgg],
       (exprs: Seq[Expression]) =>
         MinHashSignatureAgg(exprs(0), literalInt(exprs(1))).toAggregateExpression()),
@@ -60,6 +67,14 @@ object GraftExtensions {
       case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v.toInt
       case other =>
         throw new IllegalArgumentException(s"expected an integer literal, got $other")
+    }
+
+  private[graft] def literalString(e: Expression): String =
+    e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v, _) if v != null =>
+        v.toString
+      case other =>
+        throw new IllegalArgumentException(s"expected a string literal, got $other")
     }
 
   private[graft] def literalLong(e: Expression): Long =

@@ -560,6 +560,59 @@ class PipelineSuite extends SparkSpec {
     assert(agg === win)
   }
 
+  test("topk_rows multi-key aggregate equals the window top-k exactly") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.graft.TopKRows.topk_rows
+    // scores drawn from a tiny value set so (score) ties are common and
+    // the secondary (cnt desc) / tertiary (name asc) keys are exercised,
+    // including at the k boundary
+    val rng = new scala.util.Random(173)
+    val rows = (0 until 500).map { i =>
+      (s"g${i % 7}", s"t$i", rng.nextInt(5).toDouble, rng.nextInt(3).toLong)
+    }
+    val df = rows.toDF("grp", "name", "score", "cnt")
+    val k = 6
+    val w = Window.partitionBy("grp")
+      .orderBy(col("score").desc, col("cnt").desc, col("name").asc)
+    val win = df.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("grp", "name", "score", "cnt", "rnk")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getLong(3), r.getInt(4)))
+      .toSet
+    val agg = df
+      // repartition so partial buffers merge across tasks (serialize /
+      // deserialize and the trim-on-merge path all execute)
+      .repartition(8)
+      .groupBy("grp")
+      .agg(topk_rows(k, Seq(true, true, false),
+        col("score"), col("cnt"), col("name")).as("top"))
+      .select(col("grp"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("grp"), col("t.name"), col("t.score"), col("t.cnt"),
+        (col("pos") + 1).as("rnk"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getLong(3), r.getInt(4)))
+      .toSet
+    assert(agg === win)
+
+    // same answer through the SQL registration
+    df.createOrReplaceTempView("topk_rows_in")
+    org.apache.spark.sql.graft.GraftExpressions.register(spark)
+    val viaSql = spark.sql(
+      s"""SELECT grp, t.name AS name, t.score AS score, t.cnt AS cnt, pos + 1 AS rnk
+         |FROM (SELECT grp,
+         |        topk_rows(struct(score, cnt, name), 3, 'DDA', $k) AS top
+         |      FROM topk_rows_in GROUP BY grp)
+         |LATERAL VIEW posexplode(top) AS pos, t
+         |""".stripMargin)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getLong(3), r.getInt(4)))
+      .toSet
+    assert(viaSql === win)
+  }
+
   test("topk_by_score buffer stays bounded on a 1e7-row single group") {
     val s = spark
     import s.implicits._

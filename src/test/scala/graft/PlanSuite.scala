@@ -60,6 +60,29 @@ class PlanSuite extends SparkSpec {
       s"scan reads unneeded columns: $readSchema")
   }
 
+  test("tfidf top-k runs through the bounded-heap aggregate, not a window") {
+    val plan = formatted(Queries.pTfidfTopTerms(spark, sf))
+    assert(!plan.contains("Window"),
+      s"tfidf top-k still plans a window (full per-group sort):\n$plan")
+    assert(plan.toLowerCase.contains("topkrowsagg"),
+      s"tfidf top-k does not use topk_rows:\n$plan")
+  }
+
+  test("IVF ranking runs through the bounded-heap aggregate, not a window") {
+    val plan = formatted(Queries.pAnnIvf(spark, sf))
+    assert(!plan.contains("Window"),
+      s"IVF rank stage still plans a window:\n$plan")
+    assert(plan.toLowerCase.contains("topkbyscoreagg"),
+      s"IVF rank stage does not use topk_by_score:\n$plan")
+  }
+
+  test("quality filter evaluates NgramRepetition exactly once per row") {
+    val plan = formatted(Queries.pQualityFilter(spark, sf))
+    val n = "ngram_?repetition".r.findAllIn(plan.toLowerCase).length
+    assert(n == 1,
+      s"expected exactly 1 NgramRepetition node, found $n:\n$plan")
+  }
+
   test("no dedup or similarity pipeline plans a cartesian product") {
     val docs = Tables.documents(spark, sf)
     val embs = Tables.embeddings(spark, sf)
