@@ -425,13 +425,54 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Deterministic multilingual enrichment for [[pQualityFilter]]: the
+    * synthetic corpus language-IDs almost entirely 'en', which would pin
+    * the composed filter's language grouping for ONE branch only. Keyed
+    * on doc_id, append stopword suffixes so survivors span every langId
+    * branch — forward+reversed word order keeps every bigram distinct, so
+    * the suffix does not move the repetition signals:
+    *  - doc_id % 15 == 0: text replaced by a fixed stopword-free token
+    *    run — the 'und' (no hits) branch;
+    *  - doc_id % 5 == 1/2/3: de / fr / es stopword suffix — those
+    *    branches;
+    *  - doc_id % 5 == 4: an interleaved fr-only/es-only suffix with
+    *    EXACTLY equal fr and es hit counts — every such survivor is an
+    *    exact fr==es tie, so the en→de→fr→es tie-break ORDER itself is
+    *    hash-pinned (a different order moves the whole class to 'es').
+    * The oracle SQL applies the identical CASE, so both engines filter
+    * and group the same enriched text.
+    */
+  private def multilingualEnriched(spark: SparkSession, sfDir: String): DataFrame = {
+    def fwdRev(words: Seq[String]): String = (words ++ words.reverse).mkString(" ")
+    val sw = TF.LangStopwords.toMap
+    val tieWords = Seq("le", "el", "et", "de", "les", "los", "des", "una",
+      "est", "es", "une", "por", "dans", "con", "pour", "para")
+    val undText = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu", "nu", "xi", "omicron",
+      "pi", "rho", "sigma", "tau", "upsilon", "phi", "chi", "psi", "omega")
+      .mkString(" ")
+    documents(spark, sfDir).withColumn("text",
+      when(pmod(col("doc_id"), lit(15)) === 0, lit(undText))
+        .when(pmod(col("doc_id"), lit(5)) === 1,
+          concat(col("text"), lit(" " + fwdRev(sw("de")))))
+        .when(pmod(col("doc_id"), lit(5)) === 2,
+          concat(col("text"), lit(" " + fwdRev(sw("fr")))))
+        .when(pmod(col("doc_id"), lit(5)) === 3,
+          concat(col("text"), lit(" " + fwdRev(sw("es")))))
+        .when(pmod(col("doc_id"), lit(5)) === 4,
+          concat(col("text"), lit(" " + fwdRev(tieWords))))
+        .otherwise(col("text")))
+  }
+
   /** Composed Gopher-style corpus filter: quality score + bigram
     * repetition thresholds, survivors grouped by predicted language.
     * Every signal is a pure map-side expression; the only shuffle is the
     * 5-group aggregate. All comparisons run on 1e-6-rounded values — the
     * same values the per-signal gates pin — so the filter decision is
     * engine-stable. sum_quality goes through decimal(18,6) so group
-    * summation order cannot perturb the double.
+    * summation order cannot perturb the double. Runs over
+    * [[multilingualEnriched]] so all five langId branches AND the
+    * tie-break order are exercised by the oracle.
     */
   def pQualityFilter(spark: SparkSession, sfDir: String): DataFrame = {
     // The repetition thresholds are one zip_with over the signal array, so
@@ -444,12 +485,12 @@ object Queries {
     val repOk = forall(
       zip_with(
         TF.repetitionSignals(col("text"), 2),
-        array(lit(0.05), lit(0.09)),
+        array(lit(0.06), lit(0.12)),
         (x, t) => round(x, 6) <= t),
       b => b)
-    documents(spark, sfDir)
+    multilingualEnriched(spark, sfDir)
       .withColumn("q", TF.qualityScore(col("text"), TF.LangStopwords.head._2))
-      .filter(col("q") >= 0.45 && repOk)
+      .filter(col("q") >= 0.40 && repOk)
       .groupBy(TF.langId(col("text")).as("lang_pred"))
       .agg(
         count(lit(1)).as("n_docs"),

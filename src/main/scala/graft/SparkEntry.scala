@@ -670,9 +670,19 @@ object SparkEntry {
     // 1e-6-rounded value its per-signal gate pins; sum_quality summed
     // as DECIMAL(18,6) on both engines (order-independent exact sum).
     "p_quality_filter" ->
-      s"""WITH base AS (
-         |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+      s"""WITH enriched AS (
+         |  SELECT doc_id,
+         |    CASE
+         |      WHEN doc_id % 15 = 0 THEN 'alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega'
+         |      WHEN doc_id % 5 = 1 THEN text || ' der die und das ist ein nicht mit auf zu zu auf mit nicht ein ist das und die der'
+         |      WHEN doc_id % 5 = 2 THEN text || ' le la et les des est une dans que pour pour que dans une est des les et la le'
+         |      WHEN doc_id % 5 = 3 THEN text || ' el la que de los una es por con para para con por es una los de que la el'
+         |      WHEN doc_id % 5 = 4 THEN text || ' le el et de les los des una est es une por dans con pour para para pour con dans por une es est una des los les de et el le'
+         |      ELSE text END AS text
          |  FROM documents),
+         |base AS (
+         |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+         |  FROM enriched),
          |rep AS (
          |  SELECT doc_id, sum(c) AS total, max(c) AS top,
          |    sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup
@@ -710,7 +720,7 @@ object SparkEntry {
          |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
          |  CAST(sum(CAST(q AS DECIMAL(18,6))) AS DOUBLE) AS sum_quality
          |FROM sig
-         |WHERE q >= 0.45 AND top2 <= 0.05 AND dup2 <= 0.09
+         |WHERE q >= 0.40 AND top2 <= 0.06 AND dup2 <= 0.12
          |GROUP BY 1 ORDER BY 1""".stripMargin,
     "p_ann_brute_force" -> ANN_TOP5_SQL,
     "p_corpus_pipeline" ->

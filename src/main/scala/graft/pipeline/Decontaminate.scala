@@ -35,6 +35,11 @@ object Decontaminate {
     * (rounded 1e-6 for cross-engine stability), and `contaminated` the
     * any-overlap flag. Every input doc gets a row (zero hits included) —
     * thresholding is the caller's policy, the report is the mechanism.
+    *
+    * Docs with NO n-grams (null text, or fewer than `n` tokens) still get
+    * their row: `n_ngrams = 0`, `n_hits = 0`, `contamination = null`
+    * (0/0), `contaminated = false` — the same contract as
+    * [[markContaminated]], pinned by suite parity.
     */
   def contaminationReport(
       docs: DataFrame,
@@ -48,20 +53,28 @@ object Decontaminate {
       .distinct()
       .withColumn("hit", lit(1L))
     docs
-      // shingle_hashes emits the doc's distinct shingle set, so
-      // count(*) after the explode IS the distinct n-gram count and the
-      // left join can only match each (doc, gram) once
+      // shingle_hashes emits the doc's distinct shingle set, so counting
+      // non-null s after the explode IS the distinct n-gram count and the
+      // left join can only match each (doc, gram) once. explode_OUTER
+      // keeps gram-less docs (null text / short docs) as one s=null row —
+      // a null key never joins, so they aggregate to (0, 0).
       .select(col(idCol).as("doc_id"),
-        explode(shingle_hashes(tokens(col(textCol)), n)).as("s"))
+        explode_outer(shingle_hashes(tokens(col(textCol)), n)).as("s"))
       .join(broadcast(evalGrams), Seq("s"), "left")
       .groupBy("doc_id")
       .agg(
-        count(lit(1)).as("n_ngrams"),
+        count(col("s")).as("n_ngrams"),
         coalesce(sum("hit"), lit(0L)).as("n_hits"))
-      .withColumn("contamination",
-        round(col("n_hits").cast("double") / col("n_ngrams"), 6))
+      .withColumn("contamination", contaminationRatio)
       .withColumn("contaminated", col("n_hits") > 0)
   }
+
+  /** `n_hits / n_ngrams` rounded 1e-6; null (not an ANSI divide-by-zero
+    * error) for gram-less docs — the 0/0 case both report paths share.
+    */
+  private def contaminationRatio =
+    when(col("n_ngrams") > 0,
+      round(col("n_hits").cast("double") / col("n_ngrams"), 6))
 
   /** The eval set's distinct n-gram hashes, collected to the driver and
     * sorted for binary search. Eval suites are small by definition, so
@@ -96,21 +109,27 @@ object Decontaminate {
     java.util.Arrays.sort(sorted)
     val bc = docs.sparkSession.sparkContext.broadcast(sorted)
     val hitsUdf = udf { grams: scala.collection.Seq[Long] =>
-      val a = bc.value
-      var h = 0L
-      val it = grams.iterator
-      while (it.hasNext) {
-        if (java.util.Arrays.binarySearch(a, it.next()) >= 0) h += 1
+      // null text -> null gram array: zero hits, matching the report path
+      if (grams == null) 0L
+      else {
+        val a = bc.value
+        var h = 0L
+        val it = grams.iterator
+        while (it.hasNext) {
+          if (java.util.Arrays.binarySearch(a, it.next()) >= 0) h += 1
+        }
+        h
       }
-      h
     }
     docs
       .withColumn("__grams", shingle_hashes(tokens(col(textCol)), n))
-      .withColumn("n_ngrams", size(col("__grams")).cast("long"))
+      // null text -> size() is null; coalesce to 0 so gram-less docs carry
+      // (n_ngrams = 0, n_hits = 0, contamination = null, contaminated =
+      // false) — the contaminationReport contract
+      .withColumn("n_ngrams", coalesce(size(col("__grams")).cast("long"), lit(0L)))
       .withColumn("n_hits", hitsUdf(col("__grams")))
       .drop("__grams")
-      .withColumn("contamination",
-        round(col("n_hits").cast("double") / col("n_ngrams"), 6))
+      .withColumn("contamination", contaminationRatio)
       .withColumn("contaminated", col("n_hits") > 0)
   }
 

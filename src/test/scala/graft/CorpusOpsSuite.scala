@@ -162,6 +162,35 @@ class CorpusOpsSuite extends SparkSpec {
     assert(!plan.contains("Exchange"), s"expected shuffle-free plan:\n$plan")
   }
 
+  test("null-text docs get a (0, 0, null, false) row on BOTH decontamination paths") {
+    val s = spark
+    import s.implicits._
+    val (train, evalDocs) = decontFixture
+    val withNull = train.unionByName(
+      Seq((99L, null: String)).toDF("doc_id", "text"))
+    val viaJoin = Decontaminate
+      .contaminationReport(withNull, "doc_id", "text", evalDocs, "text", 3)
+      .orderBy("doc_id").collect()
+    // every input doc still gets a row
+    assert(viaJoin.length === 5)
+    val nullRow = viaJoin.last
+    assert(nullRow.getLong(0) === 99L)
+    assert(nullRow.getLong(1) === 0L && nullRow.getLong(2) === 0L)
+    assert(nullRow.isNullAt(3), "contamination must be null (0/0) for gram-less docs")
+    assert(!nullRow.getBoolean(4))
+    // and the map-only path agrees exactly (this used to NPE)
+    val grams = Decontaminate.evalGramArray(evalDocs, "text", 3)
+    val viaMap = Decontaminate.markContaminated(withNull, "text", 3, grams)
+      .select("doc_id", "n_ngrams", "n_hits", "contamination", "contaminated")
+      .orderBy("doc_id").collect().map(_.toSeq)
+    assert(viaMap.toSeq === viaJoin.map(_.toSeq).toSeq)
+    // a null-text doc is never flagged, so decontamination keeps it
+    val clean = Decontaminate
+      .decontaminatedCorpus(withNull, "doc_id", "text", evalDocs, "text", 3)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(clean === Seq(2L, 3L, 99L))
+  }
+
   test("markContaminated runs verbatim on a streaming frame, parity with batch") {
     val s = spark
     import s.implicits._
