@@ -870,6 +870,62 @@ object Queries {
       .orderBy("class_label")
   }
 
+  /** DummyClassifier(uniform): every observed class gets probability
+    * 1/numClasses — SQL-exact against the distinct-label count.
+    */
+  def dummyUniform(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = lineitem(spark, sfDir).select(
+      when(col("l_returnflag") === "A", 0.0)
+        .when(col("l_returnflag") === "N", 1.0)
+        .otherwise(2.0).as("label"))
+    val withFeatures = li.withColumn("features", array_to_vector(array(lit(0.0))))
+    val model = new DummyClassifier().setStrategy("uniform").fit(withFeatures)
+    import spark.implicits._
+    model.classProbabilities.zipWithIndex
+      .map { case (p, k) =>
+        (k.toLong, BigDecimal(p).setScale(10, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+      .toSeq
+      .toDF("class_label", "probability")
+      .orderBy("class_label")
+  }
+
+  /** DummyClassifier(constant = 2): one-hot class probabilities plus the
+    * transform path — every row must predict class 2, counted per class
+    * so a wrong argmax or prob vector shows as a moved count.
+    */
+  def dummyConstantCls(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = lineitem(spark, sfDir).select(
+      when(col("l_returnflag") === "A", 0.0)
+        .when(col("l_returnflag") === "N", 1.0)
+        .otherwise(2.0).as("label"))
+    val withFeatures = li.withColumn("features", array_to_vector(array(lit(0.0))))
+    val model = new DummyClassifier().setStrategy("constant").setConstant(2.0)
+      .fit(withFeatures)
+    val predCounts = model.transform(withFeatures)
+      .groupBy(col("prediction").cast("long").as("class_label"))
+      .agg(count(lit(1)).as("n_pred"))
+    import spark.implicits._
+    model.classProbabilities.zipWithIndex
+      .map { case (p, k) => (k.toLong, p) }
+      .toSeq
+      .toDF("class_label", "probability")
+      .join(predCounts, Seq("class_label"), "left")
+      .na.fill(0L, Seq("n_pred"))
+      .orderBy("class_label")
+  }
+
+  /** DummyRegressor(constant = 36000): the transform emits the constant
+    * for every row, so the per-flag RMSE against the real labels is pure
+    * SQL — pins the constant plumb-through and the prediction column.
+    */
+  def dummyConstantReg(spark: SparkSession, sfDir: String): DataFrame = {
+    val df = regressionInstances(spark, sfDir)
+    val model = new DummyRegressor().setStrategy("constant").setConstant(36000.0)
+      .fit(df)
+    constantRegressionSummary(model.transform(df))
+  }
+
   private def round6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
@@ -945,12 +1001,28 @@ object Queries {
     * SQL, so the emitted per-model ensemble weights hash-verify the whole
     * reweighting recursion against an independent DuckDB implementation.
     */
-  def boostingRegression(spark: SparkSession, sfDir: String): DataFrame = {
+  def boostingRegression(spark: SparkSession, sfDir: String): DataFrame =
+    boostingRegressionLoss(spark, sfDir, "linear")
+
+  /** The AdaBoost.R2 recursion under the squared / exponential error
+    * shapes — same oracle structure as the linear gate with the one loss
+    * line swapped, so each of the three loss formulas is hash-pinned
+    * independently (all three estimator errors stay < 0.5 on this data,
+    * verified, so no early-stop branch truncates the recursion).
+    */
+  def boostingRegressionSquared(spark: SparkSession, sfDir: String): DataFrame =
+    boostingRegressionLoss(spark, sfDir, "squared")
+
+  def boostingRegressionExponential(spark: SparkSession, sfDir: String): DataFrame =
+    boostingRegressionLoss(spark, sfDir, "exponential")
+
+  private def boostingRegressionLoss(
+      spark: SparkSession, sfDir: String, loss: String): DataFrame = {
     val df = regressionInstances(spark, sfDir)
     val model = new BoostingRegressor()
       .setBaseLearner(new DummyRegressor().setStrategy("constant").setConstant(36000.0))
       .setNumBaseLearners(3)
-      .setLossType("linear")
+      .setLossType(loss)
       .fit(df)
     import spark.implicits._
     model.modelWeights.zipWithIndex

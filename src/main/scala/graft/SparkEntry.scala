@@ -27,6 +27,11 @@ object SparkEntry {
     "ml_dummy_median" -> (Queries.dummyMedian _),
     "ml_dummy_quantile" -> (Queries.dummyQuantile _),
     "ml_dummy_prior" -> (Queries.dummyPrior _),
+    "ml_dummy_uniform" -> (Queries.dummyUniform _),
+    "ml_dummy_constant_cls" -> (Queries.dummyConstantCls _),
+    "ml_dummy_constant_reg" -> (Queries.dummyConstantReg _),
+    "ml_boosting_squared" -> (Queries.boostingRegressionSquared _),
+    "ml_boosting_exponential" -> (Queries.boostingRegressionExponential _),
     "ml_bagging_regressor" -> (Queries.baggingRegression _),
     "ml_bagging_classifier" -> (Queries.baggingClassification _),
     "ml_stacking_regressor" -> (Queries.stackingRegression _),
@@ -156,6 +161,31 @@ object SparkEntry {
       |FROM lineitem, m
       |GROUP BY l_returnflag, m.a
       |ORDER BY l_returnflag""".stripMargin
+
+  /** AdaBoost.R2 weight recursion over a constant-36000 predictor, with
+    * the normalized per-row loss given by `lossExpr` (in scope: `err` =
+    * absolute error, `me` = its max). Shared by the linear / squared /
+    * exponential loss gates.
+    */
+  private def boostingR2Sql(lossExpr: String): String =
+    s"""WITH base AS (
+       |  SELECT abs(36000.0 - l_extendedprice) AS err FROM lineitem),
+       |mx AS (SELECT max(err) AS me FROM base),
+       |l AS (SELECT $lossExpr AS loss FROM base, mx),
+       |e1 AS (SELECT sum(loss * (SELECT 1.0 / count(*) FROM lineitem)) AS e FROM l),
+       |b1 AS (SELECT e / (1 - e) AS beta FROM e1),
+       |w2 AS (SELECT loss, power((SELECT beta FROM b1), 1 - loss) AS bw FROM l),
+       |s2 AS (SELECT sum(bw) AS sw FROM w2),
+       |e2 AS (SELECT sum((bw / (SELECT sw FROM s2)) * loss) AS e FROM w2),
+       |b2 AS (SELECT e / (1 - e) AS beta FROM e2),
+       |w3 AS (SELECT loss, bw * power((SELECT beta FROM b2), 1 - loss) AS bw FROM w2),
+       |s3 AS (SELECT sum(bw) AS sw FROM w3),
+       |e3 AS (SELECT sum((bw / (SELECT sw FROM s3)) * loss) AS e FROM w3),
+       |b3 AS (SELECT e / (1 - e) AS beta FROM e3)
+       |SELECT CAST(0 AS BIGINT) AS model_idx, round(ln(1.0 / beta), 6) AS model_weight FROM b1
+       |UNION ALL SELECT 1, round(ln(1.0 / beta), 6) FROM b2
+       |UNION ALL SELECT 2, round(ln(1.0 / beta), 6) FROM b3
+       |ORDER BY model_idx""".stripMargin
 
   /** Majority-class ensemble oracle: prior-base classifiers predict the
     * majority class for every row.
@@ -301,6 +331,25 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY 1
         |ORDER BY 1""".stripMargin,
+    "ml_dummy_uniform" ->
+      """SELECT CAST(CASE l_returnflag WHEN 'A' THEN 0 WHEN 'N' THEN 1 ELSE 2 END AS BIGINT) AS class_label,
+        | round(1.0 / (SELECT count(DISTINCT l_returnflag) FROM lineitem), 10) AS probability
+        |FROM lineitem
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
+    "ml_dummy_constant_cls" ->
+      """SELECT CAST(k AS BIGINT) AS class_label,
+        | CAST(CASE WHEN k = 2 THEN 1.0 ELSE 0.0 END AS DOUBLE) AS probability,
+        | CAST(CASE WHEN k = 2 THEN (SELECT count(*) FROM lineitem) ELSE 0 END AS BIGINT) AS n_pred
+        |FROM (SELECT unnest([0, 1, 2]) AS k)
+        |ORDER BY 1""".stripMargin,
+    "ml_dummy_constant_reg" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+        | round(sqrt(avg((l_extendedprice - 36000.0) * (l_extendedprice - 36000.0))), 2) AS rmse,
+        | CAST(36000.0 AS DOUBLE) AS pred
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     "ml_bagging_regressor" -> CONSTANT_REGRESSION_SQL,
     "ml_stacking_regressor" -> CONSTANT_REGRESSION_SQL,
     "ml_gbm_regressor" -> CONSTANT_REGRESSION_SQL,
@@ -309,26 +358,11 @@ object SparkEntry {
     "ml_gbm_classifier" -> MAJORITY_CLASS_SQL,
     // AdaBoost.R2 over a constant predictor: the per-model ensemble weights
     // ln(1/beta_k) re-derived independently in SQL (same normalized-loss /
-    // estimator-error / boost-weight recursion the Scala loop runs).
-    "ml_boosting_regressor" ->
-      """WITH base AS (
-        |  SELECT abs(36000.0 - l_extendedprice) AS err FROM lineitem),
-        |mx AS (SELECT max(err) AS me FROM base),
-        |l AS (SELECT err / me AS loss FROM base, mx),
-        |e1 AS (SELECT sum(loss * (SELECT 1.0 / count(*) FROM lineitem)) AS e FROM l),
-        |b1 AS (SELECT e / (1 - e) AS beta FROM e1),
-        |w2 AS (SELECT loss, power((SELECT beta FROM b1), 1 - loss) AS bw FROM l),
-        |s2 AS (SELECT sum(bw) AS sw FROM w2),
-        |e2 AS (SELECT sum((bw / (SELECT sw FROM s2)) * loss) AS e FROM w2),
-        |b2 AS (SELECT e / (1 - e) AS beta FROM e2),
-        |w3 AS (SELECT loss, bw * power((SELECT beta FROM b2), 1 - loss) AS bw FROM w2),
-        |s3 AS (SELECT sum(bw) AS sw FROM w3),
-        |e3 AS (SELECT sum((bw / (SELECT sw FROM s3)) * loss) AS e FROM w3),
-        |b3 AS (SELECT e / (1 - e) AS beta FROM e3)
-        |SELECT CAST(0 AS BIGINT) AS model_idx, round(ln(1.0 / beta), 6) AS model_weight FROM b1
-        |UNION ALL SELECT 1, round(ln(1.0 / beta), 6) FROM b2
-        |UNION ALL SELECT 2, round(ln(1.0 / beta), 6) FROM b3
-        |ORDER BY model_idx""".stripMargin,
+    // estimator-error / boost-weight recursion the Scala loop runs), once
+    // per supported loss shape.
+    "ml_boosting_regressor" -> boostingR2Sql("err / me"),
+    "ml_boosting_squared" -> boostingR2Sql("power(err / me, 2)"),
+    "ml_boosting_exponential" -> boostingR2Sql("1 - exp(-(err / me))"),
     // One SAMME round on the prior classifier: err = minority mass,
     // alpha = ln((1-err)/err), prediction = majority class.
     "ml_boosting_classifier" ->
