@@ -425,6 +425,65 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** The FULL production daily chain in one gated query — five stages,
+    * each individually gated elsewhere, composed the way a real ingest
+    * day runs them (this composition is where contracts drift, so it
+    * gets its own oracle):
+    *  1. decontaminate the incoming batch (docs with doc_id % 3 == 0)
+    *     against the benchmark set (doc_id % 10 == 0) via the map-only
+    *     broadcast path — zero shuffle;
+    *  2. quality-filter the survivors (quality score + bigram repetition
+    *     thresholds, single NgramRepetition evaluation);
+    *  3. dedup the cleaned batch against yesterday's corpus
+    *     (doc_id % 3 != 0) through the precomputed banding artifact —
+    *     batch-linear, corpus never re-shingled;
+    *  4. split the survivors 0.7/0.2/0.1 by deterministic id hash;
+    *  5. per-split corpus stats.
+    * Scale shape: stages 1-2 are map-side on the batch only; stage 3 is
+    * the artifact incremental path; stages 4-5 add one aggregate. No new
+    * shuffles beyond the individually-gated stages.
+    */
+  def pDailyPipelineFull(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = documents(spark, sfDir)
+    val evalDocs = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+    val corpus = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+    val batchRaw = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+    // stage 1: benchmark decontamination, streaming-safe map-only variant.
+    // Thresholded policy (<= 10% distinct-trigram overlap) rather than
+    // any-hit: on this synthetic corpus every doc shares SOME trigram
+    // with the eval set, so any-hit would leave a 2-doc gate that pins
+    // nothing downstream; the ratio policy is also the realistic one.
+    val grams = Decontaminate.evalGramArray(evalDocs, "text", 3)
+    val decon = Decontaminate.markContaminated(batchRaw, "text", 3, grams)
+      .filter(col("contamination") <= 0.10)
+      .drop("n_ngrams", "n_hits", "contamination", "contaminated")
+    // stage 2: composed quality filter (same thresholds as the gate)
+    val repOk = forall(
+      zip_with(
+        TF.repetitionSignals(col("text"), 2),
+        array(lit(0.06), lit(0.12)),
+        (x, t) => round(x, 6) <= t),
+      b => b)
+    val clean = decon
+      .withColumn("q", TF.qualityScore(col("text"), TF.LangStopwords.head._2))
+      .filter(col("q") >= 0.40 && repOk)
+      .drop("q")
+    // stage 3: artifact-based incremental dedup (batch-linear)
+    val art = Dedup.bandedCorpusArtifact(corpus, "doc_id", "text")
+    val survivors = Dedup.incrementalDedupSurvivors(corpus, clean, "doc_id", "text",
+      corpusBanded = Some(art))
+    // stages 4-5: deterministic split + per-split stats
+    val splits = Sampling.hashSplit(survivors, "doc_id", Seq(0.7, 0.2, 0.1))
+    splits.zipWithIndex.map { case (df, i) =>
+      df.groupBy()
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("doc_id").as("id_sum"),
+          sum(TF.tokenCount(col("text")).cast("long")).as("n_tokens"))
+        .select(lit(i).as("split_idx"), col("n_docs"), col("id_sum"), col("n_tokens"))
+    }.reduce(_ unionByName _).orderBy("split_idx")
+  }
+
   /** Deterministic multilingual enrichment for [[pQualityFilter]]: the
     * synthetic corpus language-IDs almost entirely 'en', which would pin
     * the composed filter's language grouping for ONE branch only. Keyed

@@ -68,6 +68,7 @@ object SparkEntry {
     "p_dedup_incremental" -> (Queries.pIncrementalDedup _),
     "p_dedup_incr_artifact" -> (Queries.pIncrementalDedupArtifact _),
     "p_daily_pipeline" -> (Queries.pDailyPipeline _),
+    "p_daily_pipeline_full" -> (Queries.pDailyPipelineFull _),
     "p_ngram_repetition" -> (Queries.pNgramRepetition _),
     "p_pii_redaction" -> (Queries.pPiiRedaction _),
     "p_tfidf_top_terms" -> (Queries.pTfidfTopTerms _),
@@ -503,6 +504,91 @@ object SparkEntry {
          |surv AS (
          |  SELECT d.doc_id, d.text FROM documents d
          |  WHERE d.doc_id % 3 = 0 AND d.doc_id NOT IN (SELECT doc_id FROM victims)),
+         |bkt AS (
+         |  SELECT doc_id, text,
+         |    ((((doc_id % 4294967296) * 1103515245 + 12345) % 4294967296)
+         |      + 4294967296) % 4294967296 AS bucket
+         |  FROM surv),
+         |spl AS (
+         |  SELECT doc_id, text,
+         |    CASE WHEN bucket < ${pipeline.Sampling.rateCutoff(0.7)} THEN 0
+         |         WHEN bucket < ${pipeline.Sampling.rateCutoff(0.7 + 0.2)} THEN 1
+         |         ELSE 2 END AS split_idx
+         |  FROM bkt),
+         |agg AS (
+         |  SELECT split_idx, count(*) AS n_docs, sum(doc_id) AS id_sum,
+         |    sum(len(regexp_split_to_array(lower(trim(text)), '\\s+'))) AS n_tokens
+         |  FROM spl GROUP BY 1)
+         |SELECT g.split_idx, coalesce(n_docs, 0) AS n_docs,
+         |  CAST(id_sum AS BIGINT) AS id_sum, CAST(n_tokens AS BIGINT) AS n_tokens
+         |FROM (VALUES (0), (1), (2)) g(split_idx) LEFT JOIN agg USING (split_idx)
+         |ORDER BY g.split_idx""".stripMargin,
+    // the five-stage production chain: decontaminate -> quality filter ->
+    // artifact dedup -> split -> stats, each stage re-derived in SQL
+    "p_daily_pipeline_full" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t FROM documents),
+         |shing AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(t) >= 3 THEN t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+         |         ELSE array_to_string(t, ' ') END AS s
+         |  FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(t) - 1, 2))) AS i)),
+         |dsh AS (SELECT DISTINCT doc_id, s FROM shing),
+         |evalg AS (SELECT DISTINCT s FROM dsh WHERE doc_id % 10 = 0),
+         |decon AS (
+         |  SELECT doc_id FROM (
+         |    SELECT x.doc_id, count(*) AS n_ngrams,
+         |      sum(CASE WHEN e.s IS NOT NULL THEN 1 ELSE 0 END) AS n_hits
+         |    FROM dsh x LEFT JOIN evalg e ON x.s = e.s
+         |    WHERE x.doc_id % 3 = 0
+         |    GROUP BY 1)
+         |  WHERE round(n_hits * 1.0 / n_ngrams, 6) <= 0.10),
+         |rep AS (
+         |  SELECT doc_id, sum(c) AS total, max(c) AS top,
+         |    sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup
+         |  FROM (
+         |    SELECT doc_id, s, count(*) AS c FROM (
+         |      SELECT doc_id,
+         |        CASE WHEN len(t) >= 2 THEN t[i] || ' ' || t[i+1]
+         |             ELSE array_to_string(t, ' ') END AS s
+         |      FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(t), 2))) AS i))
+         |    GROUP BY 1, 2)
+         |  GROUP BY 1),
+         |sig AS (
+         |  SELECT b.doc_id,
+         |    round(
+         |      least(len(t) / 100.0, 1.0) * 0.5
+         |      + (len(list_distinct(t)) * 1.0 / len(t)) * 0.3
+         |      + least((len(list_filter(t, x -> list_contains($EN, x))) * 1.0 / len(t)) * 4.0, 1.0) * 0.2,
+         |      6) AS q,
+         |    round(top * 1.0 / total, 6) AS top2,
+         |    round(dup * 1.0 / total, 6) AS dup2
+         |  FROM toks b JOIN rep USING (doc_id)),
+         |clean AS (
+         |  SELECT doc_id FROM decon JOIN sig USING (doc_id)
+         |  WHERE q >= 0.40 AND top2 <= 0.06 AND dup2 <= 0.12),
+         |pool AS (
+         |  SELECT doc_id FROM documents WHERE doc_id % 3 <> 0
+         |  UNION ALL SELECT doc_id FROM clean),
+         |psh AS (SELECT x.doc_id, x.s FROM dsh x JOIN pool p USING (doc_id)),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM psh GROUP BY 1),
+         |inter AS (
+         |  SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
+         |  FROM psh a JOIN psh b ON a.s = b.s AND a.doc_id <> b.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT ia, ib FROM inter
+         |  JOIN sizes sa ON ia = sa.doc_id JOIN sizes sb ON ib = sb.doc_id
+         |  WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5),
+         |ranked AS (
+         |  SELECT doc_id, CASE WHEN doc_id % 3 <> 0 THEN 0 ELSE 1 END AS rk FROM documents),
+         |victims AS (
+         |  SELECT DISTINCT p.ib AS doc_id
+         |  FROM pairs p JOIN ranked ra ON p.ia = ra.doc_id JOIN ranked rb ON p.ib = rb.doc_id
+         |  WHERE rb.rk = 1 AND (ra.rk < rb.rk OR (ra.rk = rb.rk AND p.ia < p.ib))),
+         |surv AS (
+         |  SELECT c.doc_id, d.text FROM clean c JOIN documents d USING (doc_id)
+         |  WHERE c.doc_id NOT IN (SELECT doc_id FROM victims)),
          |bkt AS (
          |  SELECT doc_id, text,
          |    ((((doc_id % 4294967296) * 1103515245 + 12345) % 4294967296)
