@@ -532,6 +532,92 @@ class StreamingSuite extends SparkSpec {
     assert(ids === Set(7L))
   }
 
+  test("streaming artifact loop matches the batch two-day incremental loop") {
+    val s = spark
+    import s.implicits._
+    // the PipelineSuite two-day fixture: corpus0 pre-seeded, then two
+    // daily batches each containing originals plus planted near-dups of
+    // those originals, streamed as two micro-batches
+    val rng = new scala.util.Random(23)
+    val vocab = Array("alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta",
+      "theta", "iota", "kappa", "the", "and", "of", "quick", "brown", "fox")
+    val base = (0 until 100).map { i =>
+      (i.toLong, Array.fill(40)(vocab(rng.nextInt(vocab.length))).mkString(" "))
+    }
+    val dups = (0 until 10).map { i =>
+      val toks = base(i)._2.split(" ")
+      (1000L + i, (toks.dropRight(3) ++ Array("x", "y", "z")).mkString(" "))
+    }
+    val docs = (base ++ dups).toDF("doc_id", "text")
+    val corpus0 = docs.filter(col("doc_id") >= 10 && col("doc_id") < 1000)
+    val batch1 = (base.take(5) ++ dups.take(5))
+    val batch2 = (base.slice(5, 10) ++ dups.slice(5, 10))
+    val nh = 16
+    val nb = 4
+
+    val dir = java.nio.file.Files.createTempDirectory("stream_art").toString
+    val (bandDir, sigDir, survDir) =
+      (s"$dir/bandings", s"$dir/signatures", s"$dir/survivors")
+    streaming.ArtifactMaintenance.initArtifact(
+      corpus0, "doc_id", "text", bandDir, sigDir, nh, nb)
+
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    implicit val sq = s.sqlContext
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val streamDf = mem.toDF().toDF("doc_id", "text", "ts")
+    val banded = StreamingOps.minhashBanded(streamDf, "doc_id", "text", "ts", nh, nb)
+    val query = streaming.ArtifactMaintenance.artifactLoopSink(
+      banded, bandDir, sigDir, survDir)
+    try {
+      mem.addData(batch1.map { case (id, t) => (id, t, t0) })
+      query.processAllAvailable()
+      mem.addData(batch2.map { case (id, t) =>
+        (id, t, new java.sql.Timestamp(t0.getTime + 60000L))
+      })
+      query.processAllAvailable()
+    } finally query.stop()
+
+    val streamedSurvivors = s.read.parquet(survDir)
+      .collect().map(_.getLong(0)).toSet
+
+    // batch reference: the SAME two days through the batch incremental
+    // loop with the maintained batch artifact (PipelineSuite's invariant)
+    val art0 = pipeline.Dedup.bandedCorpusArtifact(corpus0, "doc_id", "text", nh, nb)
+    val surv1 = pipeline.Dedup.incrementalDedupSurvivors(
+      corpus0, batch1.toDF("doc_id", "text"), "doc_id", "text",
+      numHashes = nh, bands = nb, corpusBanded = Some(art0))
+    surv1.persist()
+    val surv1Ids = surv1.select("doc_id").collect().map(_.getLong(0)).toSet
+    val corpus1 = corpus0.unionByName(docs.filter(col("doc_id").isin(surv1Ids.toSeq: _*)))
+    val art1 = pipeline.Dedup.extendCorpusArtifact(art0, surv1, "doc_id", "text", nh, nb)
+    val surv2Ids = pipeline.Dedup.incrementalDedupSurvivors(
+        corpus1, batch2.toDF("doc_id", "text"), "doc_id", "text",
+        numHashes = nh, bands = nb, corpusBanded = Some(art1))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    surv1.unpersist(blocking = false)
+    assert(streamedSurvivors === (surv1Ids ++ surv2Ids),
+      s"streaming survivors $streamedSurvivors vs batch ${surv1Ids ++ surv2Ids}")
+    // the fixture's planted dups are dropped, originals survive
+    assert(streamedSurvivors === (0L until 10L).toSet)
+
+    // the corpus-recompute-free invariant, streaming edition: the
+    // maintained banding artifact is row-set-identical to a full re-band
+    // of corpus0 ∪ survivors
+    val maintained = s.read.parquet(bandDir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val fullReband = pipeline.Dedup.bandedCorpusArtifact(
+        corpus0.unionByName(docs.filter(col("doc_id") < 10L)), "doc_id", "text", nh, nb)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(maintained === fullReband)
+    // and the signature artifact matches a full recompute too
+    val maintainedSigs = s.read.parquet(sigDir)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toMap
+    val fullSigs = pipeline.Dedup.minhashSignatures(
+        corpus0.unionByName(docs.filter(col("doc_id") < 10L)), "doc_id", "text", nh)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toMap
+    assert(maintainedSigs === fullSigs)
+  }
+
   test("flatMapGroupsWithState running stats accumulate across batches") {
     val s = spark
     import s.implicits._
