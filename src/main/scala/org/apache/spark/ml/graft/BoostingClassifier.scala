@@ -270,24 +270,44 @@ class BoostingClassifier(override val uid: String)
 
         val bcSplits = boost.bcSplits
         val k = numClasses
-        // (normalized error contribution, next round's raw weight)
-        val data = boost.treePoints.zip(bw).map { case (tp, w) =>
-          val leaf = model.rootNode.predictBinned(tp.binnedFeatures, bcSplits.value)
-          val stats = leaf.impurityStats.stats
-          var tot = 0.0
-          var j = 0
-          while (j < k) { tot += stats(j); j += 1 }
-          var s = 0.0
-          val li = tp.label.toInt
-          j = 0
-          while (j < k) {
-            val pj = math.max(stats(j) / tot, EPSILON)
-            val code = if (j == li) 1.0 else -1.0 / (k - 1.0)
-            s += code * math.log(pj)
-            j += 1
+        // (normalized error contribution, next round's raw weight).
+        // The probability-coded score s(label) = Σ_j code_j·log(p_j) only
+        // depends on the LEAF and the label, so it is computed once per
+        // (leaf, label) in a per-partition identity cache instead of
+        // k logs + k divisions per ROW — trees have tens of leaves, rows
+        // are millions. Identity keying is safe here: within one task the
+        // deserialized tree is a single object graph, so equal leaves ARE
+        // the same reference. Expanded form of the score used below:
+        // s(li) = (k/(k-1))·log(p_li) − (Σ_j log p_j)/(k−1).
+        val data = boost.treePoints.zip(bw).mapPartitions { iter =>
+          val leafScores = new java.util.IdentityHashMap[AnyRef, Array[Double]]()
+          iter.map { case (tp, w) =>
+            val leaf = model.rootNode.predictBinned(tp.binnedFeatures, bcSplits.value)
+            var s = leafScores.get(leaf)
+            if (s == null) {
+              val stats = leaf.impurityStats.stats
+              var tot = 0.0
+              var j = 0
+              while (j < k) { tot += stats(j); j += 1 }
+              val logs = new Array[Double](k)
+              var sumLog = 0.0
+              j = 0
+              while (j < k) {
+                logs(j) = math.log(math.max(stats(j) / tot, EPSILON))
+                sumLog += logs(j)
+                j += 1
+              }
+              s = new Array[Double](k)
+              j = 0
+              while (j < k) {
+                s(j) = (k / (k - 1.0)) * logs(j) - sumLog / (k - 1.0)
+                j += 1
+              }
+              leafScores.put(leaf, s)
+            }
+            val errContrib = if (leaf.prediction != tp.label) w / sw else 0.0
+            (errContrib, w * math.exp(-(k - 1.0) / k * s(tp.label.toInt)))
           }
-          val errContrib = if (leaf.prediction != tp.label) w / sw else 0.0
-          (errContrib, w * math.exp(-(k - 1.0) / k * s))
         }
         data.persist(StorageLevel.MEMORY_AND_DISK)
         try {
