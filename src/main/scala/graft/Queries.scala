@@ -484,6 +484,32 @@ object Queries {
     }.reduce(_ unionByName _).orderBy("split_idx")
   }
 
+  /** Cross-document repeated-substring spans ([[Dedup.repeatedSpans]] —
+    * the Lee-et-al substring-dedup primitive). The synthetic corpus has
+    * exact-duplicate docs (full-length spans) but few partial overlaps,
+    * so docs with doc_id % 17 == 0 get a fixed 24-token passage appended
+    * — every pair of them then shares a >= 20-token span at
+    * DIFFERENT offsets (each doc's own length shifts the start), pinning
+    * the diagonal/island merge arithmetic, not just pair detection. The
+    * oracle re-derives the whole pipeline on string 8-grams (the Spark
+    * side joins 64-bit gram hashes — collision-free at gate scale).
+    */
+  def pRepeatedSpans(spark: SparkSession, sfDir: String): DataFrame = {
+    val passage = ("zero one two three four five six seven eight nine ten " +
+      "eleven twelve thirteen fourteen fifteen sixteen seventeen eighteen " +
+      "nineteen twenty twentyone twentytwo twentythree")
+    val enriched = documents(spark, sfDir).withColumn("text",
+      when(pmod(col("doc_id"), lit(17)) === 0, concat(col("text"), lit(" " + passage)))
+        .otherwise(col("text")))
+    Dedup.repeatedSpans(enriched, "doc_id", "text",
+        k = 8, minSpanTokens = 20, maxOccurrences = 64)
+      .select(col("doc_a"), col("doc_b"),
+        col("start_a").cast("long").as("start_a"),
+        col("start_b").cast("long").as("start_b"),
+        col("span_tokens"))
+      .orderBy("doc_a", "doc_b", "start_a", "start_b")
+  }
+
   /** Deterministic multilingual enrichment for [[pQualityFilter]]: the
     * synthetic corpus language-IDs almost entirely 'en', which would pin
     * the composed filter's language grouping for ONE branch only. Keyed

@@ -69,6 +69,7 @@ object SparkEntry {
     "p_dedup_incr_artifact" -> (Queries.pIncrementalDedupArtifact _),
     "p_daily_pipeline" -> (Queries.pDailyPipeline _),
     "p_daily_pipeline_full" -> (Queries.pDailyPipelineFull _),
+    "p_repeated_spans" -> (Queries.pRepeatedSpans _),
     "p_ngram_repetition" -> (Queries.pNgramRepetition _),
     "p_pii_redaction" -> (Queries.pPiiRedaction _),
     "p_tfidf_top_terms" -> (Queries.pTfidfTopTerms _),
@@ -523,6 +524,44 @@ object SparkEntry {
          |  CAST(id_sum AS BIGINT) AS id_sum, CAST(n_tokens AS BIGINT) AS n_tokens
          |FROM (VALUES (0), (1), (2)) g(split_idx) LEFT JOIN agg USING (split_idx)
          |ORDER BY g.split_idx""".stripMargin,
+    // repeated-substring spans: positional 8-grams, hot-gram guard,
+    // diagonal/island merge — the full pipeline re-derived on string
+    // grams (Spark joins 64-bit hashes of the same grams)
+    "p_repeated_spans" -> {
+      val k = 8
+      val gram = (0 until k).map(j => if (j == 0) "t[i]" else s"t[i+$j]")
+        .mkString(" || ' ' || ")
+      s"""WITH enriched AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 17 = 0 THEN text || ' zero one two three four five six seven eight nine ten eleven twelve thirteen fourteen fifteen sixteen seventeen eighteen nineteen twenty twentyone twentytwo twentythree'
+         |         ELSE text END AS text
+         |  FROM documents),
+         |toks AS (
+         |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+         |  FROM enriched),
+         |g AS (
+         |  SELECT doc_id, i - 1 AS pos, $gram AS s
+         |  FROM toks, LATERAL (SELECT unnest(range(1, len(t) - ${k - 2})) AS i)
+         |  WHERE len(t) >= $k),
+         |hot AS (SELECT s FROM g GROUP BY s HAVING count(*) > 64),
+         |gg AS (SELECT g.doc_id, g.pos, g.s FROM g ANTI JOIN hot USING (s)),
+         |m AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    a.pos AS pa, b.pos AS pb
+         |  FROM gg a JOIN gg b ON a.s = b.s AND a.doc_id < b.doc_id),
+         |d AS (
+         |  SELECT doc_a, doc_b, pa, pb, pa - pb AS diag,
+         |    pa - row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb ORDER BY pa) AS grp
+         |  FROM m),
+         |sp AS (
+         |  SELECT doc_a, doc_b, min(pa) AS start_a, min(pb) AS start_b,
+         |    count(*) + ${k - 1} AS span_tokens
+         |  FROM d GROUP BY doc_a, doc_b, diag, grp)
+         |SELECT doc_a, doc_b, CAST(start_a AS BIGINT) AS start_a,
+         |  CAST(start_b AS BIGINT) AS start_b, CAST(span_tokens AS BIGINT) AS span_tokens
+         |FROM sp WHERE span_tokens >= 20
+         |ORDER BY 1, 2, 3, 4""".stripMargin
+    },
     // the five-stage production chain: decontaminate -> quality filter ->
     // artifact dedup -> split -> stats, each stage re-derived in SQL
     "p_daily_pipeline_full" ->

@@ -873,4 +873,67 @@ object Dedup {
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
   }
+
+  /** Cross-document repeated-substring spans: maximal runs of EXACTLY
+    * matching tokens of length >= `minSpanTokens` shared between two
+    * documents — the primitive behind substring-level training-data
+    * dedup (Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better": repeated ~50-token spans get deduplicated even when
+    * the documents as wholes are distinct). Returns
+    * `(doc_a, doc_b, start_a, start_b, span_tokens)` with doc_a < doc_b
+    * and 0-based token offsets; a row per maximal shared span.
+    *
+    * Algorithm: positional k-gram hashes per doc (one scalar expression,
+    * zero string allocation) -> hot-gram guard (grams occurring more
+    * than `maxOccurrences` times corpus-wide are boilerplate: dropping
+    * them bounds the join fanout, at the cost of splitting spans that
+    * cross a dropped gram — the guard trades completeness for a bounded
+    * plan exactly like the Jaccard df guard) -> equi-join on the gram
+    * hash (doc_a < doc_b) -> consecutive matches merge on the
+    * (doc_a, doc_b, pa - pb) DIAGONAL: positions (pa, pb) and
+    * (pa+1, pb+1) are the same span, so islands of consecutive pa within
+    * a diagonal are maximal spans of pa-run + k - 1 tokens.
+    *
+    * Scale shape: the only corpus-width stages are the posexplode and
+    * the gram-keyed self-join; the guard bounds each gram's fanout to
+    * `maxOccurrences`^2 pairs. The island window partitions by
+    * (pair, diagonal), whose size is bounded by the shorter document's
+    * length — never corpus-sized. 64-bit gram hashes: a collision
+    * (2^-40-ish per candidate) can at worst fuse two spans.
+    */
+  def repeatedSpans(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8,
+      minSpanTokens: Int = 20,
+      maxOccurrences: Int = 64): DataFrame = {
+    require(k > 0 && minSpanTokens >= k,
+      s"minSpanTokens=$minSpanTokens must be >= k=$k (a span is at least one k-gram)")
+    import org.apache.spark.sql.graft.ShingleHashesFn.positioned_shingle_hashes
+    val positioned = docs.select(
+      col(idCol).as("id"),
+      posexplode(positioned_shingle_hashes(tokens(col(textCol)), k)).as(Seq("pos", "h")))
+    val hot = positioned.groupBy("h").agg(count(lit(1)).as("c"))
+      .filter(col("c") > maxOccurrences)
+      .select("h")
+    val guarded = positioned.join(hot, Seq("h"), "left_anti")
+    val matches = guarded.as("a")
+      .join(guarded.as("b"), col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+      .select(
+        col("a.id").as("doc_a"), col("b.id").as("doc_b"),
+        col("a.pos").as("pa"), col("b.pos").as("pb"))
+      .distinct() // hash multiplicity within a doc must not double-count a diagonal cell
+    val diag = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    matches
+      .withColumn("diag", col("pa") - col("pb"))
+      .withColumn("grp", col("pa") - row_number().over(diag))
+      .groupBy("doc_a", "doc_b", "diag", "grp")
+      .agg(
+        min("pa").as("start_a"),
+        min("pb").as("start_b"),
+        (count(lit(1)) + k - 1).as("span_tokens"))
+      .filter(col("span_tokens") >= minSpanTokens)
+      .select("doc_a", "doc_b", "start_a", "start_b", "span_tokens")
+  }
 }

@@ -50,6 +50,8 @@ object GraftExtensions {
         MinHashSignatureAgg(exprs(0), literalInt(exprs(1))).toAggregateExpression()),
     ("shingle_hashes", classOf[ShingleHashes],
       (exprs: Seq[Expression]) => ShingleHashes(exprs(0), literalInt(exprs(1)))),
+    ("positioned_shingle_hashes", classOf[PositionedShingleHashes],
+      (exprs: Seq[Expression]) => PositionedShingleHashes(exprs(0), literalInt(exprs(1)))),
     ("ngram_repetition", classOf[NgramRepetition],
       (exprs: Seq[Expression]) => NgramRepetition(exprs(0), literalInt(exprs(1)))),
     ("simhash64", classOf[SimHash64],

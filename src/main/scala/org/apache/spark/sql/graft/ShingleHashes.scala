@@ -72,6 +72,48 @@ case class ShingleHashes(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** `positioned_shingle_hashes(tokens, n)`: the n-gram hash at EVERY
+  * position as array<long> (index i = hash of tokens[i, i+n)), same
+  * token/chain hash as [[ShingleHashes]] so the two key spaces agree.
+  * Unlike the distinct-set variant this keeps order and multiplicity —
+  * the input to positional operators (repeated-span detection), where
+  * `posexplode` recovers (position, gram) pairs. Docs shorter than n
+  * yield an EMPTY array: a positional n-gram doesn't exist, and the
+  * short-doc whole-text fallback would fabricate a position.
+  */
+case class PositionedShingleHashes(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+
+  require(n > 0)
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val m = arr.numElements()
+    if (m < n) return new GenericArrayData(Array.emptyLongArray)
+    val th = new Array[Long](m)
+    var i = 0
+    while (i < m) { th(i) = ShingleHashes.tokenHash(arr.getUTF8String(i)); i += 1 }
+    val count = m - n + 1
+    val out = new Array[Long](count)
+    i = 0
+    while (i < count) {
+      var c = 0x51ed270b9d4e3e41L
+      var j = 0
+      while (j < n) { c = MinHashSignatureAgg.mix(c ^ th(i + j)); j += 1 }
+      out(i) = c
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): PositionedShingleHashes =
+    copy(child = newChild)
+}
+
 object ShingleHashes {
   /** 64-bit token hash shared by every shingle-keyed operator
     * ([[ShingleHashes]], [[NgramRepetition]]): FNV-1a over the UTF-8
@@ -90,4 +132,7 @@ object ShingleHashes {
 object ShingleHashesFn {
   def shingle_hashes(tokens: Column, n: Int): Column =
     ExpressionUtils.column(ShingleHashes(ExpressionUtils.expression(tokens), n))
+
+  def positioned_shingle_hashes(tokens: Column, n: Int): Column =
+    ExpressionUtils.column(PositionedShingleHashes(ExpressionUtils.expression(tokens), n))
 }

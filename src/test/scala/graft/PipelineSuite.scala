@@ -560,6 +560,44 @@ class PipelineSuite extends SparkSpec {
     assert(agg === win)
   }
 
+  test("repeatedSpans finds maximal shared token spans at the right offsets") {
+    val s = spark
+    import s.implicits._
+    // doc 1 and doc 2 share EXACTLY tokens "p1..p12" (12 tokens), at
+    // 0-based offset 3 in doc 1 and offset 1 in doc 2; doc 3 shares
+    // nothing long enough. k=4, minSpan=10.
+    val shared = (1 to 12).map(i => s"p$i").mkString(" ")
+    val df = Seq(
+      (1L, s"a b c $shared x y z"),
+      (2L, s"q $shared r"),
+      (3L, "a b c d e f g h i j k l m n")
+    ).toDF("doc_id", "text")
+    val out = Dedup.repeatedSpans(df, "doc_id", "text", k = 4, minSpanTokens = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3), r.getLong(4)))
+    assert(out.toSeq === Seq((1L, 2L, 3, 1, 12L)),
+      s"expected one maximal 12-token span, got ${out.toSeq}")
+
+    // maximality: a doc containing the span TWICE yields two rows on two
+    // diagonals, not one fused run
+    val twice = Seq(
+      (1L, s"$shared u v w $shared"),
+      (2L, shared)
+    ).toDF("doc_id", "text")
+    val spans2 = Dedup.repeatedSpans(twice, "doc_id", "text", k = 4, minSpanTokens = 10)
+      .collect().map(r => (r.getInt(2), r.getInt(3), r.getLong(4))).toSet
+    assert(spans2 === Set((0, 0, 12L), (15, 0, 12L)), s"got $spans2")
+
+    // the hot-gram guard drops boilerplate: the same span in MANY docs
+    // disappears when its grams exceed maxOccurrences
+    val many = (1L to 10L).map(i => (i, s"filler$i $shared")).toDF("doc_id", "text")
+    val guarded = Dedup.repeatedSpans(many, "doc_id", "text",
+      k = 4, minSpanTokens = 10, maxOccurrences = 5)
+    assert(guarded.count() === 0L)
+    val unguarded = Dedup.repeatedSpans(many, "doc_id", "text",
+      k = 4, minSpanTokens = 10, maxOccurrences = 64)
+    assert(unguarded.count() === 45L) // C(10,2) pairs all share the span
+  }
+
   test("topk_rows multi-key aggregate equals the window top-k exactly") {
     val s = spark
     import s.implicits._
