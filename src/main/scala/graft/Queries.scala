@@ -484,6 +484,29 @@ object Queries {
     }.reduce(_ unionByName _).orderBy("split_idx")
   }
 
+  /** Training-mixture balancing ([[Sampling.mixToBudget]]): five sources
+    * get target shares of a 4000-token budget; the budget is small
+    * enough that every listed source's rate lands strictly inside (0,1)
+    * (all five branches of the rate formula short of the cap are
+    * data-dependent), unlisted sources drop to rate 0. The oracle
+    * recomputes the per-source totals, the IDENTICAL double-arithmetic
+    * rate (share * budget / tokens, least(1.0, ...)), the truncated
+    * 2^32 cutoff, and the LCG keep filter.
+    */
+  def pDataMixture(spark: SparkSession, sfDir: String): DataFrame = {
+    val shares = Map(
+      "src0" -> 0.25, "src1" -> 0.25, "src2" -> 0.25,
+      "src3" -> 0.125, "src4" -> 0.125)
+    Sampling.mixToBudget(documents(spark, sfDir), "doc_id", "source",
+        TF.tokenCount(col("text")), shares, 4000.0)
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("doc_id").as("id_sum"),
+        sum(TF.tokenCount(col("text")).cast("long")).as("n_tokens"))
+      .orderBy("source")
+  }
+
   /** Cross-document repeated-substring spans ([[Dedup.repeatedSpans]] —
     * the Lee-et-al substring-dedup primitive). The synthetic corpus has
     * exact-duplicate docs (full-length spans) but few partial overlaps,

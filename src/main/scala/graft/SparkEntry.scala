@@ -70,6 +70,7 @@ object SparkEntry {
     "p_daily_pipeline" -> (Queries.pDailyPipeline _),
     "p_daily_pipeline_full" -> (Queries.pDailyPipelineFull _),
     "p_repeated_spans" -> (Queries.pRepeatedSpans _),
+    "p_data_mixture" -> (Queries.pDataMixture _),
     "p_ngram_repetition" -> (Queries.pNgramRepetition _),
     "p_pii_redaction" -> (Queries.pPiiRedaction _),
     "p_tfidf_top_terms" -> (Queries.pTfidfTopTerms _),
@@ -524,6 +525,32 @@ object SparkEntry {
          |  CAST(id_sum AS BIGINT) AS id_sum, CAST(n_tokens AS BIGINT) AS n_tokens
          |FROM (VALUES (0), (1), (2)) g(split_idx) LEFT JOIN agg USING (split_idx)
          |ORDER BY g.split_idx""".stripMargin,
+    // mixture balancing: per-source token totals -> identical double
+    // rate arithmetic -> truncated 2^32 cutoff -> LCG keep filter
+    "p_data_mixture" ->
+      """WITH tc AS (
+        |  SELECT doc_id, source,
+        |    len(regexp_split_to_array(lower(trim(text)), '\s+')) AS ntok
+        |  FROM documents),
+        |totals AS (SELECT source, CAST(sum(ntok) AS DOUBLE) AS tok FROM tc GROUP BY 1),
+        |rates AS (
+        |  SELECT source,
+        |    CASE source
+        |      WHEN 'src0' THEN least(1.0, (0.25 * 4000.0) / tok)
+        |      WHEN 'src1' THEN least(1.0, (0.25 * 4000.0) / tok)
+        |      WHEN 'src2' THEN least(1.0, (0.25 * 4000.0) / tok)
+        |      WHEN 'src3' THEN least(1.0, (0.125 * 4000.0) / tok)
+        |      WHEN 'src4' THEN least(1.0, (0.125 * 4000.0) / tok)
+        |      ELSE 0.0 END AS rate
+        |  FROM totals),
+        |kept AS (
+        |  SELECT tc.* FROM tc JOIN rates USING (source)
+        |  WHERE ((((doc_id % 4294967296) * 1103515245 + 12345) % 4294967296)
+        |          + 4294967296) % 4294967296
+        |        < CAST(floor(rate * 4294967296.0) AS BIGINT))
+        |SELECT source, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        |  CAST(sum(ntok) AS BIGINT) AS n_tokens
+        |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin,
     // repeated-substring spans: positional 8-grams, hot-gram guard,
     // diagonal/island merge — the full pipeline re-derived on string
     // grams (Spark joins 64-bit hashes of the same grams)

@@ -74,6 +74,58 @@ object Sampling {
     df.filter(lcgBucket(col(idCol)) < lit(rateCutoff(rate)))
   }
 
+  /** Per-source keep rates that realize a target training MIXTURE within
+    * a token budget: source s gets rate
+    * `min(1, share_s * budget / tokens_s)` — the fraction of its corpus
+    * that fills its slice of the budget. Sources absent from
+    * `targetShares` get 0 (excluded). A source with fewer tokens than
+    * its allocation caps at rate 1 and UNDER-delivers its share (the
+    * standard downsampling-only mix; upsampling is epoch repetition, a
+    * training-loop concern, not a corpus operator). One aggregation over
+    * the corpus; the returned map is driver-sized (#distinct sources in
+    * the targets).
+    */
+  def mixRates(
+      df: DataFrame,
+      sourceCol: String,
+      tokenCount: Column,
+      targetShares: Map[String, Double],
+      totalTokenBudget: Double): Map[String, Double] = {
+    require(targetShares.values.forall(s => s >= 0.0 && s <= 1.0) &&
+      targetShares.values.sum <= 1.0 + 1e-9,
+      s"shares must be in [0,1] and sum <= 1, got $targetShares")
+    val totals = df.groupBy(col(sourceCol))
+      .agg(sum(tokenCount.cast("long")).as("tok"))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    targetShares.map { case (s, share) =>
+      val tokens = totals.getOrElse(s, 0L)
+      s -> (if (tokens <= 0L) 0.0
+            else math.min(1.0, (share * totalTokenBudget) / tokens.toDouble))
+    }
+  }
+
+  /** Mixture balancing: deterministically subsample each source to its
+    * [[mixRates]] keep rate — the "rebalance N corpora to a target
+    * training mix" operator. Composes the one-aggregation rate
+    * computation with [[hashStratifiedSample]]'s map-side id filter:
+    * at 100 TB the corpus is scanned once to size the sources and once
+    * (narrow, prunable) to emit the mix; nothing shuffles. Same
+    * reproducibility contract as every LCG sampler here: the keep-set
+    * is a pure function of (id, rates), so retuning shares only
+    * grows/shrinks each source's sample monotonically.
+    */
+  def mixToBudget(
+      df: DataFrame,
+      idCol: String,
+      sourceCol: String,
+      tokenCount: Column,
+      targetShares: Map[String, Double],
+      totalTokenBudget: Double): DataFrame =
+    hashStratifiedSample(df, idCol, sourceCol,
+      mixRates(df, sourceCol, tokenCount, targetShares, totalTokenBudget))
+
   /** Deterministic disjoint splits (train/val/test, data mixes): row i of
     * the result holds the rows whose bucket falls in the i-th cumulative
     * half-open interval of `fractions` (which must sum to <= 1; any

@@ -560,6 +560,45 @@ class PipelineSuite extends SparkSpec {
     assert(agg === win)
   }
 
+  test("mixToBudget realizes target token shares; rates cap at 1; keep-sets monotone") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(7)
+    // three sources with very different volumes: big (~50k tokens),
+    // medium (~10k), tiny (~400 — will cap at rate 1)
+    val rows = (0L until 1000L).map { i =>
+      val src = if (i < 700) "big" else if (i < 980) "med" else "tiny"
+      (i, src, Array.fill(if (src == "big") 70 else if (src == "med") 36 else 20)(
+        s"w${rng.nextInt(500)}").mkString(" "))
+    }
+    val df = rows.toDF("doc_id", "source", "text")
+    val tc = graft.pipeline.TextFunctions.tokenCount(col("text"))
+    val shares = Map("big" -> 0.5, "med" -> 0.3, "tiny" -> 0.2)
+    val budget = 4000.0
+    val rates = Sampling.mixRates(df, "source", tc, shares, budget)
+    // tiny has ~400 tokens against an 800-token allocation: capped at 1
+    assert(rates("tiny") === 1.0, s"rates $rates")
+    assert(rates("big") > 0.0 && rates("big") < 0.1)
+    assert(rates("med") > 0.0 && rates("med") < 0.2)
+    val mixed = Sampling.mixToBudget(df, "doc_id", "source", tc, shares, budget)
+    val byCounts = mixed.groupBy("source").agg(sum(tc.cast("long")).as("tok"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    // realized token volume tracks each target slice within doc
+    // granularity + LCG sampling noise (docs are ~70 tokens, slices
+    // 2000/1200; 3 sigma of binomial noise at these rates is ~500)
+    assert(math.abs(byCounts("big") - 2000.0) < 700, s"big ${byCounts("big")}")
+    assert(math.abs(byCounts("med") - 1200.0) < 500, s"med ${byCounts("med")}")
+    // a capped source delivers everything it has
+    assert(byCounts("tiny") === 400L)
+    // monotonicity: growing the budget only ADDS rows (mix retuning)
+    val small = Sampling.mixToBudget(df, "doc_id", "source", tc, shares, 2000.0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val large = mixed.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(small.subsetOf(large))
+    // an unlisted source is excluded entirely
+    assert(mixed.filter(!col("source").isin("big", "med", "tiny")).count() === 0L)
+  }
+
   test("repeatedSpans finds maximal shared token spans at the right offsets") {
     val s = spark
     import s.implicits._
