@@ -174,7 +174,7 @@ object Queries {
 
   // ------------------------------------------------------- data-pipeline ops
 
-  import graft.pipeline.{CorpusStats, Decontaminate, Dedup, ImageRgbStatsCodec, MediaSynth, Multimodal, Sampling, Similarity, SkewJoin, TextFunctions => TF, WavPcmStatsCodec}
+  import graft.pipeline.{Chunking, CorpusStats, Decontaminate, Dedup, ImageRgbStatsCodec, MediaSynth, Multimodal, Sampling, Similarity, SkewJoin, TextFunctions => TF, WavPcmStatsCodec}
 
   /** Per-document text statistics — all pure expressions, single scan. */
   def pTextStats(spark: SparkSession, sfDir: String): DataFrame = {
@@ -505,6 +505,57 @@ object Queries {
         sum("doc_id").as("id_sum"),
         sum(TF.tokenCount(col("text")).cast("long")).as("n_tokens"))
       .orderBy("source")
+  }
+
+  /** Sliding-window document chunking ([[Chunking.chunkDocuments]]):
+    * 48-token windows advancing by 32 (16-token overlap). The corpus
+    * spans doc lengths on both sides of one window, so the gate pins the
+    * single-chunk short-doc case, the ragged final chunk, and the
+    * overlap arithmetic. The oracle re-derives the window starts and
+    * slices in SQL over the same normalized token array.
+    */
+  def pDocChunks(spark: SparkSession, sfDir: String): DataFrame =
+    Chunking.chunkDocuments(documents(spark, sfDir), "text", maxTokens = 48, stride = 32)
+      .select(col("doc_id"), col("chunk_id"), col("chunk_text"), col("n_tokens"))
+      .orderBy("doc_id", "chunk_id")
+
+  /** Sequence-packing coordinates ([[Chunking.packConcat]]): 64-token
+    * sequences, 4 streams. 374 of 500 sf0.001 docs straddle a sequence
+    * boundary, so the gate pins the EOS accounting and the offset
+    * arithmetic, not just the stream assignment. The oracle re-derives
+    * the LCG stream hash, the per-stream running sum, and the
+    * floor-division sequence indices.
+    */
+  def pSeqPack(spark: SparkSession, sfDir: String): DataFrame =
+    Chunking.packConcat(documents(spark, sfDir), "doc_id", "text",
+        seqLen = 64, numStreams = 4)
+      .orderBy("doc_id")
+
+  /** Paragraph-level dedup ([[Dedup.paragraphDedup]]): the corpus has no
+    * paragraph breaks, so the gate synthesizes them deterministically —
+    * 6-token paragraphs joined with a blank line — after appending the
+    * fixed 24-token passage to doc_id % 17 == 0 docs (each doc's own
+    * length shifts where the passage's paragraph boundaries fall, so
+    * only same-length-mod-6 docs share those paragraphs: partial drops).
+    * Exact-duplicate docs lose EVERY paragraph to the first copy and
+    * vanish, pinning the n_kept > 0 filter; the oracle re-derives
+    * paragraphing, first-occurrence ranking, and reassembly in SQL.
+    */
+  def pParagraphDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val passage = ("zero one two three four five six seven eight nine ten " +
+      "eleven twelve thirteen fourteen fifteen sixteen seventeen eighteen " +
+      "nineteen twenty twentyone twentytwo twentythree")
+    val aug = documents(spark, sfDir).withColumn("text",
+      when(pmod(col("doc_id"), lit(17)) === 0, concat(col("text"), lit(" " + passage)))
+        .otherwise(col("text")))
+    val toks = TF.tokens(col("text"))
+    val nPar = greatest(ceil(size(toks) / lit(6.0)).cast("int"), lit(1))
+    val paraed = aug.withColumn("text",
+      array_join(
+        transform(sequence(lit(0), nPar - lit(1)),
+          i => array_join(slice(toks, i * lit(6) + lit(1), lit(6)), " ")),
+        "\n\n"))
+    Dedup.paragraphDedup(paraed, "doc_id", "text").orderBy("doc_id")
   }
 
   /** Cross-document repeated-substring spans ([[Dedup.repeatedSpans]] —

@@ -71,6 +71,9 @@ object SparkEntry {
     "p_daily_pipeline_full" -> (Queries.pDailyPipelineFull _),
     "p_repeated_spans" -> (Queries.pRepeatedSpans _),
     "p_data_mixture" -> (Queries.pDataMixture _),
+    "p_doc_chunks" -> (Queries.pDocChunks _),
+    "p_paragraph_dedup" -> (Queries.pParagraphDedup _),
+    "p_seq_pack" -> (Queries.pSeqPack _),
     "p_ngram_repetition" -> (Queries.pNgramRepetition _),
     "p_pii_redaction" -> (Queries.pPiiRedaction _),
     "p_tfidf_top_terms" -> (Queries.pTfidfTopTerms _),
@@ -551,6 +554,68 @@ object SparkEntry {
         |SELECT source, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum,
         |  CAST(sum(ntok) AS BIGINT) AS n_tokens
         |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin,
+    // sliding-window chunking: window starts + list slices re-derived
+    // over the same normalized token array (48-token windows, stride 32)
+    "p_doc_chunks" ->
+      s"""WITH toks AS (SELECT doc_id, $TOKS AS t FROM documents),
+         |n AS (
+         |  SELECT doc_id, t,
+         |    greatest(CAST(ceil((len(t) - 48) / 32.0) AS INT) + 1, 1) AS nc
+         |  FROM toks),
+         |c AS (
+         |  SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+         |    array_to_string(t[i*32+1 : i*32+48], ' ') AS chunk_text,
+         |    CAST(len(t[i*32+1 : i*32+48]) AS BIGINT) AS n_tokens
+         |  FROM n, LATERAL (SELECT unnest(range(0, nc)) AS i))
+         |SELECT doc_id, chunk_id, chunk_text, n_tokens FROM c
+         |ORDER BY doc_id, chunk_id""".stripMargin,
+    // sequence packing: LCG stream hash, per-stream running sum with one
+    // EOS token per doc, floor-division sequence indices — all integer
+    "p_seq_pack" ->
+      s"""WITH tc AS (
+         |  SELECT doc_id,
+         |    CAST((((((doc_id % 4294967296) * 1103515245 + 12345) % 4294967296)
+         |          + 4294967296) % 4294967296) % 4 AS BIGINT) AS stream,
+         |    CAST(len($TOKS) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |o AS (
+         |  SELECT doc_id, stream, n_tokens,
+         |    CAST(coalesce(sum(n_tokens + 1) OVER (
+         |      PARTITION BY stream ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |      AS start_off
+         |  FROM tc)
+         |SELECT doc_id, stream, n_tokens, start_off,
+         |  CAST(floor(start_off / 64) AS BIGINT) AS first_seq,
+         |  CAST(floor((start_off + n_tokens - 1) / 64) AS BIGINT) AS last_seq
+         |FROM o ORDER BY doc_id""".stripMargin,
+    // paragraph dedup: synthesized 6-token paragraphs, first-occurrence
+    // ranking, reassembly with blank-line separators — all re-derived
+    "p_paragraph_dedup" ->
+      s"""WITH aug AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 17 = 0 THEN text || ' zero one two three four five six seven eight nine ten eleven twelve thirteen fourteen fifteen sixteen seventeen eighteen nineteen twenty twentyone twentytwo twentythree'
+         |         ELSE text END AS text
+         |  FROM documents),
+         |t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk FROM aug),
+         |paras AS (
+         |  SELECT doc_id, CAST(i AS INT) AS pos,
+         |    array_to_string(tk[i*6+1 : i*6+6], ' ') AS para
+         |  FROM t, LATERAL (SELECT unnest(range(0,
+         |    greatest(CAST(ceil(len(tk) / 6.0) AS INT), 1))) AS i)),
+         |nz AS (SELECT * FROM paras WHERE trim(para) != ''),
+         |r AS (
+         |  SELECT doc_id, pos, para,
+         |    row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn
+         |  FROM nz),
+         |agg AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_paras,
+         |    CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |    string_agg(CASE WHEN rn = 1 THEN para END, chr(10) || chr(10)
+         |               ORDER BY pos) AS text
+         |  FROM r GROUP BY doc_id)
+         |SELECT doc_id, text, n_paras, n_kept FROM agg
+         |WHERE n_kept > 0 ORDER BY doc_id""".stripMargin,
     // repeated-substring spans: positional 8-grams, hot-gram guard,
     // diagonal/island merge — the full pipeline re-derived on string
     // grams (Spark joins 64-bit hashes of the same grams)

@@ -901,6 +901,68 @@ object Dedup {
     * length — never corpus-sized. 64-bit gram hashes: a collision
     * (2^-40-ish per candidate) can at worst fuse two spans.
     */
+  /** Paragraph-level dedup (the RefinedWeb/Falcon recipe): drop every
+    * paragraph instance that is not the corpus-wide FIRST occurrence of
+    * its normalized text, then reassemble each document from its
+    * surviving paragraphs in original order. Boilerplate (cookie
+    * banners, navigation chrome, license headers) repeats across
+    * millions of pages whose documents as wholes are unique — document-
+    * level dedup never touches it; this operator removes it everywhere
+    * but its first appearance.
+    *
+    * Semantics: paragraphs are `sep`-separated (literal separator, not a
+    * regex); normalization is lowercase + whitespace collapse;
+    * paragraphs that normalize to empty are dropped outright. "First"
+    * = minimal (id, position) lexicographically, so a doc repeating its
+    * own paragraph keeps only the first copy. Documents whose every
+    * paragraph is dropped disappear from the output. Returns
+    * `(id, text, n_paras, n_kept)` with `text` rebuilt by joining
+    * survivors with `sep`.
+    *
+    * Scale shape: paragraphs shuffle on a 64-bit `xxhash64` of the
+    * normalized text (8-byte keys, like every dedup path here; a
+    * collision can at worst drop one innocent paragraph), the
+    * first-occurrence side is partial-aggregated to distinct-paragraph
+    * size before the join, and reassembly is one groupBy on the doc id.
+    * Three linear shuffles, no candidate blowup — boilerplate-heavy
+    * grams are exactly the point, so unlike the pair operators there is
+    * no hot-key guard: a paragraph with 10^6 occurrences still
+    * aggregates to ONE (key, first) row map-side before it moves.
+    */
+  def paragraphDedup(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      sep: String = "\n\n"): DataFrame = {
+    require(sep.nonEmpty, "sep must be non-empty")
+    val paras = docs
+      .select(
+        col(idCol).as("id"),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+          .as(Seq("pos", "para")))
+      .withColumn("norm", lower(trim(regexp_replace(col("para"), "\\s+", " "))))
+      .filter(col("norm") =!= "")
+      .withColumn("key", xxhash64(col("norm")))
+    val first = paras
+      .groupBy("key")
+      .agg(min(struct(col("id"), col("pos"))).as("first"))
+      .select(col("key"), col("first.id").as("fid"), col("first.pos").as("fpos"))
+    paras
+      .join(first, Seq("key"))
+      .withColumn("keep", col("id") === col("fid") && col("pos") === col("fpos"))
+      .groupBy(col("id"))
+      .agg(
+        count(lit(1)).as("n_paras"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("keep"), struct(col("pos"), col("para"))))),
+            x => x.getField("para")),
+          sep).as("text"))
+      .filter(col("n_kept") > 0)
+      .select(col("id").as(idCol), col("text"), col("n_paras"), col("n_kept"))
+  }
+
   def repeatedSpans(
       docs: DataFrame,
       idCol: String,

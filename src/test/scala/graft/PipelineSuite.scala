@@ -901,6 +901,83 @@ class PipelineSuite extends SparkSpec {
     assert(out.getString(1) === "aei") // every 4th byte
   }
 
+  test("chunkDocuments windows, overlaps, and ragged tail are exact") {
+    val s = spark
+    import s.implicits._
+    import graft.pipeline.Chunking
+    val toks = (1 to 23).map(i => s"t$i")
+    val df = Seq(
+      (1L, toks.mkString(" ")), // 23 tokens: 3 chunks at max=10 stride=7
+      (2L, "a b c")             // short doc: exactly one chunk
+    ).toDF("doc_id", "text")
+    val out = Chunking.chunkDocuments(df, "text", maxTokens = 10, stride = 7)
+      .select("doc_id", "chunk_id", "chunk_text", "n_tokens")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .sortBy(r => (r._1, r._2))
+    val d1 = out.filter(_._1 == 1L)
+    assert(d1.length === 3, s"23 tokens / max 10 / stride 7 -> 3 chunks, got ${d1.length}")
+    assert(d1(0)._3 === toks.slice(0, 10).mkString(" ") && d1(0)._4 === 10L)
+    assert(d1(1)._3 === toks.slice(7, 17).mkString(" ") && d1(1)._4 === 10L)
+    // ragged tail: window [14, 24) clamps to 23 tokens -> 9 tokens
+    assert(d1(2)._3 === toks.slice(14, 23).mkString(" ") && d1(2)._4 === 9L)
+    val d2 = out.filter(_._1 == 2L)
+    assert(d2.toSeq === Seq((2L, 0L, "a b c", 3L)))
+
+    // stride == maxTokens partitions the doc: every token exactly once
+    val part = Chunking.chunkDocuments(df.filter($"doc_id" === 1L), "text", 10, 10)
+      .agg(sum("n_tokens")).head().getLong(0)
+    assert(part === 23L)
+
+    // map-side only: no exchange anywhere in the physical plan
+    val plan = Chunking.chunkDocuments(df, "text", 10, 7)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"chunking must not shuffle:\n$plan")
+  }
+
+  test("paragraphDedup keeps first occurrences and reassembles in order") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "intro one\n\nshared boiler plate\n\nbody one"),
+      (2L, "shared boiler plate\n\nbody two"),          // loses para 0 to doc 1
+      (3L, "Shared  BOILER plate"),                      // normalization: full drop
+      (4L, "self rep\n\nself rep\n\nunique tail"),       // in-doc repeat
+      (5L, "   \n\n  ")                                  // only empty paragraphs
+    ).toDF("doc_id", "text")
+    val out = Dedup.paragraphDedup(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out.keySet === Set(1L, 2L, 4L), s"docs 3 (all dup) and 5 (all empty) drop: $out")
+    assert(out(1L) === (("intro one\n\nshared boiler plate\n\nbody one", 3L, 3L)))
+    assert(out(2L) === (("body two", 2L, 1L)))
+    assert(out(4L) === (("self rep\n\nunique tail", 3L, 2L)))
+  }
+
+  test("packConcat offsets account one EOS per doc and straddle sequences") {
+    val s = spark
+    import s.implicits._
+    import graft.pipeline.Chunking
+    // one stream so the cumulative arithmetic is fully visible: docs of
+    // 5, 9, 3 tokens with seqLen 10; each doc costs n+1 (EOS)
+    val df = Seq(
+      (1L, "a b c d e"), (2L, "f g h i j k l m n"), (3L, "o p q")
+    ).toDF("doc_id", "text")
+    val out = Chunking.packConcat(df, "doc_id", "text", seqLen = 10, numStreams = 1)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(out(0) === ((1L, 5L, 0L, 0L, 0L)))
+    // doc 2 starts at 6 (5 tokens + EOS), tokens [6, 15) straddle seq 0/1
+    assert(out(1) === ((2L, 9L, 6L, 0L, 1L)))
+    // doc 3 starts at 16, tokens [16, 19) inside seq 1
+    assert(out(2) === ((3L, 3L, 16L, 1L, 1L)))
+
+    // determinism: stream assignment and offsets survive a repartition
+    val multi = (0L until 200L).map(i => (i, ("w " * (1 + (i % 7)).toInt).trim)).toDF("doc_id", "text")
+    val a = Chunking.packConcat(multi, "doc_id", "text", 16, 4).collect().toSet
+    val b = Chunking.packConcat(multi.repartition(13), "doc_id", "text", 16, 4).collect().toSet
+    assert(a === b)
+  }
+
   test("quality score is in [0,1] and rewards longer diverse text") {
     val s = spark
     import s.implicits._
