@@ -174,7 +174,7 @@ object Queries {
 
   // ------------------------------------------------------- data-pipeline ops
 
-  import graft.pipeline.{Chunking, CorpusStats, Decontaminate, Dedup, ImageRgbStatsCodec, MediaSynth, Multimodal, Sampling, Similarity, SkewJoin, TextFunctions => TF, WavPcmStatsCodec}
+  import graft.pipeline.{Chunking, Clustering, CorpusStats, Decontaminate, Dedup, ImageRgbStatsCodec, MediaSynth, Multimodal, Sampling, Similarity, SkewJoin, TextFunctions => TF, WavPcmStatsCodec}
 
   /** Per-document text statistics — all pure expressions, single scan. */
   def pTextStats(spark: SparkSession, sfDir: String): DataFrame = {
@@ -530,6 +530,28 @@ object Queries {
     Chunking.packConcat(documents(spark, sfDir), "doc_id", "text",
         seqLen = 64, numStreams = 4)
       .orderBy("doc_id")
+
+  /** K-means corpus clustering ([[Clustering]]): min-id init (vec_id
+    * < 8), ONE Lloyd round, then a final assignment against centroids
+    * rounded to 6 decimals. The rounding is the gate's cross-engine
+    * float strategy, not operator semantics: Spark's `vec_sum`/count
+    * update and DuckDB's per-dimension avg sum doubles in different
+    * orders, so the gate snaps both to 6dp (drift ~1e-13, far below the
+    * snap) and then the argmin arithmetic — the same left-fold squared
+    * distance on both engines over identical rounded literals — is
+    * exact. Integer-only output.
+    */
+  def pKmeans(spark: SparkSession, sfDir: String): DataFrame = {
+    val pts = embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val init = Clustering.initByMinId(pts, "vec_id", "v", 8)
+    val c1 = Clustering.lloyd(pts, "v", init, 1)
+    val rounded = c1.map(_.map(x =>
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    Clustering.assignClusters(pts, "v", rounded)
+      .select(col("vec_id"), col("cluster"))
+      .orderBy("vec_id")
+  }
 
   /** Paragraph-level dedup ([[Dedup.paragraphDedup]]): the corpus has no
     * paragraph breaks, so the gate synthesizes them deterministically —

@@ -74,6 +74,7 @@ object SparkEntry {
     "p_doc_chunks" -> (Queries.pDocChunks _),
     "p_paragraph_dedup" -> (Queries.pParagraphDedup _),
     "p_seq_pack" -> (Queries.pSeqPack _),
+    "p_kmeans" -> (Queries.pKmeans _),
     "p_ngram_repetition" -> (Queries.pNgramRepetition _),
     "p_pii_redaction" -> (Queries.pPiiRedaction _),
     "p_tfidf_top_terms" -> (Queries.pTfidfTopTerms _),
@@ -589,6 +590,41 @@ object SparkEntry {
          |  CAST(floor(start_off / 64) AS BIGINT) AS first_seq,
          |  CAST(floor((start_off + n_tokens - 1) / 64) AS BIGINT) AS last_seq
          |FROM o ORDER BY doc_id""".stripMargin,
+    // k-means: min-id init, one Lloyd round, 6dp-rounded centroids,
+    // final argmin re-derived with the same left-fold squared distance
+    "p_kmeans" ->
+      """WITH c0 AS (
+        |  SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+        |  FROM embeddings WHERE vec_id < 8),
+        |p AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |d1 AS (
+        |  SELECT p.vec_id, v, cid,
+        |    list_sum(list_transform(range(1, len(v)+1),
+        |      i -> (v[i]-cv[i])*(v[i]-cv[i]))) AS d2
+        |  FROM p, c0),
+        |a1 AS (
+        |  SELECT vec_id, v, cid,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        |  FROM d1),
+        |asg1 AS (SELECT vec_id, v, cid AS cluster FROM a1 WHERE rn = 1),
+        |dims AS (
+        |  SELECT cluster, dim, avg(v[dim]) AS m
+        |  FROM asg1, LATERAL (SELECT unnest(range(1, 65)) AS dim) i(dim)
+        |  GROUP BY cluster, dim),
+        |c1 AS (
+        |  SELECT cluster AS cid, list(round(m, 6) ORDER BY dim) AS cv
+        |  FROM dims GROUP BY cluster),
+        |dd AS (
+        |  SELECT p.vec_id, cid,
+        |    list_sum(list_transform(range(1, len(v)+1),
+        |      i -> (v[i]-cv[i])*(v[i]-cv[i]))) AS d2
+        |  FROM p, c1),
+        |a2 AS (
+        |  SELECT vec_id, cid,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        |  FROM dd)
+        |SELECT vec_id, CAST(cid AS INT) AS cluster FROM a2 WHERE rn = 1
+        |ORDER BY vec_id""".stripMargin,
     // paragraph dedup: synthesized 6-token paragraphs, first-occurrence
     // ranking, reassembly with blank-line separators — all re-derived
     "p_paragraph_dedup" ->

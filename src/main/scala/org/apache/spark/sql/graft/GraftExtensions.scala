@@ -45,6 +45,8 @@ object GraftExtensions {
           literalInt(exprs(1)),
           TopKRows.parseMask(literalString(exprs(2))),
           literalInt(exprs(3))).toAggregateExpression()),
+    ("vec_sum", classOf[VectorSumAgg],
+      (exprs: Seq[Expression]) => VectorSumAgg(exprs(0)).toAggregateExpression()),
     ("minhash_signature", classOf[MinHashSignatureAgg],
       (exprs: Seq[Expression]) =>
         MinHashSignatureAgg(exprs(0), literalInt(exprs(1))).toAggregateExpression()),

@@ -978,6 +978,76 @@ class PipelineSuite extends SparkSpec {
     assert(a === b)
   }
 
+  test("vec_sum sums element-wise, skips nulls, throws on ragged dims") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.graft.VectorSum.vec_sum
+    val df = Seq(
+      ("a", Some(Seq(1.0, 2.0))), ("a", Some(Seq(0.5, -1.0))),
+      ("a", None), ("b", Some(Seq(10.0, 20.0)))
+    ).toDF("g", "v")
+    val out = df.groupBy("g").agg(vec_sum($"v").as("s"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    assert(out("a") === Seq(1.5, 1.0))
+    assert(out("b") === Seq(10.0, 20.0))
+
+    // all-null group evaluates to null
+    val nul = Seq(("c", Option.empty[Seq[Double]])).toDF("g", "v")
+      .groupBy("g").agg(vec_sum($"v").as("s")).head()
+    assert(nul.isNullAt(1))
+
+    // SQL registration + implicit cast from array<float>-shaped input
+    org.apache.spark.sql.graft.GraftExpressions.register(s)
+    df.createOrReplaceTempView("vs_in")
+    val viaSql = s.sql("SELECT g, vec_sum(v) AS s FROM vs_in GROUP BY g")
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    assert(viaSql === out)
+
+    val ragged = Seq(("a", Seq(1.0)), ("a", Seq(1.0, 2.0))).toDF("g", "v")
+    val err = intercept[Exception] {
+      ragged.groupBy("g").agg(vec_sum($"v")).collect()
+    }
+    assert(err.getMessage.contains("dimension mismatch")
+      || err.getCause != null && err.getCause.getMessage.contains("dimension mismatch"))
+  }
+
+  test("kmeans Lloyd recovers separated clusters; ties and empties are deterministic") {
+    val s = spark
+    import s.implicits._
+    import graft.pipeline.Clustering
+    // two tight 2-D blobs; ids 0 and 1 (the min-id init) land one per blob
+    val pts = Seq(
+      (0L, Seq(0.0, 0.0)), (2L, Seq(0.2, 0.0)), (4L, Seq(0.0, 0.2)),
+      (1L, Seq(10.0, 10.0)), (3L, Seq(10.2, 10.0)), (5L, Seq(10.0, 10.2))
+    ).toDF("vec_id", "v")
+    val (assigned, cents) = Clustering.kmeans(pts, "vec_id", "v", k = 2, iters = 2)
+    val byCluster = assigned.collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(Set(0L, 2L, 4L).map(byCluster) === Set(0))
+    assert(Set(1L, 3L, 5L).map(byCluster) === Set(1))
+    // means match to 1e-12 (3-element sums: only representation noise)
+    def close(a: Seq[Double], b: Seq[Double]): Boolean =
+      a.length == b.length && a.zip(b).forall { case (x, y) => math.abs(x - y) < 1e-12 }
+    assert(close(cents(0), Seq(0.2 / 3, 0.2 / 3)), s"got ${cents(0)}")
+    assert(close(cents(1), Seq(10 + 0.2 / 3, 10 + 0.2 / 3)), s"got ${cents(1)}")
+
+    // equidistant point -> lowest centroid index; empty cluster keeps its
+    // centroid instead of collapsing
+    val tie = Seq((7L, Seq(5.0, 5.0))).toDF("vec_id", "v")
+    val asg = Clustering.assignClusters(tie, "v", Seq(Seq(0.0, 0.0), Seq(10.0, 10.0)))
+    assert(asg.head().getInt(2) === 0)
+    val kept = Clustering.lloyd(tie, "v", Seq(Seq(4.0, 4.0), Seq(100.0, 100.0)), 1)
+    assert(kept(0) === Seq(5.0, 5.0)) // updated to the single member
+    assert(kept(1) === Seq(100.0, 100.0)) // empty: unchanged
+
+    // layout invariance: assignment survives a repartition
+    val a = Clustering.kmeans(pts, "vec_id", "v", 2, 1)._1.collect()
+      .map(r => (r.getLong(0), r.getInt(2))).toSet
+    val b = Clustering.kmeans(pts.repartition(3), "vec_id", "v", 2, 1)._1.collect()
+      .map(r => (r.getLong(0), r.getInt(2))).toSet
+    assert(a === b)
+  }
+
   test("quality score is in [0,1] and rewards longer diverse text") {
     val s = spark
     import s.implicits._
