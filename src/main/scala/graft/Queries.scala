@@ -531,6 +531,41 @@ object Queries {
         seqLen = 64, numStreams = 4)
       .orderBy("doc_id")
 
+  /** Deterministic enrichment shared by the source-profile gates: every
+    * doc_id % 7 == 3 doc becomes one fixed boilerplate page, so each
+    * source carries a nonzero exact-duplicate ratio (the raw corpus has
+    * none) and the per-source mean quality shifts — both filter axes
+    * get real data.
+    */
+  private def sourceEnriched(spark: SparkSession, sfDir: String): DataFrame =
+    documents(spark, sfDir).withColumn("text",
+      when(pmod(col("doc_id"), lit(7)) === 3,
+        lit("the shared boilerplate page that is in every crawl of it"))
+        .otherwise(col("text")))
+
+  /** Per-source corpus health profile ([[CorpusStats.sourceStats]]):
+    * doc/token counts, mean quality, exact-dup ratio. The oracle
+    * re-derives the quality formula and counts distinct normalized
+    * texts directly (Spark counts distinct 64-bit fingerprints —
+    * collision-free at gate scale).
+    */
+  def pSourceStats(spark: SparkSession, sfDir: String): DataFrame =
+    CorpusStats.sourceStats(sourceEnriched(spark, sfDir), "source", "text")
+      .orderBy("source")
+
+  /** Source-level filtering ([[CorpusStats.sourceFilter]]): both
+    * thresholds bite at sf0.001 — 11 of 20 sources fail on dup_ratio
+    * (0.12 > 0.10) or mean quality (< 0.49), and some fail exactly one
+    * axis, so neither threshold shadows the other. Output is the kept
+    * corpus collapsed per source.
+    */
+  def pSourceFilter(spark: SparkSession, sfDir: String): DataFrame =
+    CorpusStats.sourceFilter(sourceEnriched(spark, sfDir), "source", "text",
+        minMeanQuality = 0.49, maxDupRatio = 0.10, minDocs = 10L)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("id_sum"))
+      .orderBy("source")
+
   /** K-means corpus clustering ([[Clustering]]): min-id init (vec_id
     * < 8), ONE Lloyd round, then a final assignment against centroids
     * rounded to 6 decimals. The rounding is the gate's cross-engine

@@ -75,6 +75,8 @@ object SparkEntry {
     "p_paragraph_dedup" -> (Queries.pParagraphDedup _),
     "p_seq_pack" -> (Queries.pSeqPack _),
     "p_kmeans" -> (Queries.pKmeans _),
+    "p_source_stats" -> (Queries.pSourceStats _),
+    "p_source_filter" -> (Queries.pSourceFilter _),
     "p_ngram_repetition" -> (Queries.pNgramRepetition _),
     "p_pii_redaction" -> (Queries.pPiiRedaction _),
     "p_tfidf_top_terms" -> (Queries.pTfidfTopTerms _),
@@ -590,6 +592,55 @@ object SparkEntry {
          |  CAST(floor(start_off / 64) AS BIGINT) AS first_seq,
          |  CAST(floor((start_off + n_tokens - 1) / 64) AS BIGINT) AS last_seq
          |FROM o ORDER BY doc_id""".stripMargin,
+    // per-source health profile: quality formula + distinct normalized
+    // texts re-derived (Spark counts distinct 64-bit fingerprints)
+    "p_source_stats" ->
+      s"""WITH enr AS (
+         |  SELECT doc_id, source,
+         |    CASE WHEN doc_id % 7 = 3
+         |      THEN 'the shared boilerplate page that is in every crawl of it'
+         |      ELSE text END AS text
+         |  FROM documents),
+         |toks AS (SELECT doc_id, source, text, $TOKS AS tk FROM enr),
+         |s AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(len(tk)) AS BIGINT) AS n_tokens,
+         |    round(avg(round(least(len(tk) / 100.0, 1.0) * 0.5
+         |      + (len(list_distinct(tk)) * 1.0 / len(tk)) * 0.3
+         |      + least((len(list_filter(tk, t -> list_contains($EN, t)))
+         |               * 1.0 / len(tk)) * 4.0, 1.0) * 0.2, 6)), 6) AS mean_quality,
+         |    CAST(count(DISTINCT lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+         |      AS BIGINT) AS n_distinct
+         |  FROM toks GROUP BY 1)
+         |SELECT source, n_docs, n_tokens, mean_quality, n_distinct,
+         |  round(1.0 - n_distinct / (n_docs * 1.0), 6) AS dup_ratio
+         |FROM s ORDER BY source""".stripMargin,
+    // source filter: aggregate thresholds then per-source membership
+    "p_source_filter" ->
+      s"""WITH enr AS (
+         |  SELECT doc_id, source,
+         |    CASE WHEN doc_id % 7 = 3
+         |      THEN 'the shared boilerplate page that is in every crawl of it'
+         |      ELSE text END AS text
+         |  FROM documents),
+         |toks AS (SELECT doc_id, source, text, $TOKS AS tk FROM enr),
+         |s AS (
+         |  SELECT source, count(*) AS n_docs,
+         |    round(avg(round(least(len(tk) / 100.0, 1.0) * 0.5
+         |      + (len(list_distinct(tk)) * 1.0 / len(tk)) * 0.3
+         |      + least((len(list_filter(tk, t -> list_contains($EN, t)))
+         |               * 1.0 / len(tk)) * 4.0, 1.0) * 0.2, 6)), 6) AS mean_quality,
+         |    count(DISTINCT lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS n_distinct
+         |  FROM toks GROUP BY 1),
+         |pass AS (
+         |  SELECT source FROM s
+         |  WHERE mean_quality >= 0.49
+         |    AND round(1.0 - n_distinct / (n_docs * 1.0), 6) <= 0.10
+         |    AND n_docs >= 10)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+         |FROM enr SEMI JOIN pass USING (source)
+         |GROUP BY source ORDER BY source""".stripMargin,
     // k-means: min-id init, one Lloyd round, 6dp-rounded centroids,
     // final argmin re-derived with the same left-fold squared distance
     "p_kmeans" ->

@@ -36,6 +36,65 @@ object CorpusStats {
     * O(groups x k) rows instead of sorting the whole vocabulary through
     * `row_number()`.
     */
+  /** Per-source corpus health profile: doc count, token volume, mean
+    * quality score, and the exact-duplicate ratio (1 − distinct
+    * normalized texts / docs) — the table a data team reads before
+    * deciding which crawl sources enter a training mix (C4/RefinedWeb
+    * prune whole domains on aggregates like these, not per-doc).
+    *
+    * Scale shape: one corpus scan with map-side partial aggregation
+    * down to #sources rows; the dup ratio rides the same aggregation as
+    * `approx`=false exact `count_distinct` over the 64-bit text
+    * fingerprint (exact per-source distinct is a second shuffle-free
+    * partial path at #sources × distinct keys — switch `approx=true`
+    * for HLL `approx_count_distinct` when sources × distincts is itself
+    * web-scale).
+    */
+  def sourceStats(
+      docs: DataFrame,
+      sourceCol: String,
+      textCol: String,
+      stopwords: Seq[String] = TextFunctions.LangStopwords.head._2,
+      approx: Boolean = false): DataFrame = {
+    val fp = xxhash64(lower(trim(regexp_replace(col(textCol), "\\s+", " "))))
+    val distinctTexts =
+      if (approx) approx_count_distinct(fp) else count_distinct(fp)
+    docs
+      .groupBy(col(sourceCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(TextFunctions.tokenCount(col(textCol)).cast("long")).as("n_tokens"),
+        round(avg(TextFunctions.qualityScore(col(textCol), stopwords)), 6)
+          .as("mean_quality"),
+        distinctTexts.as("n_distinct"))
+      .withColumn("dup_ratio",
+        round(lit(1.0) - col("n_distinct") / col("n_docs").cast("double"), 6))
+  }
+
+  /** Source-level filtering: keep only documents whose SOURCE passes
+    * aggregate health thresholds (minimum mean quality, maximum
+    * exact-duplicate ratio, minimum doc count). Two passes over the
+    * corpus — the stats aggregation above, then a broadcast semi join
+    * of the passing-source set against the corpus (sources/domains are
+    * ~1e7 at web scale: 8-byte keys broadcast fine; the corpus itself
+    * never shuffles).
+    */
+  def sourceFilter(
+      docs: DataFrame,
+      sourceCol: String,
+      textCol: String,
+      minMeanQuality: Double = 0.0,
+      maxDupRatio: Double = 1.0,
+      minDocs: Long = 0L): DataFrame = {
+    val passing = sourceStats(docs, sourceCol, textCol)
+      .filter(
+        col("mean_quality") >= minMeanQuality &&
+          col("dup_ratio") <= maxDupRatio &&
+          col("n_docs") >= minDocs)
+      .select(col(sourceCol))
+    docs.join(broadcast(passing), Seq(sourceCol), "left_semi")
+  }
+
   def tfidfTopTerms(
       docs: DataFrame,
       groupCol: String,

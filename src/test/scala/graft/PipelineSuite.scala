@@ -1048,6 +1048,36 @@ class PipelineSuite extends SparkSpec {
     assert(a === b)
   }
 
+  test("sourceStats profiles and sourceFilter prunes whole sources") {
+    val s = spark
+    import s.implicits._
+    import graft.pipeline.CorpusStats
+    val good = "the quick brown fox jumps over that lazy dog and it is happy for a day"
+    val df = Seq(
+      (1L, "good", good + " one"), (2L, "good", good + " two"),
+      (3L, "dupey", good + " three"), (4L, "dupey", "Same   Page"), (5L, "dupey", "same page"),
+      (6L, "tiny", "x y")
+    ).toDF("doc_id", "source", "text")
+    val stats = CorpusStats.sourceStats(df, "source", "text")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(4), r.getDouble(5)))).toMap
+    assert(stats("good") === ((2L, 2L, 0.0)))
+    // "Same   Page" and "same page" normalize together: 3 docs, 2 distinct
+    assert(stats("dupey")._1 === 3L && stats("dupey")._2 === 2L)
+    assert(math.abs(stats("dupey")._3 - 1.0 / 3.0) < 1e-6)
+
+    val kept = CorpusStats.sourceFilter(df, "source", "text",
+        minMeanQuality = 0.3, maxDupRatio = 0.2, minDocs = 2L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 2L), s"dupey fails dup_ratio, tiny fails minDocs: $kept")
+
+    // the corpus side must not shuffle: semi join against a broadcast
+    val plan = CorpusStats.sourceFilter(df, "source", "text", 0.3, 0.2, 2L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"expected broadcast semi join:\n$plan")
+  }
+
   test("quality score is in [0,1] and rewards longer diverse text") {
     val s = spark
     import s.implicits._
