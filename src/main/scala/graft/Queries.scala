@@ -625,21 +625,34 @@ object Queries {
     * oracle re-derives the whole pipeline on string 8-grams (the Spark
     * side joins 64-bit gram hashes — collision-free at gate scale).
     */
-  def pRepeatedSpans(spark: SparkSession, sfDir: String): DataFrame = {
+  private def spanEnriched(spark: SparkSession, sfDir: String): DataFrame = {
     val passage = ("zero one two three four five six seven eight nine ten " +
       "eleven twelve thirteen fourteen fifteen sixteen seventeen eighteen " +
       "nineteen twenty twentyone twentytwo twentythree")
-    val enriched = documents(spark, sfDir).withColumn("text",
+    documents(spark, sfDir).withColumn("text",
       when(pmod(col("doc_id"), lit(17)) === 0, concat(col("text"), lit(" " + passage)))
         .otherwise(col("text")))
-    Dedup.repeatedSpans(enriched, "doc_id", "text",
+  }
+
+  def pRepeatedSpans(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.repeatedSpans(spanEnriched(spark, sfDir), "doc_id", "text",
         k = 8, minSpanTokens = 20, maxOccurrences = 64)
       .select(col("doc_a"), col("doc_b"),
         col("start_a").cast("long").as("start_a"),
         col("start_b").cast("long").as("start_b"),
         col("span_tokens"))
       .orderBy("doc_a", "doc_b", "start_a", "start_b")
-  }
+
+  /** Span removal ([[Dedup.removeRepeatedSpans]]) over the same
+    * passage-enriched corpus as [[pRepeatedSpans]]: the %17 docs (and
+    * any organic span pairs) lose their b-side occurrences; every other
+    * doc passes through with n_removed = 0. Pins the position
+    * arithmetic, the rebuild, and the untouched-doc passthrough.
+    */
+  def pSpanRemoval(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.removeRepeatedSpans(spanEnriched(spark, sfDir), "doc_id", "text",
+        k = 8, minSpanTokens = 20, maxOccurrences = 64)
+      .orderBy("doc_id")
 
   /** Deterministic multilingual enrichment for [[pQualityFilter]]: the
     * synthetic corpus language-IDs almost entirely 'en', which would pin

@@ -70,6 +70,7 @@ object SparkEntry {
     "p_daily_pipeline" -> (Queries.pDailyPipeline _),
     "p_daily_pipeline_full" -> (Queries.pDailyPipelineFull _),
     "p_repeated_spans" -> (Queries.pRepeatedSpans _),
+    "p_span_removal" -> (Queries.pSpanRemoval _),
     "p_data_mixture" -> (Queries.pDataMixture _),
     "p_doc_chunks" -> (Queries.pDocChunks _),
     "p_paragraph_dedup" -> (Queries.pParagraphDedup _),
@@ -87,6 +88,44 @@ object SparkEntry {
 
   private val EN = "['the','and','of','to','in','is','a','that','it','for']"
   private val TOKS = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+
+  /** Shared CTE for the repeated-substring oracles: 8-gram positional
+    * strings over the %17-passage-enriched corpus, hot-gram guard (>64),
+    * diagonal/island merge into maximal spans (`sp`). Both the span
+    * report and the span-removal gate build on the same prefix so the
+    * two oracles cannot drift.
+    */
+  private val REPEATED_SPANS_CTE: String = {
+    val k = 8
+    val gram = (0 until k).map(j => if (j == 0) "t[i]" else s"t[i+$j]")
+      .mkString(" || ' ' || ")
+    s"""WITH enriched AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 17 = 0 THEN text || ' zero one two three four five six seven eight nine ten eleven twelve thirteen fourteen fifteen sixteen seventeen eighteen nineteen twenty twentyone twentytwo twentythree'
+       |         ELSE text END AS text
+       |  FROM documents),
+       |toks AS (
+       |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+       |  FROM enriched),
+       |g AS (
+       |  SELECT doc_id, i - 1 AS pos, $gram AS s
+       |  FROM toks, LATERAL (SELECT unnest(range(1, len(t) - ${k - 2})) AS i)
+       |  WHERE len(t) >= $k),
+       |hot AS (SELECT s FROM g GROUP BY s HAVING count(*) > 64),
+       |gg AS (SELECT g.doc_id, g.pos, g.s FROM g ANTI JOIN hot USING (s)),
+       |m AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    a.pos AS pa, b.pos AS pb
+       |  FROM gg a JOIN gg b ON a.s = b.s AND a.doc_id < b.doc_id),
+       |d AS (
+       |  SELECT doc_a, doc_b, pa, pb, pa - pb AS diag,
+       |    pa - row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb ORDER BY pa) AS grp
+       |  FROM m),
+       |sp AS (
+       |  SELECT doc_a, doc_b, min(pa) AS start_a, min(pb) AS start_b,
+       |    count(*) + ${k - 1} AS span_tokens
+       |  FROM d GROUP BY doc_a, doc_b, diag, grp)""".stripMargin
+  }
 
   /** Exact word-3-gram Jaccard pairs >= 0.5 — the shared oracle for the
     * exact inverted-index join and both verified-LSH pipelines (MinHash /
@@ -706,41 +745,42 @@ object SparkEntry {
     // repeated-substring spans: positional 8-grams, hot-gram guard,
     // diagonal/island merge — the full pipeline re-derived on string
     // grams (Spark joins 64-bit hashes of the same grams)
-    "p_repeated_spans" -> {
-      val k = 8
-      val gram = (0 until k).map(j => if (j == 0) "t[i]" else s"t[i+$j]")
-        .mkString(" || ' ' || ")
-      s"""WITH enriched AS (
-         |  SELECT doc_id,
-         |    CASE WHEN doc_id % 17 = 0 THEN text || ' zero one two three four five six seven eight nine ten eleven twelve thirteen fourteen fifteen sixteen seventeen eighteen nineteen twenty twentyone twentytwo twentythree'
-         |         ELSE text END AS text
-         |  FROM documents),
-         |toks AS (
-         |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
-         |  FROM enriched),
-         |g AS (
-         |  SELECT doc_id, i - 1 AS pos, $gram AS s
-         |  FROM toks, LATERAL (SELECT unnest(range(1, len(t) - ${k - 2})) AS i)
-         |  WHERE len(t) >= $k),
-         |hot AS (SELECT s FROM g GROUP BY s HAVING count(*) > 64),
-         |gg AS (SELECT g.doc_id, g.pos, g.s FROM g ANTI JOIN hot USING (s)),
-         |m AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |    a.pos AS pa, b.pos AS pb
-         |  FROM gg a JOIN gg b ON a.s = b.s AND a.doc_id < b.doc_id),
-         |d AS (
-         |  SELECT doc_a, doc_b, pa, pb, pa - pb AS diag,
-         |    pa - row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb ORDER BY pa) AS grp
-         |  FROM m),
-         |sp AS (
-         |  SELECT doc_a, doc_b, min(pa) AS start_a, min(pb) AS start_b,
-         |    count(*) + ${k - 1} AS span_tokens
-         |  FROM d GROUP BY doc_a, doc_b, diag, grp)
+    "p_repeated_spans" ->
+      s"""$REPEATED_SPANS_CTE
          |SELECT doc_a, doc_b, CAST(start_a AS BIGINT) AS start_a,
          |  CAST(start_b AS BIGINT) AS start_b, CAST(span_tokens AS BIGINT) AS span_tokens
          |FROM sp WHERE span_tokens >= 20
-         |ORDER BY 1, 2, 3, 4""".stripMargin
-    },
+         |ORDER BY 1, 2, 3, 4""".stripMargin,
+    // span removal: the same span pipeline, then position-explode the
+    // b-side ranges, cut them from the affected docs, and rebuild
+    "p_span_removal" ->
+      s"""$REPEATED_SPANS_CTE,
+         |spans AS (SELECT * FROM sp WHERE span_tokens >= 20),
+         |rm AS (
+         |  SELECT DISTINCT doc_b AS doc_id, CAST(start_b + u.i AS BIGINT) AS pos
+         |  FROM spans, LATERAL (SELECT unnest(range(0, span_tokens)) AS i) u),
+         |affected AS (SELECT DISTINCT doc_id FROM rm),
+         |ex AS (
+         |  SELECT doc_id, CAST(p.i - 1 AS BIGINT) AS pos, t[p.i] AS tok
+         |  FROM toks SEMI JOIN affected USING (doc_id),
+         |    LATERAL (SELECT unnest(range(1, len(t) + 1)) AS i) p),
+         |keep AS (SELECT e.* FROM ex e ANTI JOIN rm USING (doc_id, pos)),
+         |reb AS (
+         |  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text
+         |  FROM keep GROUP BY doc_id),
+         |cnt AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_removed
+         |  FROM rm GROUP BY doc_id),
+         |aff_out AS (
+         |  SELECT c.doc_id, coalesce(r.text, '') AS text, c.n_removed
+         |  FROM cnt c LEFT JOIN reb r USING (doc_id)),
+         |unt AS (
+         |  SELECT doc_id, array_to_string(t, ' ') AS text,
+         |    CAST(0 AS BIGINT) AS n_removed
+         |  FROM toks ANTI JOIN affected USING (doc_id))
+         |SELECT doc_id, text, n_removed
+         |FROM (SELECT * FROM aff_out UNION ALL SELECT * FROM unt)
+         |ORDER BY doc_id""".stripMargin,
     // the five-stage production chain: decontaminate -> quality filter ->
     // artifact dedup -> split -> stats, each stage re-derived in SQL
     "p_daily_pipeline_full" ->

@@ -963,6 +963,69 @@ object Dedup {
       .select(col("id").as(idCol), col("text"), col("n_paras"), col("n_kept"))
   }
 
+  /** Surgical removal of repeated substrings ([[repeatedSpans]]' other
+    * half — Lee et al. REMOVE the duplicated spans, keeping one
+    * occurrence): every maximal shared span keeps its first-document
+    * occurrence (spans are reported doc_a < doc_b; the b-side loses) and
+    * the losing documents get those token ranges cut out. Returns
+    * `(id, text, n_removed)` for EVERY input doc — text rebuilt from the
+    * surviving tokens of the normalized stream (token-level surgery is
+    * tokenizer-side, like [[graft.pipeline.Chunking]]: untouched docs
+    * are re-joined from the same normalized tokens so the output column
+    * is uniformly single-spaced), `n_removed` the count of removed
+    * token positions (overlapping spans counted once).
+    *
+    * Scale shape: the detection pipeline dominates (see
+    * [[repeatedSpans]]); removal adds a position-explode of the SPAN
+    * volume only (duplicated tokens, not the corpus), one left_semi to
+    * pull the affected docs, and one groupBy to rebuild them. Untouched
+    * documents never explode and never shuffle — they pass through a
+    * map-side anti join + re-join projection.
+    */
+  def removeRepeatedSpans(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8,
+      minSpanTokens: Int = 20,
+      maxOccurrences: Int = 64): DataFrame = {
+    val spans = repeatedSpans(docs, idCol, textCol, k, minSpanTokens, maxOccurrences)
+    val rm = spans
+      .select(
+        col("doc_b").as("id"),
+        explode(sequence(
+          col("start_b").cast("long"),
+          col("start_b").cast("long") + col("span_tokens") - 1L)).as("pos"))
+      .distinct()
+    val affectedIds = rm.select("id").distinct()
+    val base = docs.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+    val rebuilt = base
+      .join(affectedIds, Seq("id"), "left_semi")
+      .select(col("id"), posexplode(col("toks")).as(Seq("pos", "tok")))
+      .withColumn("pos", col("pos").cast("long"))
+      .join(rm, Seq("id", "pos"), "left_anti")
+      .groupBy("id")
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("pos"), col("tok")))),
+            x => x.getField("tok")),
+          " ").as("text"),
+        count(lit(1)).as("n_kept"))
+    val removedCounts = rm.groupBy("id").agg(count(lit(1)).as("n_removed"))
+    val untouched = base
+      .join(affectedIds, Seq("id"), "left_anti")
+      .select(col("id"), array_join(col("toks"), " ").as("text"), lit(0L).as("n_removed"))
+    // left join from the counts side: a doc whose EVERY token was removed
+    // has no surviving rows to rebuild from, but must still emit a row
+    // (empty text) — vanishing silently would undercount the corpus
+    removedCounts
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id").as(idCol), coalesce(col("text"), lit("")).as("text"),
+        col("n_removed"))
+      .unionByName(untouched.withColumnRenamed("id", idCol))
+  }
+
   def repeatedSpans(
       docs: DataFrame,
       idCol: String,

@@ -637,6 +637,29 @@ class PipelineSuite extends SparkSpec {
     assert(unguarded.count() === 45L) // C(10,2) pairs all share the span
   }
 
+  test("removeRepeatedSpans cuts b-side occurrences and keeps the first") {
+    val s = spark
+    import s.implicits._
+    val shared = (1 to 12).map(i => s"p$i").mkString(" ")
+    val df = Seq(
+      (1L, s"a b c $shared x y z"),   // first occurrence: untouched
+      (2L, s"q $shared r"),           // b-side: span cut out
+      (3L, "m n o p q r s t u v w")   // no span: passthrough
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeRepeatedSpans(df, "doc_id", "text", k = 4, minSpanTokens = 10)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out(1L) === ((s"a b c $shared x y z", 0L)))
+    assert(out(2L) === (("q r", 12L)))
+    assert(out(3L) === (("m n o p q r s t u v w", 0L)))
+
+    // full containment: a doc that IS the span ends up empty, still present
+    val pair = Seq((1L, shared), (2L, shared)).toDF("doc_id", "text")
+    val gone = Dedup.removeRepeatedSpans(pair, "doc_id", "text", k = 4, minSpanTokens = 10)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(gone(1L) === ((shared, 0L)))
+    assert(gone(2L) === (("", 12L)))
+  }
+
   test("topk_rows multi-key aggregate equals the window top-k exactly") {
     val s = spark
     import s.implicits._
