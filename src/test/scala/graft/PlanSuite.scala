@@ -83,6 +83,39 @@ class PlanSuite extends SparkSpec {
       s"expected exactly 1 NgramRepetition node, found $n:\n$plan")
   }
 
+  test("kmeans assignment is a pure projection; packing shuffles once") {
+    val embs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val cents = pipeline.Clustering.initByMinId(embs, "vec_id", "v", 4)
+    val assignPlan = pipeline.Clustering.assignClusters(embs, "v", cents)
+      .queryExecution.executedPlan.toString
+    assert(!assignPlan.contains("Exchange"),
+      s"centroid assignment must not shuffle:\n$assignPlan")
+
+    val docs = Tables.documents(spark, sf)
+    val packPlan = pipeline.Chunking.packConcat(docs, "doc_id", "text", 64, 4)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(packPlan).length
+    assert(exchanges == 1,
+      s"packing must shuffle exactly once (on stream), found $exchanges:\n$packPlan")
+  }
+
+  test("paragraph dedup and span removal join on keys, never all-pairs") {
+    val docs = Tables.documents(spark, sf)
+    val para = formatted(pipeline.Dedup.paragraphDedup(docs, "doc_id", "text", " "))
+    assert(!para.contains("CartesianProduct") && !para.contains("BroadcastNestedLoopJoin"),
+      s"paragraph dedup plans an all-pairs join:\n$para")
+    // the first-occurrence join keys on the 64-bit paragraph hash
+    val paraBlocks = hashJoinBlocks(para)
+    assert(paraBlocks.exists(b => b.linesIterator.exists(
+        l => l.contains("keys") && """\bkey#\d+""".r.findFirstIn(l).isDefined)),
+      s"paragraph dedup does not join on the paragraph hash key:\n$para")
+
+    val rem = formatted(pipeline.Dedup.removeRepeatedSpans(docs, "doc_id", "text", 4, 10))
+    assert(!rem.contains("CartesianProduct") && !rem.contains("BroadcastNestedLoopJoin"),
+      s"span removal plans an all-pairs join:\n$rem")
+  }
+
   test("no dedup or similarity pipeline plans a cartesian product") {
     val docs = Tables.documents(spark, sf)
     val embs = Tables.embeddings(spark, sf)
