@@ -618,6 +618,55 @@ class StreamingSuite extends SparkSpec {
     assert(maintainedSigs === fullSigs)
   }
 
+  test("stateless corpus transforms (chunking, decontamination) run verbatim on streams") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val docs = Seq(
+      (1L, "a b c d e f g h"), (2L, "x y z"),
+      (3L, "a b c q r s t u v w"), (4L, "m n o p")
+    )
+    val evalGrams = graft.pipeline.Decontaminate.evalGramArray(
+      Seq((99L, "a b c d")).toDF("doc_id", "text"), "text", 3)
+
+    val mem = MemoryStream[(Long, String)]
+    val streamDf = mem.toDF().toDF("doc_id", "text")
+    // the SAME Column programs applied to a streaming frame: chunking's
+    // sequence/transform/explode and decontamination's broadcast-array
+    // UDF are stateless, so they must run append-mode with no watermark
+    val chunkQ = graft.pipeline.Chunking.chunkDocuments(streamDf, "text", 5, 3)
+      .select("doc_id", "chunk_id", "chunk_text", "n_tokens")
+      .writeStream.format("memory").queryName("chunk_out").outputMode("append")
+      .start()
+    val deconQ = graft.pipeline.Decontaminate
+      .markContaminated(streamDf, "text", 3, evalGrams)
+      .select("doc_id", "n_ngrams", "n_hits")
+      .writeStream.format("memory").queryName("decon_out").outputMode("append")
+      .start()
+    try {
+      mem.addData(docs.take(2): _*)
+      Seq(chunkQ, deconQ).foreach(_.processAllAvailable())
+      mem.addData(docs.drop(2): _*)
+      Seq(chunkQ, deconQ).foreach(_.processAllAvailable())
+
+      val batchDf = docs.toDF("doc_id", "text")
+      val chunkBatch = graft.pipeline.Chunking.chunkDocuments(batchDf, "text", 5, 3)
+        .select("doc_id", "chunk_id", "chunk_text", "n_tokens")
+        .collect().map(_.toSeq).toSet
+      val chunkStream = s.sql("SELECT * FROM chunk_out").collect().map(_.toSeq).toSet
+      assert(chunkStream === chunkBatch)
+
+      val deconBatch = graft.pipeline.Decontaminate
+        .markContaminated(batchDf, "text", 3, evalGrams)
+        .select("doc_id", "n_ngrams", "n_hits")
+        .collect().map(_.toSeq).toSet
+      val deconStream = s.sql("SELECT * FROM decon_out").collect().map(_.toSeq).toSet
+      assert(deconStream === deconBatch)
+      // the planted contaminated doc really hits: 'a b c' from doc 3
+      assert(deconStream.exists(r => r.head == 3L && r(2).asInstanceOf[Long] > 0L))
+    } finally Seq(chunkQ, deconQ).foreach(_.stop())
+  }
+
   test("flatMapGroupsWithState running stats accumulate across batches") {
     val s = spark
     import s.implicits._
