@@ -128,6 +128,24 @@ class DocsSuite extends SparkSpec {
     assert(train.count() + valid.count() + test.count() === docs.count())
   }
 
+  test("pipeline-ops: chunking/packing/clustering/source snippets run") {
+    val chunks = pipeline.Chunking.chunkDocuments(docs, "text", maxTokens = 48, stride = 32)
+    assert(chunks.count() >= docs.count())
+    val packed = pipeline.Chunking.packConcat(docs, "doc_id", "text",
+      seqLen = 64, numStreams = 4)
+    assert(packed.count() === docs.count())
+    val paraDocs = docs.limit(50)
+      .withColumn("text", concat(col("text"), lit("\n\nshared tail paragraph")))
+    assert(pipeline.Dedup.paragraphDedup(paraDocs, "doc_id", "text").count() > 0)
+    val (assigned, centroids) =
+      pipeline.Clustering.kmeans(embs, "vec_id", "embedding", k = 4, iters = 2)
+    assert(centroids.length === 4 && assigned.groupBy("cluster").count().count() <= 4)
+    val stats = pipeline.CorpusStats.sourceStats(docs, "source", "text")
+    assert(stats.count() === docs.select("source").distinct().count())
+    assert(pipeline.CorpusStats.sourceFilter(docs, "source", "text",
+      minMeanQuality = 0.3).count() > 0)
+  }
+
   test("pipeline-ops: skew + similarity snippets run") {
     val fact = reg.withColumn("user_id", (col("l_quantity") % 5).cast("long"))
     val dim = fact.groupBy("user_id").agg(count(lit(1)).as("n"))
