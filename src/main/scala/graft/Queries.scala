@@ -566,6 +566,30 @@ object Queries {
       .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("id_sum"))
       .orderBy("source")
 
+  /** Per-source exact token-length quantiles
+    * ([[CorpusStats.sourceQuantiles]]): Spark's exact `percentile` and
+    * DuckDB's `quantile_cont` share the (n−1)·p interpolation formula,
+    * and integer inputs make the arithmetic engine-exact (rounded 6dp
+    * anyway as belt-and-braces).
+    */
+  def pSourceQuantiles(spark: SparkSession, sfDir: String): DataFrame =
+    CorpusStats.sourceQuantiles(documents(spark, sfDir), "source", "text",
+        Seq(0.5, 0.9, 0.99))
+      .select(col("source"), col("n_docs"),
+        round(col("q0"), 6).as("p50"),
+        round(col("q1"), 6).as("p90"),
+        round(col("q2"), 6).as("p99"))
+      .orderBy("source")
+
+  /** BPE merge-candidate statistics ([[CorpusStats.bpePairStats]]): top
+    * 30 adjacent character pairs weighted by word frequency — integer
+    * counts with a total (n desc, pair asc) order, re-derived in SQL
+    * over the same vocabulary collapse.
+    */
+  def pBpePairs(spark: SparkSession, sfDir: String): DataFrame =
+    CorpusStats.bpePairStats(documents(spark, sfDir), "text", 30)
+      .orderBy("rnk")
+
   /** K-means corpus clustering ([[Clustering]]): min-id init (vec_id
     * < 8), ONE Lloyd round, then a final assignment against centroids
     * rounded to 6 decimals. The rounding is the gate's cross-engine

@@ -78,6 +78,8 @@ object SparkEntry {
     "p_kmeans" -> (Queries.pKmeans _),
     "p_source_stats" -> (Queries.pSourceStats _),
     "p_source_filter" -> (Queries.pSourceFilter _),
+    "p_source_quantiles" -> (Queries.pSourceQuantiles _),
+    "p_bpe_pairs" -> (Queries.pBpePairs _),
     "p_ngram_repetition" -> (Queries.pNgramRepetition _),
     "p_pii_redaction" -> (Queries.pPiiRedaction _),
     "p_tfidf_top_terms" -> (Queries.pTfidfTopTerms _),
@@ -654,6 +656,33 @@ object SparkEntry {
          |SELECT source, n_docs, n_tokens, mean_quality, n_distinct,
          |  round(1.0 - n_distinct / (n_docs * 1.0), 6) AS dup_ratio
          |FROM s ORDER BY source""".stripMargin,
+    // exact per-source token-length quantiles: (n-1)*p interpolation on
+    // both engines, integer inputs
+    "p_source_quantiles" ->
+      s"""WITH tc AS (
+         |  SELECT source, CAST(len($TOKS) AS BIGINT) AS nt FROM documents)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  round(quantile_cont(nt, 0.5), 6) AS p50,
+         |  round(quantile_cont(nt, 0.9), 6) AS p90,
+         |  round(quantile_cont(nt, 0.99), 6) AS p99
+         |FROM tc GROUP BY source ORDER BY source""".stripMargin,
+    // BPE merge candidates: vocabulary collapse, adjacent char pairs
+    // weighted by word frequency, total-ordered top 30
+    "p_bpe_pairs" ->
+      s"""WITH w AS (
+         |  SELECT t AS word, count(*) AS wc
+         |  FROM (SELECT unnest($TOKS) AS t FROM documents)
+         |  GROUP BY 1),
+         |p AS (
+         |  SELECT substr(word, CAST(i AS INT), 2) AS pair, sum(wc) AS n
+         |  FROM w, LATERAL (SELECT unnest(range(1, len(word))) AS i)
+         |  WHERE len(word) >= 2 GROUP BY 1),
+         |r AS (
+         |  SELECT pair, CAST(n AS BIGINT) AS n,
+         |    row_number() OVER (ORDER BY n DESC, pair) AS rnk
+         |  FROM p)
+         |SELECT pair, n, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= 30
+         |ORDER BY rnk""".stripMargin,
     // source filter: aggregate thresholds then per-source membership
     "p_source_filter" ->
       s"""WITH enr AS (

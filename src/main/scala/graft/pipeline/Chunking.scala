@@ -35,7 +35,9 @@ object Chunking {
     * is ragged (`n_tokens <= maxTokens`). Output keeps every column of
     * `df` plus `chunk_id` / `chunk_text` / `n_tokens`; token order and
     * inter-token whitespace are normalized (single spaces), not
-    * preserved — chunking is a tokenizer-side operator.
+    * preserved — chunking is a tokenizer-side operator. A null-text doc
+    * yields NO chunk rows (the explode of a null chunk array) rather
+    * than one null chunk.
     */
   def chunkDocuments(
       df: DataFrame,
@@ -46,7 +48,9 @@ object Chunking {
     require(stride > 0 && stride <= maxTokens,
       s"stride must be in [1, maxTokens], got $stride (maxTokens $maxTokens)")
     val toks = TextFunctions.tokens(col(textCol))
-    val chunks = transform(
+    // guard BEFORE numChunks: greatest(null, 1) is 1, so without it a
+    // null-text doc would emit one all-null chunk instead of none
+    val chunksRaw = transform(
       sequence(lit(0), numChunks(size(toks), maxTokens, stride) - lit(1)),
       i => {
         val piece = slice(toks, i * lit(stride) + lit(1), lit(maxTokens))
@@ -55,6 +59,7 @@ object Chunking {
           array_join(piece, " ").as("chunk_text"),
           size(piece).cast("long").as("n_tokens"))
       })
+    val chunks = when(toks.isNotNull, chunksRaw)
     df.select(col("*"), explode(chunks).as("chunk"))
       .withColumn("chunk_id", col("chunk.chunk_id"))
       .withColumn("chunk_text", col("chunk.chunk_text"))
@@ -85,6 +90,10 @@ object Chunking {
     * stays RAM-sized; the per-stream cumulative sum is the price of
     * byte-identical packing (the alternative, rand-free round-robin by
     * partition, is layout-dependent and unreproducible).
+    *
+    * Null text: the doc emits a row with null `n_tokens`/`last_seq` and
+    * contributes ZERO width to its stream (window `sum` skips nulls), so
+    * later documents' offsets are unaffected.
     */
   def packConcat(
       df: DataFrame,

@@ -95,6 +95,71 @@ object CorpusStats {
     docs.join(broadcast(passing), Seq(sourceCol), "left_semi")
   }
 
+  /** Per-source EXACT quantiles of a per-doc metric (default: token
+    * count) — the length-distribution profile behind context-length
+    * planning and outlier-source detection (a source whose p99 is 100×
+    * its p50 is concatenated pages, not documents). Uses Spark's exact
+    * `percentile` aggregate ((n−1)·p rank interpolation, the same
+    * formula as DuckDB's `quantile_cont` and NumPy's default): integer
+    * inputs make the interpolation arithmetic engine-exact. Per-group
+    * state is a sorted buffer of the group's values — fine for
+    * per-SOURCE groups (docs/source values, bounded by the biggest
+    * source); switch to `approx_percentile` when single groups outgrow
+    * executor memory.
+    */
+  def sourceQuantiles(
+      docs: DataFrame,
+      sourceCol: String,
+      textCol: String,
+      probabilities: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
+    require(probabilities.nonEmpty && probabilities.forall(p => p >= 0 && p <= 1),
+      s"probabilities must be in [0,1], got $probabilities")
+    val metric = TextFunctions.tokenCount(col(textCol)).cast("long")
+    val qcols = probabilities.zipWithIndex.map { case (p, i) =>
+      percentile(metric, lit(p)).as(s"q$i")
+    }
+    val aggs = count(lit(1)).as("n_docs") +: qcols
+    docs
+      .groupBy(col(sourceCol))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Adjacent-symbol pair statistics — the scoring table behind a BPE
+    * tokenizer-training iteration (the highest-count pair is the next
+    * merge). Counts each adjacent CHARACTER pair within words, weighted
+    * by word frequency, and returns the top `k` with a total order
+    * (count desc, pair asc).
+    *
+    * Scale shape: the corpus-sized explode collapses to vocabulary size
+    * via partial aggregation (`groupBy(word)`); pair explosion and
+    * scoring then run on the VOCABULARY (words × avg word length rows,
+    * corpus-size-independent), and the top-k is the bounded-heap
+    * `topk_rows` aggregate, never a global sort. Real BPE iterates —
+    * re-run after applying each merge to the vocabulary (vocabulary-
+    * sized work per iteration, the corpus is scanned once).
+    */
+  def bpePairStats(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val words = docs
+      .select(explode(tokens(col(textCol))).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("wc"))
+      .filter(length(col("word")) >= 2)
+    val pairs = words
+      .select(col("wc"),
+        explode(transform(
+          sequence(lit(1), length(col("word")) - 1),
+          i => col("word").substr(i, lit(2)))).as("pair"))
+      .groupBy("pair")
+      .agg(sum("wc").as("n"))
+    pairs
+      .groupBy()
+      .agg(topk_rows(k, Seq(true, false), col("n"), col("pair")).as("top"))
+      .select(posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("t.pair").as("pair"), col("t.n").as("n"),
+        (col("pos") + 1).cast("long").as("rnk"))
+  }
+
   def tfidfTopTerms(
       docs: DataFrame,
       groupCol: String,

@@ -1101,6 +1101,26 @@ class PipelineSuite extends SparkSpec {
       s"expected broadcast semi join:\n$plan")
   }
 
+  test("sourceQuantiles interpolates exactly; bpePairStats counts merges") {
+    val s = spark
+    import s.implicits._
+    import graft.pipeline.CorpusStats
+    // token counts 1..4 in one source: p50 = 2.5 ((n-1)*p interpolation)
+    val df = Seq(
+      ("s1", "a"), ("s1", "a b"), ("s1", "a b c"), ("s1", "a b c d")
+    ).toDF("source", "text")
+    val q = CorpusStats.sourceQuantiles(df, "source", "text", Seq(0.5)).head()
+    assert(q.getLong(1) === 4L && q.getDouble(2) === 2.5)
+
+    // "abab" (wc 2) has pairs ab,ba,ab; "ab" (wc 1) has ab; "x" too short
+    // -> ab = 2*2 + 1 = 5, ba = 1*2 = 2
+    val bp = Seq((1L, "abab abab ab x")).toDF("doc_id", "text")
+    val pairs = CorpusStats.bpePairStats(bp, "text", 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.toSeq === Seq(("ab", 5L, 1L), ("ba", 2L, 2L)),
+      s"wc-weighted adjacent pairs: ${pairs.toSeq}")
+  }
+
   test("quality score is in [0,1] and rewards longer diverse text") {
     val s = spark
     import s.implicits._

@@ -153,6 +153,48 @@ class RobustnessSuite extends SparkSpec {
     assert(a.subspaces.map(_.toSeq).toSeq !== c.subspaces.map(_.toSeq).toSeq)
   }
 
+  test("null-text documents have defined behavior in the round-11 operators") {
+    val s = spark
+    import s.implicits._
+    import graft.pipeline.{Chunking, CorpusStats, Dedup}
+    val docs = Seq(
+      (1L, "src", Option("a b c d e")),
+      (2L, "src", Option.empty[String]), // null text
+      (3L, "src", Option("f g h"))
+    ).toDF("doc_id", "source", "text")
+
+    // chunking: a null-text doc yields no chunks (explode of null), the
+    // rest of the corpus is untouched
+    val chunks = Chunking.chunkDocuments(docs, "text", 3, 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(chunks === Set(1L, 3L))
+
+    // packing: a null-text doc emits a zero-width row (null coordinates)
+    // and does NOT shift later documents' offsets
+    val packed = Chunking.packConcat(docs, "doc_id", "text", 4, 1)
+      .orderBy("doc_id").collect()
+    assert(packed.length === 3)
+    assert(packed(1).isNullAt(2) && packed(1).isNullAt(5)) // n_tokens, last_seq
+    val without = Chunking.packConcat(docs.filter($"doc_id" =!= 2L),
+      "doc_id", "text", 4, 1).orderBy("doc_id").collect()
+    assert(packed(2).getLong(3) === without(1).getLong(3),
+      "null-text doc must not shift later offsets")
+
+    // paragraph dedup: a null-text doc simply drops (no paragraphs)
+    val paras = Dedup.paragraphDedup(docs, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(paras === Set(1L, 3L))
+
+    // span removal: null text passes through as null, untouched
+    val removed = Dedup.removeRepeatedSpans(docs, "doc_id", "text", 2, 2)
+      .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(removed.keySet === Set(1L, 2L, 3L) && removed(2L))
+
+    // source stats: null text counts as a doc; token/quality terms skip it
+    val stats = CorpusStats.sourceStats(docs, "source", "text").head()
+    assert(stats.getLong(1) === 3L)
+  }
+
   test("custom SQL functions usable from SQL text and Column API") {
     val s = spark
     import s.implicits._
