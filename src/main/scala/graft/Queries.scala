@@ -267,6 +267,26 @@ object Queries {
     }.reduce(_ unionByName _).orderBy("split_idx")
   }
 
+  /** Leakage-free split ([[Sampling.leakageFreeSplit]]): the near-dup
+    * clusters of the Jaccard pair graph travel together through a
+    * 0.7/0.2/0.1 split (split key = component id, unpaired docs fall
+    * back to their own id). The oracle re-derives the recursive closure
+    * and the same LCG cutoffs; any cluster straddling a split boundary
+    * shifts a split's id checksum.
+    */
+  def pLeakageSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = documents(spark, sfDir)
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+    val comps = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+    pairs.unpersist(blocking = false)
+    val splits = Sampling.leakageFreeSplit(docs, "doc_id", comps, Seq(0.7, 0.2, 0.1))
+    splits.zipWithIndex.map { case (df, i) =>
+      df.groupBy()
+        .agg(count(lit(1)).as("n_rows"), sum("doc_id").as("id_sum"))
+        .select(lit(i).as("split_idx"), col("n_rows"), col("id_sum"))
+    }.reduce(_ unionByName _).orderBy("split_idx")
+  }
+
   /** Incremental dedup: the corpus/batch split is doc_id mod 3 (batch =
     * multiples of 3), so the fixture exercises all three drop reasons —
     * batch doc near-dup of a corpus doc, of an earlier batch doc, and

@@ -65,6 +65,7 @@ object SparkEntry {
     "p_dedup_survivors" -> (Queries.pDedupSurvivors _),
     "p_stratified_sample" -> (Queries.pStratifiedSample _),
     "p_hash_split" -> (Queries.pHashSplit _),
+    "p_leakage_split" -> (Queries.pLeakageSplit _),
     "p_dedup_incremental" -> (Queries.pIncrementalDedup _),
     "p_dedup_incr_artifact" -> (Queries.pIncrementalDedupArtifact _),
     "p_daily_pipeline" -> (Queries.pDailyPipeline _),
@@ -506,6 +507,36 @@ object SparkEntry {
          |    ((((doc_id % 4294967296) * 1103515245 + 12345) % 4294967296)
          |      + 4294967296) % 4294967296 AS bucket
          |  FROM documents),
+         |b AS (
+         |  SELECT doc_id,
+         |    CASE WHEN bucket < ${pipeline.Sampling.rateCutoff(0.7)} THEN 0
+         |         WHEN bucket < ${pipeline.Sampling.rateCutoff(0.7 + 0.2)} THEN 1
+         |         ELSE 2 END AS split_idx
+         |  FROM s)
+         |SELECT split_idx, count(*) AS n_rows, CAST(sum(doc_id) AS BIGINT) AS id_sum
+         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+    // leakage-free split: recursive near-dup closure -> split key =
+    // component (own id when unpaired) -> same LCG cutoffs as hash_split
+    "p_leakage_split" ->
+      s"""WITH RECURSIVE pr AS ($JACCARD_PAIRS_SQL),
+         |edges AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM pr
+         |  UNION SELECT doc_b AS a, doc_a AS b FROM pr),
+         |reach(src, dst) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+         |comp AS (
+         |  SELECT src AS id, least(src, min(dst)) AS component
+         |  FROM reach GROUP BY src),
+         |k AS (
+         |  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS key
+         |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id),
+         |s AS (
+         |  SELECT doc_id,
+         |    ((((key % 4294967296) * 1103515245 + 12345) % 4294967296)
+         |      + 4294967296) % 4294967296 AS bucket
+         |  FROM k),
          |b AS (
          |  SELECT doc_id,
          |    CASE WHEN bucket < ${pipeline.Sampling.rateCutoff(0.7)} THEN 0

@@ -137,7 +137,41 @@ object Sampling {
     * exact sample it trained on. Each split is still a pure map-side
     * filter over the base frame.
     */
-  def hashSplit(df: DataFrame, idCol: String, fractions: Seq[Double]): Seq[DataFrame] = {
+  /** Leakage-free splits: like [[hashSplit]], but near-duplicate
+    * CLUSTERS travel together — a doc's split is decided by its
+    * component id (from [[Dedup.connectedComponents]] over the near-dup
+    * pair graph) instead of its own id, so a train/test split can never
+    * put two near-duplicates on opposite sides (the classic eval-leak:
+    * the model is tested on a paraphrase of a training doc).
+    *
+    * `components` is the (id, component) frame of the PAIRED docs only;
+    * unpaired docs (the overwhelming majority) fall back to their own id
+    * — for them this is exactly [[hashSplit]], so existing mixes only
+    * reshuffle where clusters demand it. Component ids are min reachable
+    * doc ids, so membership stays a pure function of the data.
+    *
+    * Scale shape: one join against the pair-graph-sized component map
+    * (broadcast when it fits — near-dup graphs are corpus-fraction
+    * sized; a shuffle join on the 8-byte id otherwise), then the same
+    * map-side LCG filters as every sampler here.
+    */
+  def leakageFreeSplit(
+      df: DataFrame,
+      idCol: String,
+      components: DataFrame,
+      fractions: Seq[Double]): Seq[DataFrame] = {
+    val comps = components.select(col("id").as(idCol), col("component"))
+    val keyed = df
+      .join(comps, Seq(idCol), "left")
+      .withColumn("__split_key", coalesce(col("component"), col(idCol)))
+    splitByKey(keyed, col("__split_key"), fractions)
+      .map(_.drop("component", "__split_key"))
+  }
+
+  private def splitByKey(
+      df: DataFrame,
+      key: Column,
+      fractions: Seq[Double]): Seq[DataFrame] = {
     require(fractions.nonEmpty && fractions.forall(f => f >= 0.0 && f <= 1.0),
       s"fractions must each be in [0,1], got $fractions")
     require(fractions.sum <= 1.0 + 1e-9, s"fractions must sum to <= 1, got ${fractions.sum}")
@@ -154,8 +188,11 @@ object Sampling {
       if (i == sums.length - 1 && f >= 1.0 - 1e-9) 1.0 else math.min(f, 1.0)
     }.map(rateCutoff)
     fractions.indices.map { i =>
-      val b = lcgBucket(col(idCol))
+      val b = lcgBucket(key)
       df.filter(b >= lit(cuts(i)) && b < lit(cuts(i + 1)))
     }
   }
+
+  def hashSplit(df: DataFrame, idCol: String, fractions: Seq[Double]): Seq[DataFrame] =
+    splitByKey(df, col(idCol), fractions)
 }

@@ -1101,6 +1101,30 @@ class PipelineSuite extends SparkSpec {
       s"expected broadcast semi join:\n$plan")
   }
 
+  test("leakageFreeSplit keeps near-dup clusters on one side") {
+    val s = spark
+    import s.implicits._
+    val base = (0L until 100L).map(i => (i, s"doc $i"))
+    val df = base.toDF("doc_id", "text")
+    // clusters {1,2,3} and {50,51}; everything else unpaired
+    val comps = Seq((1L, 1L), (2L, 1L), (3L, 1L), (50L, 50L), (51L, 50L))
+      .toDF("id", "component")
+    val splits = Sampling.leakageFreeSplit(df, "doc_id", comps, Seq(0.5, 0.5))
+      .map(_.select("doc_id").collect().map(_.getLong(0)).toSet)
+    assert(splits(0).union(splits(1)).size === 100)
+    assert(splits(0).intersect(splits(1)).isEmpty)
+    // each cluster lands wholly in ONE split
+    Seq(Set(1L, 2L, 3L), Set(50L, 51L)).foreach { cluster =>
+      assert(splits.exists(sp => cluster.subsetOf(sp)),
+        s"cluster $cluster straddles the split: $splits")
+    }
+    // unpaired docs match plain hashSplit exactly
+    val plain = Sampling.hashSplit(df, "doc_id", Seq(0.5, 0.5))
+      .map(_.select("doc_id").collect().map(_.getLong(0)).toSet)
+    val unpaired = (0L until 100L).toSet -- Set(1L, 2L, 3L, 50L, 51L)
+    assert(splits(0).intersect(unpaired) === plain(0).intersect(unpaired))
+  }
+
   test("sourceQuantiles interpolates exactly; bpePairStats counts merges") {
     val s = spark
     import s.implicits._
