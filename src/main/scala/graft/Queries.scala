@@ -632,6 +632,24 @@ object Queries {
       .orderBy("vec_id")
   }
 
+  /** Cluster-balanced sampling ([[Clustering.clusterBalancedSample]]):
+    * min-id centroids (no Lloyd round — raw literals keep the
+    * assignment arithmetic engine-exact), target 60 docs/cluster. At
+    * sf0.001 cluster sizes straddle 60, so both rate branches (cap at 1
+    * and fractional downsample) carry data. The oracle re-derives
+    * assignment, cluster sizing, the double rate arithmetic, the
+    * truncated 2^32 cutoff, and the LCG keep filter.
+    */
+  def pClusterSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val pts = embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val init = Clustering.initByMinId(pts, "vec_id", "v", 8)
+    Clustering.clusterBalancedSample(pts, "vec_id", "v", init, 60L)
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_kept"), sum("vec_id").as("id_sum"))
+      .orderBy("cluster")
+  }
+
   /** Paragraph-level dedup ([[Dedup.paragraphDedup]]): the corpus has no
     * paragraph breaks, so the gate synthesizes them deterministically —
     * 6-token paragraphs joined with a blank line — after appending the

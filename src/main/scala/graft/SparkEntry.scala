@@ -77,6 +77,7 @@ object SparkEntry {
     "p_paragraph_dedup" -> (Queries.pParagraphDedup _),
     "p_seq_pack" -> (Queries.pSeqPack _),
     "p_kmeans" -> (Queries.pKmeans _),
+    "p_cluster_sample" -> (Queries.pClusterSample _),
     "p_source_stats" -> (Queries.pSourceStats _),
     "p_source_filter" -> (Queries.pSourceFilter _),
     "p_source_quantiles" -> (Queries.pSourceQuantiles _),
@@ -664,6 +665,36 @@ object SparkEntry {
          |  CAST(floor(start_off / 64) AS BIGINT) AS first_seq,
          |  CAST(floor((start_off + n_tokens - 1) / 64) AS BIGINT) AS last_seq
          |FROM o ORDER BY doc_id""".stripMargin,
+    // cluster-balanced sampling: raw min-id centroid assignment, cluster
+    // sizing, double rate arithmetic, truncated cutoff, LCG keep filter
+    "p_cluster_sample" ->
+      """WITH c0 AS (
+        |  SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+        |  FROM embeddings WHERE vec_id < 8),
+        |p AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |d1 AS (
+        |  SELECT p.vec_id, cid,
+        |    list_sum(list_transform(range(1, len(v)+1),
+        |      i -> (v[i]-cv[i])*(v[i]-cv[i]))) AS d2
+        |  FROM p, c0),
+        |a1 AS (
+        |  SELECT vec_id, cid,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        |  FROM d1),
+        |asg AS (SELECT vec_id, cid AS cluster FROM a1 WHERE rn = 1),
+        |sz AS (SELECT cluster, count(*) AS n FROM asg GROUP BY 1),
+        |rates AS (
+        |  SELECT cluster,
+        |    CAST(floor(least(1.0, 60.0 / n) * 4294967296.0) AS BIGINT) AS cutoff
+        |  FROM sz),
+        |kept AS (
+        |  SELECT asg.vec_id, asg.cluster
+        |  FROM asg JOIN rates USING (cluster)
+        |  WHERE ((((vec_id % 4294967296) * 1103515245 + 12345) % 4294967296)
+        |          + 4294967296) % 4294967296 < cutoff)
+        |SELECT CAST(cluster AS INT) AS cluster, CAST(count(*) AS BIGINT) AS n_kept,
+        |  CAST(sum(vec_id) AS BIGINT) AS id_sum
+        |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin,
     // per-source health profile: quality formula + distinct normalized
     // texts re-derived (Spark counts distinct 64-bit fingerprints)
     "p_source_stats" ->

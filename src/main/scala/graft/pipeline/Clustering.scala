@@ -101,6 +101,36 @@ object Clustering {
     cents
   }
 
+  /** Cluster-balanced sampling: assign to clusters, then downsample
+    * each cluster toward `targetPerCluster` docs with the deterministic
+    * LCG filter — the "equalize topics in the mix" operator (a crawl is
+    * 40% boilerplate-cluster; the training mix shouldn't be). A cluster
+    * at or under target keeps everything (rate caps at 1; upsampling is
+    * epoch repetition, not a corpus operator — same contract as
+    * [[Sampling.mixRates]]). One aggregation sizes the clusters (k
+    * driver-side rows); the sample itself is [[Sampling]]'s map-side
+    * id filter, so membership is a pure function of (id, centroids,
+    * target) — reproducible across runs, engines, and layouts.
+    */
+  def clusterBalancedSample(
+      points: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Seq[Seq[Double]],
+      targetPerCluster: Long): DataFrame = {
+    require(targetPerCluster > 0, s"targetPerCluster must be positive, got $targetPerCluster")
+    val assigned = assignClusters(points, vecCol, centroids)
+    val counts = assigned.groupBy("cluster").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1))
+    val rates = counts.map { case (c, n) =>
+      c.toString -> math.min(1.0, targetPerCluster.toDouble / n)
+    }.toMap
+    Sampling.hashStratifiedSample(
+        assigned.withColumn("__cluster_key", col("cluster").cast("string")),
+        idCol, "__cluster_key", rates)
+      .drop("__cluster_key")
+  }
+
   /** End-to-end k-means: min-id init, `iters` Lloyd rounds, final
     * assignment. Returns the assigned frame and the centroids.
     */

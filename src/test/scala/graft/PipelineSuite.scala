@@ -1101,6 +1101,29 @@ class PipelineSuite extends SparkSpec {
       s"expected broadcast semi join:\n$plan")
   }
 
+  test("clusterBalancedSample downsamples big clusters, keeps small ones whole") {
+    val s = spark
+    import s.implicits._
+    import graft.pipeline.Clustering
+    // cluster 0 around (0,0): 60 points; cluster 1 around (10,10): 5
+    val pts = ((0L until 60L).map(i => (i, Seq(0.0 + (i % 7) * 0.01, 0.0))) ++
+      (100L until 105L).map(i => (i, Seq(10.0, 10.0 + (i % 3) * 0.01))))
+      .toDF("vec_id", "v")
+    val cents = Seq(Seq(0.0, 0.0), Seq(10.0, 10.0))
+    val kept = Clustering.clusterBalancedSample(pts, "vec_id", "v", cents, 20L)
+      .groupBy("cluster").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // small cluster caps at rate 1: all 5 survive; big cluster ~1/3
+    assert(kept(1) === 5L)
+    assert(kept(0) < 40L && kept(0) > 5L, s"expected ~20 of 60, got ${kept(0)}")
+    // deterministic under layout
+    val again = Clustering.clusterBalancedSample(pts.repartition(7), "vec_id", "v", cents, 20L)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val first = Clustering.clusterBalancedSample(pts, "vec_id", "v", cents, 20L)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(again === first)
+  }
+
   test("leakageFreeSplit keeps near-dup clusters on one side") {
     val s = spark
     import s.implicits._
