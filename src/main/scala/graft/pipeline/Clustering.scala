@@ -74,7 +74,10 @@ object Clustering {
   /** `iters` full Lloyd iterations; returns the final centroids. One
     * aggregation job per iteration (assignment is fused into it — the
     * argmin is just a projection under the groupBy), each shuffling
-    * k x d doubles per map partition.
+    * k x d doubles per map partition. Each iteration re-scans `points`:
+    * persist it (id + vector only, post-pruning) before a multi-
+    * iteration fit, exactly like the ensemble estimators cache their
+    * instance table.
     */
   def lloyd(
       points: DataFrame,

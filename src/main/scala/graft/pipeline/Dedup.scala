@@ -990,6 +990,11 @@ object Dedup {
       minSpanTokens: Int = 20,
       maxOccurrences: Int = 64): DataFrame = {
     val spans = repeatedSpans(docs, idCol, textCol, k, minSpanTokens, maxOccurrences)
+    // persisted: the removal set feeds FOUR consumers (anti join, counts,
+    // semi + anti on affected ids) — without it each one re-runs the
+    // whole detection pipeline. Span-volume sized (duplicated tokens
+    // only), so the cache is small; freed by the caller's clearCache
+    // like every persisted dedup intermediate here.
     val rm = spans
       .select(
         col("doc_b").as("id"),
@@ -997,6 +1002,7 @@ object Dedup {
           col("start_b").cast("long"),
           col("start_b").cast("long") + col("span_tokens") - 1L)).as("pos"))
       .distinct()
+      .persist()
     val affectedIds = rm.select("id").distinct()
     val base = docs.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
     val rebuilt = base
