@@ -677,6 +677,81 @@ object Queries {
     Dedup.paragraphDedup(paraed, "doc_id", "text").orderBy("doc_id")
   }
 
+  /** Deterministic line structure for [[pBoilerplateRemoval]]: the corpus
+    * has no newlines, so each doc is re-wrapped into 8-token lines, then
+    * boilerplate is injected keyed on doc_id — the subscribe line
+    * prepended to %5==1 docs AND appended to %7==2 docs (ids hitting both
+    * carry two occurrences: distinct-doc counting and both-occurrence
+    * removal are pinned), the copyright line appended to %11==3 docs.
+    * At sf0.01 the subscribe line spans ~157 distinct docs and the
+    * copyright line ~46, bracketing the minDocs=60 threshold from both
+    * sides — one injected line is removed, the other (and every organic
+    * line below threshold) survives.
+    */
+  private val SubscribeLine =
+    "subscribe to our newsletter for updates click here now"
+  private val CopyrightLine =
+    "copyright twenty twenty five all rights reserved worldwide"
+
+  private def boilerplateEnriched(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = TF.tokens(col("text"))
+    val nLines = greatest(ceil(size(toks) / lit(8.0)).cast("int"), lit(1))
+    val body = array_join(
+      transform(sequence(lit(0), nLines - lit(1)),
+        i => array_join(slice(toks, i * lit(8) + lit(1), lit(8)), " ")),
+      "\n")
+    documents(spark, sfDir).withColumn("text",
+      concat(
+        when(pmod(col("doc_id"), lit(5)) === 1, lit(SubscribeLine + "\n")).otherwise(lit("")),
+        body,
+        when(pmod(col("doc_id"), lit(7)) === 2, lit("\n" + SubscribeLine)).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(11)) === 3, lit("\n" + CopyrightLine)).otherwise(lit(""))))
+  }
+
+  /** Boilerplate line removal ([[Dedup.boilerplateLineSet]] +
+    * [[Dedup.removeBoilerplate]]): lines in >= 60 distinct docs are
+    * stripped from EVERY doc (no surviving first occurrence — the
+    * [[pParagraphDedup]] contrast), everything else passes through.
+    * Output is every doc's rebuilt text plus line/removal counts; the
+    * oracle re-derives wrapping, injection, frequency, thresholding, and
+    * reassembly. The removal pass itself is zero-shuffle (broadcast key
+    * set, one projection); the only shuffles are the frequency count's.
+    */
+  def pBoilerplateRemoval(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = boilerplateEnriched(spark, sfDir)
+    val keys = Dedup.boilerplateLineSet(d, "doc_id", "text", minDocs = 60)
+    Dedup.removeBoilerplate(d, "text", keys)
+      .select(col("doc_id"), col("text"), col("n_lines"), col("n_removed"))
+      .orderBy("doc_id")
+  }
+
+  /** URL dedup ([[TF.canonicalizeUrl]] + [[Dedup.urlDedupSurvivors]]):
+    * the corpus has no URL column, so raw URLs are synthesized keyed on
+    * (source, doc_id) with six variant shapes — plain, uppercased
+    * authority, `www.` prefix, explicit `:443`, trailing slash +
+    * `utm_*` params, and a real param with a `gclid` and fragment. The
+    * first five canonicalize to the same URL per (source, doc_id % 25)
+    * slot, the sixth keeps its `?ref=1`; the oracle re-derives the whole
+    * regex chain, so every normalization step AND the min-id survivor
+    * rule are hash-pinned. Canonicalization is map-side; the one shuffle
+    * is the survivor groupBy.
+    */
+  def pUrlDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val slot = pmod(col("doc_id"), lit(25)).cast("string")
+    val base = concat(col("source"), lit(".example.com/doc/"), slot)
+    val raw = when(pmod(col("doc_id"), lit(6)) === 0, concat(lit("https://"), base))
+      .when(pmod(col("doc_id"), lit(6)) === 1,
+        concat(lit("HTTPS://"), upper(col("source")), lit(".EXAMPLE.COM/doc/"), slot))
+      .when(pmod(col("doc_id"), lit(6)) === 2, concat(lit("https://www."), base))
+      .when(pmod(col("doc_id"), lit(6)) === 3,
+        concat(lit("https://"), col("source"), lit(".example.com:443/doc/"), slot))
+      .when(pmod(col("doc_id"), lit(6)) === 4,
+        concat(lit("https://"), base, lit("/?utm_source=rss&utm_medium=feed")))
+      .otherwise(concat(lit("https://"), base, lit("?ref=1&gclid=abc123#frag")))
+    val docs = documents(spark, sfDir).withColumn("url", raw)
+    Dedup.urlDedupSurvivors(docs, "doc_id", "url").orderBy("url_canon")
+  }
+
   /** Cross-document repeated-substring spans ([[Dedup.repeatedSpans]] —
     * the Lee-et-al substring-dedup primitive). The synthetic corpus has
     * exact-duplicate docs (full-length spans) but few partial overlaps,
@@ -860,6 +935,23 @@ object Queries {
     Similarity.ivfTopK(e.filter(col("vec_id") < 30), e, "vec_id", "embedding", 5,
         numCentroids = 16, nprobe = 16)
       .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rnk"))
+      .orderBy("query_id", "rnk")
+  }
+
+  /** Product-quantization ANN ([[Similarity.pqTopK]]): min-id codebooks
+    * (vec_id < 16 per subspace), per-row encoding, and query-side ADC
+    * tables are ALL re-derived by the oracle, so the gate hash-pins
+    * encoding argmin + tie rule, the fixed-order lookup sum, and the
+    * nearest-first (ad2, id) ranking — not just top-k membership.
+    * Approximation quality (recall vs exact) is measured in
+    * PipelineSuite, where approximation is the point.
+    */
+  def pAnnPq(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = embeddings(spark, sfDir)
+    Similarity.pqTopK(e.filter(col("vec_id") < 30), e, "vec_id", "embedding", 5,
+        numSubspaces = 8, ksub = 16)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("long").as("rnk"), col("ad2"))
       .orderBy("query_id", "rnk")
   }
 

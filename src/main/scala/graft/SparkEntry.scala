@@ -54,6 +54,7 @@ object SparkEntry {
     "p_token_vocab" -> (Queries.pTokenVocab _),
     "p_ann_brute_force" -> (Queries.pAnnBruteForce _),
     "p_ann_ivf" -> (Queries.pAnnIvf _),
+    "p_ann_pq" -> (Queries.pAnnPq _),
     "p_multimodal" -> (Queries.pMultimodal _),
     "p_media_decode" -> (Queries.pMediaDecode _),
     "p_media_decode_robust" -> (Queries.pMediaDecodeRobust _),
@@ -75,6 +76,8 @@ object SparkEntry {
     "p_data_mixture" -> (Queries.pDataMixture _),
     "p_doc_chunks" -> (Queries.pDocChunks _),
     "p_paragraph_dedup" -> (Queries.pParagraphDedup _),
+    "p_boilerplate_removal" -> (Queries.pBoilerplateRemoval _),
+    "p_url_dedup" -> (Queries.pUrlDedup _),
     "p_seq_pack" -> (Queries.pSeqPack _),
     "p_kmeans" -> (Queries.pKmeans _),
     "p_cluster_sample" -> (Queries.pClusterSample _),
@@ -833,6 +836,82 @@ object SparkEntry {
          |  FROM r GROUP BY doc_id)
          |SELECT doc_id, text, n_paras, n_kept FROM agg
          |WHERE n_kept > 0 ORDER BY doc_id""".stripMargin,
+    // boilerplate line removal: 8-token line wrap + keyed injection,
+    // distinct-doc line frequency, >= 60 threshold, strip-everywhere
+    // reassembly — all re-derived on the normalized line strings (Spark
+    // keys the same normalized lines by xxhash64)
+    "p_boilerplate_removal" ->
+      s"""WITH base AS (SELECT doc_id, $TOKS AS tk FROM documents),
+         |body AS (
+         |  SELECT doc_id,
+         |    array_to_string(list_transform(
+         |      range(0, greatest(CAST(ceil(len(tk) / 8.0) AS INT), 1)),
+         |      i -> array_to_string(tk[i*8+1 : i*8+8], ' ')), chr(10)) AS b
+         |  FROM base),
+         |enr AS (
+         |  SELECT doc_id,
+         |    (CASE WHEN doc_id % 5 = 1 THEN 'subscribe to our newsletter for updates click here now' || chr(10) ELSE '' END)
+         |    || b
+         |    || (CASE WHEN doc_id % 7 = 2 THEN chr(10) || 'subscribe to our newsletter for updates click here now' ELSE '' END)
+         |    || (CASE WHEN doc_id % 11 = 3 THEN chr(10) || 'copyright twenty twenty five all rights reserved worldwide' ELSE '' END)
+         |    AS text
+         |  FROM body),
+         |lines AS (
+         |  SELECT doc_id, CAST(i AS INT) AS pos, la[i] AS ln
+         |  FROM (SELECT doc_id, string_split(text, chr(10)) AS la FROM enr),
+         |    LATERAL (SELECT unnest(range(1, len(la)+1)) AS i)),
+         |norm AS (
+         |  SELECT doc_id, pos, ln,
+         |    lower(trim(regexp_replace(ln, '\\s+', ' ', 'g'))) AS nm
+         |  FROM lines),
+         |rem AS (
+         |  SELECT nm FROM norm WHERE nm != ''
+         |  GROUP BY nm HAVING count(DISTINCT doc_id) >= 60),
+         |flag AS (
+         |  SELECT n.doc_id, n.pos, n.ln, n.nm,
+         |    (n.nm != '' AND r.nm IS NOT NULL) AS kill
+         |  FROM norm n LEFT JOIN rem r USING (nm)),
+         |agg AS (
+         |  SELECT doc_id,
+         |    coalesce(string_agg(CASE WHEN NOT kill THEN ln END, chr(10)
+         |      ORDER BY pos), '') AS text,
+         |    CAST(sum(CASE WHEN nm != '' THEN 1 ELSE 0 END) AS BIGINT) AS n_lines,
+         |    CAST(sum(CASE WHEN kill THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+         |  FROM flag GROUP BY doc_id)
+         |SELECT doc_id, text, n_lines, n_removed FROM agg
+         |ORDER BY doc_id""".stripMargin,
+    // URL dedup: six synthesized raw-URL variants, the full
+    // canonicalization regex chain (fragment, authority lowercase, www,
+    // default port, tracking params, trailing slash), min-id survivors —
+    // re-derived step for step (RE2 patterns, engine-local group syntax)
+    "p_url_dedup" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 6
+        |      WHEN 0 THEN 'https://' || source || '.example.com/doc/' || CAST(doc_id % 25 AS VARCHAR)
+        |      WHEN 1 THEN 'HTTPS://' || upper(source) || '.EXAMPLE.COM/doc/' || CAST(doc_id % 25 AS VARCHAR)
+        |      WHEN 2 THEN 'https://www.' || source || '.example.com/doc/' || CAST(doc_id % 25 AS VARCHAR)
+        |      WHEN 3 THEN 'https://' || source || '.example.com:443/doc/' || CAST(doc_id % 25 AS VARCHAR)
+        |      WHEN 4 THEN 'https://' || source || '.example.com/doc/' || CAST(doc_id % 25 AS VARCHAR) || '/?utm_source=rss&utm_medium=feed'
+        |      ELSE 'https://' || source || '.example.com/doc/' || CAST(doc_id % 25 AS VARCHAR) || '?ref=1&gclid=abc123#frag'
+        |    END AS url
+        |  FROM documents),
+        |c1 AS (SELECT doc_id, regexp_replace(trim(url), '#.*$', '') AS u FROM u),
+        |c2 AS (SELECT doc_id,
+        |    lower(coalesce(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', 0), ''))
+        |    || substr(u, length(coalesce(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', 0), '')) + 1) AS u
+        |  FROM c1),
+        |c3 AS (SELECT doc_id, regexp_replace(u, '^(https?://)www\.', '\1') AS u FROM c2),
+        |c4 AS (SELECT doc_id, regexp_replace(regexp_replace(u,
+        |    '^(http://[^/?#:]*):80([/?#].*)?$', '\1\2'),
+        |    '^(https://[^/?#:]*):443([/?#].*)?$', '\1\2') AS u FROM c3),
+        |c5 AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(u,
+        |    '&(utm_[a-z]+|fbclid|gclid)=[^&]*', '', 'g'),
+        |    '\?(utm_[a-z]+|fbclid|gclid)=[^&]*&', '?'),
+        |    '\?(utm_[a-z]+|fbclid|gclid)=[^&]*$', '') AS u FROM c4),
+        |c6 AS (SELECT doc_id, regexp_replace(regexp_replace(u, '/+\?', '?'), '/+$', '') AS url_canon FROM c5)
+        |SELECT min(doc_id) AS doc_id, url_canon, CAST(count(*) AS BIGINT) AS n_urls
+        |FROM c6 GROUP BY url_canon ORDER BY url_canon""".stripMargin,
     // repeated-substring spans: positional 8-grams, hot-gram guard,
     // diagonal/island merge — the full pipeline re-derived on string
     // grams (Spark joins 64-bit hashes of the same grams)
@@ -962,6 +1041,44 @@ object SparkEntry {
         | count(DISTINCT lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS n_distinct_fp
         |FROM documents""".stripMargin,
     "p_ann_ivf" -> ANN_TOP5_SQL,
+    // product quantization: min-id codebooks, per-subspace argmin
+    // encoding (ties to the lowest index), query ADC tables, and the
+    // fixed-order lookup sum — fully re-derived, bit-exact double math
+    "p_ann_pq" ->
+      """WITH p AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |sub AS (SELECT CAST(unnest(range(0, 8)) AS INT) AS s),
+        |cb AS (
+        |  SELECT s, CAST(p.vec_id AS INT) AS j, v[s*8+1 : s*8+8] AS cv
+        |  FROM p, sub WHERE p.vec_id < 16),
+        |enc0 AS (
+        |  SELECT p.vec_id, cb.s, cb.j,
+        |    list_sum(list_transform(range(1, 9),
+        |      i -> (v[cb.s*8+i]-cv[i])*(v[cb.s*8+i]-cv[i]))) AS d2
+        |  FROM p, cb),
+        |enc AS (
+        |  SELECT vec_id, s, j FROM (
+        |    SELECT vec_id, s, j,
+        |      row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, j) AS rn
+        |    FROM enc0) WHERE rn = 1),
+        |codes AS (SELECT vec_id, list(j ORDER BY s) AS cl FROM enc GROUP BY vec_id),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM p WHERE vec_id < 30),
+        |dt0 AS (
+        |  SELECT qid, cb.s, cb.j,
+        |    list_sum(list_transform(range(1, 9),
+        |      i -> (qv[cb.s*8+i]-cv[i])*(qv[cb.s*8+i]-cv[i]))) AS d2
+        |  FROM q, cb),
+        |dtr AS (SELECT qid, s, list(d2 ORDER BY j) AS rw FROM dt0 GROUP BY qid, s),
+        |dt AS (SELECT qid, list(rw ORDER BY s) AS tab FROM dtr GROUP BY qid),
+        |sc AS (
+        |  SELECT qid, c.vec_id AS nid,
+        |    list_sum(list_transform(range(1, 9), s -> tab[s][cl[s]+1])) AS ad2
+        |  FROM dt, codes c WHERE qid != c.vec_id),
+        |r AS (
+        |  SELECT qid AS query_id, nid AS neighbor_id,
+        |    row_number() OVER (PARTITION BY qid ORDER BY ad2, nid) AS rnk, ad2
+        |  FROM sc)
+        |SELECT query_id, neighbor_id, rnk, round(ad2, 6) AS ad2
+        |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
     // frame arithmetic: 64-byte frames, every 2nd sampled, ragged last
     // frame — all integer math on the UTF-8 payload size, exact in SQL
     "p_multimodal" ->

@@ -1067,4 +1067,162 @@ object Dedup {
       .filter(col("span_tokens") >= minSpanTokens)
       .select("doc_a", "doc_b", "start_a", "start_b", "span_tokens")
   }
+
+  /** URL-level dedup — the cheapest and first dedup pass of a crawl
+    * corpus: two fetches of the same canonical URL
+    * ([[TextFunctions.canonicalizeUrl]]) are the same page, no content
+    * comparison needed. Returns one row per distinct canonical URL with
+    * the min-id survivor and the collapsed count:
+    * `(idCol, url_canon, n_urls)`.
+    *
+    * 100 TB shape: canonicalization is a map-side regex chain; the only
+    * shuffle is the groupBy on the canonical string (partial aggregation
+    * collapses each map task to its distinct URLs first). Join the
+    * survivor ids back to the corpus (broadcast if the survivor set is
+    * filtered, shuffle-hash otherwise) to materialize the deduped docs.
+    */
+  def urlDedupSurvivors(docs: DataFrame, idCol: String, urlCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("id"), TextFunctions.canonicalizeUrl(col(urlCol)).as("url_canon"))
+      .groupBy("url_canon")
+      .agg(min(col("id")).as(idCol), count(lit(1)).as("n_urls"))
+      .select(col(idCol), col("url_canon"), col("n_urls"))
+
+  /** Normalized line key shared by the boilerplate operators: lines are
+    * compared after lowercasing, trimming, and whitespace collapse (the
+    * [[paragraphDedup]] normalization), keyed by their 64-bit xxhash —
+    * collision-free in practice (2^-23 at a billion distinct lines) and
+    * 8 bytes on the wire instead of the line text.
+    */
+  private def lineNorm(line: Column): Column =
+    lower(trim(regexp_replace(line, "\\s+", " ")))
+
+  /** Corpus-wide line document frequency: one row per DISTINCT normalized
+    * line with the number of distinct documents containing it —
+    * `(key, line, n_docs)` (`line` is one representative raw occurrence,
+    * min by (doc, position), for reporting). Lines that normalize to the
+    * empty string are structure, not content, and never counted.
+    *
+    * 100 TB shape: explode is map-side; the distinct (key, doc) collapse
+    * and the per-key count are ONE shuffle each on the 8-byte line key,
+    * and the first collapses to at most (distinct lines x docs containing
+    * them) while partial aggregation bounds what leaves each map task.
+    * Nothing is driver-side.
+    */
+  def lineDocFrequency(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      sep: String = "\n"): DataFrame = {
+    require(sep.nonEmpty, "sep must be non-empty")
+    val lines = docs
+      .select(
+        col(idCol).as("id"),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+          .as(Seq("pos", "line")))
+      .withColumn("norm", lineNorm(col("line")))
+      .filter(col("norm") =!= "")
+      .withColumn("key", xxhash64(col("norm")))
+    lines
+      .groupBy("key")
+      .agg(
+        countDistinct(col("id")).as("n_docs"),
+        min(struct(col("id"), col("pos"), col("line"))).as("f"))
+      .select(col("key"), col("f.line").as("line"), col("n_docs"))
+  }
+
+  /** The boilerplate removal set: 64-bit keys of normalized lines that
+    * appear in at least `minDocs` distinct documents, collected to the
+    * driver and sorted for binary search. The set is threshold-bounded by
+    * construction — a line needs `minDocs` distinct docs to qualify, so
+    * at most `totalLineOccurrences / minDocs` keys exist — but a
+    * pathological corpus (or a too-low threshold) is caught fail-loud by
+    * `maxSetSize` rather than silently sinking the driver.
+    */
+  def boilerplateLineSet(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minDocs: Int,
+      sep: String = "\n",
+      maxSetSize: Int = 10000000): Array[Long] = {
+    require(minDocs >= 2, s"minDocs=$minDocs: a boilerplate line repeats across docs")
+    val keys = lineDocFrequency(docs, idCol, textCol, sep)
+      .filter(col("n_docs") >= minDocs)
+      .select("key")
+      .limit(maxSetSize + 1)
+      .collect()
+      .map(_.getLong(0))
+    require(keys.length <= maxSetSize,
+      s"boilerplate set exceeds maxSetSize=$maxSetSize — raise minDocs or the budget")
+    java.util.Arrays.sort(keys)
+    keys
+  }
+
+  /** CCNet/C4-style boilerplate line removal: strip every line whose
+    * normalized form is in the (broadcast, sorted) removal set from EVERY
+    * document — boilerplate ("subscribe to our newsletter", cookie
+    * banners, copyright footers) is noise wherever it appears, so unlike
+    * [[paragraphDedup]] no first occurrence survives. All original
+    * columns are kept; `textCol` is rewritten from the surviving lines
+    * (a doc losing every line keeps an empty string), plus
+    * `(n_lines, n_removed)` where `n_lines` counts content lines (empty
+    * normalized lines are kept verbatim but counted in neither column).
+    * Null text passes through as null with `n_lines = n_removed = 0` —
+    * the [[Decontaminate.markContaminated]] null contract.
+    *
+    * The pass is a single projection — line splitting and hashing stay in
+    * codegen'd expressions; the UDF only binary-searches the broadcast
+    * set and rejoins survivors — so it is zero-shuffle, runs verbatim on
+    * a STREAMING DataFrame, and costs one broadcast at any corpus size.
+    * Pair with [[boilerplateLineSet]] computed on a batch corpus (or a
+    * periodically refreshed artifact) for the CCNet shape: count once,
+    * strip everywhere.
+    */
+  def removeBoilerplate(
+      docs: DataFrame,
+      textCol: String,
+      boilerKeys: Array[Long],
+      sep: String = "\n"): DataFrame = {
+    require(sep.nonEmpty, "sep must be non-empty")
+    val sorted = boilerKeys.clone()
+    java.util.Arrays.sort(sorted)
+    val bc = docs.sparkSession.sparkContext.broadcast(sorted)
+    val strip = udf { (lines: scala.collection.Seq[String],
+                       keys: scala.collection.Seq[java.lang.Long]) =>
+      if (lines == null) (null: String, 0L, 0L)
+      else {
+        val set = bc.value
+        val kept = new scala.collection.mutable.ArrayBuffer[String](lines.length)
+        var content = 0L
+        var removed = 0L
+        var i = 0
+        while (i < lines.length) {
+          val k = keys(i)
+          // null key marks an empty-normalized line: structural, kept,
+          // uncounted — mirroring lineDocFrequency's exclusion
+          if (k == null) kept += lines(i)
+          else {
+            content += 1L
+            if (java.util.Arrays.binarySearch(set, k.longValue()) >= 0) removed += 1L
+            else kept += lines(i)
+          }
+          i += 1
+        }
+        (kept.mkString(sep), content, removed)
+      }
+    }
+    val lines = split(col(textCol), java.util.regex.Pattern.quote(sep))
+    // normalize once per line (inner transform), then key — not
+    // when(norm != "", xxhash64(norm)) over the raw line, which would
+    // run the whitespace-collapse regex twice per line
+    val keys = transform(transform(lines, lineNorm(_)), n =>
+      when(n =!= "", xxhash64(n)))
+    docs
+      .withColumn("__r", strip(lines, keys))
+      .withColumn(textCol, col("__r._1"))
+      .withColumn("n_lines", col("__r._2"))
+      .withColumn("n_removed", col("__r._3"))
+      .drop("__r")
+  }
 }

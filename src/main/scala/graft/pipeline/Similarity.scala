@@ -199,4 +199,142 @@ object Similarity {
       .withColumn("cos", Dedup.cosine(col("qv"), col("cv")))
     rankTopK(scored, k)
   }
+
+  // ------------------------------------------------------------------- PQ
+
+  /** Product-quantization codebooks from the corpus rows with
+    * `idCol < ksub` (the [[graft.pipeline.Clustering.initByMinId]]
+    * convention — deterministic, engine-portable, and a reasonable
+    * spread on shuffled data; swap in per-subspace k-means centroids for
+    * production recall). Shape: `[numSubspaces][ksub][dim/numSubspaces]`.
+    * The collect is bounded by construction: ksub vectors (<= 256 for
+    * byte codes) of `dim` doubles.
+    */
+  def pqCodebooks(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      numSubspaces: Int,
+      ksub: Int): Array[Array[Array[Double]]] = {
+    val rows = corpus
+      .filter(col(idCol) < ksub)
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    require(rows.length == ksub, s"need ids 0..${ksub - 1} for codebooks, got ${rows.length}")
+    val dim = rows.head._2.length
+    require(dim % numSubspaces == 0, s"dim=$dim not divisible by m=$numSubspaces")
+    val dsub = dim / numSubspaces
+    Array.tabulate(numSubspaces, ksub) { (s, j) =>
+      java.util.Arrays.copyOfRange(rows(j)._2, s * dsub, (s + 1) * dsub)
+    }
+  }
+
+  /** Encode vectors to PQ codes: per subspace, the index of the nearest
+    * codebook entry by L2 (ties to the lowest index). The encoded corpus
+    * is `numSubspaces` small ints per row — at m=8 that is 8 bytes
+    * replacing a 256-byte float[64] vector, the 32x compression that
+    * lets a billion-row index live in cluster memory. Map-side only.
+    */
+  def pqEncode(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val bc = df.sparkSession.sparkContext.broadcast(codebooks)
+    val enc = udf { (v: Seq[Double]) =>
+      val cbs = bc.value
+      val dsub = cbs(0)(0).length
+      Array.tabulate(cbs.length) { s =>
+        var best = 0
+        var bestD = Double.MaxValue
+        var j = 0
+        while (j < cbs(s).length) {
+          val cb = cbs(s)(j)
+          var d = 0.0
+          var i = 0
+          while (i < dsub) {
+            val x = v(s * dsub + i) - cb(i)
+            d += x * x
+            i += 1
+          }
+          // strict less-than keeps the lowest index on exact ties
+          if (d < bestD) { bestD = d; best = j }
+          j += 1
+        }
+        best
+      }
+    }
+    df.select(
+      col(idCol).as("neighbor_id"),
+      enc(col(vecCol).cast("array<double>")).as("codes"))
+  }
+
+  /** ANN top-k by product quantization with asymmetric distance
+    * computation (ADC): each query precomputes its distance table
+    * `dt[s][j] = ||q_sub_s - codebook[s][j]||^2` once, and every corpus
+    * candidate scores as `sum_s dt[s][code_s]` — m table lookups, no
+    * float-vector reads. Returns `(query_id, neighbor_id, rank, ad2)`
+    * with rank ascending by approximate distance (ties to the lower id)
+    * and `ad2` rounded 1e-6.
+    *
+    * 100 TB shape: the corpus pass reads only the m-byte code column
+    * (encode once, store as its own table/column); queries + their
+    * (m x ksub)-double tables are broadcast; ranking is the bounded-heap
+    * `topk_by_score` aggregate, so the shuffle carries O(queries x k)
+    * rows. Compose with [[ivfTopK]] for IVF-PQ: probe lists first, score
+    * the probed candidates with ADC.
+    */
+  def pqTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      numSubspaces: Int = 8,
+      ksub: Int = 16): DataFrame = {
+    import org.apache.spark.sql.graft.TopKByScore.topk_by_score
+    val cbs = pqCodebooks(corpus, idCol, vecCol, numSubspaces, ksub)
+    val bc = corpus.sparkSession.sparkContext.broadcast(cbs)
+    val distTable = udf { (v: Seq[Double]) =>
+      val cb = bc.value
+      val dsub = cb(0)(0).length
+      Array.tabulate(cb.length, cb(0).length) { (s, j) =>
+        var d = 0.0
+        var i = 0
+        while (i < dsub) {
+          val x = v(s * dsub + i) - cb(s)(j)(i)
+          d += x * x
+          i += 1
+        }
+        d
+      }
+    }
+    // fixed s = 0..m-1 summation order: bit-identical to any re-derivation
+    // that sums the lookups left to right
+    val adc = udf { (codes: Seq[Int], dt: Seq[Seq[Double]]) =>
+      var acc = 0.0
+      var s = 0
+      while (s < codes.length) { acc += dt(s)(codes(s)); s += 1 }
+      acc
+    }
+    val encoded = pqEncode(corpus, idCol, vecCol, cbs)
+    val q = queries.select(
+      col(idCol).as("query_id"),
+      distTable(col(vecCol).cast("array<double>")).as("dt"))
+    encoded
+      .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("ad2", adc(col("codes"), col("dt")))
+      // topk_by_score ranks by (score desc, id asc): negate for
+      // nearest-first with the same lower-id tie rule
+      .groupBy("query_id")
+      .agg(topk_by_score(col("neighbor_id"), -col("ad2"), k).as("nn"))
+      .select(col("query_id"), posexplode(col("nn")).as(Seq("pos", "n")))
+      .select(
+        col("query_id"),
+        col("n.id").as("neighbor_id"),
+        (col("pos") + 1).as("rank"),
+        round(-col("n.score"), 6).as("ad2"))
+  }
 }

@@ -139,4 +139,38 @@ object TextFunctions {
     val noIp = regexp_replace(noEmail, Ipv4Pattern, "<IP>")
     regexp_replace(noIp, PhonePattern, "<PHONE>")
   }
+
+  /** URL canonicalization for crawl dedup — the first dedup key of every
+    * web corpus (two fetches of the same page almost always differ only
+    * in tracking params, fragment, or authority casing). Normalizations,
+    * in order:
+    *  1. trim; drop the `#fragment`;
+    *  2. lowercase the `scheme://authority` prefix (path case is
+    *     CONTENT and is preserved);
+    *  3. strip a `www.` host prefix and explicit default ports
+    *     (`:80` for http, `:443` for https);
+    *  4. remove tracking query params (`utm_*`, `fbclid`, `gclid`),
+    *     keeping real ones;
+    *  5. strip trailing path slashes (also before `?`).
+    *
+    * Pure chained `regexp_replace`/`regexp_extract` — codegen'd,
+    * map-side, zero shuffle — with every pattern RE2-compatible (no
+    * lookarounds/backrefs in the PATTERN; replacements use each engine's
+    * own group syntax) so the canonical form is reproducible across the
+    * engines that touch a corpus, like [[redactPii]]'s patterns.
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(trim(url), "#.*$", "")
+    // authority prefix lowercased, remainder (path?query) untouched
+    val prefix = regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", 0)
+    val rebuilt = concat(lower(prefix), noFrag.substr(length(prefix) + 1, lit(1 << 30)))
+    val noWww = regexp_replace(rebuilt, "^(https?://)www\\.", "$1")
+    val noP80 = regexp_replace(noWww, "^(http://[^/?#:]*):80([/?#].*)?$", "$1$2")
+    val noP443 = regexp_replace(noP80, "^(https://[^/?#:]*):443([/?#].*)?$", "$1$2")
+    // tracking params: non-first, then first-with-successor, then lone
+    val t1 = regexp_replace(noP443, "&(utm_[a-z]+|fbclid|gclid)=[^&]*", "")
+    val t2 = regexp_replace(t1, "\\?(utm_[a-z]+|fbclid|gclid)=[^&]*&", "?")
+    val t3 = regexp_replace(t2, "\\?(utm_[a-z]+|fbclid|gclid)=[^&]*$", "")
+    regexp_replace(regexp_replace(t3, "/+\\?", "?"), "/+$", "")
+  }
 }

@@ -229,4 +229,70 @@ class CorpusOpsSuite extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join in:\n$plan")
   }
+
+  // -------------------------------------------------------------- URL canon
+
+  test("canonicalizeUrl: every normalization step, path case preserved") {
+    val s = spark
+    import s.implicits._
+    val cases = Seq(
+      // fragment dropped
+      ("https://a.com/x#sec", "https://a.com/x"),
+      // authority lowercased, PATH case preserved
+      ("HTTPS://A.COM/KeepCase", "https://a.com/KeepCase"),
+      // www + default https port stripped
+      ("https://www.a.com:443/x", "https://a.com/x"),
+      // http default port; non-default kept
+      ("http://a.com:80/x", "http://a.com/x"),
+      ("http://a.com:8080/x", "http://a.com:8080/x"),
+      // https://host:80 is NOT a default port -> kept
+      ("https://a.com:80/x", "https://a.com:80/x"),
+      // tracking params: lone, leading-with-successor, trailing, multiple
+      ("https://a.com/x?utm_source=t", "https://a.com/x"),
+      ("https://a.com/x?utm_source=t&id=7", "https://a.com/x?id=7"),
+      ("https://a.com/x?id=7&utm_medium=m", "https://a.com/x?id=7"),
+      ("https://a.com/x?utm_a=1&utm_b=2&gclid=g", "https://a.com/x"),
+      ("https://a.com/x?fbclid=f&id=7&utm_c=3", "https://a.com/x?id=7"),
+      // real params survive untouched
+      ("https://a.com/x?id=7&page=2", "https://a.com/x?id=7&page=2"),
+      // trailing slashes, also before the query
+      ("https://a.com/x/", "https://a.com/x"),
+      ("https://a.com/x///?id=7", "https://a.com/x?id=7"),
+      ("https://a.com/", "https://a.com"),
+      // whitespace trim; scheme-less input passes through un-mangled
+      ("  https://a.com/x  ", "https://a.com/x"),
+      ("not a url", "not a url")
+    )
+    val out = cases.map(_._1).toDF("u")
+      .select(TF.canonicalizeUrl(col("u")).as("c"))
+      .collect().map(_.getString(0))
+    cases.zip(out).foreach { case ((in, want), got) =>
+      assert(got === want, s"canonicalizeUrl($in)")
+    }
+    // composition of everything at once
+    val all = Seq("HTTPS://WWW.Site.COM:443//Path/To/Page/?utm_source=x&id=9&gclid=g#top")
+      .toDF("u").select(TF.canonicalizeUrl(col("u")).as("c")).head().getString(0)
+    assert(all === "https://site.com//Path/To/Page?id=9")
+  }
+
+  test("urlDedupSurvivors: min-id survivor per canonical group, zero extra shuffles") {
+    val s = spark
+    import s.implicits._
+    import graft.pipeline.Dedup
+    val df = Seq(
+      (10L, "https://a.com/p"),
+      (3L, "HTTPS://WWW.A.COM/p/"),
+      (7L, "https://a.com/p?utm_source=x"),
+      (5L, "https://b.com/q")
+    ).toDF("doc_id", "url")
+    val out = Dedup.urlDedupSurvivors(df, "doc_id", "url")
+      .collect().map(r => r.getString(1) -> ((r.getLong(0), r.getLong(2)))).toMap
+    assert(out === Map(
+      "https://a.com/p" -> ((3L, 3L)),
+      "https://b.com/q" -> ((5L, 1L))))
+    // one aggregation exchange and nothing else
+    val plan = Dedup.urlDedupSurvivors(df, "doc_id", "url")
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).size <= 1, s"url dedup is one shuffle:\n$plan")
+  }
 }

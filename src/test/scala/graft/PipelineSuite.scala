@@ -976,6 +976,129 @@ class PipelineSuite extends SparkSpec {
     assert(out(4L) === (("self rep\n\nunique tail", 3L, 2L)))
   }
 
+  test("pqTopK: identity on codebook vectors, sane recall vs exact") {
+    val s = spark
+    import s.implicits._
+    // deterministic CLUSTERED corpus (PQ presumes structure — on iid
+    // noise any quantizer's recall is chance): 16 well-separated centers,
+    // row i = center(i % 16) + small noise, so ids 0..15 — the min-id
+    // codebook rows — land one per cluster
+    val rnd = new scala.util.Random(7)
+    val centers = Array.fill(16)(Array.fill(64)(rnd.nextDouble() * 4 - 2))
+    val corpus = (0L until 120L).map { i =>
+      val c = centers((i % 16).toInt)
+      (i, c.map(_ + rnd.nextDouble() * 0.2 - 0.1).toSeq)
+    }.toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" < 20)
+    val out = Similarity.pqTopK(queries, corpus, "vec_id", "embedding", 5,
+        numSubspaces = 8, ksub = 16)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+
+    // a codebook vector encodes to itself, so its own code's ad2 vs
+    // itself is 0 — excluded (qid != nid), but any OTHER row would have
+    // ad2 > 0; spot-pin: every rank-1 ad2 is >= 0 and ranks ascend
+    out.groupBy(_._1).foreach { case (q, rows) =>
+      val sorted = rows.sortBy(_._3)
+      assert(sorted.map(_._3).toSeq === (1 to sorted.length))
+      // non-decreasing only: ad2 is rounded 1e-6 for the gate, so two
+      // near-equal true distances can round together out of id order
+      assert(sorted.zip(sorted.tail).forall { case (a, b) => a._4 <= b._4 },
+        s"ad2 must be non-decreasing for q=$q")
+      assert(sorted.head._4 >= 0.0)
+    }
+
+    // recall@5 vs exact L2 top-5: cluster-mates share a code, so PQ's
+    // top-5 is 5 of the ~7 tied mates while exact picks the closest 5 —
+    // overlap is >= 3/5 by pigeonhole, so 0.6 is the analytic floor
+    val exact = corpus.as("c").crossJoin(queries.select($"vec_id".as("qid"), $"embedding".as("qv")))
+      .filter($"vec_id" =!= $"qid")
+      .select($"qid", $"vec_id",
+        aggregate(zip_with($"embedding", $"qv", (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x).as("d2"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("qid").orderBy($"d2".asc, $"vec_id".asc)))
+      .filter($"rk" <= 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = out.map(t => (t._1, t._2)).toSet
+    val recall = (exact & got).size.toDouble / exact.size
+    assert(recall >= 0.6, s"PQ recall@5 collapsed: $recall")
+
+    // encoding width: m codes per row, each in [0, ksub)
+    val cbs = Similarity.pqCodebooks(corpus, "vec_id", "embedding", 8, 16)
+    val codes = Similarity.pqEncode(corpus, "vec_id", "embedding", cbs)
+      .collect().map(r => r.getSeq[Int](1))
+    assert(codes.forall(c => c.length == 8 && c.forall(j => j >= 0 && j < 16)))
+    // codebook vectors encode to their own index in every subspace
+    val self = Similarity.pqEncode(corpus.filter($"vec_id" < 16), "vec_id", "embedding", cbs)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    (0 until 16).foreach { j =>
+      assert(self(j.toLong).forall(_ == j), s"vector $j must self-encode")
+    }
+  }
+
+  test("boilerplate removal strips frequent lines everywhere, keeps the rest") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "unique alpha\nsubscribe now\nbody one"),
+      (2L, "Subscribe   NOW\nbody two"),              // normalization folds it
+      (3L, "body three\nsubscribe now\nsubscribe now"), // in-doc repeat: one doc
+      (4L, "only original content here"),
+      (5L, "subscribe now"),                          // loses everything
+      (6L, null.asInstanceOf[String])                 // null passthrough
+    ).toDF("doc_id", "text")
+
+    val freq = Dedup.lineDocFrequency(df, "doc_id", "text")
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    // distinct-doc counting: doc 3's two copies count once -> 4 docs
+    assert(freq("subscribe now") === 4L)
+    assert(freq("unique alpha") === 1L)
+
+    val keys = Dedup.boilerplateLineSet(df, "doc_id", "text", minDocs = 3)
+    assert(keys.length === 1)
+    val out = Dedup.removeBoilerplate(df, "text", keys)
+      .collect()
+      .map(r => r.getLong(0) -> ((Option(r.getString(1)), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out(1L) === ((Some("unique alpha\nbody one"), 3L, 1L)))
+    assert(out(2L) === ((Some("body two"), 2L, 1L)))   // normalized match removed
+    assert(out(3L) === ((Some("body three"), 3L, 2L))) // BOTH in-doc copies removed
+    assert(out(4L) === ((Some("only original content here"), 1L, 0L)))
+    assert(out(5L) === ((Some(""), 1L, 1L)))           // all lines lost -> empty
+    assert(out(6L) === ((None, 0L, 0L)))               // null text contract
+  }
+
+  test("boilerplate removal: empty lines are structural, set budget is fail-loud") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "keep me\n\nshared line"),
+      (2L, "shared line\n\nother text")
+    ).toDF("doc_id", "text")
+    val keys = Dedup.boilerplateLineSet(df, "doc_id", "text", minDocs = 2)
+    val out = Dedup.removeBoilerplate(df, "text", keys)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // the empty middle line is kept verbatim and counted in neither column
+    assert(out(1L) === (("keep me\n", 2L, 1L)))
+    assert(out(2L) === (("\nother text", 2L, 1L)))
+    val e = intercept[IllegalArgumentException] {
+      Dedup.boilerplateLineSet(df, "doc_id", "text", minDocs = 2, maxSetSize = 0)
+    }
+    assert(e.getMessage.contains("maxSetSize"))
+  }
+
+  test("removeBoilerplate is a zero-shuffle projection") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "a\nb")).toDF("doc_id", "text")
+    val plan = Dedup.removeBoilerplate(df, "text", Array(123L))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"removal pass must not shuffle:\n$plan")
+  }
+
   test("packConcat offsets account one EOS per doc and straddle sequences") {
     val s = spark
     import s.implicits._
