@@ -955,6 +955,22 @@ object Queries {
       .orderBy("query_id", "rnk")
   }
 
+  /** IVF-PQ at full probe ([[Similarity.ivfPqTopK]], nprobe =
+    * numCentroids): pruning disabled makes the composed pipeline —
+    * coarse quantizer fit, list assignment, probe join, PQ encoding, ADC
+    * scoring, bounded-heap rank — exactly reproduce [[pAnnPq]], so the
+    * SAME DuckDB oracle pins all of it (the [[pAnnIvf]] full-probe
+    * pattern). Pruned-probe recall is measured in PipelineSuite.
+    */
+  def pAnnIvfPq(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = embeddings(spark, sfDir)
+    Similarity.ivfPqTopK(e.filter(col("vec_id") < 30), e, "vec_id", "embedding", 5,
+        numCentroids = 16, nprobe = 16, numSubspaces = 8, ksub = 16)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("long").as("rnk"), col("ad2"))
+      .orderBy("query_id", "rnk")
+  }
+
   /** Multimodal plumbing: payload attach -> frame sample -> per-source
     * stats. Every output column is pure arithmetic on payload/frame sizes,
     * so the whole frame-slicing pipeline (64-byte frames, stride-2

@@ -55,6 +55,7 @@ object SparkEntry {
     "p_ann_brute_force" -> (Queries.pAnnBruteForce _),
     "p_ann_ivf" -> (Queries.pAnnIvf _),
     "p_ann_pq" -> (Queries.pAnnPq _),
+    "p_ann_ivfpq" -> (Queries.pAnnIvfPq _),
     "p_multimodal" -> (Queries.pMultimodal _),
     "p_media_decode" -> (Queries.pMediaDecode _),
     "p_media_decode_robust" -> (Queries.pMediaDecodeRobust _),
@@ -185,6 +186,45 @@ object SparkEntry {
       |  round(n_hits * 1.0 / n_ngrams, 6) AS contamination,
       |  CAST(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
       |FROM agg ORDER BY doc_id""".stripMargin
+
+  /** Shared PQ / IVF-PQ oracle: min-id codebooks, per-subspace argmin
+    * encoding, ADC tables, fixed-order lookup sums, (ad2, id) ranking.
+    */
+  private val ANN_PQ_SQL =
+    """WITH p AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |sub AS (SELECT CAST(unnest(range(0, 8)) AS INT) AS s),
+        |cb AS (
+        |  SELECT s, CAST(p.vec_id AS INT) AS j, v[s*8+1 : s*8+8] AS cv
+        |  FROM p, sub WHERE p.vec_id < 16),
+        |enc0 AS (
+        |  SELECT p.vec_id, cb.s, cb.j,
+        |    list_sum(list_transform(range(1, 9),
+        |      i -> (v[cb.s*8+i]-cv[i])*(v[cb.s*8+i]-cv[i]))) AS d2
+        |  FROM p, cb),
+        |enc AS (
+        |  SELECT vec_id, s, j FROM (
+        |    SELECT vec_id, s, j,
+        |      row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, j) AS rn
+        |    FROM enc0) WHERE rn = 1),
+        |codes AS (SELECT vec_id, list(j ORDER BY s) AS cl FROM enc GROUP BY vec_id),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM p WHERE vec_id < 30),
+        |dt0 AS (
+        |  SELECT qid, cb.s, cb.j,
+        |    list_sum(list_transform(range(1, 9),
+        |      i -> (qv[cb.s*8+i]-cv[i])*(qv[cb.s*8+i]-cv[i]))) AS d2
+        |  FROM q, cb),
+        |dtr AS (SELECT qid, s, list(d2 ORDER BY j) AS rw FROM dt0 GROUP BY qid, s),
+        |dt AS (SELECT qid, list(rw ORDER BY s) AS tab FROM dtr GROUP BY qid),
+        |sc AS (
+        |  SELECT qid, c.vec_id AS nid,
+        |    list_sum(list_transform(range(1, 9), s -> tab[s][cl[s]+1])) AS ad2
+        |  FROM dt, codes c WHERE qid != c.vec_id),
+        |r AS (
+        |  SELECT qid AS query_id, nid AS neighbor_id,
+        |    row_number() OVER (PARTITION BY qid ORDER BY ad2, nid) AS rnk, ad2
+        |  FROM sc)
+        |SELECT query_id, neighbor_id, rnk, round(ad2, 6) AS ad2
+        |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
 
   /** Exact brute-force cosine top-5 — oracle for both the bounded-heap
     * brute-force aggregate and the (full-recall-tuned) IVF path.
@@ -1043,42 +1083,11 @@ object SparkEntry {
     "p_ann_ivf" -> ANN_TOP5_SQL,
     // product quantization: min-id codebooks, per-subspace argmin
     // encoding (ties to the lowest index), query ADC tables, and the
-    // fixed-order lookup sum — fully re-derived, bit-exact double math
-    "p_ann_pq" ->
-      """WITH p AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |sub AS (SELECT CAST(unnest(range(0, 8)) AS INT) AS s),
-        |cb AS (
-        |  SELECT s, CAST(p.vec_id AS INT) AS j, v[s*8+1 : s*8+8] AS cv
-        |  FROM p, sub WHERE p.vec_id < 16),
-        |enc0 AS (
-        |  SELECT p.vec_id, cb.s, cb.j,
-        |    list_sum(list_transform(range(1, 9),
-        |      i -> (v[cb.s*8+i]-cv[i])*(v[cb.s*8+i]-cv[i]))) AS d2
-        |  FROM p, cb),
-        |enc AS (
-        |  SELECT vec_id, s, j FROM (
-        |    SELECT vec_id, s, j,
-        |      row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, j) AS rn
-        |    FROM enc0) WHERE rn = 1),
-        |codes AS (SELECT vec_id, list(j ORDER BY s) AS cl FROM enc GROUP BY vec_id),
-        |q AS (SELECT vec_id AS qid, v AS qv FROM p WHERE vec_id < 30),
-        |dt0 AS (
-        |  SELECT qid, cb.s, cb.j,
-        |    list_sum(list_transform(range(1, 9),
-        |      i -> (qv[cb.s*8+i]-cv[i])*(qv[cb.s*8+i]-cv[i]))) AS d2
-        |  FROM q, cb),
-        |dtr AS (SELECT qid, s, list(d2 ORDER BY j) AS rw FROM dt0 GROUP BY qid, s),
-        |dt AS (SELECT qid, list(rw ORDER BY s) AS tab FROM dtr GROUP BY qid),
-        |sc AS (
-        |  SELECT qid, c.vec_id AS nid,
-        |    list_sum(list_transform(range(1, 9), s -> tab[s][cl[s]+1])) AS ad2
-        |  FROM dt, codes c WHERE qid != c.vec_id),
-        |r AS (
-        |  SELECT qid AS query_id, nid AS neighbor_id,
-        |    row_number() OVER (PARTITION BY qid ORDER BY ad2, nid) AS rnk, ad2
-        |  FROM sc)
-        |SELECT query_id, neighbor_id, rnk, round(ad2, 6) AS ad2
-        |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+    // fixed-order lookup sum — fully re-derived, bit-exact double math.
+    // The IVF-PQ gate runs at full probe, so the identical oracle pins
+    // the composed coarse-quantizer + ADC pipeline too.
+    "p_ann_pq" -> ANN_PQ_SQL,
+    "p_ann_ivfpq" -> ANN_PQ_SQL,
     // frame arithmetic: 64-byte frames, every 2nd sampled, ragged last
     // frame — all integer math on the UTF-8 payload size, exact in SQL
     "p_multimodal" ->

@@ -243,7 +243,15 @@ object Similarity {
       vecCol: String,
       codebooks: Array[Array[Array[Double]]]): DataFrame = {
     val bc = df.sparkSession.sparkContext.broadcast(codebooks)
-    val enc = udf { (v: Seq[Double]) =>
+    df.select(
+      col(idCol).as("neighbor_id"),
+      pqEncodeUdf(bc)(col(vecCol).cast("array<double>")).as("codes"))
+  }
+
+  private def pqEncodeUdf(
+      bc: org.apache.spark.broadcast.Broadcast[Array[Array[Array[Double]]]])
+      : org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (v: Seq[Double]) =>
       val cbs = bc.value
       val dsub = cbs(0)(0).length
       Array.tabulate(cbs.length) { s =>
@@ -266,10 +274,6 @@ object Similarity {
         best
       }
     }
-    df.select(
-      col(idCol).as("neighbor_id"),
-      enc(col(vecCol).cast("array<double>")).as("codes"))
-  }
 
   /** ANN top-k by product quantization with asymmetric distance
     * computation (ADC): each query precomputes its distance table
@@ -286,18 +290,11 @@ object Similarity {
     * rows. Compose with [[ivfTopK]] for IVF-PQ: probe lists first, score
     * the probed candidates with ADC.
     */
-  def pqTopK(
-      queries: DataFrame,
-      corpus: DataFrame,
-      idCol: String,
-      vecCol: String,
-      k: Int,
-      numSubspaces: Int = 8,
-      ksub: Int = 16): DataFrame = {
-    import org.apache.spark.sql.graft.TopKByScore.topk_by_score
-    val cbs = pqCodebooks(corpus, idCol, vecCol, numSubspaces, ksub)
-    val bc = corpus.sparkSession.sparkContext.broadcast(cbs)
-    val distTable = udf { (v: Seq[Double]) =>
+  /** Query-side ADC distance tables: `dt[s][j] = ||q_sub_s - cb[s][j]||^2`. */
+  private def distTableUdf(
+      bc: org.apache.spark.broadcast.Broadcast[Array[Array[Array[Double]]]])
+      : org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (v: Seq[Double]) =>
       val cb = bc.value
       val dsub = cb(0)(0).length
       Array.tabulate(cb.length, cb(0).length) { (s, j) =>
@@ -311,23 +308,25 @@ object Similarity {
         d
       }
     }
-    // fixed s = 0..m-1 summation order: bit-identical to any re-derivation
-    // that sums the lookups left to right
-    val adc = udf { (codes: Seq[Int], dt: Seq[Seq[Double]]) =>
+
+  /** Fixed s = 0..m-1 summation order: bit-identical to any re-derivation
+    * that sums the lookups left to right.
+    */
+  private val adcUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (codes: Seq[Int], dt: Seq[Seq[Double]]) =>
       var acc = 0.0
       var s = 0
       while (s < codes.length) { acc += dt(s)(codes(s)); s += 1 }
       acc
     }
-    val encoded = pqEncode(corpus, idCol, vecCol, cbs)
-    val q = queries.select(
-      col(idCol).as("query_id"),
-      distTable(col(vecCol).cast("array<double>")).as("dt"))
-    encoded
-      .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("ad2", adc(col("codes"), col("dt")))
-      // topk_by_score ranks by (score desc, id asc): negate for
-      // nearest-first with the same lower-id tie rule
+
+  /** Shared ADC ranking stage: nearest-first per-query top-k via the
+    * bounded-heap aggregate (negated score gives the (ad2 asc, id asc)
+    * order), `ad2` rounded 1e-6 on output.
+    */
+  private def rankTopKAdc(scored: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.graft.TopKByScore.topk_by_score
+    scored
       .groupBy("query_id")
       .agg(topk_by_score(col("neighbor_id"), -col("ad2"), k).as("nn"))
       .select(col("query_id"), posexplode(col("nn")).as(Seq("pos", "n")))
@@ -336,5 +335,76 @@ object Similarity {
         col("n.id").as("neighbor_id"),
         (col("pos") + 1).as("rank"),
         round(-col("n.score"), 6).as("ad2"))
+  }
+
+  def pqTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      numSubspaces: Int = 8,
+      ksub: Int = 16): DataFrame = {
+    val cbs = pqCodebooks(corpus, idCol, vecCol, numSubspaces, ksub)
+    val bc = corpus.sparkSession.sparkContext.broadcast(cbs)
+    val encoded = pqEncode(corpus, idCol, vecCol, cbs)
+    val q = queries.select(
+      col(idCol).as("query_id"),
+      distTableUdf(bc)(col(vecCol).cast("array<double>")).as("dt"))
+    val scored = encoded
+      .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("ad2", adcUdf(col("codes"), col("dt")))
+    rankTopKAdc(scored, k)
+  }
+
+  /** IVF-PQ: the coarse quantizer prunes WHICH candidates are scored
+    * (nprobe inverted lists instead of the whole corpus) and PQ prunes
+    * WHAT is read per candidate (m code bytes instead of the float
+    * vector) — composed, a billion-vector index is both memory-resident
+    * and probe-bounded, the standard large-scale ANN shape. This variant
+    * encodes raw vectors against corpus-global codebooks (IVF-Flat-PQ);
+    * production systems often encode per-list RESIDUALS for tighter
+    * quantization — same dataflow, centroid-subtracted inputs.
+    *
+    * At `nprobe = numCentroids` no candidate is pruned, so the result is
+    * exactly [[pqTopK]]'s — the full-probe gate pins the whole composed
+    * machinery against the PQ oracle, while pruned-probe recall is
+    * measured in PipelineSuite (approximation is the point there).
+    */
+  def ivfPqTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      numCentroids: Int = 16,
+      nprobe: Int = 4,
+      numSubspaces: Int = 8,
+      ksub: Int = 16,
+      seed: Long = 42L): DataFrame = {
+    val cbs = pqCodebooks(corpus, idCol, vecCol, numSubspaces, ksub)
+    val bc = corpus.sparkSession.sparkContext.broadcast(cbs)
+    val c = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).cast("array<double>").as("cv"))
+      .withColumn("feat", array_to_vector(col("cv")))
+    val km = new KMeans().setK(numCentroids).setSeed(seed).setFeaturesCol("feat")
+    val model = km.fit(c)
+    val centroids: Array[Array[Double]] = model.clusterCenters.map(_.toArray)
+    val encoded = model.transform(c)
+      .withColumnRenamed("prediction", "list_id")
+      .select(col("neighbor_id"), col("list_id"),
+        pqEncodeUdf(bc)(col("cv")).as("codes"))
+    val q = queries
+      .select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("dt", distTableUdf(bc)(col("qv")))
+      .withColumn(
+        "list_id",
+        explode(probeLists(centroids.zipWithIndex.map(_.swap), nprobe)(col("qv"))))
+      .select("query_id", "dt", "list_id")
+    val scored = encoded.join(broadcast(q),
+        col("query_id") =!= col("neighbor_id") &&
+          encoded("list_id") === q("list_id"))
+      .withColumn("ad2", adcUdf(col("codes"), col("dt")))
+    rankTopKAdc(scored, k)
   }
 }

@@ -230,6 +230,39 @@ class CorpusOpsSuite extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join in:\n$plan")
   }
 
+  test("removeBoilerplate runs verbatim on a streaming frame, parity with batch") {
+    val s = spark
+    import s.implicits._
+    import graft.pipeline.Dedup
+    // the CCNet shape: the key set comes from a BATCH corpus pass, the
+    // strip is map-only — so it applies unchanged to a continuous stream
+    val batchCorpus = Seq(
+      (1L, "alpha line\nsubscribe now\nbody a"),
+      (2L, "subscribe now\nbody b"),
+      (3L, "subscribe now\nbody c"),
+      (4L, "free text only")
+    ).toDF("doc_id", "text")
+    val keys = Dedup.boilerplateLineSet(batchCorpus, "doc_id", "text", minDocs = 3)
+    implicit val sq = s.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val streamDf = mem.toDF().toDF("doc_id", "text")
+    val query = Dedup.removeBoilerplate(streamDf, "text", keys)
+      .writeStream.format("memory").queryName("boiler_stream")
+      .outputMode("append").start()
+    try {
+      val rows = batchCorpus.collect().map(r => (r.getLong(0), r.getString(1)))
+      val (a, b) = rows.splitAt(2)
+      mem.addData(a.toSeq); query.processAllAvailable()
+      mem.addData(b.toSeq); query.processAllAvailable()
+      val streamed = s.sql("SELECT doc_id, text, n_lines, n_removed FROM boiler_stream")
+        .orderBy("doc_id").collect().map(_.toSeq)
+      val batch = Dedup.removeBoilerplate(batchCorpus, "text", keys)
+        .select("doc_id", "text", "n_lines", "n_removed")
+        .orderBy("doc_id").collect().map(_.toSeq)
+      assert(streamed.toSeq === batch.toSeq)
+    } finally query.stop()
+  }
+
   // -------------------------------------------------------------- URL canon
 
   test("canonicalizeUrl: every normalization step, path case preserved") {

@@ -1038,6 +1038,35 @@ class PipelineSuite extends SparkSpec {
     }
   }
 
+  test("ivfPqTopK: full probe equals pqTopK exactly; pruned probe keeps recall") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(11)
+    val centers = Array.fill(16)(Array.fill(64)(rnd.nextDouble() * 4 - 2))
+    val corpus = (0L until 160L).map { i =>
+      val c = centers((i % 16).toInt)
+      (i, c.map(_ + rnd.nextDouble() * 0.2 - 0.1).toSeq)
+    }.toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" < 12)
+
+    def asSet(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+
+    // nprobe = numCentroids: no pruning, so IVF-PQ == PQ bit for bit
+    val full = asSet(Similarity.ivfPqTopK(queries, corpus, "vec_id", "embedding", 5,
+      numCentroids = 8, nprobe = 8))
+    val pq = asSet(Similarity.pqTopK(queries, corpus, "vec_id", "embedding", 5))
+    assert(full === pq)
+
+    // pruned probe: top-1 is the query's cluster-mate region; require the
+    // pruned result to keep most of the unpruned PQ top-5
+    val pruned = asSet(Similarity.ivfPqTopK(queries, corpus, "vec_id", "embedding", 5,
+      numCentroids = 8, nprobe = 2))
+    val keysOf = (x: Set[(Long, Long, Int, Double)]) => x.map(t => (t._1, t._2))
+    val recall = (keysOf(pruned) & keysOf(pq)).size.toDouble / keysOf(pq).size
+    assert(recall >= 0.5, s"pruned IVF-PQ recall collapsed: $recall")
+  }
+
   test("boilerplate removal strips frequent lines everywhere, keeps the rest") {
     val s = spark
     import s.implicits._
