@@ -725,6 +725,72 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Gopher-rule document filter ([[TF.gopherFlags]]): per-rule violation
+    * accounting per source plus survivor sums. Enrichment injects each
+    * violation class keyed on doc_id (exclusive when-chain, first match
+    * wins): %29==7 a 1200-token run (too_many under maxWords=1000, and
+    * stopword-free), %19==0 forty 1-char tokens (mean length 1 — oob),
+    * %23==5 forty digit tokens (alpha fraction 0), %17==3 six appended
+    * `#` tokens (symbol ratio > 10%); organic short docs (10..29 tokens
+    * under minWords=30) violate too_few. Every ratio rule is integer
+    * cross-multiplied, so both engines decide each flag identically.
+    */
+  def pGopherFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = documents(spark, sfDir).withColumn("text",
+      when(pmod(col("doc_id"), lit(29)) === 7, rtrim(repeat(lit("spark "), 1200)))
+        .when(pmod(col("doc_id"), lit(19)) === 0, rtrim(repeat(lit("a "), 40)))
+        .when(pmod(col("doc_id"), lit(23)) === 5, rtrim(repeat(lit("7 "), 40)))
+        .when(pmod(col("doc_id"), lit(17)) === 3,
+          concat(col("text"), lit(" # # # # # #")))
+        .otherwise(col("text")))
+    val f = TF.gopherFlags(col("text"), minWords = 30, maxWords = 1000)
+    val enr = d.select(col("doc_id"), col("source"), f.as("f"))
+    val b = (name: String) => col(s"f.$name").cast("long")
+    val pass = !(col("f.too_few_words") || col("f.too_many_words") ||
+      col("f.mean_word_len_oob") || col("f.low_alpha_fraction") ||
+      col("f.high_symbol_ratio") || col("f.few_stopwords"))
+    enr
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(b("too_few_words")).as("n_too_few"),
+        sum(b("too_many_words")).as("n_too_many"),
+        sum(b("mean_word_len_oob")).as("n_meanlen"),
+        sum(b("low_alpha_fraction")).as("n_alpha"),
+        sum(b("high_symbol_ratio")).as("n_symbol"),
+        sum(b("few_stopwords")).as("n_stop"),
+        sum(pass.cast("long")).as("n_pass"),
+        sum(when(pass, col("doc_id")).otherwise(lit(0L))).as("pass_id_sum"))
+      .orderBy("source")
+  }
+
+  /** Cross-source duplication provenance ([[Dedup.dupProvenance]]):
+    * %9==2 docs get one fixed shared passage (a guaranteed cross-source
+    * dup group, canonical copy = global min id), organic exact dups keep
+    * their own groups. The oracle re-derives grouping on the normalized
+    * text itself (Spark keys by xxhash64 of the same normalization —
+    * collision-free at gate scale), the min-(id, source) canonical rule,
+    * and the per-cell count/id-sum arithmetic.
+    */
+  def pDupProvenance(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = documents(spark, sfDir).withColumn("text",
+      when(pmod(col("doc_id"), lit(9)) === 2,
+        lit("every crawl mirrors this exact syndicated article body"))
+        .otherwise(col("text")))
+    Dedup.dupProvenance(d, "doc_id", "text", "source")
+      .orderBy("src_first", "src_dup")
+  }
+
+  /** Deterministic exact-k-per-group sampling ([[Sampling.exactKPerGroup]]):
+    * 7 docs per source by (LCG bucket, id) rank, via the bounded-heap
+    * aggregate — the oracle re-ranks with the identical LCG literals and
+    * a window, pinning pick-set equality (and thereby the heap's
+    * ordering rule) exactly.
+    */
+  def pSampleKPerGroup(spark: SparkSession, sfDir: String): DataFrame =
+    Sampling.exactKPerGroup(documents(spark, sfDir), "source", "doc_id", 7)
+      .orderBy("source", "doc_id")
+
   /** URL dedup ([[TF.canonicalizeUrl]] + [[Dedup.urlDedupSurvivors]]):
     * the corpus has no URL column, so raw URLs are synthesized keyed on
     * (source, doc_id) with six variant shapes — plain, uppercased

@@ -79,6 +79,9 @@ object SparkEntry {
     "p_paragraph_dedup" -> (Queries.pParagraphDedup _),
     "p_boilerplate_removal" -> (Queries.pBoilerplateRemoval _),
     "p_url_dedup" -> (Queries.pUrlDedup _),
+    "p_gopher_filter" -> (Queries.pGopherFilter _),
+    "p_dup_provenance" -> (Queries.pDupProvenance _),
+    "p_sample_k_per_group" -> (Queries.pSampleKPerGroup _),
     "p_seq_pack" -> (Queries.pSeqPack _),
     "p_kmeans" -> (Queries.pKmeans _),
     "p_cluster_sample" -> (Queries.pClusterSample _),
@@ -952,6 +955,78 @@ object SparkEntry {
         |c6 AS (SELECT doc_id, regexp_replace(regexp_replace(u, '/+\?', '?'), '/+$', '') AS url_canon FROM c5)
         |SELECT min(doc_id) AS doc_id, url_canon, CAST(count(*) AS BIGINT) AS n_urls
         |FROM c6 GROUP BY url_canon ORDER BY url_canon""".stripMargin,
+    // Gopher document rules: every ratio threshold integer
+    // cross-multiplied, per-rule violation counts + survivor sums per
+    // source; the enrichment CASE injects each violation class
+    "p_gopher_filter" ->
+      s"""WITH enr AS (
+         |  SELECT doc_id, source,
+         |    CASE WHEN doc_id % 29 = 7 THEN rtrim(repeat('spark ', 1200))
+         |         WHEN doc_id % 19 = 0 THEN rtrim(repeat('a ', 40))
+         |         WHEN doc_id % 23 = 5 THEN rtrim(repeat('7 ', 40))
+         |         WHEN doc_id % 17 = 3 THEN text || ' # # # # # #'
+         |         ELSE text END AS text
+         |  FROM documents),
+         |t AS (SELECT doc_id, source, text, $TOKS AS tk FROM enr),
+         |m AS (
+         |  SELECT doc_id, source, len(tk) AS n,
+         |    list_sum(list_transform(tk, x -> length(x))) AS sumlen,
+         |    len(list_filter(tk, x -> regexp_matches(x, '[a-z]'))) AS nalpha,
+         |    (length(text) - length(replace(text, '#', '')))
+         |      + (length(text) - length(replace(text, chr(8230), ''))) AS nsym,
+         |    len(list_filter($EN,
+         |        w -> list_contains(list_distinct(tk), w))) AS nstop
+         |  FROM t),
+         |f AS (
+         |  SELECT doc_id, source,
+         |    (n < 30) AS f1, (n > 1000) AS f2,
+         |    (sumlen < n*3 OR sumlen > n*10) AS f3,
+         |    (nalpha*5 < n*4) AS f4,
+         |    (nsym*10 > n) AS f5,
+         |    (nstop < 2) AS f6
+         |  FROM m)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN f1 THEN 1 ELSE 0 END) AS BIGINT) AS n_too_few,
+         |  CAST(sum(CASE WHEN f2 THEN 1 ELSE 0 END) AS BIGINT) AS n_too_many,
+         |  CAST(sum(CASE WHEN f3 THEN 1 ELSE 0 END) AS BIGINT) AS n_meanlen,
+         |  CAST(sum(CASE WHEN f4 THEN 1 ELSE 0 END) AS BIGINT) AS n_alpha,
+         |  CAST(sum(CASE WHEN f5 THEN 1 ELSE 0 END) AS BIGINT) AS n_symbol,
+         |  CAST(sum(CASE WHEN f6 THEN 1 ELSE 0 END) AS BIGINT) AS n_stop,
+         |  CAST(sum(CASE WHEN NOT (f1 OR f2 OR f3 OR f4 OR f5 OR f6) THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+         |  CAST(sum(CASE WHEN NOT (f1 OR f2 OR f3 OR f4 OR f5 OR f6) THEN doc_id ELSE 0 END) AS BIGINT) AS pass_id_sum
+         |FROM f GROUP BY source ORDER BY source""".stripMargin,
+    // cross-source dup provenance: normalized-text groups, min-(id, src)
+    // canonical copy, per-(src_first, src_dup) copy counts + id sums
+    "p_dup_provenance" ->
+      """WITH enr AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN doc_id % 9 = 2 THEN 'every crawl mirrors this exact syndicated article body'
+        |         ELSE text END AS text
+        |  FROM documents),
+        |d AS (SELECT doc_id AS id, source AS src,
+        |  lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS key FROM enr),
+        |g AS (
+        |  SELECT key, id, src,
+        |    count(*) OVER (PARTITION BY key) AS n,
+        |    row_number() OVER (PARTITION BY key ORDER BY id, src) AS rn,
+        |    first_value(src) OVER (PARTITION BY key ORDER BY id, src) AS src_first
+        |  FROM d)
+        |SELECT src_first, src AS src_dup, CAST(count(*) AS BIGINT) AS n_dups,
+        |  CAST(sum(id) AS BIGINT) AS dup_id_sum
+        |FROM g WHERE n > 1 AND rn > 1
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // exact-k-per-group sampling: the identical LCG literals re-ranked
+    // through a window — pick-set equality pins the bounded heap's
+    // (score desc, id asc) rule against (bucket asc, id asc)
+    "p_sample_k_per_group" ->
+      """WITH s AS (
+        |  SELECT source, doc_id,
+        |    ((((doc_id % 4294967296) * 1103515245 + 12345) % 4294967296)
+        |      + 4294967296) % 4294967296 AS b
+        |  FROM documents),
+        |r AS (SELECT source, doc_id,
+        |  row_number() OVER (PARTITION BY source ORDER BY b, doc_id) AS rn FROM s)
+        |SELECT source, doc_id FROM r WHERE rn <= 7 ORDER BY source, doc_id""".stripMargin,
     // repeated-substring spans: positional 8-grams, hot-gram guard,
     // diagonal/island merge — the full pipeline re-derived on string
     // grams (Spark joins 64-bit hashes of the same grams)

@@ -62,6 +62,41 @@ object Dedup {
       .select("keep_id", "dup_count")
   }
 
+  /** Cross-source duplication provenance: for every exact-duplicate
+    * group ([[exactDedup]]'s normalization, min-(id, source) canonical
+    * copy), each NON-canonical copy contributes one count to the
+    * `(src_first, src_dup)` cell — the "who re-hosts whose content"
+    * matrix a multi-source crawl mix needs before weighting sources
+    * (a mirror farm looks high-volume until its row collapses into
+    * another source's column). `n_dups` is the copy count per cell,
+    * `dup_id_sum` the ids (for drill-down joins).
+    *
+    * 100 TB shape: one shuffle on the 64-bit content key (vocab-
+    * collapsed by partial aggregation), the duplicate-only group set
+    * joined back (hit-bounded — only groups with > 1 copy survive the
+    * filter), then the matrix aggregation over source pairs — output is
+    * |sources|^2 at most. No driver-side state.
+    */
+  def dupProvenance(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      srcCol: String): DataFrame = {
+    val d = docs.select(
+      col(idCol).as("id"),
+      col(srcCol).as("src"),
+      xxhash64(lower(trim(regexp_replace(col(textCol), "\\s+", " ")))).as("key"))
+    val groups = d
+      .groupBy("key")
+      .agg(min(struct(col("id"), col("src"))).as("f"), count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+      .select(col("key"), col("f.id").as("fid"), col("f.src").as("src_first"))
+    d.join(groups, Seq("key"))
+      .filter(col("id") =!= col("fid"))
+      .groupBy(col("src_first"), col("src").as("src_dup"))
+      .agg(count(lit(1)).as("n_dups"), sum(col("id")).as("dup_id_sum"))
+  }
+
   /** The deduplicated corpus itself: keep the canonical (min-id) row per
     * normalized text. One broadcast-able semi join against the keep-set.
     */

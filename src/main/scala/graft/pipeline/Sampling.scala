@@ -195,4 +195,32 @@ object Sampling {
 
   def hashSplit(df: DataFrame, idCol: String, fractions: Seq[Double]): Seq[DataFrame] =
     splitByKey(df, col(idCol), fractions)
+
+  /** Exactly `min(k, |group|)` ids per group, deterministically
+    * pseudo-uniform: rows rank by `(lcgBucket(id), id)` and the k
+    * smallest win. Rate-based samplers ([[hashSample]]) only hit k IN
+    * EXPECTATION — fixed-size eval subsets, per-source audit samples,
+    * and "exactly 1000 docs per domain" asks need the exact-k shape.
+    *
+    * Implemented with the bounded-heap `topk_by_score` aggregate, so
+    * each map task forwards at most k candidates per group and the
+    * shuffle carries O(groups x k) rows — never a per-group sort of the
+    * full corpus (the `row_number()` window plan). Same determinism
+    * contract as every LCG sampler here: the pick set is a pure function
+    * of the ids, independent of partitioning and engine.
+    */
+  def exactKPerGroup(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.graft.TopKByScore.topk_by_score
+    require(k > 0, s"k=$k must be positive")
+    df
+      .groupBy(col(groupCol))
+      .agg(topk_by_score(
+        col(idCol), -lcgBucket(col(idCol)).cast("double"), k).as("picks"))
+      .select(col(groupCol), explode(col("picks")).as("p"))
+      .select(col(groupCol), col("p.id").as(idCol))
+  }
 }

@@ -140,6 +140,46 @@ object TextFunctions {
     regexp_replace(noIp, PhonePattern, "<PHONE>")
   }
 
+  /** Gopher-style document quality rules (Rae et al. 2021 §A1.1, the
+    * standard web-corpus gate), as a struct of per-rule VIOLATION flags —
+    * per-rule observability is the point: production corpora track which
+    * rule kills what volume per source, not just a survivor count.
+    *  - `too_few_words` / `too_many_words`: token count outside
+    *    [minWords, maxWords];
+    *  - `mean_word_len_oob`: mean token length outside [3, 10] chars;
+    *  - `low_alpha_fraction`: < 80% of tokens contain a letter;
+    *  - `high_symbol_ratio`: `#`/`…` occurrences > 10% of tokens;
+    *  - `few_stopwords`: fewer than 2 distinct core stopwords.
+    * Every ratio threshold is evaluated in INTEGER cross-multiplied form
+    * (`5 * nAlpha < 4 * n` etc.), so the flags are bit-portable across
+    * engines — no float rounding to pin. Pure expressions, zero shuffle.
+    */
+  def gopherFlags(text: Column, minWords: Int = 50, maxWords: Int = 100000): Column = {
+    val toks = tokens(text)
+    val n = size(toks).cast("long")
+    val sumLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t).cast("long"))
+    val nAlpha = size(filter(toks, t => t.rlike("[a-z]"))).cast("long")
+    val nSym = ((length(text) - length(replace(text, lit("#"), lit("")))) +
+      (length(text) - length(replace(text, lit("…"), lit(""))))).cast("long")
+    val sw = array(LangStopwords.head._2.map(lit): _*)
+    val nStop = size(array_intersect(array_distinct(toks), sw)).cast("long")
+    struct(
+      (n < minWords).as("too_few_words"),
+      (n > maxWords).as("too_many_words"),
+      (sumLen < n * 3 || sumLen > n * 10).as("mean_word_len_oob"),
+      (nAlpha * 5 < n * 4).as("low_alpha_fraction"),
+      (nSym * 10 > n).as("high_symbol_ratio"),
+      (nStop < 2).as("few_stopwords"))
+  }
+
+  /** True iff no [[gopherFlags]] rule fires — the survivor predicate. */
+  def gopherPass(text: Column, minWords: Int = 50, maxWords: Int = 100000): Column = {
+    val f = gopherFlags(text, minWords, maxWords)
+    !(f.getField("too_few_words") || f.getField("too_many_words") ||
+      f.getField("mean_word_len_oob") || f.getField("low_alpha_fraction") ||
+      f.getField("high_symbol_ratio") || f.getField("few_stopwords"))
+  }
+
   /** URL canonicalization for crawl dedup — the first dedup key of every
     * web corpus (two fetches of the same page almost always differ only
     * in tracking params, fragment, or authority casing). Normalizations,

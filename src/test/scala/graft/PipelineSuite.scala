@@ -1128,6 +1128,77 @@ class PipelineSuite extends SparkSpec {
     assert(!plan.contains("Exchange"), s"removal pass must not shuffle:\n$plan")
   }
 
+  test("gopherFlags: each rule fires on its hand-built violation") {
+    val s = spark
+    import s.implicits._
+    val ok = "the quick brown fox jumps over the lazy dog and it runs far away home"
+    val cases = Seq(
+      (1L, ok),                                             // 15 words, all sane
+      (2L, "too short for this"),                           // < 10 words
+      (3L, ("w " * 30).trim),                               // > 20 words (max)
+      (4L, ("a " * 12).trim + " the"),                      // mean len ~1 -> oob
+      (5L, "1 2 3 4 5 6 7 8 9 10 11 12 the and"),           // low alpha fraction
+      (6L, "the and alpha beta gamma delta words # # #"),   // 3/10 symbols
+      (7L, "alpha beta gamma delta epsilon zeta eta theta iota kappa")) // no stopwords
+      .toDF("id", "text")
+    val f = TF.gopherFlags(col("text"), minWords = 10, maxWords = 20)
+    val out = cases.withColumn("f", f)
+      .select("id", "f.*").collect()
+      .map(r => r.getLong(0) -> (1 to 6).map(r.getBoolean)).toMap
+    assert(out(1L) === Seq(false, false, false, false, false, false))
+    assert(out(2L)(0), "too_few fires")
+    assert(out(3L)(1), "too_many fires")
+    assert(out(4L)(2), "mean_word_len_oob fires")
+    assert(out(5L)(3), "low_alpha_fraction fires")
+    assert(out(6L)(4), "high_symbol_ratio fires")
+    assert(out(7L)(5), "few_stopwords fires")
+    // the survivor predicate agrees with the flags
+    val pass = cases.select(col("id"),
+        TF.gopherPass(col("text"), 10, 20).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(pass === Map(1L -> true, 2L -> false, 3L -> false, 4L -> false,
+      5L -> false, 6L -> false, 7L -> false))
+  }
+
+  test("dupProvenance: min-(id, source) canonical, per-cell counts") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "siteA", "shared article text"),
+      (5L, "siteB", "Shared  ARTICLE text"),   // normalization folds it in
+      (9L, "siteB", "shared article text"),
+      (2L, "siteC", "unique content one"),
+      (3L, "siteA", "other shared piece"),
+      (4L, "siteA", "other shared piece")      // same-source dup
+    ).toDF("doc_id", "src", "text")
+    val out = Dedup.dupProvenance(df, "doc_id", "text", "src")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out === Map(
+      ("siteA", "siteB") -> ((2L, 14L)),   // docs 5 and 9 copy doc 1
+      ("siteA", "siteA") -> ((1L, 4L))))   // doc 4 copies doc 3
+  }
+
+  test("exactKPerGroup: exact k, deterministic, heap plan (no window)") {
+    val s = spark
+    import s.implicits._
+    val df = (0L until 100L).map(i => (s"g${i % 3}", i)).toDF("grp", "id")
+      .union(Seq(("tiny", 1000L), ("tiny", 1001L)).toDF("grp", "id"))
+    val out = Sampling.exactKPerGroup(df, "grp", "id", 5)
+    val counts = out.groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts === Map("g0" -> 5L, "g1" -> 5L, "g2" -> 5L, "tiny" -> 2L))
+    // partitioning-independent pick set
+    val a = out.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val b = Sampling.exactKPerGroup(df.repartition(17), "grp", "id", 5)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(a === b)
+    // picks are a subset of the group's ids (sanity on the heap ordering)
+    assert(a.forall { case (g, id) => g == "tiny" || s"g${id % 3}" == g })
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"exact-k must use the bounded heap:\n$plan")
+  }
+
   test("packConcat offsets account one EOS per doc and straddle sequences") {
     val s = spark
     import s.implicits._
