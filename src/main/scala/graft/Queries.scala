@@ -764,6 +764,25 @@ object Queries {
       .orderBy("source")
   }
 
+  /** Heavy trigrams by sketch-then-verify ([[CorpusStats.heavyTokens]]):
+    * %3==0 docs get five appended "click here now" repetitions, so the
+    * three phrase trigrams tower over the organic tail; the 2048-counter
+    * Misra-Gries pass streams ~25k distinct trigrams (real eviction
+    * churn), the exact recount pins the final counts. minCount=200 keeps
+    * the MG completeness precondition (`minCount > total/(k+1)`) true at
+    * every test SF, so the operator's fail-loud guard stays silent and
+    * the output equals the plain SQL count — which is exactly the
+    * oracle. Sketch internals are partitioning-dependent by design; the
+    * gate pins the composed operator's DETERMINISM despite that.
+    */
+  def pHeavyTokens(spark: SparkSession, sfDir: String): DataFrame = {
+    val phrase = " click here now" * 5
+    val d = documents(spark, sfDir).withColumn("text",
+      when(pmod(col("doc_id"), lit(3)) === 0, concat(col("text"), lit(phrase)))
+        .otherwise(col("text")))
+    CorpusStats.heavyTokens(d, "text", n = 3, minCount = 200L, sketchK = 2048)
+  }
+
   /** Cross-source duplication provenance ([[Dedup.dupProvenance]]):
     * %9==2 docs get one fixed shared passage (a guaranteed cross-source
     * dup group, canonical copy = global min id), organic exact dups keep

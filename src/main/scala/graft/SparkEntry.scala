@@ -80,6 +80,7 @@ object SparkEntry {
     "p_boilerplate_removal" -> (Queries.pBoilerplateRemoval _),
     "p_url_dedup" -> (Queries.pUrlDedup _),
     "p_gopher_filter" -> (Queries.pGopherFilter _),
+    "p_heavy_tokens" -> (Queries.pHeavyTokens _),
     "p_dup_provenance" -> (Queries.pDupProvenance _),
     "p_sample_k_per_group" -> (Queries.pSampleKPerGroup _),
     "p_seq_pack" -> (Queries.pSeqPack _),
@@ -995,6 +996,22 @@ object SparkEntry {
          |  CAST(sum(CASE WHEN NOT (f1 OR f2 OR f3 OR f4 OR f5 OR f6) THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
          |  CAST(sum(CASE WHEN NOT (f1 OR f2 OR f3 OR f4 OR f5 OR f6) THEN doc_id ELSE 0 END) AS BIGINT) AS pass_id_sum
          |FROM f GROUP BY source ORDER BY source""".stripMargin,
+    // heavy trigrams: the sketch-then-verify output is exact counts, so
+    // the oracle is the plain trigram count over the enriched corpus —
+    // a mismatch means the sketch pass dropped a qualifying candidate
+    "p_heavy_tokens" ->
+      s"""WITH enr AS (
+         |  SELECT CASE WHEN doc_id % 3 = 0
+         |    THEN text || ' click here now click here now click here now click here now click here now'
+         |    ELSE text END AS text
+         |  FROM documents),
+         |t AS (SELECT $TOKS AS tk FROM enr),
+         |g AS (
+         |  SELECT tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS gram
+         |  FROM t, LATERAL (SELECT unnest(range(1, len(tk)-1)) AS i))
+         |SELECT gram, CAST(count(*) AS BIGINT) AS n FROM g
+         |GROUP BY gram HAVING count(*) >= 200
+         |ORDER BY n DESC, gram""".stripMargin,
     // cross-source dup provenance: normalized-text groups, min-(id, src)
     // canonical copy, per-(src_first, src_dup) copy counts + id sums
     "p_dup_provenance" ->

@@ -160,6 +160,83 @@ object CorpusStats {
         (col("pos") + 1).cast("long").as("rnk"))
   }
 
+  /** Exact heavy n-grams by sketch-then-verify: a Misra-Gries summary
+    * ([[org.apache.spark.sql.graft.MisraGries]]) narrows the candidate
+    * set in ONE pass with k counters per map task, then an exact count
+    * over ONLY the candidate keys (map-side broadcast semi-filter)
+    * produces `(gram, n)` for every n-gram with `n >= minCount`, sorted
+    * (n desc, gram asc).
+    *
+    * Completeness is guaranteed — not heuristic — when
+    * `minCount > totalGrams / (sketchK + 1)` (the MG bound: anything
+    * more frequent survives the sketch); the operator THROWS if the
+    * data violates that precondition rather than silently under-report.
+    * The output is therefore deterministic (exact counts) even though
+    * the sketch content depends on partitioning.
+    *
+    * 100 TB shape: pass one shuffles k counters per partition (the
+    * vocabulary-sized token groupBy this replaces is the shuffle that
+    * dies first on web-scale n-gram statistics); pass two re-scans but
+    * aggregates only candidate keys — at most sketchK of them, so the
+    * second shuffle is O(sketchK). Driver state is the candidate array
+    * (<= sketchK entries, broadcast back).
+    */
+  def heavyTokens(
+      docs: DataFrame,
+      textCol: String,
+      n: Int,
+      minCount: Long,
+      sketchK: Int): DataFrame = {
+    import org.apache.spark.sql.graft.MisraGries.misra_gries
+    import org.apache.spark.sql.graft.ShingleHashesFn.positioned_shingle_hashes
+    require(n > 0 && minCount > 0 && sketchK > 0)
+    val spark = docs.sparkSession
+    // positioned (non-distinct) grams: heavy-hitter counting is over
+    // OCCURRENCES, per-doc repeats included
+    val grams = docs.select(
+      explode(positioned_shingle_hashes(tokens(col(textCol)), n)).as("g"))
+    val Array(summaryRow) = grams
+      .groupBy()
+      .agg(misra_gries(col("g"), sketchK).as("mg"), count(lit(1)).as("total"))
+      .collect()
+    val total = summaryRow.getLong(1)
+    require(minCount > total / (sketchK + 1L),
+      s"minCount=$minCount <= total/$sketchK+1 = ${total / (sketchK + 1L)}: " +
+        "the sketch cannot guarantee completeness — raise minCount or sketchK")
+    // MG bound: true count <= lower bound + total/(k+1); anything whose
+    // UPPER bound clears minCount is a candidate, the rest provably fail
+    val slack = total / (sketchK + 1L)
+    val candidates = summaryRow.getSeq[org.apache.spark.sql.Row](0)
+      .collect { case r if r.getLong(1) + slack >= minCount => r.getLong(0) }
+      .toArray
+    java.util.Arrays.sort(candidates)
+    val bc = spark.sparkContext.broadcast(candidates)
+    val isCandidate = udf { (g: Long) =>
+      java.util.Arrays.binarySearch(bc.value, g) >= 0
+    }
+    // exact recount over candidate keys only: hash and string arrays are
+    // built ONCE per doc and zipped, so no per-gram retokenization; the
+    // survivors' display string is min(gram) (hash -> gram is 1:1 modulo
+    // 64-bit collisions)
+    val pairs = docs
+      .select(tokens(col(textCol)).as("tk"))
+      .select(
+        positioned_shingle_hashes(col("tk"), n).as("h"),
+        when(size(col("tk")) >= n,
+          transform(sequence(lit(1), size(col("tk")) - n + 1),
+            i => array_join(slice(col("tk"), i, lit(n)), " ")))
+          .otherwise(array().cast("array<string>")).as("s"))
+      .select(explode(arrays_zip(col("h"), col("s"))).as("z"))
+      .select(col("z.h").as("g"), col("z.s").as("gram"))
+    pairs
+      .filter(isCandidate(col("g")))
+      .groupBy("g")
+      .agg(count(lit(1)).as("n"), min(col("gram")).as("gram"))
+      .filter(col("n") >= minCount)
+      .select(col("gram"), col("n"))
+      .orderBy(col("n").desc, col("gram").asc)
+  }
+
   def tfidfTopTerms(
       docs: DataFrame,
       groupCol: String,

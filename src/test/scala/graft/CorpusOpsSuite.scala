@@ -263,6 +263,52 @@ class CorpusOpsSuite extends SparkSpec {
     } finally query.stop()
   }
 
+  // ---------------------------------------------------------- heavy hitters
+
+  test("misra_gries: completeness guarantee and lower-bound property") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.graft.MisraGries.misra_gries
+    // skewed stream: key 1 x 400, key 2 x 150, keys 100..399 x 2 each
+    // (n = 1150); with k = 20 anything above n/21 ~ 54 MUST survive
+    val data = Seq.fill(400)(1L) ++ Seq.fill(150)(2L) ++
+      (100L until 400L).flatMap(i => Seq(i, i))
+    val truth = data.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = data.size
+    Seq(1, 13).foreach { parts =>
+      val sketch = data.toDF("key").repartition(parts)
+        .groupBy().agg(misra_gries($"key", 20).as("mg"))
+        .head().getSeq[org.apache.spark.sql.Row](0)
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(sketch.size <= 20)
+      // guarantee: heavy keys present
+      assert(sketch.contains(1L) && sketch.contains(2L), s"parts=$parts: $sketch")
+      // lower bound: est <= true, and est >= true - n/(k+1)
+      sketch.foreach { case (key, est) =>
+        assert(est <= truth(key), s"parts=$parts key=$key")
+        assert(est >= truth(key) - n / 21, s"parts=$parts key=$key est=$est")
+      }
+    }
+  }
+
+  test("heavyTokens: exact counts survive the sketch pass; precondition is fail-loud") {
+    val s = spark
+    import s.implicits._
+    // "spark is fast" x 30 docs -> bigrams 'spark is' and 'is fast' x 30;
+    // filler docs contribute unique bigrams only
+    val docs = ((0 until 30).map(i => (i.toLong, "spark is fast")) ++
+      (100 until 160).map(i => (i.toLong, s"unique$i filler$i tail$i")))
+      .toDF("doc_id", "text")
+    val out = CorpusStats.heavyTokens(docs, "text", n = 2, minCount = 20L, sketchK = 16)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === Map("spark is" -> 30L, "is fast" -> 30L))
+    // minCount below the MG bound must throw, not under-report
+    val e = intercept[IllegalArgumentException] {
+      CorpusStats.heavyTokens(docs, "text", n = 2, minCount = 2L, sketchK = 3)
+    }
+    assert(e.getMessage.contains("completeness"))
+  }
+
   // -------------------------------------------------------------- URL canon
 
   test("canonicalizeUrl: every normalization step, path case preserved") {
