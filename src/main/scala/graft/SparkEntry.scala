@@ -81,6 +81,7 @@ object SparkEntry {
     "p_url_dedup" -> (Queries.pUrlDedup _),
     "p_gopher_filter" -> (Queries.pGopherFilter _),
     "p_heavy_tokens" -> (Queries.pHeavyTokens _),
+    "p_asof_join" -> (Queries.pAsofJoin _),
     "p_dup_provenance" -> (Queries.pDupProvenance _),
     "p_sample_k_per_group" -> (Queries.pSampleKPerGroup _),
     "p_seq_pack" -> (Queries.pSeqPack _),
@@ -1012,6 +1013,22 @@ object SparkEntry {
          |SELECT gram, CAST(count(*) AS BIGINT) AS n FROM g
          |GROUP BY gram HAVING count(*) >= 200
          |ORDER BY n DESC, gram""".stripMargin,
+    // as-of join: DuckDB's NATIVE ASOF LEFT JOIN as an independent
+    // oracle for the union+window composition (inclusive bound, per-key
+    // recency, 24h tolerance null-out, unmatched passthrough)
+    "p_asof_join" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value FROM events),
+        |v AS (SELECT event_id, user_id, ts_us FROM e WHERE event_type = 'view'),
+        |c AS (SELECT user_id, ts_us AS cts, event_id AS cid, value AS cval
+        |      FROM e WHERE event_type = 'click'),
+        |j AS (
+        |  SELECT v.event_id, v.user_id, v.ts_us, c.cts, c.cid, c.cval
+        |  FROM v ASOF LEFT JOIN c ON v.user_id = c.user_id AND v.ts_us >= c.cts)
+        |SELECT event_id, user_id, ts_us,
+        |  CASE WHEN ts_us - cts <= 86400000000 THEN cts END AS click_ts,
+        |  CASE WHEN ts_us - cts <= 86400000000 THEN cid END AS click_event_id,
+        |  CASE WHEN ts_us - cts <= 86400000000 THEN cval END AS click_value
+        |FROM j ORDER BY event_id""".stripMargin,
     // cross-source dup provenance: normalized-text groups, min-(id, src)
     // canonical copy, per-(src_first, src_dup) copy counts + id sums
     "p_dup_provenance" ->

@@ -1128,6 +1128,50 @@ class PipelineSuite extends SparkSpec {
     assert(!plan.contains("Exchange"), s"removal pass must not shuffle:\n$plan")
   }
 
+  test("asofJoin: recency, inclusive bound, tolerance, unmatched, one shuffle") {
+    val s = spark
+    import s.implicits._
+    import graft.pipeline.AsofJoin
+    val left = Seq(
+      (1L, "k1", 100L), // two right rows before -> the later (t=90) wins
+      (2L, "k1", 90L),  // equal time -> inclusive match
+      (3L, "k1", 40L),  // only t=30 before; tolerance 15 -> within
+      (4L, "k1", 5L),   // nothing at or before
+      (5L, "k2", 50L),  // right row exists but 45 too far under tol 15... (50-10=40>15) -> null
+      (6L, "k3", 50L)   // key with no right rows at all
+    ).toDF("id", "k", "t")
+    val right = Seq(
+      ("k1", 30L, "r30"), ("k1", 90L, "r90"), ("k2", 10L, "r10")
+    ).toDF("k", "t", "tag")
+    val out = AsofJoin.asofJoin(left, right, "k", "t",
+        tolerance = Some(15L), rightPrefix = "m_")
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(3)).map(_.asInstanceOf[Long]), Option(r.getString(4)))))
+      .toMap
+    assert(out(1L) === ((Some(90L), Some("r90"))))  // recency: 90 beats 30
+    assert(out(2L) === ((Some(90L), Some("r90"))))  // inclusive t_r == t_l
+    assert(out(3L) === ((Some(30L), Some("r30"))))  // within tolerance
+    assert(out(4L) === ((None, None)))              // nothing before
+    assert(out(5L) === ((None, None)))              // out of tolerance
+    assert(out(6L) === ((None, None)))              // key absent on right
+
+    // no tolerance: the out-of-window match comes back
+    val free = AsofJoin.asofJoin(left, right, "k", "t").collect()
+      .map(r => r.getLong(0) -> Option(r.get(3)).map(_.asInstanceOf[Long])).toMap
+    assert(free(5L) === Some(10L))
+
+    // equal-(key, time) right ties resolve to the payload max, stably
+    val tied = Seq(("k1", 90L, "aa"), ("k1", 90L, "zz")).toDF("k", "t", "tag")
+    val pick = AsofJoin.asofJoin(left.filter($"id" === 1L), tied, "k", "t")
+      .head().getString(4)
+    assert(pick === "zz")
+
+    // one exchange: both sides co-shuffle on the key, window sorts in place
+    val plan = AsofJoin.asofJoin(left, right, "k", "t")
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).size <= 1, s"asof join is one shuffle:\n$plan")
+  }
+
   test("gopherFlags: each rule fires on its hand-built violation") {
     val s = spark
     import s.implicits._
