@@ -787,6 +787,30 @@ object Queries {
       .orderBy("event_id")
   }
 
+  /** Interval join ([[graft.pipeline.IntervalJoin.intervalJoin]]): views
+    * inside per-user 2 h outage windows opened by error events, 1 h
+    * bins. The oracle is DuckDB's plain range join (its IEJoin handles
+    * the range predicate natively), so binning + equi-join + exact
+    * filter is pinned against an independent range-join implementation;
+    * at sf0.01 one view hits two overlapping windows, pinning the
+    * one-row-per-hit inner semantics.
+    */
+  def pIntervalJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = events(spark, sfDir)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), col("event_type"))
+    val views = e.filter(col("event_type") === "view")
+      .select("event_id", "user_id", "ts_us")
+    val outages = e.filter(col("event_type") === "error")
+      .select(col("user_id"), col("event_id").as("outage_id"),
+        col("ts_us").as("os"), (col("ts_us") + 7200000000L).as("oe"))
+    graft.pipeline.IntervalJoin.intervalJoin(
+        views, outages, "user_id", "ts_us", "os", "oe", binWidth = 3600000000L)
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("ivl_outage_id").as("outage_id"), col("ivl_os").as("outage_start"))
+      .orderBy("event_id", "outage_id")
+  }
+
   /** Heavy trigrams by sketch-then-verify ([[CorpusStats.heavyTokens]]):
     * %3==0 docs get five appended "click here now" repetitions, so the
     * three phrase trigrams tower over the organic tail; the 2048-counter

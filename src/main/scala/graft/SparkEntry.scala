@@ -82,6 +82,7 @@ object SparkEntry {
     "p_gopher_filter" -> (Queries.pGopherFilter _),
     "p_heavy_tokens" -> (Queries.pHeavyTokens _),
     "p_asof_join" -> (Queries.pAsofJoin _),
+    "p_interval_join" -> (Queries.pIntervalJoin _),
     "p_dup_provenance" -> (Queries.pDupProvenance _),
     "p_sample_k_per_group" -> (Queries.pSampleKPerGroup _),
     "p_seq_pack" -> (Queries.pSeqPack _),
@@ -1029,6 +1030,18 @@ object SparkEntry {
         |  CASE WHEN ts_us - cts <= 86400000000 THEN cid END AS click_event_id,
         |  CASE WHEN ts_us - cts <= 86400000000 THEN cval END AS click_value
         |FROM j ORDER BY event_id""".stripMargin,
+    // interval join: DuckDB's native range join (IEJoin) as an
+    // independent oracle for the bin-explode + equi-join + exact-filter
+    // composition; half-open [start, end), one row per hit
+    "p_interval_join" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type FROM events),
+        |v AS (SELECT event_id, user_id, ts_us FROM e WHERE event_type = 'view'),
+        |o AS (SELECT user_id, event_id AS outage_id, ts_us AS os, ts_us + 7200000000 AS oe
+        |      FROM e WHERE event_type = 'error')
+        |SELECT v.event_id, v.user_id, v.ts_us, o.outage_id, o.os AS outage_start
+        |FROM v JOIN o
+        |ON v.user_id = o.user_id AND v.ts_us >= o.os AND v.ts_us < o.oe
+        |ORDER BY v.event_id, o.outage_id""".stripMargin,
     // cross-source dup provenance: normalized-text groups, min-(id, src)
     // canonical copy, per-(src_first, src_dup) copy counts + id sums
     "p_dup_provenance" ->

@@ -1172,6 +1172,41 @@ class PipelineSuite extends SparkSpec {
     assert("Exchange".r.findAllIn(plan).size <= 1, s"asof join is one shuffle:\n$plan")
   }
 
+  test("intervalJoin: containment, half-open bound, multi-hit, bin budget") {
+    val s = spark
+    import s.implicits._
+    import graft.pipeline.IntervalJoin
+    val points = Seq(
+      (1L, "k1", 10L),  // inside [5, 15)
+      (2L, "k1", 15L),  // == end: excluded (half-open)
+      (3L, "k1", 5L),   // == start: included
+      (4L, "k1", 25L),  // inside BOTH [5, 30) is absent; [20, 30) only
+      (5L, "k2", 10L),  // wrong key
+      (6L, "k1", 100L)  // no interval
+    ).toDF("id", "k", "t")
+    val ivls = Seq(
+      ("k1", 11L, 5L, 15L),
+      ("k1", 22L, 20L, 30L),
+      ("k1", 33L, 24L, 26L)   // overlaps ivl 22 -> point 4 hits both
+    ).toDF("k", "iid", "s", "e")
+    val out = IntervalJoin.intervalJoin(points, ivls, "k", "t", "s", "e", binWidth = 7L)
+      .select("id", "ivl_iid")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out === Set((1L, 11L), (3L, 11L), (4L, 22L), (4L, 33L)))
+
+    // a pair is emitted exactly once even when the interval spans bins
+    val n = IntervalJoin.intervalJoin(points, ivls, "k", "t", "s", "e", binWidth = 2L)
+      .count()
+    assert(n === 4L)
+
+    // fan-out budget is fail-loud
+    val err = intercept[IllegalArgumentException] {
+      IntervalJoin.intervalJoin(points, ivls, "k", "t", "s", "e",
+        binWidth = 1L, maxBinsPerInterval = 3L)
+    }
+    assert(err.getMessage.contains("maxBinsPerInterval"))
+  }
+
   test("gopherFlags: each rule fires on its hand-built violation") {
     val s = spark
     import s.implicits._
