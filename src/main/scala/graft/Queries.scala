@@ -811,6 +811,34 @@ object Queries {
       .orderBy("event_id", "outage_id")
   }
 
+  /** WARC source/sink round trip ([[graft.sources.Warc]]): the corpus is
+    * written as WARC response records (one file per partition, the
+    * CommonCrawl container format), read back through the streaming
+    * record parser, and reduced to per-URL byte/token stats that the
+    * oracle derives from the documents table directly — pinning record
+    * framing, Content-Length arithmetic, the HTTP header/body split, and
+    * UTF-8 round-tripping. Gzip members and malformed-record resync are
+    * suite-pinned (`WarcSuite`-style tests in PipelineSuite).
+    */
+  def pWarcRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.sources.Warc
+    val dir = new java.io.File(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_warc_gate_${math.abs(sfDir.hashCode)}")
+    if (dir.exists()) dir.listFiles().foreach(_.delete())
+    val docs = documents(spark, sfDir).select(
+      concat(lit("https://"), col("source"), lit(".example.com/doc/"), col("doc_id")).as("url"),
+      col("text"))
+    Warc.writeCorpus(docs, "url", "text", dir.getAbsolutePath)
+    Warc.readWarc(spark, dir.getAbsolutePath + "/*.warc")
+      .select(
+        col("url"),
+        length(Warc.httpBody(col("payload"))).cast("long").as("body_bytes"),
+        size(TF.tokens(decode(Warc.httpBody(col("payload")), "UTF-8")))
+          .cast("long").as("n_tokens"))
+      .orderBy("url")
+  }
+
   /** Heavy trigrams by sketch-then-verify ([[CorpusStats.heavyTokens]]):
     * %3==0 docs get five appended "click here now" repetitions, so the
     * three phrase trigrams tower over the organic tail; the 2048-counter

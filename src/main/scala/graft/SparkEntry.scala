@@ -83,6 +83,7 @@ object SparkEntry {
     "p_heavy_tokens" -> (Queries.pHeavyTokens _),
     "p_asof_join" -> (Queries.pAsofJoin _),
     "p_interval_join" -> (Queries.pIntervalJoin _),
+    "p_warc_roundtrip" -> (Queries.pWarcRoundtrip _),
     "p_dup_provenance" -> (Queries.pDupProvenance _),
     "p_sample_k_per_group" -> (Queries.pSampleKPerGroup _),
     "p_seq_pack" -> (Queries.pSeqPack _),
@@ -1030,6 +1031,14 @@ object SparkEntry {
         |  CASE WHEN ts_us - cts <= 86400000000 THEN cid END AS click_event_id,
         |  CASE WHEN ts_us - cts <= 86400000000 THEN cval END AS click_value
         |FROM j ORDER BY event_id""".stripMargin,
+    // WARC round trip: writer bytes -> streaming parser -> per-URL
+    // stats; the oracle derives the same stats from the documents table
+    // directly, so framing + header/body split + UTF-8 are all pinned
+    "p_warc_roundtrip" ->
+      s"""SELECT 'https://' || source || '.example.com/doc/' || doc_id AS url,
+         |  CAST(octet_length(encode(text)) AS BIGINT) AS body_bytes,
+         |  CAST(len($TOKS) AS BIGINT) AS n_tokens
+         |FROM documents ORDER BY url""".stripMargin,
     // interval join: DuckDB's native range join (IEJoin) as an
     // independent oracle for the bin-explode + equi-join + exact-filter
     // composition; half-open [start, end), one row per hit

@@ -1128,6 +1128,52 @@ class PipelineSuite extends SparkSpec {
     assert(!plan.contains("Exchange"), s"removal pass must not shuffle:\n$plan")
   }
 
+  test("warc: write/read round trip, gzip members, malformed-record resync") {
+    val s = spark
+    import s.implicits._
+    import graft.sources.Warc
+    val dir = java.nio.file.Files.createTempDirectory("graft-warc").toFile
+
+    // round trip, plain and gzip, multi-byte UTF-8 in the body
+    val docs = Seq(
+      ("https://a.com/1", "hello world"),
+      ("https://a.com/2", "snowman ☃ and emoji"),
+      ("https://b.com/3", "third doc body")
+    ).toDF("url", "text")
+    Warc.writeCorpus(docs, "url", "text", dir + "/plain")
+    Warc.writeCorpus(docs, "url", "text", dir + "/gz", gzip = true)
+    Seq("/plain/*.warc", "/gz/*.warc.gz").foreach { glob =>
+      val back = Warc.readWarc(s, dir + glob)
+        .select($"url", org.apache.spark.sql.functions.decode(
+          Warc.httpBody($"payload"), "UTF-8").as("body"))
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(back === Map(
+        "https://a.com/1" -> "hello world",
+        "https://a.com/2" -> "snowman ☃ and emoji",
+        "https://b.com/3" -> "third doc body"), s"glob=$glob")
+    }
+
+    // malformed stream: a good record, garbage, a record with no
+    // Content-Length, then another good record -> parser resyncs
+    def rec(url: String, body: String): String = {
+      val payload = s"HTTP/1.1 200 OK\r\n\r\n$body"
+      "WARC/1.0\r\n" +
+        s"WARC-Target-URI: $url\r\nWARC-Type: response\r\n" +
+        s"Content-Length: ${payload.getBytes("UTF-8").length}\r\n\r\n" +
+        payload + "\r\n\r\n"
+    }
+    val bad = rec("https://ok.com/1", "first") +
+      "not a warc record at all\r\njust noise\r\n" +
+      "WARC/1.0\r\nWARC-Target-URI: https://broken.com\r\n\r\n" + // no length
+      rec("https://ok.com/2", "second")
+    val f = new java.io.File(dir, "mixed/bad.warc")
+    f.getParentFile.mkdirs()
+    java.nio.file.Files.write(f.toPath, bad.getBytes("UTF-8"))
+    val urls = Warc.readWarc(s, f.getAbsolutePath)
+      .select("url").collect().map(_.getString(0)).toSet
+    assert(urls === Set("https://ok.com/1", "https://ok.com/2"))
+  }
+
   test("asofJoin: recency, inclusive bound, tolerance, unmatched, one shuffle") {
     val s = spark
     import s.implicits._
