@@ -811,6 +811,39 @@ object Queries {
       .orderBy("event_id", "outage_id")
   }
 
+  /** Int8 quantization ([[Similarity.quantizeInt8]]): per-vector scale
+    * (rounded 6dp on output only — codes use the exact scale), code sum,
+    * and saturation count, all re-derived by the oracle with the same
+    * floor-half-up formula. Both engines divide/floor in IEEE doubles,
+    * so the codes agree bit-exactly.
+    */
+  def pEmbeddingQuantize(spark: SparkSession, sfDir: String): DataFrame = {
+    val q = Similarity.quantizeInt8(embeddings(spark, sfDir), "vec_id", "embedding")
+    q.select(
+      col("vec_id"),
+      round(col("scale"), 6).as("scale"),
+      aggregate(col("codes"), lit(0L), (acc, c) => acc + c.cast("long")).as("code_sum"),
+      size(filter(col("codes"), c => abs(c) === 127)).cast("long").as("n_sat"))
+      .orderBy("vec_id")
+  }
+
+  /** Curriculum ordering ([[Sampling.curriculumOrder]]): quality-score
+    * octile buckets over the documents table with the deterministic
+    * within-bucket LCG position. The oracle re-derives ntile over the
+    * identical `(rounded score, id)` total order and the LCG shuffle —
+    * standard-SQL ntile distribution semantics are engine-shared, the
+    * tie rule makes bucket BOUNDARIES exact, and the position pins the
+    * shuffle arithmetic.
+    */
+  def pCurriculum(spark: SparkSession, sfDir: String): DataFrame = {
+    val scored = documents(spark, sfDir).select(
+      col("doc_id"),
+      TF.qualityScore(col("text"), TF.LangStopwords.head._2).as("q"))
+    Sampling.curriculumOrder(scored, "q", "doc_id", nBuckets = 8)
+      .select("doc_id", "bucket", "pos_in_bucket")
+      .orderBy("doc_id")
+  }
+
   /** WARC source/sink round trip ([[graft.sources.Warc]]): the corpus is
     * written as WARC response records (one file per partition, the
     * CommonCrawl container format), read back through the streaming

@@ -84,6 +84,8 @@ object SparkEntry {
     "p_asof_join" -> (Queries.pAsofJoin _),
     "p_interval_join" -> (Queries.pIntervalJoin _),
     "p_warc_roundtrip" -> (Queries.pWarcRoundtrip _),
+    "p_curriculum" -> (Queries.pCurriculum _),
+    "p_embedding_quantize" -> (Queries.pEmbeddingQuantize _),
     "p_dup_provenance" -> (Queries.pDupProvenance _),
     "p_sample_k_per_group" -> (Queries.pSampleKPerGroup _),
     "p_seq_pack" -> (Queries.pSeqPack _),
@@ -1031,6 +1033,42 @@ object SparkEntry {
         |  CASE WHEN ts_us - cts <= 86400000000 THEN cid END AS click_event_id,
         |  CASE WHEN ts_us - cts <= 86400000000 THEN cval END AS click_value
         |FROM j ORDER BY event_id""".stripMargin,
+    // int8 quantization: same floor-half-up formula, exact scale in the
+    // code math, 6dp scale only on the output column
+    "p_embedding_quantize" ->
+      """WITH p AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |m AS (SELECT vec_id, v,
+        |  list_max(list_transform(v, x -> abs(x))) AS am FROM p),
+        |c AS (SELECT vec_id, am,
+        |  CASE WHEN am = 0 THEN list_transform(v, x -> 0)
+        |       ELSE list_transform(v, x -> CAST(floor(x / (am/127.0) + 0.5) AS INT))
+        |  END AS codes
+        |  FROM m)
+        |SELECT vec_id, round(am/127.0, 6) AS scale,
+        |  CAST(list_sum(codes) AS BIGINT) AS code_sum,
+        |  CAST(len(list_filter(codes, c -> abs(c) = 127)) AS BIGINT) AS n_sat
+        |FROM c ORDER BY vec_id""".stripMargin,
+    // curriculum: ntile octiles over the (rounded quality, id) total
+    // order + the within-bucket LCG position — standard-SQL ntile
+    // distribution semantics shared by both engines
+    "p_curriculum" ->
+      s"""WITH s AS (
+         |  SELECT doc_id,
+         |    round(
+         |      least(len($TOKS) / 100.0, 1.0) * 0.5
+         |      + (len(list_distinct($TOKS)) * 1.0 / len($TOKS)) * 0.3
+         |      + least((len(list_filter($TOKS, t -> list_contains($EN, t))) * 1.0 / len($TOKS)) * 4.0, 1.0) * 0.2,
+         |      6) AS q
+         |  FROM documents),
+         |b AS (
+         |  SELECT doc_id,
+         |    CAST(ntile(8) OVER (ORDER BY q, doc_id) - 1 AS BIGINT) AS bucket,
+         |    ((((doc_id % 4294967296) * 1103515245 + 12345) % 4294967296)
+         |      + 4294967296) % 4294967296 AS lcg
+         |  FROM s)
+         |SELECT doc_id, bucket,
+         |  CAST(row_number() OVER (PARTITION BY bucket ORDER BY lcg, doc_id) - 1 AS BIGINT) AS pos_in_bucket
+         |FROM b ORDER BY doc_id""".stripMargin,
     // WARC round trip: writer bytes -> streaming parser -> per-URL
     // stats; the oracle derives the same stats from the documents table
     // directly, so framing + header/body split + UTF-8 are all pinned

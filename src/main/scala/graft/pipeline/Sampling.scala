@@ -196,6 +196,36 @@ object Sampling {
   def hashSplit(df: DataFrame, idCol: String, fractions: Seq[Double]): Seq[DataFrame] =
     splitByKey(df, col(idCol), fractions)
 
+  /** Curriculum ordering: bucket rows into `nBuckets` score quantiles
+    * (bucket 0 = lowest scores) and give every row a deterministic
+    * training position — `(bucket, lcgBucket(id), id)` ascending — so an
+    * easy-to-hard (or hard-to-easy: reverse the bucket) curriculum is a
+    * pure sort key, reproducible across runs and engines, with the
+    * within-bucket LCG shuffle breaking any correlation between score
+    * rank and corpus order. Returns the input plus
+    * `(bucket, pos_in_bucket)`.
+    *
+    * Bucketing is `ntile` over the total order `(score, id)` — the tie
+    * rule makes bucket boundaries exact, not plan-dependent. The window
+    * is one global sort (ntile needs global ranks); at 100 TB compute
+    * the score-quantile CUTS on a sample or with approxQuantile instead
+    * and bucket by comparison (map-side) — this exact variant is the
+    * oracle-able contract those approximations converge to.
+    */
+  def curriculumOrder(
+      df: DataFrame,
+      scoreCol: String,
+      idCol: String,
+      nBuckets: Int): DataFrame = {
+    require(nBuckets > 0, s"nBuckets=$nBuckets must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col(scoreCol).asc, col(idCol).asc)
+    val wb = Window.partitionBy("bucket")
+      .orderBy(lcgBucket(col(idCol)).asc, col(idCol).asc)
+    df.withColumn("bucket", (ntile(nBuckets).over(w) - 1).cast("long"))
+      .withColumn("pos_in_bucket", (row_number().over(wb) - 1).cast("long"))
+  }
+
   /** Exactly `min(k, |group|)` ids per group, deterministically
     * pseudo-uniform: rows rank by `(lcgBucket(id), id)` and the k
     * smallest win. Rate-based samplers ([[hashSample]]) only hit k IN

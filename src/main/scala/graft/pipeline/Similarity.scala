@@ -200,6 +200,23 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Symmetric int8 absmax quantization: per-vector `scale = max|x|/127`,
+    * `code_i = floor(x_i/scale + 0.5)` (half-up via floor — bit-portable
+    * across engines, unlike banker's rounding), codes in [-127, 127].
+    * The 4x storage cut (float32 -> int8) is the standard first step of
+    * a memory-resident vector index; compose with [[pqTopK]] (codes
+    * re-quantize) or rescale on read (`code * scale`). Zero vectors get
+    * `scale = 0` and all-zero codes. Pure higher-order-function
+    * expressions — map-side, zero shuffle, no UDF.
+    */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val am = array_max(transform(v, x => abs(x)))
+    val codes = when(am === 0.0, transform(v, _ => lit(0)))
+      .otherwise(transform(v, x => floor(x / (am / lit(127.0)) + lit(0.5)).cast("int")))
+    df.select(col(idCol), (am / lit(127.0)).as("scale"), codes.as("codes"))
+  }
+
   // ------------------------------------------------------------------- PQ
 
   /** Product-quantization codebooks from the corpus rows with

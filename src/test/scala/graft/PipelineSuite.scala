@@ -1128,6 +1128,44 @@ class PipelineSuite extends SparkSpec {
     assert(!plan.contains("Exchange"), s"removal pass must not shuffle:\n$plan")
   }
 
+  test("curriculumOrder: quantile buckets, deterministic positions") {
+    val s = spark
+    import s.implicits._
+    val df = (0L until 100L).map(i => (i, (i % 10).toDouble)).toDF("id", "sc")
+    val out = Sampling.curriculumOrder(df, "sc", "id", 4)
+    val buckets = out.groupBy("bucket").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(buckets === Map(0L -> 25L, 1L -> 25L, 2L -> 25L, 3L -> 25L))
+    // low scores land in low buckets
+    val b0max = out.filter($"bucket" === 0).agg(max("sc")).head().getDouble(0)
+    val b3min = out.filter($"bucket" === 3).agg(min("sc")).head().getDouble(0)
+    assert(b0max <= b3min)
+    // positions are a permutation of 0..n-1 within each bucket, and the
+    // whole assignment survives a repartition
+    val pos0 = out.filter($"bucket" === 0).select("pos_in_bucket")
+      .collect().map(_.getLong(0)).sorted
+    assert(pos0 === (0L until 25L).toArray)
+    val a = out.collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+    val b = Sampling.curriculumOrder(df.repartition(7), "sc", "id", 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+    assert(a === b)
+  }
+
+  test("quantizeInt8: absmax scale, half-up codes, saturation, zero vector") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, Seq(1.27, -1.27, 0.635, 0.0)),  // am=1.27, scale=0.01
+      (2L, Seq(0.0, 0.0, 0.0, 0.0))        // zero vector
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.quantizeInt8(df, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getSeq[Int](2)))).toMap
+    val (sc1, c1) = out(1L)
+    assert(math.abs(sc1 - 0.01) < 1e-12)
+    assert(c1 === Seq(127, -127, 64, 0)) // 63.5 + 0.5 floors to 64; ±saturation
+    assert(out(2L) === ((0.0, Seq(0, 0, 0, 0))))
+  }
+
   test("warc: write/read round trip, gzip members, malformed-record resync") {
     val s = spark
     import s.implicits._
