@@ -146,6 +146,56 @@ class DocsSuite extends SparkSpec {
       minMeanQuality = 0.3).count() > 0)
   }
 
+  test("pipeline-ops: crawl-hygiene + heavy-hitter + curriculum snippets run") {
+    val withUrl = docs.withColumn("url",
+      concat(lit("https://www."), col("source"), lit(".example.com/doc/"), col("doc_id")))
+    assert(withUrl.withColumn("url_canon",
+      pipeline.TextFunctions.canonicalizeUrl(col("url")))
+      .filter(col("url_canon").contains("www.")).count() === 0)
+    assert(pipeline.Dedup.urlDedupSurvivors(withUrl, "doc_id", "url").count() > 0)
+    val keys = pipeline.Dedup.boilerplateLineSet(docs, "doc_id", "text", minDocs = 2)
+    assert(pipeline.Dedup.removeBoilerplate(docs, "text", keys).count() === docs.count())
+    assert(docs.withColumn("f", pipeline.TextFunctions.gopherFlags(col("text")))
+      .select("f.too_few_words").count() === docs.count())
+    assert(pipeline.Dedup.dupProvenance(docs, "doc_id", "text", "source")
+      .columns.toSeq === Seq("src_first", "src_dup", "n_dups", "dup_id_sum"))
+    val heavy = pipeline.CorpusStats.heavyTokens(docs, "text", n = 1,
+      minCount = 100L, sketchK = 512)
+    assert(heavy.columns.toSeq === Seq("gram", "n"))
+    assert(pipeline.Sampling.exactKPerGroup(docs, "source", "doc_id", 3)
+      .groupBy("source").count().collect().forall(_.getLong(1) <= 3))
+    val scored = docs.select(col("doc_id"), col("n_chars").cast("double").as("q"))
+    assert(pipeline.Sampling.curriculumOrder(scored, "q", "doc_id", 4)
+      .select("bucket").distinct().count() === 4)
+  }
+
+  test("pipeline-ops: time-join + warc + vector-compression snippets run") {
+    val e = Tables.events(spark, sf).select(col("event_id"), col("user_id"),
+      unix_micros(col("ts")).as("ts_us"), col("event_type"), col("value"))
+    val views = e.filter(col("event_type") === "view").select("event_id", "user_id", "ts_us")
+    val clicks = e.filter(col("event_type") === "click")
+      .select("user_id", "ts_us", "event_id", "value")
+    assert(pipeline.AsofJoin.asofJoin(views, clicks, "user_id", "ts_us",
+      tolerance = Some(86400000000L), rightPrefix = "click_").count() === views.count())
+    val windows = clicks.select(col("user_id"), col("ts_us").as("start_us"),
+      (col("ts_us") + 7200000000L).as("end_us"))
+    assert(pipeline.IntervalJoin.intervalJoin(views, windows, "user_id", "ts_us",
+      "start_us", "end_us", binWidth = 3600000000L).count() >= 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-docs-warc").toString
+    val withUrl = docs.select(
+      concat(lit("https://x/"), col("doc_id")).as("url"), col("text"))
+    graft.sources.Warc.writeCorpus(withUrl, "url", "text", dir, gzip = true)
+    val records = graft.sources.Warc.readWarc(spark, dir + "/*.warc.gz")
+    assert(records.select(graft.sources.Warc.httpBody(col("payload"))).count()
+      === docs.count())
+    assert(pipeline.Similarity.quantizeInt8(embs, "vec_id", "embedding")
+      .count() === embs.count())
+    val q = embs.filter(col("vec_id") < 3)
+    assert(pipeline.Similarity.pqTopK(q, embs, "vec_id", "embedding", 10).count() === 30)
+    assert(pipeline.Similarity.ivfPqTopK(q, embs, "vec_id", "embedding", 10,
+      numCentroids = 8, nprobe = 4).count() > 0)
+  }
+
   test("pipeline-ops: skew + similarity snippets run") {
     val fact = reg.withColumn("user_id", (col("l_quantity") % 5).cast("long"))
     val dim = fact.groupBy("user_id").agg(count(lit(1)).as("n"))
