@@ -140,6 +140,37 @@ object TextFunctions {
     regexp_replace(noIp, PhonePattern, "<PHONE>")
   }
 
+  /** zlib compression ratio `deflate(text).length / text.length` — the
+    * classic redundancy signal (boilerplate, templated spam, and
+    * keyword-stuffed pages compress far better than prose; Dolma/CCNet
+    * ship it as a standard quality feature). Fixed level-6 deflate, so
+    * the value is deterministic for a given input across JVMs. Null or
+    * empty text yields null. No SQL oracle exists for zlib byte counts,
+    * so this signal is SUITE-pinned (ordering + determinism +
+    * null/empty contracts), not gate-pinned — the one operator in the
+    * text-signal family whose ground truth is the codec itself.
+    *
+    * Cost: one deflate pass per row (map-side, no shuffle); the UDF is
+    * justified — compression is genuinely procedural.
+    */
+  val compressionRatio: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (text: String) =>
+      if (text == null || text.isEmpty) null
+      else {
+        val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val d = new java.util.zip.Deflater(6)
+        try {
+          d.setInput(bytes)
+          d.finish()
+          val buf = new Array[Byte](8192)
+          var n = 0L
+          while (!d.finished()) n += d.deflate(buf)
+          java.lang.Double.valueOf(
+            math.rint(n.toDouble / bytes.length * 1e6) / 1e6)
+        } finally d.end()
+      }
+    }
+
   /** Gopher-style document quality rules (Rae et al. 2021 §A1.1, the
     * standard web-corpus gate), as a struct of per-rule VIOLATION flags —
     * per-rule observability is the point: production corpora track which

@@ -263,6 +263,28 @@ class CorpusOpsSuite extends SparkSpec {
     } finally query.stop()
   }
 
+  test("compressionRatio: redundancy orders, determinism, null/empty contract") {
+    val s = spark
+    import s.implicits._
+    val rep = ("spam spam spam " * 50).trim
+    val div = (0 until 150).map(i => s"w${i * 7919}").mkString(" ")
+    val df = Seq(
+      (1L, rep), (2L, div), (3L, null.asInstanceOf[String]), (4L, "")
+    ).toDF("id", "text")
+    val out = df.select(col("id"), TF.compressionRatio(col("text")).as("r"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Double]))
+      .toMap
+    assert(out(1L).get < out(2L).get, s"repetitive must compress better: $out")
+    assert(out(1L).get < 0.2 && out(2L).get > 0.4)
+    assert(out(3L).isEmpty && out(4L).isEmpty)
+    // deterministic across evaluations
+    val again = df.repartition(3)
+      .select(col("id"), TF.compressionRatio(col("text")).as("r"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Double]))
+      .toMap
+    assert(again === out)
+  }
+
   // ---------------------------------------------------------- heavy hitters
 
   test("misra_gries: completeness guarantee and lower-bound property") {
