@@ -364,6 +364,84 @@ object StreamingOps {
       .select(col("doc_id"), col("candidate_of").as("dup_of"), col("est_jaccard"))
   }
 
+  // -------- streaming as-of enrichment ------------------------------------
+
+  /** Tagged input for [[asofEnrichStream]]: `side = 0` right (reference)
+    * rows with a value, `side = 1` left rows to enrich. `ts` drives the
+    * watermark; `ts_us` is the exact event time (micros) used for
+    * matching, carried separately because `java.sql.Timestamp` keeps
+    * only milliseconds through the encoder.
+    */
+  case class AsofEvent(
+      user_id: Long, ts: java.sql.Timestamp, ts_us: Long,
+      side: Int, id: Long, value: Double)
+
+  case class AsofRightRow(ts_us: Long, id: Long, value: Double)
+  case class AsofPendingLeft(ts_us: Long, id: Long)
+  case class AsofKeyState(rights: Seq[AsofRightRow], pending: Seq[AsofPendingLeft])
+
+  case class AsofOut(
+      user_id: Long, left_id: Long, ts_us: Long,
+      right_id: Option[Long], right_ts_us: Option[Long], right_value: Option[Double])
+
+  /** Streaming twin of [[graft.pipeline.AsofJoin.asofJoin]]: every left
+    * row is enriched with its key's most recent right row at-or-before
+    * it. A left row is FINALIZED only once the watermark passes its
+    * event time — every right row that could precede it has then
+    * arrived (within the watermark contract), so out-of-order delivery
+    * inside the delay cannot change the match, and the emitted rows
+    * equal the batch join on the same data (suite-pinned parity,
+    * including the batch path's payload-max tie rule).
+    *
+    * State per key is bounded by the watermark: rights newer than the
+    * watermark (arrival-rate x delay) plus ONE older right (the current
+    * as-of candidate for future lefts — older ones can never win
+    * again), and the not-yet-final lefts. Event-time timeouts re-fire
+    * keys whose pending lefts become final with no new data.
+    */
+  def asofEnrichStream(
+      events: Dataset[AsofEvent],
+      watermark: String = "1 hour",
+      toleranceUs: Option[Long] = None): Dataset[AsofOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AsofKeyState, AsofOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[AsofEvent], state: GroupState[AsofKeyState]) =>
+          val st = state.getOption.getOrElse(AsofKeyState(Nil, Nil))
+          var rights = st.rights
+          var pending = st.pending
+          rows.foreach { e =>
+            if (e.side == 0) rights = rights :+ AsofRightRow(e.ts_us, e.id, e.value)
+            else pending = pending :+ AsofPendingLeft(e.ts_us, e.id)
+          }
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          // (ts, id, value) ascending: lastOption of the <= t_l prefix is
+          // the batch join's (time, payload-max) winner
+          val sorted = rights.sortBy(r => (r.ts_us, r.id, r.value))
+          val (ready, stillPending) = pending.partition(_.ts_us <= wmUs)
+          val out = ready.sortBy(p => (p.ts_us, p.id)).map { p =>
+            val m = sorted.takeWhile(_.ts_us <= p.ts_us).lastOption
+              .filter(r => toleranceUs.forall(t => p.ts_us - r.ts_us <= t))
+            AsofOut(uid, p.id, p.ts_us,
+              m.map(_.id), m.map(_.ts_us), m.map(_.value))
+          }
+          // purge: rights past the watermark stay; of the older ones only
+          // the latest can still win a future left
+          val (old, fresh) = sorted.partition(_.ts_us <= wmUs)
+          val keep = old.lastOption.toSeq ++ fresh
+          if (stillPending.isEmpty && keep.isEmpty) state.remove()
+          else {
+            state.update(AsofKeyState(keep, stillPending))
+            if (stillPending.nonEmpty)
+              state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
+          }
+          out.iterator
+      }
+  }
+
   // -------- custom keyed state: running per-user counters ----------------
 
   case class UserEvent(user_id: Long, event_type: String, value: Double)

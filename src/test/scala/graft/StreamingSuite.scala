@@ -687,4 +687,57 @@ class StreamingSuite extends SparkSpec {
       assert(byUser(2L) === ((1L, 5.0)))
     } finally query.stop()
   }
+
+  test("asofEnrichStream equals the batch as-of join, ties and tolerance included") {
+    val s = spark
+    import s.implicits._
+    import StreamingOps.AsofEvent
+
+    def ev(uid: Long, sec: Long, side: Int, id: Long, v: Double) =
+      AsofEvent(uid, new java.sql.Timestamp(sec * 1000L), sec * 1000000L, side, id, v)
+    // rights: t=100, tie at t=300 (ids 21/22 -> payload-max rule), t=700
+    // lefts: before-anything, equal-ts, mid, tie-ts, late
+    val all = Seq(
+      ev(1, 100, 0, 20, 1.5), ev(1, 300, 0, 21, 2.5), ev(1, 300, 0, 22, 0.5),
+      ev(1, 700, 0, 23, 9.0),
+      ev(1, 50, 1, 1, 0), ev(1, 100, 1, 2, 0), ev(1, 250, 1, 3, 0),
+      ev(1, 300, 1, 4, 0), ev(1, 500, 1, 5, 0), ev(1, 1000, 1, 6, 0),
+      ev(2, 400, 0, 30, 7.0), ev(2, 350, 1, 7, 0), ev(2, 450, 1, 8, 0))
+
+    // batch truth via AsofJoin on the same rows (right payload = (id, value))
+    val views = all.filter(_.side == 1).map(e => (e.id, e.user_id, e.ts_us))
+      .toDF("left_id", "user_id", "ts_us")
+    val clicks = all.filter(_.side == 0).map(e => (e.user_id, e.ts_us, e.id, e.value))
+      .toDF("user_id", "ts_us", "id", "value")
+    def batchSet(tol: Option[Long]) =
+      graft.pipeline.AsofJoin.asofJoin(views, clicks, "user_id", "ts_us", tol, "r_")
+        .collect().map(r => (r.getLong(1), r.getLong(0), r.getLong(2),
+          Option(r.get(4)).map(_.asInstanceOf[Long]),
+          Option(r.get(3)).map(_.asInstanceOf[Long]),
+          Option(r.get(5)).map(_.asInstanceOf[Double]))).toSet
+
+    Seq((None: Option[Long], "asof_free"), (Some(150000000L), "asof_tol")).foreach {
+      case (tol, tbl) =>
+        implicit val sq = s.sqlContext
+        val mem = MemoryStream[AsofEvent]
+        val query = StreamingOps.asofEnrichStream(mem.toDS(), "10 minutes", tol)
+          .writeStream.format("memory").queryName(tbl)
+          .outputMode("append").start()
+        try {
+          // out-of-order WITHIN each chunk; chunk2 later than chunk1
+          val (a, b) = all.partition(_.ts_us <= 400000000L)
+          mem.addData(scala.util.Random.shuffle(a)); query.processAllAvailable()
+          mem.addData(scala.util.Random.shuffle(b)); query.processAllAvailable()
+          mem.addData(Seq(ev(999, 32503680000L, 0, 0, 0))) // flush watermark
+          query.processAllAvailable()
+          val streamed = s.sql(
+            s"SELECT user_id, left_id, ts_us, right_id, right_ts_us, right_value FROM $tbl")
+            .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+              Option(r.get(3)).map(_.asInstanceOf[Long]),
+              Option(r.get(4)).map(_.asInstanceOf[Long]),
+              Option(r.get(5)).map(_.asInstanceOf[Double]))).toSet
+          assert(streamed === batchSet(tol), s"variant=$tbl")
+        } finally query.stop()
+    }
+  }
 }
