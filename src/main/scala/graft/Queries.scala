@@ -827,6 +827,16 @@ object Queries {
       .orderBy("vec_id")
   }
 
+  /** Corpus report ([[CorpusStats.corpusReport]]): the dataset-card
+    * summary in long format. Every ingredient (token counts, exact-dup
+    * normalization, quality score, langId) is individually gated; this
+    * gate pins their composition under ONE shared definition so the
+    * released card cannot drift from the pipeline that made the corpus.
+    */
+  def pCorpusReport(spark: SparkSession, sfDir: String): DataFrame =
+    CorpusStats.corpusReport(documents(spark, sfDir), "text", "source")
+      .orderBy("metric", "key")
+
   /** Curriculum ordering ([[Sampling.curriculumOrder]]): quality-score
     * octile buckets over the documents table with the deterministic
     * within-bucket LCG position. The oracle re-derives ntile over the

@@ -86,6 +86,7 @@ object SparkEntry {
     "p_warc_roundtrip" -> (Queries.pWarcRoundtrip _),
     "p_curriculum" -> (Queries.pCurriculum _),
     "p_embedding_quantize" -> (Queries.pEmbeddingQuantize _),
+    "p_corpus_report" -> (Queries.pCorpusReport _),
     "p_dup_provenance" -> (Queries.pDupProvenance _),
     "p_sample_k_per_group" -> (Queries.pSampleKPerGroup _),
     "p_seq_pack" -> (Queries.pSeqPack _),
@@ -1048,6 +1049,48 @@ object SparkEntry {
         |  CAST(list_sum(codes) AS BIGINT) AS code_sum,
         |  CAST(len(list_filter(codes, c -> abs(c) = 127)) AS BIGINT) AS n_sat
         |FROM c ORDER BY vec_id""".stripMargin,
+    // corpus report: dataset-card metrics in long format — the shared
+    // normalization/tokenizer/quality/langId definitions composed once
+    "p_corpus_report" ->
+      s"""WITH t AS (SELECT doc_id, source, text, $TOKS AS tk FROM documents),
+         |q AS (
+         |  SELECT source,
+         |    round(least(len(tk) / 100.0, 1.0) * 0.5
+         |      + (len(list_distinct(tk)) * 1.0 / len(tk)) * 0.3
+         |      + least((len(list_filter(tk, x -> list_contains($EN, x))) * 1.0 / len(tk)) * 4.0, 1.0) * 0.2,
+         |      6) AS quality
+         |  FROM t),
+         |lang AS (
+         |  SELECT CASE
+         |    WHEN greatest(en, de, fr, es) <= 0 THEN 'und'
+         |    WHEN en = greatest(en, de, fr, es) THEN 'en'
+         |    WHEN de = greatest(en, de, fr, es) THEN 'de'
+         |    WHEN fr = greatest(en, de, fr, es) THEN 'fr'
+         |    WHEN es = greatest(en, de, fr, es) THEN 'es'
+         |    ELSE 'und' END AS key
+         |  FROM (
+         |    SELECT
+         |      len(list_filter(tk, x -> list_contains($EN, x))) AS en,
+         |      len(list_filter(tk, x -> list_contains(['der','die','und','das','ist','ein','nicht','mit','auf','zu'], x))) AS de,
+         |      len(list_filter(tk, x -> list_contains(['le','la','et','les','des','est','une','dans','que','pour'], x))) AS fr,
+         |      len(list_filter(tk, x -> list_contains(['el','la','que','de','los','una','es','por','con','para'], x))) AS es
+         |    FROM t)),
+         |rows_ AS (
+         |  SELECT 'n_docs' AS metric, 'all' AS key, count(*)::DOUBLE AS value FROM t
+         |  UNION ALL
+         |  SELECT 'n_tokens', 'all', sum(len(tk))::DOUBLE FROM t
+         |  UNION ALL
+         |  SELECT 'n_chars', 'all', sum(length(text))::DOUBLE FROM t
+         |  UNION ALL
+         |  SELECT 'dup_ratio', 'all',
+         |    round(1.0 - count(DISTINCT lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) * 1.0 / count(*), 6) FROM t
+         |  UNION ALL
+         |  SELECT 'source_docs', source, count(*)::DOUBLE FROM t GROUP BY source
+         |  UNION ALL
+         |  SELECT 'source_mean_quality', source, round(avg(quality), 6) FROM q GROUP BY source
+         |  UNION ALL
+         |  SELECT 'lang_docs', key, count(*)::DOUBLE FROM lang GROUP BY key)
+         |SELECT metric, key, value FROM rows_ ORDER BY metric, key""".stripMargin,
     // curriculum: ntile octiles over the (rounded quality, id) total
     // order + the within-bucket LCG position — standard-SQL ntile
     // distribution semantics shared by both engines

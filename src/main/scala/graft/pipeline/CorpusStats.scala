@@ -160,6 +160,44 @@ object CorpusStats {
         (col("pos") + 1).cast("long").as("rnk"))
   }
 
+  /** One-call corpus report — the dataset-card summary a corpus release
+    * ships: global volume (docs, tokens, chars, exact-dup ratio),
+    * per-source doc counts and mean quality, per-predicted-language doc
+    * counts — in long format `(metric, key, value)` so downstream
+    * tooling diffs two reports with a join, not a schema migration.
+    *
+    * Composition gate rationale: every ingredient is individually
+    * gated; the report pins their COMPOSITION (shared normalization,
+    * shared tokenizer, one definition of "duplicate") so the card and
+    * the pipeline cannot drift apart. All metrics are one scan +
+    * partial-aggregated groupBys; output is O(sources + languages).
+    */
+  def corpusReport(docs: DataFrame, textCol: String, srcCol: String): DataFrame = {
+    val t = col(textCol)
+    val norm = lower(trim(regexp_replace(t, "\\s+", " ")))
+    val quality = TextFunctions.qualityScore(t, TextFunctions.LangStopwords.head._2)
+    val global = docs.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      sum(TextFunctions.tokenCount(t)).cast("double").as("n_tokens"),
+      sum(length(t)).cast("double").as("n_chars"),
+      round(lit(1.0) - countDistinct(norm) / count(lit(1)), 6).as("dup_ratio"))
+      .select(explode(array(
+        struct(lit("n_docs").as("metric"), lit("all").as("key"), col("n_docs").as("value")),
+        struct(lit("n_tokens").as("metric"), lit("all").as("key"), col("n_tokens").as("value")),
+        struct(lit("n_chars").as("metric"), lit("all").as("key"), col("n_chars").as("value")),
+        struct(lit("dup_ratio").as("metric"), lit("all").as("key"), col("dup_ratio").as("value")))).as("r"))
+      .select("r.*")
+    val bySource = docs.groupBy(col(srcCol).as("key"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        round(avg(quality), 6).as("q"))
+    val srcDocs = bySource.select(lit("source_docs").as("metric"), col("key"), col("n").as("value"))
+    val srcQual = bySource.select(lit("source_mean_quality").as("metric"), col("key"), col("q").as("value"))
+    val byLang = docs.groupBy(TextFunctions.langId(t).as("key"))
+      .agg(count(lit(1)).cast("double").as("value"))
+      .select(lit("lang_docs").as("metric"), col("key"), col("value"))
+    global.unionByName(srcDocs).unionByName(srcQual).unionByName(byLang)
+  }
+
   /** Exact heavy n-grams by sketch-then-verify: a Misra-Gries summary
     * ([[org.apache.spark.sql.graft.MisraGries]]) narrows the candidate
     * set in ONE pass with k counters per map task, then an exact count

@@ -263,6 +263,24 @@ class CorpusOpsSuite extends SparkSpec {
     } finally query.stop()
   }
 
+  test("corpusReport: long-format card with exact dup ratio") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "the and of to in is a big table", "s1"),
+      (2L, "the and of to in is a big table", "s1"),   // exact dup of 1
+      (3L, "der die und das ist ein nicht mit", "s2")
+    ).toDF("doc_id", "text", "source")
+    val rep = CorpusStats.corpusReport(df, "text", "source")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(rep(("n_docs", "all")) === 3.0)
+    assert(rep(("n_tokens", "all")) === 26.0)
+    assert(rep(("dup_ratio", "all")) === math.rint((1.0 - 2.0 / 3.0) * 1e6) / 1e6)
+    assert(rep(("source_docs", "s1")) === 2.0 && rep(("source_docs", "s2")) === 1.0)
+    assert(rep(("lang_docs", "en")) === 2.0 && rep(("lang_docs", "de")) === 1.0)
+    assert(rep.contains(("source_mean_quality", "s1")))
+  }
+
   test("compressionRatio: redundancy orders, determinism, null/empty contract") {
     val s = spark
     import s.implicits._
