@@ -194,21 +194,30 @@ object TextFunctions {
       (length(text) - length(replace(text, lit("…"), lit(""))))).cast("long")
     val sw = array(LangStopwords.head._2.map(lit): _*)
     val nStop = size(array_intersect(array_distinct(toks), sw)).cast("long")
-    struct(
+    // null text -> null struct (not a half-null flag mix: size(null) is
+    // -1 and would silently fire too_few_words); gopherPass maps it to
+    // false. The two paths cannot diverge — pass derives from the same
+    // struct.
+    when(text.isNotNull, struct(
       (n < minWords).as("too_few_words"),
       (n > maxWords).as("too_many_words"),
       (sumLen < n * 3 || sumLen > n * 10).as("mean_word_len_oob"),
       (nAlpha * 5 < n * 4).as("low_alpha_fraction"),
       (nSym * 10 > n).as("high_symbol_ratio"),
-      (nStop < 2).as("few_stopwords"))
+      (nStop < 2).as("few_stopwords")))
   }
 
-  /** True iff no [[gopherFlags]] rule fires — the survivor predicate. */
+  /** True iff no [[gopherFlags]] rule fires — the survivor predicate.
+    * Null text is not a survivor (`false`), matching the null-struct
+    * contract of [[gopherFlags]].
+    */
   def gopherPass(text: Column, minWords: Int = 50, maxWords: Int = 100000): Column = {
     val f = gopherFlags(text, minWords, maxWords)
-    !(f.getField("too_few_words") || f.getField("too_many_words") ||
-      f.getField("mean_word_len_oob") || f.getField("low_alpha_fraction") ||
-      f.getField("high_symbol_ratio") || f.getField("few_stopwords"))
+    coalesce(
+      !(f.getField("too_few_words") || f.getField("too_many_words") ||
+        f.getField("mean_word_len_oob") || f.getField("low_alpha_fraction") ||
+        f.getField("high_symbol_ratio") || f.getField("few_stopwords")),
+      lit(false))
   }
 
   /** URL canonicalization for crawl dedup — the first dedup key of every

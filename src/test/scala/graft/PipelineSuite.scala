@@ -1321,6 +1321,13 @@ class PipelineSuite extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
     assert(pass === Map(1L -> true, 2L -> false, 3L -> false, 4L -> false,
       5L -> false, 6L -> false, 7L -> false))
+
+    // null text: null flag struct, non-survivor — no half-null flag mix
+    val nul = Seq((9L, null.asInstanceOf[String])).toDF("id", "text")
+      .select(TF.gopherFlags(col("text"), 10, 20).as("f"),
+        TF.gopherPass(col("text"), 10, 20).as("p"))
+      .head()
+    assert(nul.isNullAt(0) && nul.getBoolean(1) === false)
   }
 
   test("dupProvenance: min-(id, source) canonical, per-cell counts") {
