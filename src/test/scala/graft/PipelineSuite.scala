@@ -1289,6 +1289,13 @@ class PipelineSuite extends SparkSpec {
         binWidth = 1L, maxBinsPerInterval = 3L)
     }
     assert(err.getMessage.contains("maxBinsPerInterval"))
+
+    // the whole point: the range predicate rides an EQUI-join, never a
+    // nested-loop/cartesian plan
+    val plan = IntervalJoin.intervalJoin(points, ivls, "k", "t", "s", "e", binWidth = 7L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      s"interval join must stay an equi-join:\n$plan")
   }
 
   test("gopherFlags: each rule fires on its hand-built violation") {
