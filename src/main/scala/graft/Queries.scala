@@ -939,7 +939,7 @@ object Queries {
     * rule are hash-pinned. Canonicalization is map-side; the one shuffle
     * is the survivor groupBy.
     */
-  def pUrlDedup(spark: SparkSession, sfDir: String): DataFrame = {
+  private def urlEnriched(spark: SparkSession, sfDir: String): DataFrame = {
     val slot = pmod(col("doc_id"), lit(25)).cast("string")
     val base = concat(col("source"), lit(".example.com/doc/"), slot)
     val raw = when(pmod(col("doc_id"), lit(6)) === 0, concat(lit("https://"), base))
@@ -951,8 +951,34 @@ object Queries {
       .when(pmod(col("doc_id"), lit(6)) === 4,
         concat(lit("https://"), base, lit("/?utm_source=rss&utm_medium=feed")))
       .otherwise(concat(lit("https://"), base, lit("?ref=1&gclid=abc123#frag")))
-    val docs = documents(spark, sfDir).withColumn("url", raw)
-    Dedup.urlDedupSurvivors(docs, "doc_id", "url").orderBy("url_canon")
+    documents(spark, sfDir).withColumn("url", raw)
+  }
+
+  def pUrlDedup(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.urlDedupSurvivors(urlEnriched(spark, sfDir), "doc_id", "url")
+      .orderBy("url_canon")
+
+  /** Composed crawl-ingest chain: URL-level dedup (the cheapest pass,
+    * always first) -> Gopher rule gate -> per-source accounting with
+    * token volume. Both stages are individually gated (`p_url_dedup`,
+    * `p_gopher_filter`); composing them pins the contract seams — the
+    * survivor id set feeding the filter, and one shared tokenizer for
+    * rules and the token count. Dataflow: one groupBy on the canonical
+    * URL, a semi join back (broadcast-able survivor ids), map-side
+    * rules, one final per-source aggregation.
+    */
+  def pIngestPipeline(spark: SparkSession, sfDir: String): DataFrame = {
+    val withUrl = urlEnriched(spark, sfDir)
+    val survivors = Dedup.urlDedupSurvivors(withUrl, "doc_id", "url").select("doc_id")
+    documents(spark, sfDir)
+      .join(survivors, Seq("doc_id"), "left_semi")
+      .filter(TF.gopherPass(col("text"), minWords = 30, maxWords = 1000))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).as("id_sum"),
+        sum(TF.tokenCount(col("text"))).cast("long").as("n_tokens"))
+      .orderBy("source")
   }
 
   /** Cross-document repeated-substring spans ([[Dedup.repeatedSpans]] —

@@ -87,6 +87,7 @@ object SparkEntry {
     "p_curriculum" -> (Queries.pCurriculum _),
     "p_embedding_quantize" -> (Queries.pEmbeddingQuantize _),
     "p_corpus_report" -> (Queries.pCorpusReport _),
+    "p_ingest_pipeline" -> (Queries.pIngestPipeline _),
     "p_dup_provenance" -> (Queries.pDupProvenance _),
     "p_sample_k_per_group" -> (Queries.pSampleKPerGroup _),
     "p_seq_pack" -> (Queries.pSeqPack _),
@@ -1049,6 +1050,59 @@ object SparkEntry {
         |  CAST(list_sum(codes) AS BIGINT) AS code_sum,
         |  CAST(len(list_filter(codes, c -> abs(c) = 127)) AS BIGINT) AS n_sat
         |FROM c ORDER BY vec_id""".stripMargin,
+    // composed crawl-ingest chain: the p_url_dedup canonicalization CTE
+    // feeding min-id survivors, the p_gopher_filter integer rules (no
+    // enrichment — organic violations only), one shared tokenizer
+    "p_ingest_pipeline" ->
+      s"""WITH u AS (
+         |  SELECT doc_id,
+         |    CASE doc_id % 6
+         |      WHEN 0 THEN 'https://' || source || '.example.com/doc/' || CAST(doc_id % 25 AS VARCHAR)
+         |      WHEN 1 THEN 'HTTPS://' || upper(source) || '.EXAMPLE.COM/doc/' || CAST(doc_id % 25 AS VARCHAR)
+         |      WHEN 2 THEN 'https://www.' || source || '.example.com/doc/' || CAST(doc_id % 25 AS VARCHAR)
+         |      WHEN 3 THEN 'https://' || source || '.example.com:443/doc/' || CAST(doc_id % 25 AS VARCHAR)
+         |      WHEN 4 THEN 'https://' || source || '.example.com/doc/' || CAST(doc_id % 25 AS VARCHAR) || '/?utm_source=rss&utm_medium=feed'
+         |      ELSE 'https://' || source || '.example.com/doc/' || CAST(doc_id % 25 AS VARCHAR) || '?ref=1&gclid=abc123#frag'
+         |    END AS url
+         |  FROM documents),
+         |c1 AS (SELECT doc_id, regexp_replace(trim(url), '#.*$$', '') AS uu FROM u),
+         |c2 AS (SELECT doc_id,
+         |    lower(coalesce(regexp_extract(uu, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', 0), ''))
+         |    || substr(uu, length(coalesce(regexp_extract(uu, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', 0), '')) + 1) AS uu
+         |  FROM c1),
+         |c3 AS (SELECT doc_id, regexp_replace(uu, '^(https?://)www\\.', '\\1') AS uu FROM c2),
+         |c4 AS (SELECT doc_id, regexp_replace(regexp_replace(uu,
+         |    '^(http://[^/?#:]*):80([/?#].*)?$$', '\\1\\2'),
+         |    '^(https://[^/?#:]*):443([/?#].*)?$$', '\\1\\2') AS uu FROM c3),
+         |c5 AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(uu,
+         |    '&(utm_[a-z]+|fbclid|gclid)=[^&]*', '', 'g'),
+         |    '\\?(utm_[a-z]+|fbclid|gclid)=[^&]*&', '?'),
+         |    '\\?(utm_[a-z]+|fbclid|gclid)=[^&]*$$', '') AS uu FROM c4),
+         |c6 AS (SELECT doc_id, regexp_replace(regexp_replace(uu, '/+\\?', '?'), '/+$$', '') AS url_canon FROM c5),
+         |surv AS (SELECT min(doc_id) AS doc_id FROM c6 GROUP BY url_canon),
+         |t AS (
+         |  SELECT d.doc_id, d.source, d.text, $TOKS AS tk
+         |  FROM documents d SEMI JOIN surv USING (doc_id)),
+         |m AS (
+         |  SELECT doc_id, source, tk, len(tk) AS n,
+         |    list_sum(list_transform(tk, x -> length(x))) AS sumlen,
+         |    len(list_filter(tk, x -> regexp_matches(x, '[a-z]'))) AS nalpha,
+         |    (length(text) - length(replace(text, '#', '')))
+         |      + (length(text) - length(replace(text, chr(8230), ''))) AS nsym,
+         |    len(list_filter($EN,
+         |        w -> list_contains(list_distinct(tk), w))) AS nstop
+         |  FROM t),
+         |f AS (
+         |  SELECT doc_id, source, n FROM m
+         |  WHERE NOT (n < 30 OR n > 1000
+         |    OR sumlen < n*3 OR sumlen > n*10
+         |    OR nalpha*5 < n*4
+         |    OR nsym*10 > n
+         |    OR nstop < 2))
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+         |  CAST(sum(n) AS BIGINT) AS n_tokens
+         |FROM f GROUP BY source ORDER BY source""".stripMargin,
     // corpus report: dataset-card metrics in long format — the shared
     // normalization/tokenizer/quality/langId definitions composed once
     "p_corpus_report" ->
