@@ -262,9 +262,17 @@ object Similarity {
     val bc = df.sparkSession.sparkContext.broadcast(codebooks)
     df.select(
       col(idCol).as("neighbor_id"),
-      pqEncodeUdf(bc)(col(vecCol).cast("array<double>")).as("codes"))
+      pqEncodeUdf(bc).asNondeterministic()(col(vecCol).cast("array<double>")).as("codes"))
   }
 
+  /** Marked nondeterministic ON PURPOSE (it is semantically
+    * deterministic): project-collapse otherwise merges the encode
+    * projection into the query join, re-encoding every corpus row once
+    * PER QUERY (the full m x ksub x dsub argmin plus a 64-double
+    * deserialization, |queries|-fold) — measured as ~2.5 s of the PQ
+    * gates' fixed cost. The flag pins the projection below the join, so
+    * each corpus row encodes exactly once.
+    */
   private def pqEncodeUdf(
       bc: org.apache.spark.broadcast.Broadcast[Array[Array[Array[Double]]]])
       : org.apache.spark.sql.expressions.UserDefinedFunction =
@@ -307,14 +315,23 @@ object Similarity {
     * rows. Compose with [[ivfTopK]] for IVF-PQ: probe lists first, score
     * the probed candidates with ADC.
     */
-  /** Query-side ADC distance tables: `dt[s][j] = ||q_sub_s - cb[s][j]||^2`. */
-  private def distTableUdf(
-      bc: org.apache.spark.broadcast.Broadcast[Array[Array[Array[Double]]]])
-      : org.apache.spark.sql.expressions.UserDefinedFunction =
-    udf { (v: Seq[Double]) =>
-      val cb = bc.value
-      val dsub = cb(0)(0).length
-      Array.tabulate(cb.length, cb(0).length) { (s, j) =>
+  /** One query's ADC distance table, flattened
+    * (`dt[s * ksub + j] = ||q_sub_s - cb[s][j]||^2`). Computed DRIVER
+    * side: the query set is broadcast-small by contract, and carrying a
+    * per-row `dt` column through the scored join instead cost a stable
+    * ~2.5 s of per-row array deserialization on the sf0.1 gates — the
+    * table rides a broadcast Map keyed by query id, so a scored row
+    * deserializes only its m codes.
+    */
+  private def distTable(v: Array[Double], cb: Array[Array[Array[Double]]]): Array[Double] = {
+    val m = cb.length
+    val ksub = cb(0).length
+    val dsub = cb(0)(0).length
+    val out = new Array[Double](m * ksub)
+    var s = 0
+    while (s < m) {
+      var j = 0
+      while (j < ksub) {
         var d = 0.0
         var i = 0
         while (i < dsub) {
@@ -322,18 +339,40 @@ object Similarity {
           d += x * x
           i += 1
         }
-        d
+        out(s * ksub + j) = d
+        j += 1
       }
+      s += 1
     }
+    out
+  }
+
+  /** Driver-computed tables for every query id (collect bounded by the
+    * broadcast-small query-set contract), ready to broadcast.
+    */
+  private def queryDistTables(
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cbs: Array[Array[Array[Double]]]): Map[Long, Array[Double]] =
+    queries
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .collect()
+      .map(r => r.getLong(0) -> distTable(r.getSeq[Double](1).toArray, cbs))
+      .toMap
 
   /** Fixed s = 0..m-1 summation order: bit-identical to any re-derivation
     * that sums the lookups left to right.
     */
-  private val adcUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
-    udf { (codes: Seq[Int], dt: Seq[Seq[Double]]) =>
+  private def adcUdf(
+      bcDt: org.apache.spark.broadcast.Broadcast[Map[Long, Array[Double]]])
+      : org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (queryId: Long, codes: Seq[Int]) =>
+      val dt = bcDt.value(queryId)
+      val ksub = dt.length / codes.length
       var acc = 0.0
       var s = 0
-      while (s < codes.length) { acc += dt(s)(codes(s)); s += 1 }
+      while (s < codes.length) { acc += dt(s * ksub + codes(s)); s += 1 }
       acc
     }
 
@@ -363,14 +402,13 @@ object Similarity {
       numSubspaces: Int = 8,
       ksub: Int = 16): DataFrame = {
     val cbs = pqCodebooks(corpus, idCol, vecCol, numSubspaces, ksub)
-    val bc = corpus.sparkSession.sparkContext.broadcast(cbs)
+    val bcDt = corpus.sparkSession.sparkContext.broadcast(
+      queryDistTables(queries, idCol, vecCol, cbs))
     val encoded = pqEncode(corpus, idCol, vecCol, cbs)
-    val q = queries.select(
-      col(idCol).as("query_id"),
-      distTableUdf(bc)(col(vecCol).cast("array<double>")).as("dt"))
+    val q = queries.select(col(idCol).cast("long").as("query_id"))
     val scored = encoded
       .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("ad2", adcUdf(col("codes"), col("dt")))
+      .withColumn("ad2", adcUdf(bcDt)(col("query_id"), col("codes")))
     rankTopKAdc(scored, k)
   }
 
@@ -401,6 +439,8 @@ object Similarity {
       seed: Long = 42L): DataFrame = {
     val cbs = pqCodebooks(corpus, idCol, vecCol, numSubspaces, ksub)
     val bc = corpus.sparkSession.sparkContext.broadcast(cbs)
+    val bcDt = corpus.sparkSession.sparkContext.broadcast(
+      queryDistTables(queries, idCol, vecCol, cbs))
     val c = corpus
       .select(col(idCol).as("neighbor_id"), col(vecCol).cast("array<double>").as("cv"))
       .withColumn("feat", array_to_vector(col("cv")))
@@ -410,18 +450,17 @@ object Similarity {
     val encoded = model.transform(c)
       .withColumnRenamed("prediction", "list_id")
       .select(col("neighbor_id"), col("list_id"),
-        pqEncodeUdf(bc)(col("cv")).as("codes"))
+        pqEncodeUdf(bc).asNondeterministic()(col("cv")).as("codes"))
     val q = queries
-      .select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
-      .withColumn("dt", distTableUdf(bc)(col("qv")))
+      .select(col(idCol).cast("long").as("query_id"), col(vecCol).cast("array<double>").as("qv"))
       .withColumn(
         "list_id",
         explode(probeLists(centroids.zipWithIndex.map(_.swap), nprobe)(col("qv"))))
-      .select("query_id", "dt", "list_id")
+      .select("query_id", "list_id")
     val scored = encoded.join(broadcast(q),
         col("query_id") =!= col("neighbor_id") &&
           encoded("list_id") === q("list_id"))
-      .withColumn("ad2", adcUdf(col("codes"), col("dt")))
+      .withColumn("ad2", adcUdf(bcDt)(col("query_id"), col("codes")))
     rankTopKAdc(scored, k)
   }
 }
