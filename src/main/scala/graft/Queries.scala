@@ -837,6 +837,23 @@ object Queries {
     CorpusStats.corpusReport(documents(spark, sfDir), "text", "source")
       .orderBy("metric", "key")
 
+  /** Corpus snapshot diff ([[Dedup.corpusDiff]]): two deterministic
+    * snapshots of the documents table — the old one missing %7==2 docs
+    * and carrying a ' v1' suffix on %5==1 docs, the new one missing
+    * %11==4 docs — so all four statuses (added/removed/changed/
+    * unchanged) appear; the oracle re-derives the full-outer
+    * classification comparing the same normalized text.
+    */
+  def pCorpusDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = documents(spark, sfDir)
+    val old = d.filter(pmod(col("doc_id"), lit(7)) =!= 2)
+      .withColumn("text",
+        when(pmod(col("doc_id"), lit(5)) === 1, concat(col("text"), lit(" v1")))
+          .otherwise(col("text")))
+    val nw = d.filter(pmod(col("doc_id"), lit(11)) =!= 4)
+    Dedup.corpusDiff(old, nw, "doc_id", "text").orderBy("doc_id")
+  }
+
   /** Curriculum ordering ([[Sampling.curriculumOrder]]): quality-score
     * octile buckets over the documents table with the deterministic
     * within-bucket LCG position. The oracle re-derives ntile over the

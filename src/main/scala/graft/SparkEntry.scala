@@ -88,6 +88,7 @@ object SparkEntry {
     "p_embedding_quantize" -> (Queries.pEmbeddingQuantize _),
     "p_corpus_report" -> (Queries.pCorpusReport _),
     "p_ingest_pipeline" -> (Queries.pIngestPipeline _),
+    "p_corpus_diff" -> (Queries.pCorpusDiff _),
     "p_dup_provenance" -> (Queries.pDupProvenance _),
     "p_sample_k_per_group" -> (Queries.pSampleKPerGroup _),
     "p_seq_pack" -> (Queries.pSeqPack _),
@@ -1103,6 +1104,23 @@ object SparkEntry {
          |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
          |  CAST(sum(n) AS BIGINT) AS n_tokens
          |FROM f GROUP BY source ORDER BY source""".stripMargin,
+    // corpus diff: full-outer classification over normalized text —
+    // added/removed/changed/unchanged all present by construction
+    "p_corpus_diff" ->
+      """WITH o AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 5 = 1 THEN text || ' v1' ELSE text END AS t
+        |  FROM documents WHERE doc_id % 7 <> 2),
+        |n AS (SELECT doc_id, text AS t FROM documents WHERE doc_id % 11 <> 4),
+        |j AS (
+        |  SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |    o.doc_id IS NOT NULL AS has_o, n.doc_id IS NOT NULL AS has_n,
+        |    lower(trim(regexp_replace(o.t, '\s+', ' ', 'g'))) AS ot,
+        |    lower(trim(regexp_replace(n.t, '\s+', ' ', 'g'))) AS nt
+        |  FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+        |SELECT doc_id,
+        |  CASE WHEN NOT has_o THEN 'added' WHEN NOT has_n THEN 'removed'
+        |       WHEN ot = nt THEN 'unchanged' ELSE 'changed' END AS status
+        |FROM j ORDER BY doc_id""".stripMargin,
     // corpus report: dataset-card metrics in long format — the shared
     // normalization/tokenizer/quality/langId definitions composed once
     "p_corpus_report" ->

@@ -97,6 +97,35 @@ object Dedup {
       .agg(count(lit(1)).as("n_dups"), sum(col("id")).as("dup_id_sum"))
   }
 
+  /** Day-over-day corpus diff: classify every doc id across two
+    * snapshots as `added` (new id), `removed` (gone), `changed`
+    * (same id, different normalized-content fingerprint), or
+    * `unchanged` — the audit step between two days of an incremental
+    * pipeline ([[extendCorpusArtifact]]'s sibling: that maintains the
+    * dedup index, this reports what actually moved). Returns
+    * `(id, status)` for the union of ids.
+    *
+    * 100 TB shape: both sides collapse to `(id, 64-bit fingerprint)`
+    * projections before the full-outer join — one shuffle each on the
+    * id, no text moves. Comparing fingerprints instead of text bodies
+    * is the same 2^-40-collision trade every dedup operator here makes.
+    */
+  def corpusDiff(
+      oldDocs: DataFrame,
+      newDocs: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    def fp(df: DataFrame, as: String) = df.select(
+      col(idCol).as("id"),
+      xxhash64(lower(trim(regexp_replace(col(textCol), "\\s+", " ")))).as(as))
+    fp(oldDocs, "old_fp").join(fp(newDocs, "new_fp"), Seq("id"), "full_outer")
+      .select(col("id").as(idCol),
+        when(col("old_fp").isNull, "added")
+          .when(col("new_fp").isNull, "removed")
+          .when(col("old_fp") === col("new_fp"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
+
   /** The deduplicated corpus itself: keep the canonical (min-id) row per
     * normalized text. One broadcast-able semi join against the keep-set.
     */

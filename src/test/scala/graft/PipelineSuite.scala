@@ -1337,6 +1337,21 @@ class PipelineSuite extends SparkSpec {
     assert(nul.isNullAt(0) && nul.getBoolean(1) === false)
   }
 
+  test("corpusDiff: all four statuses, normalization-insensitive compare") {
+    val s = spark
+    import s.implicits._
+    val old = Seq((1L, "same text"), (2L, "old body"), (3L, "Same  TEXT "), (4L, "will vanish"))
+      .toDF("doc_id", "text")
+    val nw = Seq((1L, "same text"), (2L, "new body"), (3L, "same text"), (5L, "brand new"))
+      .toDF("doc_id", "text")
+    val out = Dedup.corpusDiff(old, nw, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(
+      1L -> "unchanged", 2L -> "changed",
+      3L -> "unchanged",   // whitespace/case normalization folds them
+      4L -> "removed", 5L -> "added"))
+  }
+
   test("dupProvenance: min-(id, source) canonical, per-cell counts") {
     val s = spark
     import s.implicits._
