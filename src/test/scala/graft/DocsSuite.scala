@@ -159,6 +159,8 @@ class DocsSuite extends SparkSpec {
       .select("f.too_few_words").count() === docs.count())
     assert(pipeline.Dedup.dupProvenance(docs, "doc_id", "text", "source")
       .columns.toSeq === Seq("src_first", "src_dup", "n_dups", "dup_id_sum"))
+    assert(pipeline.Dedup.corpusDiff(docs, docs.limit(10), "doc_id", "text")
+      .filter(col("status") === "unchanged").count() === 10)
     val heavy = pipeline.CorpusStats.heavyTokens(docs, "text", n = 1,
       minCount = 100L, sketchK = 512)
     assert(heavy.columns.toSeq === Seq("gram", "n"))
