@@ -837,6 +837,30 @@ object Queries {
     CorpusStats.corpusReport(documents(spark, sfDir), "text", "source")
       .orderBy("metric", "key")
 
+  /** Unicode NFC normalization ([[TF.nfcNormalize]]): suffixes with
+    * decomposed (e + U+0301, A + U+030A) and precomposed (U+00E9)
+    * forms keyed on doc_id; the output carries the normalized text
+    * itself plus before/after code-unit lengths, so composition (5 -> 4
+    * chars), the precomposed fixpoint, and untouched ASCII passthrough
+    * are all pinned against DuckDB's independent `nfc_normalize`.
+    */
+  def pNfcNormalize(spark: SparkSession, sfDir: String): DataFrame = {
+    val enriched = documents(spark, sfDir).withColumn("text",
+      when(pmod(col("doc_id"), lit(4)) === 1,
+        concat(col("text"), lit(" cafe\u0301")))    // decomposed e + acute
+        .when(pmod(col("doc_id"), lit(4)) === 2,
+          concat(col("text"), lit(" caf\u00e9")))   // precomposed e-acute
+        .when(pmod(col("doc_id"), lit(4)) === 3,
+          concat(col("text"), lit(" A\u030angstro\u0308m"))) // decomposed ring/diaeresis
+        .otherwise(col("text")))
+    enriched.select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("len_raw"),
+      TF.nfcNormalize(col("text")).as("text_nfc"))
+      .withColumn("len_nfc", length(col("text_nfc")).cast("long"))
+      .orderBy("doc_id")
+  }
+
   /** Corpus snapshot diff ([[Dedup.corpusDiff]]): two deterministic
     * snapshots of the documents table — the old one missing %7==2 docs
     * and carrying a ' v1' suffix on %5==1 docs, the new one missing

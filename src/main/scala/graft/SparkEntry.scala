@@ -89,6 +89,7 @@ object SparkEntry {
     "p_corpus_report" -> (Queries.pCorpusReport _),
     "p_ingest_pipeline" -> (Queries.pIngestPipeline _),
     "p_corpus_diff" -> (Queries.pCorpusDiff _),
+    "p_nfc_normalize" -> (Queries.pNfcNormalize _),
     "p_dup_provenance" -> (Queries.pDupProvenance _),
     "p_sample_k_per_group" -> (Queries.pSampleKPerGroup _),
     "p_seq_pack" -> (Queries.pSeqPack _),
@@ -1104,6 +1105,22 @@ object SparkEntry {
          |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
          |  CAST(sum(n) AS BIGINT) AS n_tokens
          |FROM f GROUP BY source ORDER BY source""".stripMargin,
+    // NFC normalization: java.text.Normalizer vs DuckDB nfc_normalize —
+    // two independent Unicode implementations must agree byte-for-byte
+    // (chr() codepoints mirror the Scala \\u escapes; all BMP, so
+    // DuckDB's codepoint length == Spark's UTF-16 length)
+    "p_nfc_normalize" ->
+      """WITH enr AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 4 = 1 THEN text || ' cafe' || chr(769)
+        |         WHEN doc_id % 4 = 2 THEN text || ' caf' || chr(233)
+        |         WHEN doc_id % 4 = 3 THEN text || ' A' || chr(778) || 'ngstro' || chr(776) || 'm'
+        |         ELSE text END AS text
+        |  FROM documents)
+        |SELECT doc_id, CAST(length(text) AS BIGINT) AS len_raw,
+        |  nfc_normalize(text) AS text_nfc,
+        |  CAST(length(nfc_normalize(text)) AS BIGINT) AS len_nfc
+        |FROM enr ORDER BY doc_id""".stripMargin,
     // corpus diff: full-outer classification over normalized text —
     // added/removed/changed/unchanged all present by construction
     "p_corpus_diff" ->

@@ -140,6 +140,21 @@ object TextFunctions {
     regexp_replace(noIp, PhonePattern, "<PHONE>")
   }
 
+  /** Unicode NFC normalization — the canonical-composition pass a
+    * multilingual ingest runs BEFORE any hashing/dedup (the same "café"
+    * arrives precomposed U+00E9 from one crawler and decomposed
+    * e+U+0301 from another; unnormalized, every downstream fingerprint
+    * treats them as different documents). Spark has no built-in;
+    * this wraps `java.text.Normalizer` (map-side, zero shuffle). The
+    * gate pins it against DuckDB's `nfc_normalize` — two independent
+    * Unicode implementations agreeing byte-for-byte.
+    */
+  val nfcNormalize: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (s: String) =>
+      if (s == null) null
+      else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+    }
+
   /** zlib compression ratio `deflate(text).length / text.length` — the
     * classic redundancy signal (boilerplate, templated spam, and
     * keyword-stuffed pages compress far better than prose; Dolma/CCNet

@@ -263,6 +263,25 @@ class CorpusOpsSuite extends SparkSpec {
     } finally query.stop()
   }
 
+  test("nfcNormalize: composes decomposed marks, fixpoint on NFC, null-safe") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "cafe\u0301"),   // decomposed -> precomposed
+      (2L, "caf\u00e9"),    // already NFC: unchanged
+      (3L, "A\u030a"),      // -> U+00C5
+      (4L, "plain ascii"),
+      (5L, null.asInstanceOf[String])
+    ).toDF("id", "text")
+    val out = df.select(col("id"), TF.nfcNormalize(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(out(1L) === Some("caf\u00e9"))
+    assert(out(2L) === Some("caf\u00e9"))
+    assert(out(3L) === Some("\u00c5"))
+    assert(out(4L) === Some("plain ascii"))
+    assert(out(5L) === None)
+  }
+
   test("corpusReport: long-format card with exact dup ratio") {
     val s = spark
     import s.implicits._
