@@ -195,6 +195,51 @@ class RobustnessSuite extends SparkSpec {
     assert(stats.getLong(1) === 3L)
   }
 
+  test("degenerate inputs have defined behavior in the second-half operators") {
+    val s = spark
+    import s.implicits._
+    import graft.pipeline.{AsofJoin, Dedup, IntervalJoin, Sampling, TextFunctions => TF}
+
+    // as-of join: empty right side -> every left row survives, unmatched
+    val left = Seq((1L, "k", 10L), (2L, "k", 20L)).toDF("id", "k", "t")
+    val emptyR = Seq.empty[(String, Long, String)].toDF("k", "t", "tag")
+    val asof = AsofJoin.asofJoin(left, emptyR, "k", "t").collect()
+    assert(asof.length === 2 && asof.forall(_.isNullAt(3)))
+
+    // interval join: empty interval side -> empty output, preflight quiet
+    val emptyI = Seq.empty[(String, Long, Long, Long)].toDF("k", "iid", "s", "e")
+    assert(IntervalJoin.intervalJoin(left, emptyI, "k", "t", "s", "e", 10L).count() === 0)
+    // degenerate zero/negative-width intervals are dropped, not exploded
+    val degen = Seq(("k", 1L, 10L, 10L), ("k", 2L, 9L, 5L)).toDF("k", "iid", "s", "e")
+    assert(IntervalJoin.intervalJoin(left, degen, "k", "t", "s", "e", 10L).count() === 0)
+
+    // exact-k sampling: k beyond every group returns the full groups
+    val df = Seq(("g", 1L), ("g", 2L), ("h", 3L)).toDF("grp", "id")
+    assert(Sampling.exactKPerGroup(df, "grp", "id", 100).count() === 3)
+
+    // URL dedup: null URLs collapse into one null-canonical group
+    // instead of crashing; real URLs are unaffected
+    val urls = Seq((1L, Option("https://a.com/x")), (2L, Option.empty[String]),
+      (3L, Option.empty[String])).toDF("doc_id", "url")
+    val survivors = Dedup.urlDedupSurvivors(urls, "doc_id", "url")
+      .collect().map(r => Option(r.getString(1)) -> r.getLong(2)).toMap
+    assert(survivors(Some("https://a.com/x")) === 1L && survivors(None) === 2L)
+
+    // corpus diff: empty new snapshot -> everything 'removed'
+    val docs = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+    val none = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.corpusDiff(docs, none, "doc_id", "text")
+      .collect().forall(_.getString(1) == "removed"))
+
+    // boilerplate removal with an EMPTY key set: pure passthrough
+    val out = Dedup.removeBoilerplate(docs, "text", Array.emptyLongArray)
+      .collect().map(r => (r.getString(1), r.getLong(3))).toSeq
+    assert(out.forall(_._2 == 0L))
+
+    // canonicalizeUrl: null in, null out
+    assert(urls.select(TF.canonicalizeUrl(col("url"))).collect().count(_.isNullAt(0)) === 2)
+  }
+
   test("custom SQL functions usable from SQL text and Column API") {
     val s = spark
     import s.implicits._
