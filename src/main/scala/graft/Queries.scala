@@ -650,6 +650,34 @@ object Queries {
       .orderBy("cluster")
   }
 
+  /** SemDeDup ([[Dedup.semanticDedup]]): cluster-then-prune semantic
+    * dedup over the embeddings table augmented with guaranteed
+    * duplicates — exact copies (vec_id%40==0, +2000000: same direction,
+    * same cluster by the argmin tie-break) and 1.1x-scaled copies
+    * (vec_id%25==0, +1000000: cosine exactly 1 but a different point, so
+    * the cluster assignment may differ — the paper's cross-cluster blind
+    * spot, deterministically reproduced by the oracle). Centroids are
+    * the raw min-id-8 vectors (no Lloyd round — assignment arithmetic
+    * stays engine-exact); threshold 0.95 catches organic near-dups too.
+    * The oracle re-derives assignment, the within-cluster pair scan, and
+    * the exists-smaller-id rule.
+    */
+  def pSemDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val aug = base
+      .unionAll(base.filter(pmod(col("vec_id"), lit(25)) === 0)
+        .select((col("vec_id") + 1000000).as("vec_id"),
+          transform(col("v"), x => x * lit(1.1)).as("v")))
+      .unionAll(base.filter(pmod(col("vec_id"), lit(40)) === 0)
+        .select((col("vec_id") + 2000000).as("vec_id"), col("v")))
+    val init = Clustering.initByMinId(aug, "vec_id", "v", 8)
+    Dedup.semanticDedup(aug, "vec_id", "v", init, 0.95)
+      .select(col("id").as("vec_id"), col("cluster"),
+        col("is_semdup").cast("long").as("is_semdup"))
+      .orderBy("vec_id")
+  }
+
   /** Paragraph-level dedup ([[Dedup.paragraphDedup]]): the corpus has no
     * paragraph breaks, so the gate synthesizes them deterministically —
     * 6-token paragraphs joined with a blank line — after appending the

@@ -95,6 +95,7 @@ object SparkEntry {
     "p_seq_pack" -> (Queries.pSeqPack _),
     "p_kmeans" -> (Queries.pKmeans _),
     "p_cluster_sample" -> (Queries.pClusterSample _),
+    "p_semdedup" -> (Queries.pSemDedup _),
     "p_source_stats" -> (Queries.pSourceStats _),
     "p_source_filter" -> (Queries.pSourceFilter _),
     "p_source_quantiles" -> (Queries.pSourceQuantiles _),
@@ -751,6 +752,42 @@ object SparkEntry {
         |SELECT CAST(cluster AS INT) AS cluster, CAST(count(*) AS BIGINT) AS n_kept,
         |  CAST(sum(vec_id) AS BIGINT) AS id_sum
         |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin,
+    // SemDeDup: min-id centroid assignment over the dup-augmented base,
+    // within-cluster pair scan, exists-smaller-id prune rule — cosine
+    // re-derived with the same left-fold dot product (bit-exact IEEE)
+    "p_semdedup" ->
+      """WITH base AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000, list_transform(embedding::DOUBLE[], x -> x * 1.1)
+        |  FROM embeddings WHERE vec_id % 25 = 0
+        |  UNION ALL
+        |  SELECT vec_id + 2000000, embedding::DOUBLE[]
+        |  FROM embeddings WHERE vec_id % 40 = 0),
+        |c0 AS (
+        |  SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+        |  FROM embeddings WHERE vec_id < 8),
+        |d1 AS (
+        |  SELECT base.vec_id, v, cid,
+        |    list_sum(list_transform(range(1, len(v)+1),
+        |      i -> (v[i]-cv[i])*(v[i]-cv[i]))) AS d2
+        |  FROM base, c0),
+        |a1 AS (
+        |  SELECT vec_id, v, cid,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        |  FROM d1),
+        |asg AS (SELECT vec_id, v, cid AS cluster FROM a1 WHERE rn = 1),
+        |dup AS (
+        |  SELECT DISTINCT a.vec_id
+        |  FROM asg a JOIN asg b
+        |    ON a.cluster = b.cluster AND b.vec_id < a.vec_id
+        |   AND list_dot_product(a.v, b.v) /
+        |       (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+        |       >= 0.95)
+        |SELECT asg.vec_id, CAST(cluster AS INT) AS cluster,
+        |  CAST(CASE WHEN dup.vec_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS is_semdup
+        |FROM asg LEFT JOIN dup USING (vec_id)
+        |ORDER BY asg.vec_id""".stripMargin,
     // per-source health profile: quality formula + distinct normalized
     // texts re-derived (Spark counts distinct 64-bit fingerprints)
     "p_source_stats" ->

@@ -938,6 +938,80 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication by cluster-then-prune — k-means buckets the embedding
+    * space, then only WITHIN-cluster pairs are compared, turning the
+    * quadratic all-pairs cosine scan into Σ|cluster|² work. A document is
+    * a semantic duplicate iff some smaller-id document in the SAME
+    * cluster has cosine ≥ `threshold` — the paper's upper-triangular max
+    * rule (drop i when max_{j<i} cos(i,j) > ε), made deterministic by
+    * the id order. Cross-cluster near-dups are by construction not
+    * compared; that blind spot is the algorithm's documented
+    * precision/cost trade, not an implementation gap.
+    *
+    * Returns `(id, cluster, is_semdup)` for every input row.
+    *
+    * Scale shape: assignment is a zero-shuffle codegen'd argmin against
+    * literal centroids ([[Clustering.assignClusters]]); the pair stage is
+    * ONE self-join shuffling on the int cluster id. Cost is
+    * Σ_c |c|² dot products, so k must scale with the corpus: pick
+    * k ≈ n / targetClusterSize (the paper runs 50k clusters over 5B
+    * LAION embeddings ⇒ ~10⁵-element clusters). A mis-sized k shows up
+    * as one giant cluster = one quadratic reducer: set
+    * `maxClusterSize > 0` to fail loud before the join instead (one
+    * k-row aggregate, same guard philosophy as the banding frequency
+    * caps).
+    */
+  def semanticDedup(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Seq[Seq[Double]],
+      threshold: Double,
+      maxClusterSize: Long = 0L): DataFrame = {
+    import org.apache.spark.sql.graft.GraftExpressions.arrayDot
+    val v = graft.pipeline.Clustering.assignClusters(
+        df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v")), "v", centroids)
+      // null embedding -> null cluster (argmin over all-null distances is
+      // not an assignment): the row joins nothing and stays is_semdup=false
+      .withColumn("cluster", when(col("v").isNotNull, col("cluster")))
+      .withColumn("nrm", sqrt(arrayDot(col("v"), col("v"))))
+    if (maxClusterSize > 0) {
+      val worst = v.groupBy("cluster").agg(count(lit(1)).as("n"))
+        .agg(max("n")).collect()(0).getLong(0)
+      require(worst <= maxClusterSize,
+        s"largest cluster has $worst rows > maxClusterSize $maxClusterSize — " +
+          "increase k (aim k ~ n / targetClusterSize) or raise the cap")
+    }
+    // exists-smaller-similar-neighbor, as a semi join: left_semi keeps one
+    // row per dup id regardless of how many neighbors fire, so no distinct
+    val dups = v.as("a")
+      .join(v.as("b").hint("shuffle_hash"),
+        col("a.cluster") === col("b.cluster") && col("b.id") < col("a.id") &&
+          arrayDot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")) >= threshold,
+        "left_semi")
+      .select(col("a.id"))
+    v.select(col("id"), col("cluster"))
+      .join(dups.withColumn("__d", lit(true)), Seq("id"), "left")
+      .select(col("id"), col("cluster"), coalesce(col("__d"), lit(false)).as("is_semdup"))
+  }
+
+  /** The [[semanticDedup]] survivors with all original columns — the
+    * corpus after semantic pruning. One extra broadcast-able join of the
+    * dup-id set (dup volume, not corpus volume) against the input.
+    */
+  def semanticDedupSurvivors(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Seq[Seq[Double]],
+      threshold: Double,
+      maxClusterSize: Long = 0L): DataFrame = {
+    val dupIds = semanticDedup(df, idCol, vecCol, centroids, threshold, maxClusterSize)
+      .filter(col("is_semdup")).select(col("id"))
+    df.join(dupIds, df(idCol) === dupIds("id"), "left_anti")
+  }
+
   /** Cross-document repeated-substring spans: maximal runs of EXACTLY
     * matching tokens of length >= `minSpanTokens` shared between two
     * documents — the primitive behind substring-level training-data

@@ -144,6 +144,11 @@ class DocsSuite extends SparkSpec {
     assert(stats.count() === docs.select("source").distinct().count())
     assert(pipeline.CorpusStats.sourceFilter(docs, "source", "text",
       minMeanQuality = 0.3).count() > 0)
+    val marks = pipeline.Dedup.semanticDedup(embs, "vec_id", "embedding",
+      centroids, threshold = 0.95)
+    assert(marks.count() === embs.count())
+    assert(pipeline.Dedup.semanticDedupSurvivors(embs, "vec_id", "embedding",
+      centroids, 0.95, maxClusterSize = 200000).count() <= embs.count())
   }
 
   test("pipeline-ops: crawl-hygiene + heavy-hitter + curriculum snippets run") {

@@ -1583,6 +1583,45 @@ class PipelineSuite extends SparkSpec {
       s"wc-weighted adjacent pairs: ${pairs.toSeq}")
   }
 
+  test("semanticDedup: exists-smaller-id rule, cluster blind spot, guards") {
+    val s = spark
+    import s.implicits._
+    // centroids at (0,0) and (10,10); points:
+    //  0: (1,0)        cluster 0
+    //  1: (1.0,1e-9)   cluster 0, cos≈1 with 0  -> dup of 0
+    //  2: (4.9,4.9)    cluster 0 (closer to origin centroid)
+    //  3: (5.2,5.2)    cluster 1 — parallel to 2 (cos=1) but ACROSS
+    //                  clusters: never compared, stays a survivor
+    //  4: (0,1)        cluster 0, orthogonal to 0 -> survivor
+    //  5: null vector  -> null cluster, never a dup, survives
+    val pts = Seq(
+      (0L, Seq(1.0, 0.0)), (1L, Seq(1.0, 1e-9)), (2L, Seq(4.9, 4.9)),
+      (3L, Seq(5.2, 5.2)), (4L, Seq(0.0, 1.0))
+    ).toDF("id", "v")
+      .unionByName(Seq(5L).toDF("id").withColumn("v",
+        lit(null).cast("array<double>")))
+    val cents = Seq(Seq(0.0, 0.0), Seq(10.0, 10.0))
+    val marked = Dedup.semanticDedup(pts, "id", "v", cents, 0.95)
+      .collect().map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) -1 else r.getInt(1)), r.getBoolean(2))).toMap
+    assert(marked(0) === ((0, false)))
+    assert(marked(1) === ((0, true)), "near-parallel same-cluster later id is the dup")
+    assert(marked(2)._2 === false)
+    assert(marked(3) === ((1, false)), "parallel but cross-cluster: not compared")
+    assert(marked(4)._2 === false)
+    assert(marked(5) === ((-1, false)), "null vector: null cluster, never a dup")
+    // survivors = anti-join of the marks, original columns kept
+    val surv = Dedup.semanticDedupSurvivors(pts, "id", "v", cents, 0.95)
+    assert(surv.columns.toSeq === Seq("id", "v"))
+    assert(surv.select("id").collect().map(_.getLong(0)).toSet ===
+      Set(0L, 2L, 3L, 4L, 5L))
+    // mis-sized k fails loud before the quadratic join
+    val err = intercept[IllegalArgumentException] {
+      Dedup.semanticDedup(pts, "id", "v", cents, 0.95, maxClusterSize = 2L)
+    }
+    assert(err.getMessage.contains("maxClusterSize"))
+  }
+
   test("quality score is in [0,1] and rewards longer diverse text") {
     val s = spark
     import s.implicits._
