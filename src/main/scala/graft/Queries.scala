@@ -445,6 +445,25 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Third decontamination path, same contract: Bloom propose / exact
+    * verify ([[Decontaminate.contaminationReportBloom]]). The m-bit
+    * filter prunes the verify join to bloom-candidate docs; the output is
+    * exact, so the gate shares [[pDecontaminate]]'s oracle — three plans,
+    * one contract. Small numBits (2^16) keeps the false-positive branch
+    * genuinely exercised at gate scale rather than vacuously empty.
+    */
+  def pDecontaminateBloom(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = documents(spark, sfDir)
+    val evalDocs = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+    val train = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+    Decontaminate.contaminationReportBloom(
+        train, "doc_id", "text", evalDocs, "text", 3, numBits = 1 << 16)
+      .select(
+        col("doc_id"), col("n_ngrams"), col("n_hits"), col("contamination"),
+        col("contaminated").cast("long").as("contaminated"))
+      .orderBy("doc_id")
+  }
+
   /** The FULL production daily chain in one gated query — five stages,
     * each individually gated elsewhere, composed the way a real ingest
     * day runs them (this composition is where contracts drift, so it

@@ -105,6 +105,7 @@ object SparkEntry {
     "p_tfidf_top_terms" -> (Queries.pTfidfTopTerms _),
     "p_decontaminate" -> (Queries.pDecontaminate _),
     "p_decontaminate_bcast" -> (Queries.pDecontaminateBcast _),
+    "p_decontaminate_bloom" -> (Queries.pDecontaminateBloom _),
     "p_quality_filter" -> (Queries.pQualityFilter _)
   )
 
@@ -1599,6 +1600,9 @@ object SparkEntry {
         |ORDER BY grp, rnk""".stripMargin,
     "p_decontaminate" -> DECONTAM_SQL,
     "p_decontaminate_bcast" -> DECONTAM_SQL,
+    // bloom is propose-only: the verify stage makes the output exact, so
+    // all three decontamination paths share ONE oracle
+    "p_decontaminate_bloom" -> DECONTAM_SQL,
     // Composed Gopher-style filter: every threshold compares the same
     // 1e-6-rounded value its per-signal gate pins; sum_quality summed
     // as DECIMAL(18,6) on both engines (order-independent exact sum).

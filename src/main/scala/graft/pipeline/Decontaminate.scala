@@ -133,6 +133,89 @@ object Decontaminate {
       .withColumn("contaminated", col("n_hits") > 0)
   }
 
+  /** The eval set's n-gram Bloom filter, built DISTRIBUTED (the
+    * [[org.apache.spark.sql.graft.BloomFilterAgg bloom_agg]] aggregate:
+    * each map task ships one m-bit sketch, merge is word-wise OR) and
+    * collected as the word array. At m = 2^30 bits / k = 7 the filter is
+    * 128 MiB for ~10^8 grams at <1% FPR — broadcast-able where the exact
+    * sorted-Long-array of [[evalGramArray]] (800 MB+) is not. Feed to
+    * [[contaminationReportBloom]].
+    */
+  def evalGramBloom(
+      evalDocs: DataFrame,
+      evalTextCol: String,
+      n: Int,
+      numBits: Int,
+      numHashes: Int = 7): Array[Long] = {
+    import org.apache.spark.sql.graft.BloomFilter.bloom_agg
+    val bytes = evalDocs
+      .select(explode(shingle_hashes(tokens(col(evalTextCol)), n)).as("s"))
+      .agg(bloom_agg(col("s"), numBits, numHashes).as("bf"))
+      .collect()(0).getAs[Array[Byte]](0)
+    org.apache.spark.sql.graft.BloomFilterOps.fromBytes(bytes)
+  }
+
+  /** [[contaminationReport]] through a Bloom-filter propose/verify plan —
+    * the shape for eval suites too large for an exact driver-side set:
+    *  1. map-side probe: every doc counts its grams that MIGHT be in the
+    *     eval set (broadcast m-bit filter, zero shuffle);
+    *  2. docs with zero maybe-hits get their (0 hits) report row WITHOUT
+    *     ever entering a join — no false negatives means the filter's
+    *     word is final for them (the overwhelming majority of a clean
+    *     corpus);
+    *  3. only bloom-candidate docs (true overlaps + the FPR-bounded
+    *     false positives) explode into the exact gram join for
+    *     verification.
+    * Output is EXACT and identical to [[contaminationReport]] — the
+    * bloom only prunes the join input, never decides a count (gate
+    * `p_decontaminate_bloom` pins both paths to one oracle). The shuffle
+    * carries candidate docs only: at 0.8% FPR, ~1% of a clean corpus
+    * instead of all of it.
+    */
+  def contaminationReportBloom(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      evalDocs: DataFrame,
+      evalTextCol: String,
+      n: Int,
+      numBits: Int = 1 << 22,
+      numHashes: Int = 7): DataFrame = {
+    val words = evalGramBloom(evalDocs, evalTextCol, n, numBits, numHashes)
+    val bc = docs.sparkSession.sparkContext.broadcast(words)
+    val maybeUdf = udf { grams: scala.collection.Seq[Long] =>
+      if (grams == null) 0L
+      else {
+        val w = bc.value
+        var h = 0L
+        val it = grams.iterator
+        while (it.hasNext) {
+          if (org.apache.spark.sql.graft.BloomFilterOps.contains(w, numHashes, it.next())) h += 1
+        }
+        h
+      }
+    }
+    val probed = docs
+      .select(col(idCol).as("doc_id"), shingle_hashes(tokens(col(textCol)), n).as("__grams"))
+      .withColumn("n_ngrams", coalesce(size(col("__grams")).cast("long"), lit(0L)))
+      .withColumn("__maybe", maybeUdf(col("__grams")))
+    val clean = probed.filter(col("__maybe") === 0)
+      .select(col("doc_id"), col("n_ngrams"), lit(0L).as("n_hits"))
+    val evalGrams = evalDocs
+      .select(explode(shingle_hashes(tokens(col(evalTextCol)), n)).as("s"))
+      .distinct()
+      .withColumn("hit", lit(1L))
+    val verified = probed.filter(col("__maybe") > 0)
+      .select(col("doc_id"), col("n_ngrams"), explode(col("__grams")).as("s"))
+      .join(broadcast(evalGrams), Seq("s"), "left")
+      .groupBy("doc_id", "n_ngrams")
+      .agg(coalesce(sum("hit"), lit(0L)).as("n_hits"))
+      .select("doc_id", "n_ngrams", "n_hits")
+    clean.unionByName(verified)
+      .withColumn("contamination", contaminationRatio)
+      .withColumn("contaminated", col("n_hits") > 0)
+  }
+
   /** The corpus with contaminated documents removed: docs whose distinct
     * n-gram overlap with the eval set exceeds `maxHits` (default 0 — any
     * shared n-gram disqualifies) are dropped, all original columns kept.

@@ -47,6 +47,10 @@ object GraftExtensions {
           literalInt(exprs(3))).toAggregateExpression()),
     ("vec_sum", classOf[VectorSumAgg],
       (exprs: Seq[Expression]) => VectorSumAgg(exprs(0)).toAggregateExpression()),
+    ("bloom_agg", classOf[BloomFilterAgg],
+      (exprs: Seq[Expression]) =>
+        BloomFilterAgg(exprs(0), literalInt(exprs(1)), literalInt(exprs(2)))
+          .toAggregateExpression()),
     ("minhash_signature", classOf[MinHashSignatureAgg],
       (exprs: Seq[Expression]) =>
         MinHashSignatureAgg(exprs(0), literalInt(exprs(1))).toAggregateExpression()),

@@ -191,6 +191,69 @@ class CorpusOpsSuite extends SparkSpec {
     assert(clean === Seq(2L, 3L, 99L))
   }
 
+  test("contaminationReportBloom: propose/verify parity, even when the filter saturates") {
+    val s = spark
+    import s.implicits._
+    val (train, evalDocs) = decontFixture
+    val withNull = train.unionByName(Seq((99L, null: String)).toDF("doc_id", "text"))
+    val viaJoin = Decontaminate
+      .contaminationReport(withNull, "doc_id", "text", evalDocs, "text", 3)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    // 64-bit filter: essentially every probe is a false positive — the
+    // verify stage must still deliver the exact report
+    val saturated = Decontaminate.contaminationReportBloom(
+        withNull, "doc_id", "text", evalDocs, "text", 3, numBits = 64, numHashes = 2)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    assert(saturated.toSeq === viaJoin.toSeq)
+    // properly-sized filter: same exact result through the pruned plan
+    val sized = Decontaminate.contaminationReportBloom(
+        withNull, "doc_id", "text", evalDocs, "text", 3, numBits = 1 << 16)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    assert(sized.toSeq === viaJoin.toSeq)
+  }
+
+  test("bloom_agg: partitioning-invariant build, no false negatives, FPR in band") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.graft.BloomFilter.bloom_agg
+    import org.apache.spark.sql.graft.{BloomFilterAgg, BloomFilterOps}
+    val xs = (0L until 1000L).map(_ * 2654435761L)
+    val df = xs.toDF("x")
+    val b1 = df.agg(bloom_agg(col("x"), 1 << 14, 7)).collect()(0).getAs[Array[Byte]](0)
+    // OR-merge is order/partitioning-independent: bit-identical filters
+    val b2 = df.repartition(13).agg(bloom_agg(col("x"), 1 << 14, 7))
+      .collect()(0).getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(b1, b2))
+    val words = BloomFilterOps.fromBytes(b1)
+    // the contract downstream pruning relies on: NO false negatives
+    assert(xs.forall(BloomFilterOps.contains(words, 7, _)))
+    // FPR sanity on a disjoint probe set: m/n ≈ 16.4 bits/elem, k=7 ->
+    // theoretical ~0.2%; assert an order-of-magnitude band, not the exact
+    // value (the band is deterministic here anyway — fixed hashes)
+    val fp = (1000000L until 1010000L).count(i =>
+      BloomFilterOps.contains(words, 7, i * 2654435761L))
+    assert(fp < 200, s"false-positive count out of band: $fp / 10000")
+    // null inputs are skipped, empty input is the all-zeros identity
+    val withNullRow = df.unionByName(
+      Seq.empty[Long].toDF("x").withColumn("x", lit(null).cast("long")).limit(0))
+      .unionByName(Seq(Option.empty[java.lang.Long]).toDF("x"))
+    val b3 = withNullRow.agg(bloom_agg(col("x"), 1 << 14, 7))
+      .collect()(0).getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(b1, b3))
+    val empty = df.filter(col("x") < 0).agg(bloom_agg(col("x"), 1 << 14, 7))
+      .collect()(0).getAs[Array[Byte]](0)
+    assert(empty.forall(_ == 0))
+    // sizing contract fails loud
+    intercept[IllegalArgumentException] { BloomFilterAgg(null, 100, 7) }
+    intercept[IllegalArgumentException] { BloomFilterAgg(null, 1 << 14, 0) }
+    // SQL path: same filter through the registered function
+    org.apache.spark.sql.graft.GraftExpressions.register(s)
+    df.createOrReplaceTempView("bloom_in")
+    val viaSql = s.sql("SELECT bloom_agg(x, 16384, 7) FROM bloom_in")
+      .collect()(0).getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(b1, viaSql))
+  }
+
   test("markContaminated runs verbatim on a streaming frame, parity with batch") {
     val s = spark
     import s.implicits._

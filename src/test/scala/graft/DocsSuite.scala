@@ -151,6 +151,26 @@ class DocsSuite extends SparkSpec {
       centroids, 0.95, maxClusterSize = 200000).count() <= embs.count())
   }
 
+  test("pipeline-ops: decontamination snippets run, three paths agree") {
+    val evalDocs = docs.filter(col("doc_id") % 10 === 0)
+    val train = docs.filter(col("doc_id") % 10 =!= 0).limit(60)
+    val viaJoin = pipeline.Decontaminate
+      .contaminationReport(train, "doc_id", "text", evalDocs, "text", 3)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val grams = pipeline.Decontaminate.evalGramArray(evalDocs, "text", 3)
+    val viaMap = pipeline.Decontaminate.markContaminated(train, "text", 3, grams)
+      .select("doc_id", "n_ngrams", "n_hits", "contamination", "contaminated")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val viaBloom = pipeline.Decontaminate
+      .contaminationReportBloom(train, "doc_id", "text", evalDocs, "text", 3,
+        numBits = 1 << 16)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(viaJoin === viaMap && viaJoin === viaBloom)
+    assert(pipeline.Decontaminate
+      .decontaminatedCorpus(train, "doc_id", "text", evalDocs, "text", 3)
+      .count() <= train.count())
+  }
+
   test("pipeline-ops: crawl-hygiene + heavy-hitter + curriculum snippets run") {
     val withUrl = docs.withColumn("url",
       concat(lit("https://www."), col("source"), lit(".example.com/doc/"), col("doc_id")))
