@@ -445,6 +445,23 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** BM25 retrieval ([[Retrieval.bm25TopK]]): every 50th doc's first five
+    * tokens play the query batch against the full corpus, top-10 per
+    * query. The oracle re-derives the posting collapse, the pruned df,
+    * the 6dp-snapped idf (the one transcendental — ln can drift a ulp
+    * across engines, so it is snapped immediately), the order-fixed
+    * tf-norm arithmetic, the DECIMAL per-doc sum, and the
+    * (score desc, doc_id asc) ranking.
+    */
+  def pBm25(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = documents(spark, sfDir)
+    val queries = docs.filter(pmod(col("doc_id"), lit(50)) === 0)
+      .select(col("doc_id").as("query_id"),
+        array_join(slice(TF.tokens(col("text")), 1, 5), " ").as("qtext"))
+    Retrieval.bm25TopK(docs, "doc_id", "text", queries, "query_id", "qtext", 10)
+      .orderBy("query_id", "rnk")
+  }
+
   /** Third decontamination path, same contract: Bloom propose / exact
     * verify ([[Decontaminate.contaminationReportBloom]]). The m-bit
     * filter prunes the verify join to bloom-candidate docs; the output is

@@ -1,0 +1,122 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.TopKRows.topk_rows
+
+import TextFunctions.tokens
+
+/** Sparse text retrieval over a corpus — the lexical complement of
+  * [[Similarity]]'s dense ANN stack. The workhorse is BM25 (Robertson &
+  * Zaragoza 2009; the Lucene `k1`/`b` variant), the ranking function
+  * behind retrieval-based dedup audits, eval-set leakage triage ("which
+  * training docs would RETRIEVE this benchmark question?"), and
+  * RAG-style corpus probes.
+  *
+  * Reference scope note: beyond-reference pipeline surface (SURVEY
+  * §2.5); the reference library has no retrieval surface.
+  */
+object Retrieval {
+
+  /** The corpus's posting-list table: one row per (doc, token) with the
+    * term frequency and the doc's token length riding along —
+    * `(doc_id, token, tf, dl)`. One corpus-sized explode collapsed by
+    * map-side partial aggregation to vocabulary x doc sparsity before
+    * the shuffle (the same shape as [[CorpusStats.tfidfTopTerms]]'s tf
+    * stage). Persist it when issuing multiple query batches — it is the
+    * "index" a production deployment would write to parquet, bucketed
+    * by token.
+    */
+  def postings(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"),
+        size(tokens(col(textCol))).cast("long").as("dl"),
+        explode(tokens(col(textCol))).as("token"))
+      // dl is functionally dependent on doc_id: keying it costs nothing
+      // beyond key width and saves a join against a doc-length table
+      .groupBy("doc_id", "dl", "token")
+      .agg(count(lit(1)).as("tf"))
+
+  /** BM25 top-`k` docs per query:
+    * `(query_id, doc_id, score, rnk)` with
+    * `score = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))` over
+    * the query's DISTINCT terms and `idf = ln(1 + (N−df+0.5)/(df+0.5))`
+    * (the Lucene form — never negative). Rank ties break by doc_id asc,
+    * so output order is total.
+    *
+    * Cross-engine float contract: `idf` is snapped to 1e-6 right after
+    * the `ln` (transcendentals are the one place two engines' doubles
+    * can drift a ulp — every other step is order-fixed IEEE arithmetic),
+    * each per-term score is snapped and summed as DECIMAL(18,6) (exact,
+    * order-independent), and the final score returns to double.
+    *
+    * Scale shape: the posting table is pruned to QUERY-TERM rows by a
+    * broadcast semi join before anything shuffles (query batches are
+    * small by definition — thousands of terms against billions of
+    * postings), so both the df aggregate and the scoring join run on
+    * query-vocabulary-sized data; df over the pruned table equals
+    * global df for exactly those tokens. The pruned table is persisted
+    * across its two consumers, released once the (queries × k) result
+    * materializes. The top-k stage is the bounded-heap `topk_rows`
+    * aggregate — O(queries × k) on the rank shuffle, never a per-query
+    * sort. N and avgdl are one two-scalar aggregate, not a driver loop.
+    * Issuing many query batches? Build [[postings]] once, write it
+    * bucketed by token, and score against that.
+    */
+  def bm25TopK(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryTextCol: String,
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val corpusStats = docs.agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(tokens(col(textCol))).cast("long")).as("total_tokens"))
+    val qterms = queries
+      .select(col(queryIdCol).as("query_id"),
+        explode(array_distinct(tokens(col(queryTextCol)))).as("token"))
+    val qtok = qterms.select("token").distinct()
+    // prune the posting table to query-term rows BEFORE anything shuffles:
+    // df over the pruned table equals global df for exactly those tokens
+    // (the prune keeps every posting of a kept token), so the vocabulary-
+    // wide df aggregate never runs. Persisted because both the df
+    // aggregate and the scoring join consume it — without the persist the
+    // corpus would be re-exploded twice.
+    val postQ = postings(docs, idCol, textCol)
+      .join(broadcast(qtok), Seq("token"))
+      .persist()
+    val df = postQ.groupBy("token").agg(count(lit(1)).as("df"))
+    val idf = round(log(lit(1.0) +
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))), 6)
+    val avgdl = col("total_tokens").cast("double") / col("n_docs").cast("double")
+    val tfNorm = col("tf") * lit(k1 + 1.0) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / avgdl))
+    val scored = postQ
+      .join(broadcast(qterms), Seq("token"))
+      .join(broadcast(df), Seq("token"))
+      .crossJoin(broadcast(corpusStats))
+      .withColumn("term_score", round(idf * tfNorm, 6).cast("decimal(18,6)"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("term_score")).cast("double").as("score"))
+    val out = scored
+      .groupBy("query_id")
+      .agg(topk_rows(k, Seq(true, false), col("score"), col("doc_id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("query_id"), col("t.doc_id").as("doc_id"),
+        col("t.score").as("score"), (col("pos") + 1).cast("long").as("rnk"))
+    // materialize the (queries x k)-sized result, then free the pruned
+    // posting cache — the Dedup operators' release discipline
+    out.persist()
+    try out.count()
+    catch { case e: Throwable =>
+      out.unpersist(blocking = false); postQ.unpersist(blocking = false); throw e
+    }
+    postQ.unpersist(blocking = false)
+    out
+  }
+}
