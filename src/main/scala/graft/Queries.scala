@@ -174,7 +174,7 @@ object Queries {
 
   // ------------------------------------------------------- data-pipeline ops
 
-  import graft.pipeline.{Chunking, Clustering, CorpusStats, Decontaminate, Dedup, ImageRgbStatsCodec, MediaSynth, Multimodal, Sampling, Similarity, SkewJoin, TextFunctions => TF, WavPcmStatsCodec}
+  import graft.pipeline.{Chunking, Clustering, CorpusStats, Decontaminate, Dedup, ImageRgbStatsCodec, MediaSynth, Multimodal, Retrieval, Sampling, Similarity, SkewJoin, TextFunctions => TF, WavPcmStatsCodec}
 
   /** Per-document text statistics — all pure expressions, single scan. */
   def pTextStats(spark: SparkSession, sfDir: String): DataFrame = {
@@ -265,6 +265,25 @@ object Queries {
         .agg(count(lit(1)).as("n_rows"), sum("doc_id").as("id_sum"))
         .select(lit(i).as("split_idx"), col("n_rows"), col("id_sum"))
     }.reduce(_ unionByName _).orderBy("split_idx")
+  }
+
+  /** Per-epoch shuffle coordinates ([[Sampling.epochShards]]): shard +
+    * within-shard sort key for epochs 0 and 1 over 8 shards, one row per
+    * doc. The oracle replays the portable LCG formula (sign-normalized
+    * mods), the epoch salt, the high-bits shard extraction
+    * (`bucket * 8 // 2^32`), and the re-keyed sort hash — pinning that
+    * two engines would shuffle 100 TB into byte-identical epoch shards.
+    */
+  def pEpochShard(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = documents(spark, sfDir)
+    val e0 = Sampling.epochShards(docs, "doc_id", 0, 8)
+      .withColumnRenamed("shard", "shard_e0")
+      .withColumnRenamed("sort_key", "key_e0")
+    Sampling.epochShards(e0, "doc_id", 1, 8)
+      .withColumnRenamed("shard", "shard_e1")
+      .withColumnRenamed("sort_key", "key_e1")
+      .select("doc_id", "shard_e0", "key_e0", "shard_e1", "key_e1")
+      .orderBy("doc_id")
   }
 
   /** Leakage-free split ([[Sampling.leakageFreeSplit]]): the near-dup
@@ -459,6 +478,22 @@ object Queries {
       .select(col("doc_id").as("query_id"),
         array_join(slice(TF.tokens(col("text")), 1, 5), " ").as("qtext"))
     Retrieval.bm25TopK(docs, "doc_id", "text", queries, "query_id", "qtext", 10)
+      .orderBy("query_id", "rnk")
+  }
+
+  /** Same BM25 contract through the prebuilt-index path
+    * ([[Retrieval.bm25FromPostings]]): posting table + the two stored
+    * corpus scalars instead of a corpus scan. Shares [[pBm25]]'s oracle
+    * — two plans, one contract.
+    */
+  def pBm25Indexed(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = documents(spark, sfDir)
+    val queries = docs.filter(pmod(col("doc_id"), lit(50)) === 0)
+      .select(col("doc_id").as("query_id"),
+        array_join(slice(TF.tokens(col("text")), 1, 5), " ").as("qtext"))
+    val post = Retrieval.postings(docs, "doc_id", "text")
+    val (n, tot) = Retrieval.indexStats(docs, "text")
+    Retrieval.bm25FromPostings(post, n, tot, queries, "query_id", "qtext", 10)
       .orderBy("query_id", "rnk")
   }
 

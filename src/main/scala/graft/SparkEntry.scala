@@ -67,6 +67,7 @@ object SparkEntry {
     "p_dedup_survivors" -> (Queries.pDedupSurvivors _),
     "p_stratified_sample" -> (Queries.pStratifiedSample _),
     "p_hash_split" -> (Queries.pHashSplit _),
+    "p_epoch_shard" -> (Queries.pEpochShard _),
     "p_leakage_split" -> (Queries.pLeakageSplit _),
     "p_dedup_incremental" -> (Queries.pIncrementalDedup _),
     "p_dedup_incr_artifact" -> (Queries.pIncrementalDedupArtifact _),
@@ -103,6 +104,8 @@ object SparkEntry {
     "p_ngram_repetition" -> (Queries.pNgramRepetition _),
     "p_pii_redaction" -> (Queries.pPiiRedaction _),
     "p_tfidf_top_terms" -> (Queries.pTfidfTopTerms _),
+    "p_bm25" -> (Queries.pBm25 _),
+    "p_bm25_indexed" -> (Queries.pBm25Indexed _),
     "p_decontaminate" -> (Queries.pDecontaminate _),
     "p_decontaminate_bcast" -> (Queries.pDecontaminateBcast _),
     "p_decontaminate_bloom" -> (Queries.pDecontaminateBloom _),
@@ -182,6 +185,53 @@ object SparkEntry {
     * row (zero hits included). Shared by the join-based report and the
     * map-only broadcast-set path — both must match it exactly.
     */
+  /** BM25 oracle: posting collapse, df, 6dp-snapped idf (ln snapped
+    * immediately — the one transcendental), order-fixed tf-norm
+    * arithmetic, per-term DECIMAL(18,6) snap+sum, (score desc, doc_id
+    * asc) ranking. Shared by the corpus-scan and prebuilt-index gates.
+    */
+  private val BM25_SQL =
+    s"""WITH toks AS (
+       |  SELECT doc_id, CAST(len($TOKS) AS BIGINT) AS dl,
+       |    unnest($TOKS) AS token
+       |  FROM documents),
+       |post AS (
+       |  SELECT doc_id, dl, token, count(*) AS tf FROM toks GROUP BY 1, 2, 3),
+       |stats AS (
+       |  SELECT count(*) AS n_docs,
+       |    sum(CAST(len($TOKS) AS BIGINT)) AS total_tokens
+       |  FROM documents),
+       |q AS (
+       |  SELECT doc_id AS query_id, t AS token FROM (
+       |    SELECT doc_id, unnest(list_slice($TOKS, 1, 5)) AS t
+       |    FROM documents WHERE doc_id % 50 = 0)
+       |  GROUP BY 1, 2),
+       |df AS (SELECT token, count(*) AS df FROM post GROUP BY 1),
+       |scored AS (
+       |  SELECT q.query_id, p.doc_id,
+       |    CAST(round(
+       |      round(ln(CAST(1.0 AS DOUBLE)
+       |          + ((s.n_docs - d.df) + CAST(0.5 AS DOUBLE))
+       |            / (d.df + CAST(0.5 AS DOUBLE))), 6)
+       |      * ((p.tf * CAST(2.2 AS DOUBLE))
+       |          / (p.tf + CAST(1.2 AS DOUBLE)
+       |              * (CAST(0.25 AS DOUBLE)
+       |                 + (CAST(0.75 AS DOUBLE) * p.dl)
+       |                   / (CAST(s.total_tokens AS DOUBLE)
+       |                      / CAST(s.n_docs AS DOUBLE))))),
+       |      6) AS DECIMAL(18,6)) AS term_score
+       |  FROM post p JOIN q USING (token) JOIN df d USING (token), stats s),
+       |agg AS (
+       |  SELECT query_id, doc_id, CAST(sum(term_score) AS DOUBLE) AS score
+       |  FROM scored GROUP BY 1, 2),
+       |r AS (
+       |  SELECT query_id, doc_id, score,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, doc_id ASC) AS rnk
+       |  FROM agg)
+       |SELECT query_id, doc_id, score, rnk FROM r WHERE rnk <= 10
+       |ORDER BY query_id, rnk""".stripMargin
+
   private val DECONTAM_SQL =
     """WITH toks AS (
       |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents),
@@ -574,6 +624,31 @@ object SparkEntry {
          |  FROM s)
          |SELECT split_idx, count(*) AS n_rows, CAST(sum(doc_id) AS BIGINT) AS id_sum
          |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+    // epoch shards: portable LCG (sign-normalized mods), XOR epoch salt
+    // (an additive salt would only rotate buckets — the LCG is affine),
+    // high-bits shard extraction (integer // — low LCG bits cycle),
+    // re-keyed within-shard sort hash. All BIGINT arithmetic; doc_id
+    // reduced mod 2^32 first and XOR never overflows.
+    "p_epoch_shard" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    ((doc_id % 4294967296) + 4294967296) % 4294967296 AS idm
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, idm,
+        |    (((xor(idm, 0 * 2654435761) % 4294967296) * 1103515245 + 12345)
+        |      % 4294967296 + 4294967296) % 4294967296 AS b0,
+        |    (((xor(idm, 1 * 2654435761) % 4294967296) * 1103515245 + 12345)
+        |      % 4294967296 + 4294967296) % 4294967296 AS b1
+        |  FROM base)
+        |SELECT doc_id,
+        |  (b0 * 8) // 4294967296 AS shard_e0,
+        |  ((((b0 + idm) % 4294967296) * 1103515245 + 12345)
+        |    % 4294967296 + 4294967296) % 4294967296 AS key_e0,
+        |  (b1 * 8) // 4294967296 AS shard_e1,
+        |  ((((b1 + idm) % 4294967296) * 1103515245 + 12345)
+        |    % 4294967296 + 4294967296) % 4294967296 AS key_e1
+        |FROM s ORDER BY doc_id""".stripMargin,
     // leakage-free split: recursive near-dup closure -> split key =
     // component (own id when unpaired) -> same LCG cutoffs as hash_split
     "p_leakage_split" ->
@@ -1598,6 +1673,16 @@ object SparkEntry {
         |  FROM scored)
         |SELECT grp, token, tf, df, tfidf, rnk FROM r WHERE rnk <= 5
         |ORDER BY grp, rnk""".stripMargin,
+    // BM25: the oracle re-derives posting collapse, df, the 6dp-snapped
+    // idf (ln is the one transcendental — snapped immediately on both
+    // engines), the order-fixed tf-norm arithmetic ((tf*2.2)/(tf+1.2*
+    // (0.25+(0.75*dl)/avgdl)) exactly as the Scala Column tree
+    // associates), the per-term DECIMAL(18,6) snap+sum (exact,
+    // order-independent), and the (score desc, doc_id asc) ranking.
+    // Shared by both plans: corpus-scan (p_bm25) and prebuilt-index
+    // (p_bm25_indexed) — one contract, so the paths cannot drift.
+    "p_bm25" -> BM25_SQL,
+    "p_bm25_indexed" -> BM25_SQL,
     "p_decontaminate" -> DECONTAM_SQL,
     "p_decontaminate_bcast" -> DECONTAM_SQL,
     // bloom is propose-only: the verify stage makes the output exact, so

@@ -73,13 +73,124 @@ object Retrieval {
       k: Int,
       k1: Double = 1.2,
       b: Double = 0.75): DataFrame = {
+    val (out, postQ) =
+      bm25Staged(docs, idCol, textCol, queries, queryIdCol, queryTextCol, k, k1, b)
+    // materialize the (queries x k)-sized result, then free the pruned
+    // posting cache — the Dedup operators' release discipline
+    out.persist()
+    try out.count()
+    catch { case e: Throwable =>
+      out.unpersist(blocking = false); postQ.unpersist(blocking = false); throw e
+    }
+    postQ.unpersist(blocking = false)
+    out
+  }
+
+  /** The two corpus scalars a persisted BM25 index must store next to
+    * its [[postings]] table: `(nDocs, totalTokens)`. Null-text docs
+    * count toward `nDocs` but contribute nothing to `totalTokens` —
+    * the same answer [[bm25TopK]]'s internal aggregate gives.
+    */
+  def indexStats(docs: DataFrame, textCol: String): (Long, Long) = {
+    val r = docs.agg(
+      count(lit(1)),
+      sum(size(tokens(col(textCol))).cast("long"))).head()
+    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+  }
+
+  /** BM25 over a PREBUILT posting table — the "build the index once,
+    * query many times" path. `postings` is [[postings]]'s output
+    * (typically read back from parquet, bucketed by token so the prune
+    * join never shuffles the index); `nDocs`/`totalTokens` are the
+    * [[indexStats]] scalars stored with it. Scoring, snapping, and
+    * ranking are the SAME code path as [[bm25TopK]], so the two plans
+    * share one result contract; only the corpus scan is skipped.
+    */
+  def bm25FromPostings(
+      postings: DataFrame,
+      nDocs: Long,
+      totalTokens: Long,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryTextCol: String,
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(nDocs > 0, s"nDocs must be positive, got $nDocs")
+    val qterms = queryTerms(queries, queryIdCol, queryTextCol)
+    val qtok = qterms.select("token").distinct()
+    val statsDf = postings.sparkSession.range(1)
+      .select(lit(nDocs).as("n_docs"), lit(totalTokens).as("total_tokens"))
+    val postQ = postings.join(broadcast(qtok), Seq("token")).persist()
+    val out = rankPruned(postQ, qterms, statsDf, k, k1, b)
+    out.persist()
+    try out.count()
+    catch { case e: Throwable =>
+      out.unpersist(blocking = false); postQ.unpersist(blocking = false); throw e
+    }
+    postQ.unpersist(blocking = false)
+    out
+  }
+
+  private def queryTerms(
+      queries: DataFrame, queryIdCol: String, queryTextCol: String): DataFrame =
+    queries.select(col(queryIdCol).as("query_id"),
+      explode(array_distinct(tokens(col(queryTextCol)))).as("token"))
+
+  /** Shared scoring/ranking tail: pruned postings × query terms × df ×
+    * corpus stats → snapped per-term scores → DECIMAL sum → bounded-heap
+    * top-k. Both BM25 entry points end here, so their results cannot
+    * drift.
+    */
+  private def rankPruned(
+      postQ: DataFrame,
+      qterms: DataFrame,
+      statsDf: DataFrame,
+      k: Int,
+      k1: Double,
+      b: Double): DataFrame = {
+    val df = postQ.groupBy("token").agg(count(lit(1)).as("df"))
+    val idf = round(log(lit(1.0) +
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))), 6)
+    val avgdl = col("total_tokens").cast("double") / col("n_docs").cast("double")
+    val tfNorm = col("tf") * lit(k1 + 1.0) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / avgdl))
+    val scored = postQ
+      .join(broadcast(qterms), Seq("token"))
+      .join(broadcast(df), Seq("token"))
+      .crossJoin(broadcast(statsDf))
+      .withColumn("term_score", round(idf * tfNorm, 6).cast("decimal(18,6)"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("term_score")).cast("double").as("score"))
+    scored
+      .groupBy("query_id")
+      .agg(topk_rows(k, Seq(true, false), col("score"), col("doc_id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("query_id"), col("t.doc_id").as("doc_id"),
+        col("t.score").as("score"), (col("pos") + 1).cast("long").as("rnk"))
+  }
+
+  /** [[bm25TopK]] without the materialize/release step: returns the
+    * result plan plus the persisted-but-unmaterialized pruned posting
+    * table (caller must unpersist). Exists so plan tests can inspect the
+    * physical plan before the cache materializes.
+    */
+  private[graft] def bm25Staged(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryTextCol: String,
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75): (DataFrame, DataFrame) = {
     require(k > 0, s"k must be positive, got $k")
     val corpusStats = docs.agg(
       count(lit(1)).as("n_docs"),
       sum(size(tokens(col(textCol))).cast("long")).as("total_tokens"))
-    val qterms = queries
-      .select(col(queryIdCol).as("query_id"),
-        explode(array_distinct(tokens(col(queryTextCol)))).as("token"))
+    val qterms = queryTerms(queries, queryIdCol, queryTextCol)
     val qtok = qterms.select("token").distinct()
     // prune the posting table to query-term rows BEFORE anything shuffles:
     // df over the pruned table equals global df for exactly those tokens
@@ -90,33 +201,6 @@ object Retrieval {
     val postQ = postings(docs, idCol, textCol)
       .join(broadcast(qtok), Seq("token"))
       .persist()
-    val df = postQ.groupBy("token").agg(count(lit(1)).as("df"))
-    val idf = round(log(lit(1.0) +
-      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))), 6)
-    val avgdl = col("total_tokens").cast("double") / col("n_docs").cast("double")
-    val tfNorm = col("tf") * lit(k1 + 1.0) /
-      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / avgdl))
-    val scored = postQ
-      .join(broadcast(qterms), Seq("token"))
-      .join(broadcast(df), Seq("token"))
-      .crossJoin(broadcast(corpusStats))
-      .withColumn("term_score", round(idf * tfNorm, 6).cast("decimal(18,6)"))
-      .groupBy("query_id", "doc_id")
-      .agg(sum(col("term_score")).cast("double").as("score"))
-    val out = scored
-      .groupBy("query_id")
-      .agg(topk_rows(k, Seq(true, false), col("score"), col("doc_id")).as("top"))
-      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
-      .select(col("query_id"), col("t.doc_id").as("doc_id"),
-        col("t.score").as("score"), (col("pos") + 1).cast("long").as("rnk"))
-    // materialize the (queries x k)-sized result, then free the pruned
-    // posting cache — the Dedup operators' release discipline
-    out.persist()
-    try out.count()
-    catch { case e: Throwable =>
-      out.unpersist(blocking = false); postQ.unpersist(blocking = false); throw e
-    }
-    postQ.unpersist(blocking = false)
-    out
+    (rankPruned(postQ, qterms, corpusStats, k, k1, b), postQ)
   }
 }

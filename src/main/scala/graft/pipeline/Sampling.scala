@@ -239,6 +239,53 @@ object Sampling {
     * contract as every LCG sampler here: the pick set is a pure function
     * of the ids, independent of partitioning and engine.
     */
+  /** Per-epoch shuffle coordinates: every row gets a deterministic
+    * `(shard, sort_key)` for training epoch `epoch` — the distributed
+    * answer to "globally shuffle 100 TB before every epoch", which a
+    * real global sort-by-random cannot be (one total-order sort per
+    * epoch, and `rand()` breaks retry reproducibility). The consumer
+    * writes `repartition(numShards, col("shard"))` +
+    * `sortWithinPartitions("sort_key", idCol)` — one shuffle whose keys
+    * are 8-byte integers, no global ordering anywhere.
+    *
+    * `shard` takes the HIGH bits of the epoch-salted LCG bucket
+    * (`bucket * numShards div 2^32`) — LCG low bits cycle with short
+    * periods, so a `% numShards` shard would stripe — and `sort_key`
+    * re-applies the LCG to the bucket for a decorrelated within-shard
+    * order (ties broken by id at the sort site). Both are pure
+    * arithmetic over (id, epoch): reproducible across runs, engines,
+    * partition layouts, and retries, and epochs permute independently
+    * (the salt moves every id to an unrelated bucket). Map-side only —
+    * composes with column pruning; nothing shuffles until the consumer's
+    * single repartition.
+    */
+  def epochShards(
+      df: DataFrame,
+      idCol: String,
+      epoch: Int,
+      numShards: Int): DataFrame = {
+    require(numShards > 0, s"numShards=$numShards must be positive")
+    // bucket * numShards must stay exactly representable in the double
+    // that floor() divides (< 2^53): 2^32 * 2^20 = 2^52. A million
+    // shards is far past any real training job.
+    require(numShards <= (1 << 20), s"numShards=$numShards exceeds 2^20")
+    require(epoch >= 0, s"epoch=$epoch must be non-negative")
+    // The epoch enters by XOR, not addition: the LCG is affine, so an
+    // ADDITIVE salt only rotates every bucket by the same constant
+    // (lcg(x+c) = lcg(x) + A*c mod m) — epochs would be shard ROTATIONS
+    // of each other, preserving every neighborhood. XOR with the
+    // Knuth-constant stride is non-affine over Z_2^32, so consecutive
+    // epochs genuinely re-permute (empirically P(same shard) ~ 1/S,
+    // pinned in the suite). The id is reduced mod 2^32 first; XOR never
+    // overflows, so any Long id and epoch are safe under ANSI arithmetic.
+    val idm = pmod(col(idCol), lit(Mod))
+    val salted = lcgBucket(idm.bitwiseXOR(lit(epoch.toLong * 2654435761L)))
+    df
+      .withColumn("shard",
+        floor(salted * lit(numShards.toLong) / lit(Mod)).cast("long"))
+      .withColumn("sort_key", lcgBucket(salted + idm))
+  }
+
   def exactKPerGroup(
       df: DataFrame,
       groupCol: String,

@@ -104,7 +104,13 @@ case class TopKRowsAgg(
   override def serialize(buffer: ArrayBuffer[InternalRow]): Array[Byte] = {
     val t = trim(buffer)
     val proj = UnsafeProjection.create(rowType)
-    val rows = t.map(r => proj(r).getBytes) // getBytes copies
+    // proj reuses ONE target buffer across calls, and for all-fixed-width
+    // schemas that buffer is exact-fit — UnsafeRow.getBytes then returns
+    // the backing array itself (no copy), so every serialized row would
+    // alias the same bytes and the last projection would win. copy()
+    // first: the copied row owns a fresh exact-fit array, which getBytes
+    // may safely return uncopied.
+    val rows = t.map(r => proj(r).copy().getBytes)
     val bb = java.nio.ByteBuffer.allocate(4 + rows.map(4 + _.length).sum)
     bb.putInt(rows.length)
     rows.foreach { b => bb.putInt(b.length); bb.put(b) }

@@ -126,6 +126,9 @@ class DocsSuite extends SparkSpec {
     val Seq(train, valid, test) =
       pipeline.Sampling.hashSplit(docs, "doc_id", Seq(0.8, 0.1, 0.1))
     assert(train.count() + valid.count() + test.count() === docs.count())
+    val e3 = pipeline.Sampling.epochShards(docs, "doc_id", epoch = 3, numShards = 16)
+    assert(e3.repartition(16, col("shard"))
+      .sortWithinPartitions("sort_key", "doc_id").count() === docs.count())
   }
 
   test("pipeline-ops: chunking/packing/clustering/source snippets run") {
@@ -236,5 +239,17 @@ class DocsSuite extends SparkSpec {
       .count() === 50)
     assert(pipeline.Similarity.ivfTopK(q, embs, "vec_id", "embedding", 10,
       numCentroids = 8, nprobe = 4).count() > 0)
+  }
+
+  test("pipeline-ops: bm25 retrieval snippet runs") {
+    val queries = docs.filter(pmod(col("doc_id"), lit(100)) === 0)
+      .select(col("doc_id").as("query_id"),
+        array_join(slice(pipeline.TextFunctions.tokens(col("text")), 1, 5), " ")
+          .as("qtext"))
+    val hits = pipeline.Retrieval.bm25TopK(
+      docs, "doc_id", "text", queries, "query_id", "qtext", k = 10)
+    assert(hits.count() > 0)
+    assert(hits.columns.toSeq === Seq("query_id", "doc_id", "score", "rnk"))
+    hits.unpersist(blocking = false)
   }
 }

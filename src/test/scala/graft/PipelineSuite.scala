@@ -1,6 +1,6 @@
 package graft
 
-import graft.pipeline.{Dedup, Multimodal, Sampling, Similarity, TextFunctions => TF}
+import graft.pipeline.{Dedup, Multimodal, Retrieval, Sampling, Similarity, TextFunctions => TF}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -711,6 +711,171 @@ class PipelineSuite extends SparkSpec {
       .map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getLong(3), r.getInt(4)))
       .toSet
     assert(viaSql === win)
+  }
+
+  test("topk_rows all-fixed-width struct survives partial-buffer serialization") {
+    // Regression: with an all-fixed-width row (double, long — no string
+    // slack), UnsafeProjection's target buffer is exact-fit, and
+    // UnsafeRow.getBytes returns the BACKING ARRAY uncopied — so before
+    // the serialize() copy fix, every serialized heap entry aliased one
+    // shared buffer and the whole top-k collapsed to k copies of the
+    // last-projected row. The string-bearing test above never catches
+    // this (variable-length rows get a slack buffer, so getBytes copies).
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.graft.TopKRows.topk_rows
+    val df = (1 to 300).map(i => (i % 3, i.toLong, (i * 7 % 97).toDouble))
+      .toDF("g", "id", "v")
+    // chained aggregates: the first agg's output feeds topk_rows partials
+    // directly, and the repartition forces serialize/deserialize
+    val scored = df.groupBy("g", "id").agg(sum("v").as("score"))
+    val got = scored
+      .groupBy("g")
+      .agg(topk_rows(5, Seq(true, false), col("score"), col("id")).as("top"))
+      .select(col("g"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("g"), col("t.score"), col("t.id"), (col("pos") + 1).as("rnk"))
+      .collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getLong(2), r.getInt(3)))
+      .toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy(col("score").desc, col("id").asc)
+    val want = scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .collect()
+      .map(r => (r.getInt(0), r.getDouble(2), r.getLong(1), r.getInt(3)))
+      .toSet
+    assert(got === want)
+    // k distinct ids per group — the aliasing bug collapsed these to 1
+    assert(got.groupBy(_._1).forall(_._2.map(_._3).size == 5))
+  }
+
+  test("bm25TopK equals an independent window-ranked formulation") {
+    val s = spark
+    import s.implicits._
+    // deterministic synthetic corpus: skewed token frequencies so idf
+    // varies, repeated tokens within docs so tf > 1, shared rare tokens
+    // so scores tie across docs (exercising the doc_id asc tie-break)
+    val words = Vector("alpha", "beta", "gamma", "delta", "common", "rare")
+    val docs = (0L until 60L).map { i =>
+      val body = (0 until (5 + (i % 7).toInt)).map { j =>
+        words(((i * 13 + j * 7) % 36 % words.length).toInt)
+      } :+ (if (i % 9 == 0) "rare" else "common")
+      (i, body.mkString(" "))
+    }.toDF("doc_id", "text")
+    val queries = Seq(
+      (100L, "alpha rare rare"),      // repeated term: counted ONCE
+      (101L, "common delta"),
+      (102L, "zzz-nowhere")           // matches nothing: no output rows
+    ).toDF("query_id", "qtext")
+    val k = 4
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val outDf = Retrieval.bm25TopK(docs, "doc_id", "text", queries,
+        "query_id", "qtext", k)
+    val got = outDf
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    // the pruned-posting cache is released; only the RESULT stays cached
+    assert(spark.sparkContext.getPersistentRDDs.size <= before + 1,
+      "bm25TopK leaked its pruned posting cache")
+    outDf.unpersist(blocking = false)
+
+    // independent reference: same arithmetic contract, but ranked by a
+    // row_number window over a plain join pipeline (no bounded heap, no
+    // pruning join, no persist discipline)
+    val post = docs.select(col("doc_id"),
+        size(TF.tokens(col("text"))).cast("long").as("dl"),
+        explode(TF.tokens(col("text"))).as("token"))
+      .groupBy("doc_id", "dl", "token").agg(count(lit(1)).as("tf"))
+    val stats = docs.agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(TF.tokens(col("text"))).cast("long")).as("total_tokens"))
+    val qt = queries.select(col("query_id"),
+      explode(array_distinct(TF.tokens(col("qtext")))).as("token"))
+    val dfc = post.groupBy("token").agg(count(lit(1)).as("df"))
+    val avgdl = col("total_tokens").cast("double") / col("n_docs").cast("double")
+    val idf = round(log(lit(1.0) +
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))), 6)
+    val tfNorm = col("tf") * lit(2.2) /
+      (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl").cast("double") / avgdl))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("score").desc, col("doc_id").asc)
+    val want = post.join(qt, Seq("token")).join(dfc, Seq("token"))
+      .crossJoin(stats)
+      .withColumn("term_score", round(idf * tfNorm, 6).cast("decimal(18,6)"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("term_score")).cast("double").as("score"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    assert(got === want)
+    // the no-match query emits nothing; the others fill all k slots
+    assert(!got.exists(_._1 == 102L))
+    assert(got.count(_._1 == 100L) == k && got.count(_._1 == 101L) == k)
+
+    // prebuilt-index path: postings + the two stored scalars, through a
+    // parquet round trip (the artifact a production deployment persists),
+    // must reproduce the corpus-scan path exactly
+    val dir = java.nio.file.Files.createTempDirectory("graft-bm25").toString
+    Retrieval.postings(docs, "doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/postings")
+    val (n, tot) = Retrieval.indexStats(docs, "text")
+    val backDf = Retrieval.bm25FromPostings(
+      spark.read.parquet(s"$dir/postings"), n, tot,
+      queries, "query_id", "qtext", k)
+    val back = backDf.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    assert(back === got)
+    backDf.unpersist(blocking = false)
+  }
+
+  test("epochShards: deterministic, balanced, epoch-decorrelated, layout-invariant") {
+    val s = spark
+    import s.implicits._
+    val n = 20000L
+    val ids = spark.range(n).select(col("id").as("doc_id"))
+    val e0 = Sampling.epochShards(ids, "doc_id", 0, 8)
+    // scalar twin of the Column arithmetic — the cross-engine contract
+    def bucket(x: Long) = Math.floorMod(Math.floorMod(x, 4294967296L) * 1103515245L + 12345L, 4294967296L)
+    def expected(id: Long, epoch: Int) = {
+      val idm = Math.floorMod(id, 4294967296L)
+      val b = bucket(idm ^ (epoch.toLong * 2654435761L))
+      (b * 8L / 4294967296L, bucket(b + idm))
+    }
+    val sample = e0.filter(col("doc_id") < 50 || col("doc_id") > n - 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    sample.foreach { case (id, sh, key) =>
+      val (esh, ekey) = expected(id, 0)
+      assert(sh == esh && key == ekey, s"id=$id")
+    }
+    // negative ids (hash-derived) take the sign-normalized path
+    val neg = Sampling.epochShards(Seq(-17L, -4294967295L, Long.MinValue + 5)
+        .toDF("doc_id"), "doc_id", 3, 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    neg.foreach { case (id, sh, key) =>
+      val (esh, ekey) = expected(id, 3)
+      assert(sh == esh && key == ekey, s"id=$id")
+    }
+    // layout invariance: same coordinates from any partitioning
+    val a = e0.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val b = Sampling.epochShards(ids.repartition(13), "doc_id", 0, 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(a === b)
+    // balance: each of 8 shards within 10% of n/8
+    val counts = e0.groupBy("shard").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts.size == 8)
+    counts.values.foreach(c =>
+      assert(math.abs(c - n / 8.0) < n / 8.0 * 0.1, s"unbalanced: $counts"))
+    // epochs decorrelate: P(same shard in epoch 0 and 1) ~ 1/8
+    val e1 = Sampling.epochShards(ids, "doc_id", 1, 8)
+      .select(col("doc_id"), col("shard").as("shard1"))
+    val sameFrac = e0.join(e1, "doc_id")
+      .filter(col("shard") === col("shard1")).count().toDouble / n
+    assert(math.abs(sameFrac - 0.125) < 0.02, s"sameFrac=$sameFrac")
   }
 
   test("topk_by_score buffer stays bounded on a 1e7-row single group") {

@@ -76,6 +76,41 @@ class PlanSuite extends SparkSpec {
       s"IVF rank stage does not use topk_by_score:\n$plan")
   }
 
+  test("bm25 ranks through the bounded heap and prunes postings by broadcast") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val queries = docs
+      .filter(pmod(col("doc_id"), lit(50)) === 0)
+      .select(col("doc_id").as("query_id"),
+        array_join(slice(graft.pipeline.TextFunctions.tokens(col("text")), 1, 5), " ")
+          .as("qtext"))
+    val (out, postQ) = graft.pipeline.Retrieval.bm25Staged(
+      docs, "doc_id", "text", queries, "query_id", "qtext", 10)
+    try {
+      val plan = formatted(out)
+      // top-k never plans a window (a per-query sort of every scored
+      // candidate — the stage that dies first at corpus scale)
+      assert(!plan.contains("Window"),
+        s"bm25 top-k still plans a window:\n$plan")
+      assert(plan.toLowerCase.contains("topkrowsagg"),
+        s"bm25 top-k does not use topk_rows:\n$plan")
+      // the posting table is pruned to query-term rows by a BROADCAST
+      // join before any shuffle — query vocabularies are small by
+      // definition; a shuffled prune would move every posting
+      val prunePlan = formatted(postQ)
+      assert(prunePlan.contains("BroadcastHashJoin"),
+        s"posting prune is not a broadcast join:\n$prunePlan")
+    } finally postQ.unpersist(blocking = false)
+  }
+
+  test("epoch shards are a pure projection — nothing shuffles") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = formatted(
+      graft.pipeline.Sampling.epochShards(docs, "doc_id", 2, 64))
+    assert(!plan.contains("Exchange"),
+      s"epochShards plans a shuffle — must stay map-side:\n$plan")
+    assert(!plan.contains("Window"), s"epochShards plans a window:\n$plan")
+  }
+
   test("quality filter evaluates NgramRepetition exactly once per row") {
     val plan = formatted(Queries.pQualityFilter(spark, sf))
     val n = "ngram_?repetition".r.findAllIn(plan.toLowerCase).length
