@@ -497,6 +497,21 @@ object Queries {
       .orderBy("query_id", "rnk")
   }
 
+  /** Stupid-backoff bigram LM scoring ([[LanguageModel.perplexityScore]],
+    * the CCNet perplexity-filter stage): the corpus is its own model; every
+    * doc gets `(n_scored, avg_logp, ppl)` — sub-two-token and null-text
+    * docs score null with `n_scored = 0`. The oracle re-derives the count
+    * tables, the vocab-side probability enrichment (fixed association
+    * order), the 6dp log10 snap, the DECIMAL per-position sum, and the
+    * 4dp-snapped `10^-avg` perplexity.
+    */
+  def pLmScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = documents(spark, sfDir)
+    graft.pipeline.LanguageModel
+      .perplexityScore(docs, "doc_id", "text", docs, "text")
+      .orderBy("doc_id")
+  }
+
   /** Third decontamination path, same contract: Bloom propose / exact
     * verify ([[Decontaminate.contaminationReportBloom]]). The m-bit
     * filter prunes the verify join to bloom-candidate docs; the output is

@@ -106,6 +106,7 @@ object SparkEntry {
     "p_tfidf_top_terms" -> (Queries.pTfidfTopTerms _),
     "p_bm25" -> (Queries.pBm25 _),
     "p_bm25_indexed" -> (Queries.pBm25Indexed _),
+    "p_lm_score" -> (Queries.pLmScore _),
     "p_decontaminate" -> (Queries.pDecontaminate _),
     "p_decontaminate_bcast" -> (Queries.pDecontaminateBcast _),
     "p_decontaminate_bloom" -> (Queries.pDecontaminateBloom _),
@@ -1683,6 +1684,56 @@ object SparkEntry {
     // (p_bm25_indexed) — one contract, so the paths cannot drift.
     "p_bm25" -> BM25_SQL,
     "p_bm25_indexed" -> BM25_SQL,
+    // stupid-backoff bigram LM (Brants 2007): count tables, vocab-side
+    // probability enrichment with the exact association order the Scala
+    // Column tree uses (c2/c_prev; (0.4*c1)/N; (0.4*0.4)/N), log10
+    // snapped to 6dp the moment it is computed (DuckDB log() IS log10),
+    // DECIMAL(18,6) per-position sums, and ppl = 10^-avg snapped at 4dp
+    // right after each engine's pow. Every input doc keeps a row:
+    // sub-two-token docs via the final LEFT JOIN (n_scored = 0).
+    "p_lm_score" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $TOKS AS t FROM documents),
+         |pos0 AS (
+         |  SELECT doc_id, unnest(generate_series(1, len(t) - 1)) AS i, t
+         |  FROM toks),
+         |pos AS (
+         |  SELECT doc_id, t[i] AS prev, t[i + 1] AS cur FROM pos0),
+         |uni AS (
+         |  SELECT token, count(*) AS c1
+         |  FROM (SELECT unnest(t) AS token FROM toks) GROUP BY 1),
+         |big AS (
+         |  SELECT prev, cur, count(*) AS c2 FROM pos GROUP BY 1, 2),
+         |tot AS (SELECT CAST(sum(c1) AS BIGINT) AS n_total FROM uni),
+         |cond AS (
+         |  SELECT b.prev, b.cur,
+         |    CAST(b.c2 AS DOUBLE) / CAST(u.c1 AS DOUBLE) AS p_cond
+         |  FROM big b JOIN uni u ON b.prev = u.token),
+         |back AS (
+         |  SELECT token AS cur,
+         |    (CAST(0.4 AS DOUBLE) * c1) / CAST(t.n_total AS DOUBLE) AS p_back
+         |  FROM uni, tot t),
+         |scored AS (
+         |  SELECT p.doc_id,
+         |    CAST(round(log(
+         |      CASE WHEN c.p_cond IS NOT NULL THEN c.p_cond
+         |           WHEN bk.p_back IS NOT NULL THEN bk.p_back
+         |           ELSE (CAST(0.4 AS DOUBLE) * CAST(0.4 AS DOUBLE))
+         |                / CAST(t.n_total AS DOUBLE) END), 6)
+         |      AS DECIMAL(18,6)) AS term_lp
+         |  FROM pos p
+         |  LEFT JOIN cond c ON p.prev = c.prev AND p.cur = c.cur
+         |  LEFT JOIN back bk ON p.cur = bk.cur, tot t),
+         |agg AS (
+         |  SELECT doc_id, count(term_lp) AS n_scored,
+         |    round(CAST(sum(term_lp) AS DOUBLE)
+         |      / CAST(count(term_lp) AS DOUBLE), 6) AS avg_logp
+         |  FROM scored GROUP BY 1)
+         |SELECT d.doc_id, CAST(coalesce(a.n_scored, 0) AS BIGINT) AS n_scored,
+         |  a.avg_logp,
+         |  round(power(CAST(10 AS DOUBLE), -a.avg_logp), 4) AS ppl
+         |FROM documents d LEFT JOIN agg a USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
     "p_decontaminate" -> DECONTAM_SQL,
     "p_decontaminate_bcast" -> DECONTAM_SQL,
     // bloom is propose-only: the verify stage makes the output exact, so

@@ -241,6 +241,15 @@ class DocsSuite extends SparkSpec {
       numCentroids = 8, nprobe = 4).count() > 0)
   }
 
+  test("pipeline-ops: lm perplexity snippet runs") {
+    import graft.pipeline.LanguageModel
+    val uni = LanguageModel.unigramCounts(docs, "text")
+    val big = LanguageModel.bigramCounts(docs, "text")
+    val kept = LanguageModel.perplexityBand(docs, "doc_id", "text", uni, big,
+      lo = 0.0, hi = 1e9, broadcastModel = true)
+    assert(kept.count() > 0)
+  }
+
   test("pipeline-ops: bm25 retrieval snippet runs") {
     val queries = docs.filter(pmod(col("doc_id"), lit(100)) === 0)
       .select(col("doc_id").as("query_id"),

@@ -1787,6 +1787,122 @@ class PipelineSuite extends SparkSpec {
     assert(err.getMessage.contains("maxClusterSize"))
   }
 
+  test("LM scoring matches a scalar stupid-backoff twin on all three branches") {
+    val s = spark
+    import s.implicits._
+    import graft.pipeline.LanguageModel
+    // model corpus: known token statistics
+    val model = Seq(
+      (0L, "the cat sat on the mat"),
+      (1L, "the cat ran"),
+      (2L, "a dog sat")).toDF("doc_id", "text")
+    // scored corpus exercises every branch: seen bigrams (cond), seen
+    // unigrams in an unseen order (backoff), and unknown tokens (unk)
+    val docs = Seq(
+      (10L, "the cat sat"),       // all bigrams seen
+      (11L, "mat dog the"),       // unigrams seen, bigrams not -> backoff
+      (12L, "zebra the xylophone") // unknown tokens -> alpha^2/N
+    ).toDF("doc_id", "text")
+
+    // scalar twin of the whole contract
+    def toks(t: String) = t.trim.toLowerCase.split("\\s+").toSeq
+    val mtoks = Seq("the cat sat on the mat", "the cat ran", "a dog sat").map(toks)
+    val uni = mtoks.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val big = mtoks.flatMap(ts => ts.zip(ts.tail))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = mtoks.map(_.size).sum.toDouble
+    def r(x: Double, sc: Int) =
+      BigDecimal(x).setScale(sc, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def score(text: String): (Long, Double, Double) = {
+      val ts = toks(text)
+      val lps = ts.zip(ts.tail).map { case (p, c) =>
+        val sc =
+          if (big.contains((p, c))) big((p, c)).toDouble / uni(p).toDouble
+          else if (uni.contains(c)) (0.4 * uni(c)) / n
+          else (0.4 * 0.4) / n
+        BigDecimal(r(math.log10(sc), 6)).setScale(6)
+      }
+      val avg = r(lps.sum.toDouble / lps.size.toDouble, 6)
+      (lps.size.toLong, avg, r(math.pow(10.0, -avg), 4))
+    }
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val outDf = LanguageModel.perplexityScore(
+      docs, "doc_id", "text", model, "text")
+    val got = outDf.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    // model count caches released; only the materialized result remains
+    assert(spark.sparkContext.getPersistentRDDs.size <= before + 1,
+      "perplexityScore leaked its model caches")
+    outDf.unpersist(blocking = false)
+    assert(got === Map(
+      10L -> score("the cat sat"),
+      11L -> score("mat dog the"),
+      12L -> score("zebra the xylophone")))
+    // branch sanity: seen text scores far more predictable than unknowns
+    assert(got(10L)._3 < got(11L)._3 && got(11L)._3 < got(12L)._3)
+
+    // broadcastModel changes the plan, never the result
+    val uniDf = LanguageModel.unigramCounts(model, "text")
+    val bigDf = LanguageModel.bigramCounts(model, "text")
+    val bc = LanguageModel
+      .scoreDocs(docs, "doc_id", "text", uniDf, bigDf, broadcastModel = true)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    assert(bc === got)
+  }
+
+  test("LM scoring: every doc keeps a row; short/null/empty text scores null") {
+    val s = spark
+    import s.implicits._
+    import graft.pipeline.LanguageModel
+    val model = Seq((0L, "the cat sat on the mat")).toDF("doc_id", "text")
+    val docs = Seq(
+      (20L, Option("the cat")),  // one pair: scored
+      (21L, Option("cat")),      // single token: no pairs
+      (22L, Option("")),         // tokenizes to [""]: no pairs
+      (23L, None)                // null text
+    ).toDF("doc_id", "text")
+    val out = LanguageModel.perplexityScore(docs, "doc_id", "text", model, "text")
+    val rows = out.collect().map(r =>
+      r.getLong(0) -> ((r.getLong(1), r.isNullAt(2), r.isNullAt(3)))).toMap
+    out.unpersist(blocking = false)
+    assert(rows.keySet === Set(20L, 21L, 22L, 23L))
+    assert(rows(20L)._1 === 1L && !rows(20L)._2 && !rows(20L)._3)
+    Seq(21L, 22L, 23L).foreach { id =>
+      assert(rows(id) === ((0L, true, true)), s"doc $id")
+    }
+  }
+
+  test("perplexityBand keeps the middle of the distribution, drops unscorable") {
+    val s = spark
+    import s.implicits._
+    import graft.pipeline.LanguageModel
+    val model = Seq((0L, "the cat sat on the mat the cat ran")).toDF("doc_id", "text")
+    val docs = Seq(
+      (30L, "the cat sat"),          // low ppl (seen bigrams)
+      (31L, "mat ran the on"),       // mid (backoff)
+      (32L, "qq zz ww xx"),          // high (all unknown)
+      (33L, "solo")                  // unscorable -> dropped
+    ).toDF("doc_id", "text")
+    val uni = LanguageModel.unigramCounts(model, "text")
+    val big = LanguageModel.bigramCounts(model, "text")
+    val all = LanguageModel.scoreDocs(docs, "doc_id", "text", uni, big)
+      .collect().filterNot(_.isNullAt(3))
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val lo = all(30L) + 0.001
+    val hi = all(32L) - 0.001
+    val kept = LanguageModel
+      .perplexityBand(docs, "doc_id", "text", uni, big, lo, hi)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(31L))
+    // band output carries original columns plus the score columns
+    val cols = LanguageModel
+      .perplexityBand(docs, "doc_id", "text", uni, big, lo, hi).columns.toSeq
+    assert(cols === Seq("doc_id", "text", "n_scored", "avg_logp", "ppl"))
+  }
+
   test("quality score is in [0,1] and rewards longer diverse text") {
     val s = spark
     import s.implicits._

@@ -102,6 +102,25 @@ class PlanSuite extends SparkSpec {
     } finally postQ.unpersist(blocking = false)
   }
 
+  test("broadcast-model LM scoring never shuffles the corpus side") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    import graft.pipeline.LanguageModel
+    val uni = LanguageModel.unigramCounts(docs, "text")
+    val big = LanguageModel.bigramCounts(docs, "text")
+    val plan = formatted(LanguageModel.scoreDocs(
+      docs, "doc_id", "text", uni, big, broadcastModel = true))
+    // both model joins broadcast; no per-doc window anywhere
+    assert(!plan.contains("Window"), s"LM scoring plans a window:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"broadcast-model scoring still sort-merge-joins:\n$plan")
+    // the exploded positions stream reaches the per-doc aggregate with
+    // only the final group-by exchange: every hash-join block in the
+    // plan is a broadcast join (model side), never a shuffled join
+    val joins = hashJoinBlocks(plan)
+    assert(joins.nonEmpty && joins.forall(_.contains("BroadcastHashJoin")),
+      s"non-broadcast join in broadcast-model scoring:\n$plan")
+  }
+
   test("epoch shards are a pure projection — nothing shuffles") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val plan = formatted(
