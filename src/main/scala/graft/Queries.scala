@@ -286,6 +286,19 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Temperature mixture ([[Sampling.temperatureSample]], alpha = 0.3,
+    * budget = 500 over the `lang` groups — sized so the rare-language groups upsample (rate > 1, exercising the floor arithmetic) while `en` downsamples): every doc carries its group's
+    * 6dp-snapped expected-copy rate and the LCG-thresholded `n_copies`.
+    * The oracle replays the count table, the snapped `pow`, the DECIMAL
+    * weight normalizer, the `(budget·q)/n` association order, and the
+    * integer Bernoulli threshold `floor(frac(rate)·2^32)`.
+    */
+  def pTemperatureMix(spark: SparkSession, sfDir: String): DataFrame =
+    Sampling.temperatureSample(documents(spark, sfDir), "lang", "doc_id",
+        alpha = 0.3, budget = 500L)
+      .select("doc_id", "lang", "rate", "n_copies")
+      .orderBy("doc_id")
+
   /** Leakage-free split ([[Sampling.leakageFreeSplit]]): the near-dup
     * clusters of the Jaccard pair graph travel together through a
     * 0.7/0.2/0.1 split (split key = component id, unpaired docs fall

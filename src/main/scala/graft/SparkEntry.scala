@@ -68,6 +68,7 @@ object SparkEntry {
     "p_stratified_sample" -> (Queries.pStratifiedSample _),
     "p_hash_split" -> (Queries.pHashSplit _),
     "p_epoch_shard" -> (Queries.pEpochShard _),
+    "p_temperature_mix" -> (Queries.pTemperatureMix _),
     "p_leakage_split" -> (Queries.pLeakageSplit _),
     "p_dedup_incremental" -> (Queries.pIncrementalDedup _),
     "p_dedup_incr_artifact" -> (Queries.pIncrementalDedupArtifact _),
@@ -650,6 +651,34 @@ object SparkEntry {
         |  ((((b1 + idm) % 4294967296) * 1103515245 + 12345)
         |    % 4294967296 + 4294967296) % 4294967296 AS key_e1
         |FROM s ORDER BY doc_id""".stripMargin,
+    // temperature mix: count table -> 6dp-snapped pow weight -> DECIMAL
+    // normalizer sum (order-independent) -> rate with the exact
+    // (budget*q)/n association order -> integer Bernoulli threshold on
+    // the fractional part via the portable sign-normalized LCG
+    "p_temperature_mix" ->
+      """WITH counts AS (
+        |  SELECT lang AS grp, count(*) AS n_docs FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total FROM counts),
+        |wtab AS (
+        |  SELECT grp, n_docs,
+        |    CAST(round(power(CAST(n_docs AS DOUBLE) / CAST(t.n_total AS DOUBLE),
+        |        CAST(0.3 AS DOUBLE)), 6) AS DECIMAL(18,6)) AS w
+        |  FROM counts, tot t),
+        |ws AS (SELECT sum(w) AS w_sum FROM wtab),
+        |rates AS (
+        |  SELECT grp, n_docs,
+        |    round((CAST(500 AS DOUBLE)
+        |        * (CAST(w AS DOUBLE) / CAST(s.w_sum AS DOUBLE)))
+        |      / CAST(n_docs AS DOUBLE), 6) AS rate
+        |  FROM wtab, ws s)
+        |SELECT d.doc_id, d.lang, r.rate,
+        |  CAST(floor(r.rate) AS BIGINT)
+        |  + CASE WHEN ((((d.doc_id % 4294967296) * 1103515245 + 12345)
+        |        % 4294967296) + 4294967296) % 4294967296
+        |      < CAST(floor((r.rate - floor(r.rate)) * 4294967296) AS BIGINT)
+        |    THEN 1 ELSE 0 END AS n_copies
+        |FROM documents d JOIN rates r ON d.lang = r.grp
+        |ORDER BY d.doc_id""".stripMargin,
     // leakage-free split: recursive near-dup closure -> split key =
     // component (own id when unpaired) -> same LCG cutoffs as hash_split
     "p_leakage_split" ->

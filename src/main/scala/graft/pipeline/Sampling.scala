@@ -286,6 +286,90 @@ object Sampling {
       .withColumn("sort_key", lcgBucket(salted + idm))
   }
 
+  /** Temperature-based mixture rates (the multilingual rebalancing rule
+    * of XLM-R / mT5): group `l` with `n_l` of `N` docs is sampled with
+    * probability `q_l ∝ (n_l/N)^alpha`, flattening the distribution as
+    * `alpha → 0` so low-resource groups are up-weighted. Returns one row
+    * per group — `(group, n_docs, rate)` — where `rate = budget·q_l/n_l`
+    * is the per-doc EXPECTED COPY COUNT hitting a total budget of
+    * `budget` docs (rate > 1 means low-resource upsampling, i.e.
+    * duplication; cap with `maxRate` to bound repetition à la mT5).
+    *
+    * Cross-engine determinism: `pow` is snapped to 6 dp the moment it is
+    * computed and the normalizer sums those snapped weights as DECIMAL
+    * (order-independent — a double sum over groups would depend on
+    * engine visit order); the final rate is 6dp-snapped with a fixed
+    * association order `(budget * q) / n_docs`.
+    *
+    * Scale shape: one corpus scan collapsing map-side to #groups rows;
+    * everything after is group-table arithmetic (#groups ≈ languages or
+    * sources — tiny), broadcast back by [[temperatureSample]].
+    */
+  def temperatureRates(
+      docs: DataFrame,
+      groupCol: String,
+      alpha: Double,
+      budget: Long,
+      maxRate: Double = Double.MaxValue): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha=$alpha must be in (0, 1]")
+    require(budget > 0, s"budget=$budget must be positive")
+    require(maxRate > 0, s"maxRate=$maxRate must be positive")
+    val counts = docs.groupBy(col(groupCol).as("grp"))
+      .agg(count(lit(1)).as("n_docs"))
+    val tot = counts.agg(sum(col("n_docs")).cast("long").as("n_total"))
+    val w = round(pow(col("n_docs").cast("double") /
+      col("n_total").cast("double"), alpha), 6).cast("decimal(18,6)")
+    val weighted = counts.crossJoin(broadcast(tot)).withColumn("w", w)
+    val wsum = weighted.agg(sum(col("w")).as("w_sum"))
+    weighted
+      .crossJoin(broadcast(wsum))
+      .withColumn("q", col("w").cast("double") / col("w_sum").cast("double"))
+      .withColumn("rate",
+        least(round(lit(budget.toDouble) * col("q") / col("n_docs").cast("double"), 6),
+          lit(maxRate)))
+      .select(col("grp").as(groupCol), col("n_docs"), col("rate"))
+  }
+
+  /** Apply [[temperatureRates]] to the corpus: every doc gets its
+    * group's `rate` and a deterministic `n_copies = floor(rate) +
+    * (lcg(id) < frac(rate)·2^32)` — the integer-threshold Bernoulli on
+    * the fractional part rides the same LCG contract as every sampler
+    * here, so the copy set is a pure function of (id, rates),
+    * reproducible across engines, layouts, and retries. Zero-copy rows
+    * are KEPT (n_copies = 0) — the caller drops or accounts for them;
+    * [[materializeCopies]] explodes to one row per copy. The rate table
+    * is #groups-sized and broadcast: the corpus never shuffles.
+    */
+  def temperatureSample(
+      docs: DataFrame,
+      groupCol: String,
+      idCol: String,
+      alpha: Double,
+      budget: Long,
+      maxRate: Double = Double.MaxValue): DataFrame = {
+    val rates = temperatureRates(docs, groupCol, alpha, budget, maxRate)
+      .select(col(groupCol), col("rate"))
+    val base = floor(col("rate")).cast("long")
+    val thr = floor((col("rate") - floor(col("rate"))) * lit(Mod)).cast("long")
+    docs
+      .join(broadcast(rates), Seq(groupCol))
+      .withColumn("n_copies",
+        base + when(lcgBucket(col(idCol)) < thr, lit(1L)).otherwise(lit(0L)))
+  }
+
+  /** One output row per copy: `(…, copy_idx)` with `copy_idx` in
+    * `[1, n_copies]`; `n_copies = 0` rows vanish. Map-side only —
+    * `sequence(1, n)` explodes a long array whose total size is the
+    * sampled budget, not the corpus.
+    */
+  def materializeCopies(df: DataFrame, copiesCol: String = "n_copies"): DataFrame =
+    // NB sequence(1, 0) in Spark is the DESCENDING [1, 0], not empty —
+    // zero-copy rows must be guarded to an empty array explicitly
+    df.withColumn("copy_idx",
+        explode(when(col(copiesCol) >= 1, sequence(lit(1L), col(copiesCol)))
+          .otherwise(array().cast("array<bigint>"))))
+      .drop(copiesCol)
+
   def exactKPerGroup(
       df: DataFrame,
       groupCol: String,

@@ -241,6 +241,14 @@ class DocsSuite extends SparkSpec {
       numCentroids = 8, nprobe = 4).count() > 0)
   }
 
+  test("pipeline-ops: temperature mix snippet runs") {
+    val mix = pipeline.Sampling.temperatureSample(docs, "lang", "doc_id",
+      alpha = 0.3, budget = 500L)
+    val copies = pipeline.Sampling.materializeCopies(mix)
+    assert(copies.count() ===
+      mix.agg(sum(col("n_copies"))).head().getLong(0))
+  }
+
   test("pipeline-ops: lm perplexity snippet runs") {
     import graft.pipeline.LanguageModel
     val uni = LanguageModel.unigramCounts(docs, "text")

@@ -878,6 +878,71 @@ class PipelineSuite extends SparkSpec {
     assert(math.abs(sameFrac - 0.125) < 0.02, s"sameFrac=$sameFrac")
   }
 
+  test("temperature mix: scalar-twin rates, budget tracking, alpha=1, maxRate cap") {
+    val s = spark
+    import s.implicits._
+    // skewed groups: 7000 / 2500 / 500
+    val docs = spark.range(10000L).select(col("id").as("doc_id"),
+      when(col("id") < 7000, "en").when(col("id") < 9500, "de")
+        .otherwise("fi").as("lang"))
+    val alpha = 0.3
+    val budget = 6000L
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // scalar twin of temperatureRates
+    val n = Map("en" -> 7000L, "de" -> 2500L, "fi" -> 500L)
+    val tot = n.values.sum.toDouble
+    val w = n.view.mapValues(c => BigDecimal(r6(math.pow(c / tot, alpha))).setScale(6)).toMap
+    val wsum = w.values.sum.toDouble
+    val expRate = n.map { case (g, c) =>
+      g -> r6(budget.toDouble * (w(g).toDouble / wsum) / c.toDouble)
+    }
+    val rates = Sampling.temperatureRates(docs, "lang", alpha, budget)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(rates === expRate)
+    // flattening: the rare group's rate is the largest and upsamples
+    assert(rates("fi") > rates("de") && rates("de") > rates("en"))
+    assert(rates("fi") > 1.0 && rates("en") < 1.0)
+
+    val sampled = Sampling.temperatureSample(docs, "lang", "doc_id", alpha, budget)
+    // deterministic per-doc twin: floor(rate) + lcg Bernoulli on frac
+    val some = sampled.filter(col("doc_id") % 97 === 0)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
+        r.getAs[Long]("n_copies")))
+    some.foreach { case (id, g, c) =>
+      val rate = expRate(g)
+      val thr = math.floor((rate - math.floor(rate)) * 4294967296.0).toLong
+      val u = Math.floorMod(Math.floorMod(id, 4294967296L) * 1103515245L + 12345L,
+        4294967296L)
+      assert(c === math.floor(rate).toLong + (if (u < thr) 1L else 0L), s"doc $id")
+    }
+    // realized total tracks the budget within 3%
+    val realized = sampled.agg(sum("n_copies")).head().getLong(0)
+    assert(math.abs(realized - budget).toDouble / budget < 0.03,
+      s"realized $realized vs budget $budget")
+
+    // alpha = 1: proportional sampling — every group gets the same rate
+    val prop = Sampling.temperatureRates(docs, "lang", 1.0, budget)
+      .collect().map(_.getDouble(2)).distinct
+    assert(prop.length === 1 && math.abs(prop.head - 0.6) < 1e-5)
+
+    // maxRate caps the upsampled group only
+    val capped = Sampling.temperatureRates(docs, "lang", alpha, budget, maxRate = 1.0)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(capped("fi") === 1.0)
+    assert(capped("en") === rates("en") && capped("de") === rates("de"))
+  }
+
+  test("materializeCopies: one row per copy, zero-copy rows vanish") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, 0L), (2L, 1L), (3L, 3L)).toDF("doc_id", "n_copies")
+    val out = Sampling.materializeCopies(df)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSet === Set((2L, 1L), (3L, 1L), (3L, 2L), (3L, 3L)))
+    assert(!out.map(_._1).contains(1L))
+  }
+
   test("topk_by_score buffer stays bounded on a 1e7-row single group") {
     val s = spark
     import s.implicits._

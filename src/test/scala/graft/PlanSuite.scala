@@ -121,6 +121,18 @@ class PlanSuite extends SparkSpec {
       s"non-broadcast join in broadcast-model scoring:\n$plan")
   }
 
+  test("temperature sampling broadcasts the rate table to the corpus") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = formatted(graft.pipeline.Sampling.temperatureSample(
+      docs, "lang", "doc_id", alpha = 0.3, budget = 500L))
+    // the corpus-side join is a broadcast of the #groups-sized rate
+    // table; the corpus itself never shuffles and nothing windows
+    assert(!plan.contains("Window"), s"temperature sample plans a window:\n$plan")
+    val joins = hashJoinBlocks(plan)
+    assert(joins.nonEmpty && joins.forall(_.contains("BroadcastHashJoin")),
+      s"rate-table join is not a broadcast join:\n$plan")
+  }
+
   test("epoch shards are a pure projection — nothing shuffles") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val plan = formatted(
