@@ -170,6 +170,97 @@ object LanguageModel {
     out
   }
 
+  /** A driver-collected bigram model for map-side scoring. Bounded by
+    * construction: [[collectModel]] refuses models past `maxEntries`
+    * (the streaming/broadcast deployment is a PRUNED model — CCNet
+    * ships ~1e7 surviving n-grams, far under the default bound; an
+    * unpruned web-scale model belongs on the distributed
+    * [[scoreDocs]] path).
+    */
+  case class BigramLM(
+      uni: Map[String, Long],
+      big: Map[(String, String), Long],
+      nTotal: Long)
+
+  /** Collect [[unigramCounts]]/[[bigramCounts]] output into a
+    * [[BigramLM]]. Fails loud when the model exceeds `maxEntries` total
+    * rows rather than silently OOM-ing the driver.
+    */
+  def collectModel(
+      unigrams: DataFrame,
+      bigrams: DataFrame,
+      maxEntries: Long = 5000000L): BigramLM = {
+    val nUni = unigrams.count(); val nBig = bigrams.count()
+    require(nUni + nBig <= maxEntries,
+      s"model has ${nUni + nBig} entries > maxEntries=$maxEntries — prune " +
+        "the count tables or use the distributed scoreDocs path")
+    val uni = unigrams.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val big = bigrams.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    BigramLM(uni, big, uni.valuesIterator.sum)
+  }
+
+  /** Map-side-only scoring against a collected model: same output
+    * contract as [[scoreDocs]] — `(doc_id, n_scored, avg_logp, ppl)` —
+    * but zero joins and zero shuffles: one scalar function per row over
+    * a broadcast model. This is the scorer that runs verbatim on a
+    * STREAM (stateless, append-mode — StreamingSuite parity-pins it)
+    * and the one to prefer whenever the pruned model fits the driver;
+    * the suite pins it row-identical to [[scoreDocs]] on the test
+    * corpus. The arithmetic twins [[scoreDocs]] exactly: same backoff
+    * branches, 6dp HALF_UP log10 snap, scale-6 decimal summation, 6dp
+    * average, 4dp `10^-avg`.
+    */
+  def scoreWithModel(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      model: BigramLM,
+      alpha: Double = 0.4): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha=$alpha must be in (0, 1]")
+    val bc = docs.sparkSession.sparkContext.broadcast(model)
+    def r(x: Double, sc: Int): Double =
+      BigDecimal(x).setScale(sc, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val score = udf { (text: String) =>
+      val m = bc.value
+      // twin of tokens(): Spark's trim strips ONLY ASCII space (0x20) —
+      // Java's String.trim strips all chars <= 0x20 and would tokenize
+      // "\ntext" differently — then lower + split keeping empties
+      val ts =
+        if (text == null) Array.empty[String]
+        else {
+          var a = 0; var b = text.length
+          while (a < b && text.charAt(a) == ' ') a += 1
+          while (b > a && text.charAt(b - 1) == ' ') b -= 1
+          text.substring(a, b).toLowerCase.split("\\s+", -1)
+        }
+      if (ts.length < 2) (0L, None: Option[Double], None: Option[Double])
+      else {
+        var sum = BigDecimal(0).setScale(6)
+        var i = 1
+        while (i < ts.length) {
+          val p = ts(i - 1); val c = ts(i)
+          val s = m.big.get((p, c)) match {
+            case Some(c2) => c2.toDouble / m.uni(p).toDouble
+            case None => m.uni.get(c) match {
+              case Some(c1) => alpha * c1 / m.nTotal.toDouble
+              case None => alpha * alpha / m.nTotal.toDouble
+            }
+          }
+          sum += BigDecimal(r(math.log10(s), 6)).setScale(6)
+          i += 1
+        }
+        val n = ts.length - 1
+        val avg = r(sum.toDouble / n.toDouble, 6)
+        (n.toLong, Some(avg), Some(r(math.pow(10.0, -avg), 4)))
+      }
+    }
+    docs
+      .select(col(idCol).as("doc_id"), score(col(textCol)).as("s"))
+      .select(col("doc_id"), col("s._1").as("n_scored"),
+        col("s._2").as("avg_logp"), col("s._3").as("ppl"))
+  }
+
   /** The CCNet band filter: keep documents whose perplexity falls in
     * `[lo, hi]` — drop the suspiciously-predictable tail (boilerplate,
     * templates) AND the high-perplexity tail (noise, non-language).

@@ -346,13 +346,26 @@ object Sampling {
       idCol: String,
       alpha: Double,
       budget: Long,
-      maxRate: Double = Double.MaxValue): DataFrame = {
-    val rates = temperatureRates(docs, groupCol, alpha, budget, maxRate)
-      .select(col(groupCol), col("rate"))
+      maxRate: Double = Double.MaxValue): DataFrame =
+    applyRates(docs, groupCol, idCol,
+      temperatureRates(docs, groupCol, alpha, budget, maxRate))
+
+  /** Apply a PRECOMPUTED `(group, rate)` table — the deployment shape:
+    * rates come from yesterday's corpus profile (or a policy file) and
+    * today's batch, or a STREAM, is stamped against them. Stateless:
+    * one broadcast stream-static join plus map arithmetic, so the same
+    * call runs verbatim in Structured Streaming append mode
+    * (StreamingSuite parity-pins it against the batch path).
+    */
+  def applyRates(
+      docs: DataFrame,
+      groupCol: String,
+      idCol: String,
+      rates: DataFrame): DataFrame = {
     val base = floor(col("rate")).cast("long")
     val thr = floor((col("rate") - floor(col("rate"))) * lit(Mod)).cast("long")
     docs
-      .join(broadcast(rates), Seq(groupCol))
+      .join(broadcast(rates.select(col(groupCol), col("rate"))), Seq(groupCol))
       .withColumn("n_copies",
         base + when(lcgBucket(col(idCol)) < thr, lit(1L)).otherwise(lit(0L)))
   }

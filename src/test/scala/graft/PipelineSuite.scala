@@ -1940,6 +1940,33 @@ class PipelineSuite extends SparkSpec {
     }
   }
 
+  test("collected-model LM scorer is row-identical to the distributed path") {
+    import graft.pipeline.LanguageModel
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val uni = LanguageModel.unigramCounts(docs, "text").persist()
+    val big = LanguageModel.bigramCounts(docs, "text").persist()
+    try {
+      def key(r: org.apache.spark.sql.Row) = r.getLong(0) ->
+        ((r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+      val dist = LanguageModel.scoreDocs(docs, "doc_id", "text", uni, big)
+        .collect().map(key).toMap
+      val model = LanguageModel.collectModel(uni, big)
+      val local = LanguageModel.scoreWithModel(docs, "doc_id", "text", model)
+        .collect().map(key).toMap
+      assert(local === dist)
+      assert(local.size === 500)
+      // the bound fails loud instead of collecting an oversized model
+      val err = intercept[IllegalArgumentException] {
+        LanguageModel.collectModel(uni, big, maxEntries = 10)
+      }
+      assert(err.getMessage.contains("maxEntries"))
+    } finally {
+      uni.unpersist(blocking = false); big.unpersist(blocking = false)
+    }
+  }
+
   test("perplexityBand keeps the middle of the distribution, drops unscorable") {
     val s = spark
     import s.implicits._

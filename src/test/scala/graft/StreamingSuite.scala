@@ -667,6 +667,61 @@ class StreamingSuite extends SparkSpec {
     } finally Seq(chunkQ, deconQ).foreach(_.stop())
   }
 
+  test("map-side LM scoring and mixture rate application run verbatim on streams") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    import graft.pipeline.{LanguageModel, Sampling}
+    val modelCorpus = Seq((0L, "the cat sat on the mat the cat ran"))
+      .toDF("doc_id", "text")
+    val model = LanguageModel.collectModel(
+      LanguageModel.unigramCounts(modelCorpus, "text"),
+      LanguageModel.bigramCounts(modelCorpus, "text"))
+    val docs = Seq(
+      (1L, "en", "the cat sat"), (2L, "en", "mat ran the on"),
+      (3L, "de", "qq zz ww"), (4L, "de", "solo"), (5L, "en", "the mat"))
+    val batchDf = docs.toDF("doc_id", "lang", "text")
+    val rates = Sampling.temperatureRates(batchDf, "lang", 0.3, 4L)
+      .persist()
+    rates.count()
+
+    val mem = MemoryStream[(Long, String, String)]
+    val streamDf = mem.toDF().toDF("doc_id", "lang", "text")
+    // both operators are stateless (broadcast model / broadcast static
+    // rate table + map arithmetic): append mode, no watermark, and the
+    // SAME code path as batch
+    val lmQ = LanguageModel.scoreWithModel(streamDf, "doc_id", "text", model)
+      .writeStream.format("memory").queryName("lm_out").outputMode("append")
+      .start()
+    val mixQ = Sampling.applyRates(streamDf, "lang", "doc_id", rates)
+      .select("doc_id", "lang", "rate", "n_copies")
+      .writeStream.format("memory").queryName("mix_out").outputMode("append")
+      .start()
+    try {
+      mem.addData(docs.take(2): _*)
+      Seq(lmQ, mixQ).foreach(_.processAllAvailable())
+      mem.addData(docs.drop(2): _*)
+      Seq(lmQ, mixQ).foreach(_.processAllAvailable())
+
+      val lmBatch = LanguageModel.scoreWithModel(batchDf, "doc_id", "text", model)
+        .collect().map(_.toSeq).toSet
+      assert(s.sql("SELECT * FROM lm_out").collect().map(_.toSeq).toSet === lmBatch)
+      val mixBatch = Sampling.applyRates(batchDf, "lang", "doc_id", rates)
+        .select("doc_id", "lang", "rate", "n_copies")
+        .collect().map(_.toSeq).toSet
+      assert(s.sql("SELECT * FROM mix_out").collect().map(_.toSeq).toSet === mixBatch)
+      // and the streamed scorer agrees with the distributed batch path
+      val distBatch = LanguageModel.scoreDocs(batchDf, "doc_id", "text",
+          LanguageModel.unigramCounts(modelCorpus, "text"),
+          LanguageModel.bigramCounts(modelCorpus, "text"))
+        .collect().map(_.toSeq).toSet
+      assert(lmBatch === distBatch)
+    } finally {
+      Seq(lmQ, mixQ).foreach(_.stop())
+      rates.unpersist(blocking = false)
+    }
+  }
+
   test("flatMapGroupsWithState running stats accumulate across batches") {
     val s = spark
     import s.implicits._
