@@ -460,6 +460,24 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** NEAR-dup decontamination ([[Decontaminate.nearDupContaminationReport]],
+    * trigram shingles, Jaccard ≥ 0.5): training docs (doc_id % 10 != 0)
+    * whose shingle set near-matches any eval doc (doc_id % 10 = 0) —
+    * every training doc keeps a row. The MinHash banding proposes, the
+    * exact verify disposes, so the oracle is the full exact cross-corpus
+    * Jaccard report (banding recall is 1 on this corpus's dup structure).
+    */
+  def pNearDupDecontam(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = documents(spark, sfDir)
+    val evalDocs = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+      .select(col("doc_id").as("eval_id"), col("text"))
+    val train = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+    Decontaminate
+      .nearDupContaminationReport(train, "doc_id", "text", evalDocs,
+        "eval_id", "text")
+      .orderBy("doc_id")
+  }
+
   /** Same contamination contract as [[pDecontaminate]] through the
     * map-only broadcast-set path ([[Decontaminate.markContaminated]]):
     * no join, no shuffle — the variant a streaming ingest runs. Shares

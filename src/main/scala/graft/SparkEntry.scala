@@ -109,6 +109,7 @@ object SparkEntry {
     "p_bm25_indexed" -> (Queries.pBm25Indexed _),
     "p_lm_score" -> (Queries.pLmScore _),
     "p_decontaminate" -> (Queries.pDecontaminate _),
+    "p_decontaminate_neardup" -> (Queries.pNearDupDecontam _),
     "p_decontaminate_bcast" -> (Queries.pDecontaminateBcast _),
     "p_decontaminate_bloom" -> (Queries.pDecontaminateBloom _),
     "p_quality_filter" -> (Queries.pQualityFilter _)
@@ -1764,6 +1765,45 @@ object SparkEntry {
          |FROM documents d LEFT JOIN agg a USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
     "p_decontaminate" -> DECONTAM_SQL,
+    // near-dup decontamination: the Spark side proposes with MinHash
+    // banding and verifies with exact shingle Jaccard, so the oracle is
+    // the FULL exact cross-corpus Jaccard report (propose/verify makes
+    // the output exact whenever banding recall is 1 at the threshold,
+    // which holds for this corpus's planted dup structure). String
+    // shingles here vs 64-bit shingle hashes there — agreement also
+    // pins the hash path collision-free on this corpus.
+    "p_decontaminate_neardup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        |  FROM documents),
+        |shing AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(t) >= 3 THEN t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+        |         ELSE array_to_string(t, ' ') END AS s
+        |  FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(t) - 1, 2))) AS i)),
+        |dsh AS (SELECT DISTINCT doc_id, s FROM shing),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS id, b.doc_id AS eval_id, count(*) AS c
+        |  FROM dsh a JOIN dsh b ON a.s = b.s
+        |  WHERE a.doc_id % 10 != 0 AND b.doc_id % 10 = 0
+        |  GROUP BY 1, 2),
+        |j AS (
+        |  SELECT id, eval_id, c * 1.0 / (sa.n + sb.n - c) AS jaccard
+        |  FROM inter
+        |  JOIN sizes sa ON id = sa.doc_id
+        |  JOIN sizes sb ON eval_id = sb.doc_id
+        |  WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5),
+        |agg AS (
+        |  SELECT id AS doc_id, count(*) AS n_eval_matches,
+        |    max(round(jaccard, 6)) AS max_jaccard
+        |  FROM j GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(a.n_eval_matches, 0) AS BIGINT) AS n_eval_matches,
+        |  a.max_jaccard
+        |FROM documents d LEFT JOIN agg a USING (doc_id)
+        |WHERE d.doc_id % 10 != 0
+        |ORDER BY d.doc_id""".stripMargin,
     "p_decontaminate_bcast" -> DECONTAM_SQL,
     // bloom is propose-only: the verify stage makes the output exact, so
     // all three decontamination paths share ONE oracle

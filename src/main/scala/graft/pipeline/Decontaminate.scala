@@ -235,4 +235,119 @@ object Decontaminate {
       .select(col("doc_id"))
     docs.join(flagged, docs(idCol) === flagged("doc_id"), "left_anti")
   }
+
+  /** NEAR-duplicate contamination report: training docs whose shingle
+    * Jaccard against ANY eval doc reaches `threshold` — the guard the
+    * exact-n-gram paths above cannot provide (a benchmark item
+    * paraphrased, re-punctuated, or lightly edited into the crawl shares
+    * few exact n-grams but high Jaccard). GPT-3's 13-gram rule misses
+    * these; near-dup decontamination is the Dolma/FineWeb-style
+    * complement.
+    *
+    * Output: `(doc_id, n_eval_matches, max_jaccard)` with one row PER
+    * TRAINING DOC (`n_eval_matches = 0`, null `max_jaccard` for clean
+    * docs — thresholding already happened, the report is the audit
+    * artifact).
+    *
+    * Shape: MinHash-banding propose / exact-Jaccard verify — the same
+    * propose/verify discipline as every dedup path here, pointed across
+    * two corpora. The eval side is small by definition, so its banded
+    * signatures AND its shingle inverted index broadcast; the corpus is
+    * signed+banded once (or not at all: pass yesterday's
+    * [[Dedup.bandedCorpusArtifact]] via `corpusBanded` and only the
+    * candidate-bounded verification touches corpus text). Candidate
+    * volume is controlled by the banding parameters; the exact verify is
+    * candidate-bounded, so the n·|eval| pair space is never enumerated.
+    * Result is exact (equal to the full cross-corpus Jaccard report)
+    * whenever banding recall is 1 at the threshold — with b bands of r
+    * rows the per-pair miss probability is (1−j^r)^b.
+    */
+  def nearDupContaminationReport(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      evalDocs: DataFrame,
+      evalIdCol: String,
+      evalTextCol: String,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      shingleSize: Int = 3,
+      threshold: Double = 0.5,
+      corpusBanded: Option[DataFrame] = None): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold=$threshold must be in (0, 1]")
+    val cBand = corpusBanded.getOrElse(
+      Dedup.bandedCorpusArtifact(docs, idCol, textCol, numHashes, bands,
+        shingleSize))
+    val eBand = Dedup
+      .bandedCorpusArtifact(evalDocs, evalIdCol, evalTextCol, numHashes,
+        bands, shingleSize)
+      .select(col("id").as("eval_id"), col("band"), col("bucket"))
+    val cands = cBand
+      .join(broadcast(eBand), Seq("band", "bucket"))
+      .select(col("id"), col("eval_id"))
+      .distinct()
+    cands.persist()
+    val cSh = docs.select(col(idCol).as("id"),
+      explode(shingle_hashes(tokens(col(textCol)), shingleSize)).as("s"))
+    val eSh = evalDocs.select(col(evalIdCol).as("eval_id"),
+      explode(shingle_hashes(tokens(col(evalTextCol)), shingleSize)).as("s"))
+    eSh.persist()
+    val eSizes = eSh.groupBy("eval_id").agg(count(lit(1)).as("ne"))
+    val cSizes = docs.select(col(idCol).as("id"),
+      size(shingle_hashes(tokens(col(textCol)), shingleSize)).as("nc"))
+    val inter = cands
+      .join(cSh, Seq("id"))
+      .join(broadcast(eSh), Seq("eval_id", "s"))
+      .groupBy("id", "eval_id")
+      .agg(count(lit(1)).as("c"))
+    val verified = inter
+      .join(broadcast(eSizes), Seq("eval_id"))
+      .join(cSizes, Seq("id"))
+      .withColumn("jaccard",
+        col("c").cast("double") / (col("nc") + col("ne") - col("c")))
+      .filter(col("jaccard") >= threshold)
+    val perDoc = verified
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_eval_matches"),
+        max(round(col("jaccard"), 6)).as("max_jaccard"))
+    val out = docs
+      .select(col(idCol).as("doc_id"))
+      .join(perDoc.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_eval_matches"), lit(0L)).as("n_eval_matches"),
+        col("max_jaccard"))
+    out.persist()
+    try out.count()
+    catch { case e: Throwable =>
+      out.unpersist(blocking = false)
+      cands.unpersist(blocking = false); eSh.unpersist(blocking = false)
+      throw e
+    }
+    cands.unpersist(blocking = false); eSh.unpersist(blocking = false)
+    out
+  }
+
+  /** Drop every training doc the near-dup report flags: the
+    * corpus-minus-flagged complement of [[nearDupContaminationReport]].
+    */
+  def decontaminatedCorpusNearDup(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      evalDocs: DataFrame,
+      evalIdCol: String,
+      evalTextCol: String,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      shingleSize: Int = 3,
+      threshold: Double = 0.5,
+      corpusBanded: Option[DataFrame] = None): DataFrame = {
+    val flagged = nearDupContaminationReport(docs, idCol, textCol, evalDocs,
+        evalIdCol, evalTextCol, numHashes, bands, shingleSize, threshold,
+        corpusBanded)
+      .filter(col("n_eval_matches") > 0)
+      .select(col("doc_id"))
+    docs.join(flagged, docs(idCol) === flagged("doc_id"), "left_anti")
+  }
 }

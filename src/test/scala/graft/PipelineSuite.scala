@@ -878,6 +878,59 @@ class PipelineSuite extends SparkSpec {
     assert(math.abs(sameFrac - 0.125) < 0.02, s"sameFrac=$sameFrac")
   }
 
+  test("near-dup decontamination catches paraphrased leakage exact n-grams miss") {
+    val s = spark
+    import s.implicits._
+    import graft.pipeline.{Decontaminate, Dedup}
+    val evalDocs = Seq(
+      (100L, "what is the capital of france the answer is paris of course"),
+      (101L, "compute the sum of the first ten natural numbers"))
+      .toDF("eval_id", "text")
+    val train = Seq(
+      // a lightly edited copy of eval 100: shares most trigram shingles
+      // but long exact n-gram runs are broken every few tokens
+      (1L, "what is the capital of france answer is paris of course"),
+      (2L, "completely unrelated text about cooking pasta with tomatoes"),
+      (3L, "compute the sum of the first ten natural numbers"), // verbatim
+      (4L, "the quick brown fox jumps over the lazy dog again today"))
+      .toDF("doc_id", "text")
+    val report = Decontaminate.nearDupContaminationReport(
+      train, "doc_id", "text", evalDocs, "eval_id", "text", threshold = 0.5)
+    val rows = report.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))).toMap
+    report.unpersist(blocking = false)
+    // every training doc keeps a row; 1 (paraphrase) and 3 (verbatim)
+    // are flagged, the clean docs are not
+    assert(rows.keySet === Set(1L, 2L, 3L, 4L))
+    assert(rows(1L)._1 === 1L && rows(1L)._2.get >= 0.5)
+    assert(rows(3L)._1 === 1L && rows(3L)._2.get === 1.0)
+    assert(rows(2L) === ((0L, None)) && rows(4L) === ((0L, None)))
+    // the exact 8-gram rule misses the paraphrase (the edit broke every
+    // 8-token run) — the gap near-dup decontamination exists to close
+    val exact = Decontaminate.contaminationReport(
+      train, "doc_id", "text", evalDocs, "text", 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(exact(1L) === 0L && exact(3L) > 0L)
+
+    // artifact path: yesterday's banded corpus gives the same report
+    val art = Dedup.bandedCorpusArtifact(train, "doc_id", "text")
+    val viaArt = Decontaminate.nearDupContaminationReport(
+      train, "doc_id", "text", evalDocs, "eval_id", "text",
+      corpusBanded = Some(art))
+    val artRows = viaArt.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))).toMap
+    viaArt.unpersist(blocking = false)
+    assert(artRows === rows)
+
+    // the corpus complement drops exactly the flagged docs
+    val kept = Decontaminate.decontaminatedCorpusNearDup(
+      train, "doc_id", "text", evalDocs, "eval_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(2L, 4L))
+  }
+
   test("temperature mix: scalar-twin rates, budget tracking, alpha=1, maxRate cap") {
     val s = spark
     import s.implicits._

@@ -121,6 +121,23 @@ class PlanSuite extends SparkSpec {
       s"non-broadcast join in broadcast-model scoring:\n$plan")
   }
 
+  test("near-dup decontamination broadcasts the eval side, no cartesian") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val evalDocs = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+      .select(col("doc_id").as("eval_id"), col("text"))
+    val train = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+    val plan = formatted(graft.pipeline.Decontaminate
+      .nearDupContaminationReport(train, "doc_id", "text", evalDocs,
+        "eval_id", "text"))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"near-dup decontamination plans a product join:\n$plan")
+    // the banding candidate join and the shingle-verify join both
+    // broadcast the (small) eval side
+    assert(plan.contains("BroadcastHashJoin"),
+      s"eval side is not broadcast:\n$plan")
+  }
+
   test("temperature sampling broadcasts the rate table to the corpus") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val plan = formatted(graft.pipeline.Sampling.temperatureSample(
