@@ -174,7 +174,7 @@ object Queries {
 
   // ------------------------------------------------------- data-pipeline ops
 
-  import graft.pipeline.{Chunking, Clustering, CorpusStats, Decontaminate, Dedup, ImageRgbStatsCodec, MediaSynth, Multimodal, Retrieval, Sampling, Similarity, SkewJoin, TextFunctions => TF, WavPcmStatsCodec}
+  import graft.pipeline.{Chunking, Clustering, CorpusStats, CrawlFilters, Decontaminate, Dedup, ImageRgbStatsCodec, MediaSynth, Multimodal, Retrieval, Sampling, Similarity, SkewJoin, TextFunctions => TF, WavPcmStatsCodec}
 
   /** Per-document text statistics — all pure expressions, single scan. */
   def pTextStats(spark: SparkSession, sfDir: String): DataFrame = {
@@ -1166,6 +1166,89 @@ object Queries {
         sum(TF.tokenCount(col("text"))).cast("long").as("n_tokens"))
       .orderBy("source")
   }
+
+  /** HTML-to-text extraction ([[TF.htmlToText]]): the corpus text is
+    * wrapped in a deterministic page template — head with title/style/
+    * script (the script body deliberately contains `<`/`>` comparison
+    * operators, which a tag-only strip would shred), an HTML comment,
+    * and entity-bearing paragraphs including the `&amp;amp;`
+    * double-decode trap. The oracle re-derives the synthesis AND the
+    * full extraction chain, pinning every pass (element removal, tag
+    * strip, entity decode ORDER, whitespace collapse) across Java regex
+    * and RE2. Pure map-side; zero shuffle.
+    */
+  def pHtmlExtract(spark: SparkSession, sfDir: String): DataFrame = {
+    val html = concat(
+      lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+      lit("</title><style type=\"text/css\">p { color: #fff; }</style>"),
+      lit("<script>var n = 1; if (n < 2 && n > 0) { n = 3; }</script></head>"),
+      lit("<body><!-- rendered page "), col("doc_id").cast("string"),
+      lit(" --><h1>Title &amp;amp; &quot;quotes&quot;</h1><p>"),
+      col("text"),
+      lit("</p><p>A &lt;tag&gt; isn&#39;t text&nbsp;here.</p></body></html>"))
+    documents(spark, sfDir)
+      .select(col("doc_id"), TF.htmlToText(html).as("extracted"))
+      .orderBy("doc_id")
+  }
+
+  /** URL blocklist gate ([[CrawlFilters.urlFilterReport]]): hosts are
+    * synthesized in five classes — two blocklisted registrable domains
+    * (one matched via a subdomain, pinning suffix semantics), and every
+    * 7th URL carries a `casino` query param feeding the keyword score.
+    * Output is the per-URL report (host, blocked flag, word hits); the
+    * oracle re-derives host extraction with the same regex and the
+    * suffix match as a LIKE — same semantics, the theta-join shape this
+    * operator's equi-join replaces at scale.
+    */
+  def pUrlBlocklist(spark: SparkSession, sfDir: String): DataFrame = {
+    val m = pmod(col("doc_id"), lit(5))
+    val host = when(m === 0, lit("news.example.com"))
+      .when(m === 1, lit("www.ads.tracker-net.example"))
+      .when(m === 2, lit("blog.example.org"))
+      .when(m === 3, lit("win-big.example"))
+      .otherwise(lit("docs.example.com"))
+    val url = concat(lit("https://"), host, lit("/page/"),
+      col("doc_id").cast("string"),
+      when(pmod(col("doc_id"), lit(7)) === 0, lit("?q=casino+night"))
+        .otherwise(lit("")))
+    CrawlFilters.urlFilterReport(
+        documents(spark, sfDir).withColumn("url", url),
+        "url",
+        blockedDomains = Seq("tracker-net.example", "win-big.example"),
+        blockedWords = Seq("casino", "poker"))
+      .select(col("doc_id"), col("url_host"),
+        col("host_blocked").cast("long").as("host_blocked"), col("word_hits"))
+      .orderBy("doc_id")
+  }
+
+  /** DSIR importance weights ([[graft.pipeline.ImportanceSampling]]):
+    * every 10th doc plays the high-quality target corpus, the rest the
+    * raw pool (the [[pDecontaminate]] split), bigram features in
+    * raw-gram mode. The oracle re-derives the whole estimator — union
+    * vocabulary, add-one smoothing, the single-ln cross-multiplied
+    * ratio, 6 dp decimal summation — so the published arithmetic is
+    * hash-pinned end to end. Gram-less docs keep a (0, 0.0) row.
+    */
+  private def dsirWeights(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = documents(spark, sfDir)
+    val target = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+    val raw = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+    graft.pipeline.ImportanceSampling
+      .importanceWeights(raw, "doc_id", "text", target, "text", 2)
+  }
+
+  def pDsirWeights(spark: SparkSession, sfDir: String): DataFrame =
+    dsirWeights(spark, sfDir).orderBy("doc_id")
+
+  /** DSIR Gumbel-max resampling over [[pDsirWeights]]'s table: top-40
+    * by `logw + Gumbel(LCG(id))`, rank totalized by id — pinning the
+    * perturbation arithmetic and the bounded-heap selection against a
+    * window re-derivation in DuckDB.
+    */
+  def pDsirResample(spark: SparkSession, sfDir: String): DataFrame =
+    graft.pipeline.ImportanceSampling
+      .gumbelTopK(dsirWeights(spark, sfDir), "doc_id", 40)
+      .orderBy("rnk")
 
   /** Cross-document repeated-substring spans ([[Dedup.repeatedSpans]] —
     * the Lee-et-al substring-dedup primitive). The synthetic corpus has

@@ -81,6 +81,10 @@ object SparkEntry {
     "p_paragraph_dedup" -> (Queries.pParagraphDedup _),
     "p_boilerplate_removal" -> (Queries.pBoilerplateRemoval _),
     "p_url_dedup" -> (Queries.pUrlDedup _),
+    "p_html_extract" -> (Queries.pHtmlExtract _),
+    "p_url_blocklist" -> (Queries.pUrlBlocklist _),
+    "p_dsir_weights" -> (Queries.pDsirWeights _),
+    "p_dsir_resample" -> (Queries.pDsirResample _),
     "p_gopher_filter" -> (Queries.pGopherFilter _),
     "p_heavy_tokens" -> (Queries.pHeavyTokens _),
     "p_asof_join" -> (Queries.pAsofJoin _),
@@ -117,6 +121,40 @@ object SparkEntry {
 
   private val EN = "['the','and','of','to','in','is','a','that','it','for']"
   private val TOKS = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+
+  // Shared DSIR estimator CTE (p_dsir_weights / p_dsir_resample): every
+  // 10th doc is the target corpus, bigram features, add-one smoothing
+  // over the union vocabulary, per-gram log-ratio = one ln of a
+  // cross-multiplied exact rational snapped 6dp, decimal summation.
+  private val DSIR_CTE =
+    s"""WITH rawd AS (SELECT doc_id, $TOKS AS tk FROM documents WHERE doc_id % 10 != 0),
+       |tgtd AS (SELECT doc_id, $TOKS AS tk FROM documents WHERE doc_id % 10 = 0),
+       |rg AS (SELECT doc_id, tk[i] || ' ' || tk[i+1] AS gram
+       |  FROM rawd, LATERAL (SELECT unnest(range(1, len(tk))) AS i)),
+       |tg AS (SELECT tk[i] || ' ' || tk[i+1] AS gram
+       |  FROM tgtd, LATERAL (SELECT unnest(range(1, len(tk))) AS i)),
+       |cqt AS (SELECT gram, CAST(count(*) AS BIGINT) AS cq FROM rg GROUP BY gram),
+       |cpt AS (SELECT gram, CAST(count(*) AS BIGINT) AS cp FROM tg GROUP BY gram),
+       |vocab AS (
+       |  SELECT coalesce(cpt.gram, cqt.gram) AS gram,
+       |    coalesce(cp, 0) AS cp, coalesce(cq, 0) AS cq
+       |  FROM cpt FULL OUTER JOIN cqt ON cpt.gram = cqt.gram),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS v, CAST(sum(cp) AS BIGINT) AS np,
+       |    CAST(sum(cq) AS BIGINT) AS nq FROM vocab),
+       |w AS (
+       |  SELECT gram,
+       |    CAST(round(ln(CAST((cp+1)*(nq+v) AS DOUBLE) / CAST((cq+1)*(np+v) AS DOUBLE)), 6)
+       |      AS DECIMAL(18,6)) AS logr
+       |  FROM vocab, tot),
+       |dsc AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       |    round(CAST(sum(logr) AS DOUBLE), 6) AS logw
+       |  FROM rg JOIN w USING (gram) GROUP BY doc_id),
+       |wts AS (
+       |  SELECT r.doc_id, coalesce(n_grams, 0) AS n_grams,
+       |    coalesce(logw, 0.0) AS logw
+       |  FROM (SELECT DISTINCT doc_id FROM rawd) r
+       |  LEFT JOIN dsc USING (doc_id))""".stripMargin
 
   /** Shared CTE for the repeated-substring oracles: 8-gram positional
     * strings over the %17-passage-enriched corpus, hot-gram guard (>64),
@@ -1109,6 +1147,93 @@ object SparkEntry {
         |c6 AS (SELECT doc_id, regexp_replace(regexp_replace(u, '/+\?', '?'), '/+$', '') AS url_canon FROM c5)
         |SELECT min(doc_id) AS doc_id, url_canon, CAST(count(*) AS BIGINT) AS n_urls
         |FROM c6 GROUP BY url_canon ORDER BY url_canon""".stripMargin,
+    // HTML extraction: synthesis + the full strip/decode chain re-derived
+    // step for step (element removal, tag strip, entity decode order,
+    // whitespace collapse) — exact extracted strings hash-pinned across
+    // Java regex and RE2
+    "p_html_extract" ->
+      """WITH synth AS (
+        |  SELECT doc_id,
+        |    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+        |    || '</title><style type="text/css">p { color: #fff; }</style>'
+        |    || '<script>var n = 1; if (n < 2 && n > 0) { n = 3; }</script></head>'
+        |    || '<body><!-- rendered page ' || CAST(doc_id AS VARCHAR)
+        |    || ' --><h1>Title &amp;amp; &quot;quotes&quot;</h1><p>'
+        |    || text
+        |    || '</p><p>A &lt;tag&gt; isn&#39;t text&nbsp;here.</p></body></html>' AS html
+        |  FROM documents),
+        |stripped AS (
+        |  SELECT doc_id,
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+        |      '(?is)<script\b[^>]*>.*?</script\s*>', ' ', 'g'),
+        |      '(?is)<style\b[^>]*>.*?</style\s*>', ' ', 'g'),
+        |      '(?s)<!--.*?-->', ' ', 'g'),
+        |      '<[^>]+>', ' ', 'g') AS t
+        |  FROM synth),
+        |decoded AS (
+        |  SELECT doc_id,
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |      regexp_replace(regexp_replace(t,
+        |      '&nbsp;', ' ', 'g'),
+        |      '&lt;', '<', 'g'),
+        |      '&gt;', '>', 'g'),
+        |      '&quot;', '"', 'g'),
+        |      '&#39;|&apos;', '''', 'g'),
+        |      '&amp;', '&', 'g') AS t
+        |  FROM stripped)
+        |SELECT doc_id, trim(regexp_replace(t, '\s+', ' ', 'g')) AS extracted
+        |FROM decoded ORDER BY doc_id""".stripMargin,
+    // DSIR: the full importance estimator re-derived — union vocabulary,
+    // add-one smoothing, single-ln cross-multiplied ratio snapped 6dp,
+    // decimal summation, gram-less docs restored at (0, 0.0)
+    "p_dsir_weights" ->
+      s"""$DSIR_CTE
+         |SELECT doc_id, n_grams, logw FROM wts ORDER BY doc_id""".stripMargin,
+    "p_dsir_resample" ->
+      s"""$DSIR_CTE,
+         |g AS (
+         |  SELECT doc_id, logw,
+         |    round(logw - ln(-ln((CAST(((((doc_id % 4294967296) * 1103515245
+         |      + 12345) % 4294967296) + 4294967296) % 4294967296 AS DOUBLE)
+         |      + 0.5) / 4294967296.0)), 6) AS gumbel_key
+         |  FROM wts),
+         |rk AS (
+         |  SELECT doc_id, logw, gumbel_key,
+         |    CAST(row_number() OVER (ORDER BY gumbel_key DESC, doc_id) AS BIGINT) AS rnk
+         |  FROM g)
+         |SELECT doc_id, logw, gumbel_key, rnk FROM rk
+         |WHERE rnk <= 40 ORDER BY rnk""".stripMargin,
+    // URL blocklist: host re-extracted with the same regex; the suffix
+    // match re-derived as ends_with over the domain list (the theta shape
+    // whose equi-join replacement the Spark side implements)
+    "p_url_blocklist" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'https://' ||
+        |    (CASE doc_id % 5
+        |      WHEN 0 THEN 'news.example.com'
+        |      WHEN 1 THEN 'www.ads.tracker-net.example'
+        |      WHEN 2 THEN 'blog.example.org'
+        |      WHEN 3 THEN 'win-big.example'
+        |      ELSE 'docs.example.com' END)
+        |    || '/page/' || CAST(doc_id AS VARCHAR)
+        |    || (CASE WHEN doc_id % 7 = 0 THEN '?q=casino+night' ELSE '' END) AS url
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    regexp_replace(trim(url), '^(https?://)www\.', '\1') AS url_canon
+        |  FROM u),
+        |h AS (
+        |  SELECT doc_id, url_canon,
+        |    lower(regexp_extract(url_canon,
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1)) AS url_host
+        |  FROM c)
+        |SELECT doc_id, url_host,
+        |  CAST(len(list_filter(['tracker-net.example', 'win-big.example'],
+        |    d -> url_host = d OR ends_with(url_host, '.' || d))) > 0 AS BIGINT) AS host_blocked,
+        |  CAST(len(list_filter(['casino', 'poker'],
+        |    w -> contains(lower(url_canon), w))) AS BIGINT) AS word_hits
+        |FROM h ORDER BY doc_id""".stripMargin,
     // Gopher document rules: every ratio threshold integer
     // cross-multiplied, per-rule violation counts + survivor sums per
     // source; the enrichment CASE injects each violation class

@@ -235,6 +235,52 @@ object TextFunctions {
       lit(false))
   }
 
+  /** HTML-to-text extraction — the WET-generation step between the raw
+    * crawl payload and every text operator in this library (quality
+    * scoring a page's `<script>` bodies tanks real prose). Passes, in
+    * order (order is load-bearing):
+    *  1. drop `<script>`/`<style>` ELEMENTS including their contents
+    *     (their bodies are code, not text; a tag-only strip would leak
+    *     them into the corpus);
+    *  2. drop `<!-- comments -->`;
+    *  3. replace every remaining tag with a space (block structure is
+    *     collapsed — paragraph-level operators should run BEFORE this on
+    *     the source markup or re-split on sentence boundaries);
+    *  4. decode the six entities that dominate real markup —
+    *     `&nbsp; &lt; &gt; &quot; &#39;/&apos; &amp;` — with `&amp;`
+    *     LAST, so `&amp;lt;` decodes to the literal text `&lt;` exactly
+    *     once (the double-decode hazard every naive extractor hits);
+    *  5. collapse whitespace and trim.
+    *
+    * Pure chained `regexp_replace` — codegen'd, map-side, zero shuffle —
+    * and every pattern RE2-compatible (non-greedy + inline `(?is)` flags
+    * only; no backrefs, which is why script and style get separate
+    * patterns instead of `</\1>`), so extraction is reproducible across
+    * engines like [[redactPii]]. The 100 TB cost is a fixed number of
+    * regex scans per row.
+    */
+  def htmlToText(html: Column): Column = {
+    val noScript = regexp_replace(html, "(?is)<script\\b[^>]*>.*?</script\\s*>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style\\b[^>]*>.*?</style\\s*>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "<[^>]+>", " ")
+    val e1 = regexp_replace(noTags, "&nbsp;", " ")
+    val e2 = regexp_replace(e1, "&lt;", "<")
+    val e3 = regexp_replace(e2, "&gt;", ">")
+    val e4 = regexp_replace(e3, "&quot;", "\"")
+    val e5 = regexp_replace(e4, "&#39;|&apos;", "'")
+    val e6 = regexp_replace(e5, "&amp;", "&")
+    trim(regexp_replace(e6, "\\s+", " "))
+  }
+
+  /** Lowercased host of a URL (`""` when the URL has no
+    * `scheme://authority` prefix — both Spark and DuckDB return the
+    * empty string for a non-matching `regexp_extract`, so the sentinel
+    * is engine-portable). Port, userinfo, path, and query are excluded.
+    */
+  def urlHost(url: Column): Column =
+    lower(regexp_extract(trim(url), "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)", 1))
+
   /** URL canonicalization for crawl dedup — the first dedup key of every
     * web corpus (two fetches of the same page almost always differ only
     * in tracking params, fragment, or authority casing). Normalizations,

@@ -496,4 +496,62 @@ class CorpusOpsSuite extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert("Exchange".r.findAllIn(plan).size <= 1, s"url dedup is one shuffle:\n$plan")
   }
+
+  test("htmlToText: element removal, tag strip, entity decode order, null-safe") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "<html><head><style>p{color:red}</style>" +
+        "<script>if (a < b && b > c) { alert(\"x\"); }</script></head>" +
+        "<body><!-- hidden --><p>Hello &amp; welcome</p><p>bye</p></body></html>"),
+      // double-decode trap: &amp;lt; must become the literal text "&lt;"
+      (2L, "<p>A &amp;lt;b&amp;gt; isn&#39;t a tag; &quot;q&quot;&nbsp;end</p>"),
+      // tags split words with a space; whitespace collapses
+      (3L, "one<br/>two\n\n  three<div>four</div>"),
+      (4L, null)
+    ).toDF("doc_id", "html")
+    val out = df.select(col("doc_id"), TF.htmlToText(col("html")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) === "Hello & welcome bye",
+      s"script/style/comment bodies must vanish, got '${out(1L)}'")
+    assert(out(2L) === "A &lt;b&gt; isn't a tag; \"q\" end")
+    assert(out(3L) === "one two three four")
+    assert(out(4L) === null)
+  }
+
+  test("hostSuffixes and blocklist: suffix semantics, Seq == DF path") {
+    val s = spark
+    import s.implicits._
+    import graft.pipeline.CrawlFilters
+    val sfx = Seq(Tuple1("a.b.example.com")).toDF("h")
+      .select(CrawlFilters.hostSuffixes(col("h")).as("s"))
+      .collect().head.getSeq[String](0)
+    assert(sfx === Seq("com", "example.com", "b.example.com", "a.b.example.com"))
+
+    val df = Seq(
+      (1L, "https://news.ok.example/a"),
+      (2L, "https://sub.bad.example/b"),     // blocked via suffix
+      (3L, "https://bad.example/c"),          // blocked exactly
+      (4L, "https://notbad.example/d"),       // 'notbad.example' != '.bad.example'
+      (5L, "https://ok.example/casino-poker-night"), // 2 word hits
+      (6L, null.asInstanceOf[String])
+    ).toDF("doc_id", "url")
+    val blocked = Seq("bad.example")
+    val kept = CrawlFilters.blocklistFilter(df, "url", blocked,
+        blockedWords = Seq("casino", "poker"), maxWordHits = 2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 4L), s"got $kept")
+    // keyword threshold: 2 hits pass at maxWordHits=3
+    val kept3 = CrawlFilters.blocklistFilter(df, "url", blocked,
+        blockedWords = Seq("casino", "poker"), maxWordHits = 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept3 === Set(1L, 4L, 5L))
+    // DataFrame blocklist path: same survivors on the host rule alone
+    val keptSeq = CrawlFilters.blocklistFilter(df, "url", blocked)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val keptDf = CrawlFilters.blocklistFilterDF(df, "url",
+        Seq(Tuple1("bad.example")).toDF("domain"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptDf === keptSeq, s"DF path $keptDf != Seq path $keptSeq")
+  }
 }

@@ -258,6 +258,24 @@ class DocsSuite extends SparkSpec {
     assert(kept.count() > 0)
   }
 
+  test("pipeline-ops: html/url/dsir snippet runs") {
+    import graft.pipeline.{CrawlFilters, ImportanceSampling, TextFunctions}
+    val text = docs.select(TextFunctions.htmlToText(col("text")).as("text"))
+    assert(text.count() === docs.count())
+    val withUrl = docs.withColumn("url",
+      concat(lit("https://h.example/"), col("doc_id")))
+    val kept = CrawlFilters.blocklistFilter(withUrl, "url",
+      blockedDomains = Seq("bad.example"), blockedWords = Seq("casino"),
+      maxWordHits = 2)
+    assert(kept.count() === docs.count())
+    val target = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+    val raw = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+    val weights = ImportanceSampling.importanceWeights(raw, "doc_id", "text",
+      target, "text", n = 2, numBuckets = 1000)
+    val picked = ImportanceSampling.gumbelTopK(weights, "doc_id", k = 20)
+    assert(picked.count() === 20)
+  }
+
   test("pipeline-ops: bm25 retrieval snippet runs") {
     val queries = docs.filter(pmod(col("doc_id"), lit(100)) === 0)
       .select(col("doc_id").as("query_id"),

@@ -2060,4 +2060,89 @@ class PipelineSuite extends SparkSpec {
     assert(scores("high") > scores("low"))
     assert(scores.values.forall(v => v >= 0.0 && v <= 1.0))
   }
+
+  test("DSIR: hand-computed smoothed log-ratios and document weights") {
+    val s = spark
+    import s.implicits._
+    import graft.pipeline.ImportanceSampling
+    val raw = Seq((1L, "a b a b"), (3L, "solo")).toDF("doc_id", "text")
+    val target = Seq((2L, "c d c d")).toDF("doc_id", "text")
+    // vocab = {a b, b a, c d, d c}: V=4, Np=3, Nq=3
+    val w = ImportanceSampling.weightTable(raw, "text", target, "text", 2)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDecimal(3).doubleValue()))).toMap
+    assert(w.keySet === Set("a b", "b a", "c d", "d c"))
+    assert(w("a b") === ((0L, 2L, math.rint(math.log(1.0 / 3) * 1e6) / 1e6)))
+    assert(w("b a") === ((0L, 1L, math.rint(math.log(1.0 / 2) * 1e6) / 1e6)))
+    assert(w("c d") === ((2L, 0L, math.rint(math.log(3.0) * 1e6) / 1e6)))
+    // doc 1: two 'a b' occurrences + one 'b a'; doc 3 has no bigrams ->
+    // (0, 0.0) row kept
+    val iw = ImportanceSampling
+      .importanceWeights(raw, "doc_id", "text", target, "text", 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val expected1 = math.rint((2 * w("a b")._3 + w("b a")._3) * 1e6) / 1e6
+    assert(iw(1L) === ((3L, expected1)))
+    assert(iw(3L) === ((0L, 0.0)))
+  }
+
+  test("DSIR: collected-weights scorer is row-identical; hashed mode bounds the table") {
+    val s = spark
+    import s.implicits._
+    import graft.pipeline.ImportanceSampling
+    val raw = docs.filter(col("doc_id") < 900)
+    val target = docs.filter(col("doc_id") >= 1000)
+    val joined = ImportanceSampling
+      .importanceWeights(raw, "doc_id", "text", target, "text", 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val table = ImportanceSampling.weightTable(raw, "text", target, "text", 2)
+    val mapped = ImportanceSampling
+      .scoreWithWeights(raw, "doc_id", "text", table, 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(mapped === joined)
+    // hashed mode: feature space is exactly numBuckets-bounded, V fixed
+    val hashed = ImportanceSampling.weightTable(raw, "text", target, "text", 2,
+      numBuckets = 16)
+    assert(hashed.count() <= 16)
+    val hw = ImportanceSampling
+      .importanceWeights(raw, "doc_id", "text", target, "text", 2, numBuckets = 16)
+      .collect().map(r => r.getDouble(2))
+    assert(hw.forall(v => !v.isNaN && !v.isInfinite))
+    // the collected twin agrees in hashed mode too
+    val hJoined = ImportanceSampling
+      .importanceWeights(raw, "doc_id", "text", target, "text", 2, numBuckets = 16)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val hMapped = ImportanceSampling
+      .scoreWithWeights(raw, "doc_id", "text", hashed, 2, numBuckets = 16)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(hMapped === hJoined)
+  }
+
+  test("DSIR gumbelTopK equals the window re-derivation; fail-loud guards") {
+    val s = spark
+    import s.implicits._
+    import graft.pipeline.ImportanceSampling
+    import org.apache.spark.sql.expressions.Window
+    val raw = docs.filter(col("doc_id") < 900)
+    val target = docs.filter(col("doc_id") >= 1000)
+    val w = ImportanceSampling
+      .importanceWeights(raw, "doc_id", "text", target, "text", 2)
+    val topk = ImportanceSampling.gumbelTopK(w, "doc_id", 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(2), r.getLong(3)))
+    val u = (Sampling.lcgBucket(col("doc_id")).cast("double") + 0.5) / 4294967296.0
+    val win = w.withColumn("gumbel_key", round(col("logw") - log(-log(u)), 6))
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("gumbel_key").desc, col("doc_id"))).cast("long"))
+      .filter(col("rnk") <= 10)
+      .collect().map(r => (r.getLong(0),
+        r.getAs[Double]("gumbel_key"), r.getAs[Long]("rnk")))
+    assert(topk.sortBy(_._3) === win.sortBy(_._3))
+    intercept[IllegalArgumentException] {
+      ImportanceSampling.gumbelTopK(w, "doc_id", 0)
+    }
+    intercept[IllegalArgumentException] {
+      ImportanceSampling.scoreWithWeights(raw, "doc_id", "text",
+        ImportanceSampling.weightTable(raw, "text", target, "text", 2), 2,
+        maxEntries = 1)
+    }
+  }
 }

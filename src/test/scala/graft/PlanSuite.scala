@@ -103,6 +103,10 @@ class PlanSuite extends SparkSpec {
   }
 
   test("broadcast-model LM scoring never shuffles the corpus side") {
+    // plan-shape assertions are cache-sensitive: a logically-equal plan
+    // persisted by an earlier suite would resolve to an InMemoryRelation
+    // whose embedded build recipe pollutes the formatted text
+    spark.catalog.clearCache()
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     import graft.pipeline.LanguageModel
     val uni = LanguageModel.unigramCounts(docs, "text")
@@ -119,6 +123,42 @@ class PlanSuite extends SparkSpec {
     val joins = hashJoinBlocks(plan)
     assert(joins.nonEmpty && joins.forall(_.contains("BroadcastHashJoin")),
       s"non-broadcast join in broadcast-model scoring:\n$plan")
+  }
+
+  test("html extraction and URL filter report are shuffle-free projections") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    import graft.pipeline.{CrawlFilters, TextFunctions => TF}
+    val htmlPlan = formatted(docs.select(col("doc_id"),
+      TF.htmlToText(col("text")).as("t")))
+    assert(!htmlPlan.contains("Exchange"),
+      s"html extraction shuffles:\n$htmlPlan")
+    val urlPlan = formatted(CrawlFilters.urlFilterReport(
+      docs.withColumn("url", concat(lit("https://h.example/"), col("doc_id"))),
+      "url", Seq("bad.example"), Seq("casino")))
+    assert(!urlPlan.contains("Exchange"),
+      s"Seq-blocklist URL filtering shuffles:\n$urlPlan")
+  }
+
+  test("DSIR collected-weights scoring never shuffles the corpus side") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    import graft.pipeline.ImportanceSampling
+    val target = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+    val raw = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+    val table = ImportanceSampling.weightTable(raw, "text", target, "text", 2,
+      numBuckets = 64)
+    val plan = formatted(ImportanceSampling.scoreWithWeights(
+      raw, "doc_id", "text", table, 2, numBuckets = 64))
+    assert(!plan.contains("Exchange"),
+      s"collected-weights DSIR scoring shuffles:\n$plan")
+    // the join path's per-doc aggregation goes through the gram-keyed
+    // join, never a window or unbroadcast cartesian (the one
+    // BroadcastNestedLoopJoin is the deliberate 1-row totals crossJoin —
+    // the same shape as tfidf's nGroups join)
+    val joinPlan = formatted(ImportanceSampling.importanceWeights(
+      raw, "doc_id", "text", target, "text", 2))
+    assert(!joinPlan.contains("CartesianProduct") &&
+      !joinPlan.contains("Window"),
+      s"DSIR join path plans a product or window:\n$joinPlan")
   }
 
   test("near-dup decontamination broadcasts the eval side, no cartesian") {

@@ -13,9 +13,14 @@ class SparkEntrySuite extends SparkSpec {
   }
 
   test("every query runs and returns rows at sf0.001") {
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // clearCache per query, mirroring Verify: operators that
+    // persist-and-return (pLmScore et al.) must not leak cache entries
+    // into later suites — a leaked InMemoryRelation rewrites the plan
+    // text PlanSuite asserts on
+    try SparkEntry.queries.foreach { case (name, fn) =>
       val n = fn(spark, "/root/testdata/sf0.001").count()
       assert(n > 0, s"query $name returned 0 rows")
-    }
+      spark.catalog.clearCache()
+    } finally spark.catalog.clearCache()
   }
 }
