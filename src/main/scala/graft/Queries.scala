@@ -1221,6 +1221,16 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Rademacher random projection ([[Similarity.randomProject]]): the
+    * 64-dim embedding table projected to 8 dims, long format. The oracle
+    * re-derives the LCG sign matrix and the fixed-order sum — each term
+    * is an exact double (float32 × ±1), so the 6 dp snap is shared
+    * arithmetic, not a tolerance. Map-side, zero shuffle.
+    */
+  def pRandomProject(spark: SparkSession, sfDir: String): DataFrame =
+    Similarity.randomProject(embeddings(spark, sfDir), "vec_id", "embedding", 8)
+      .orderBy("vec_id", "dim")
+
   /** DSIR importance weights ([[graft.pipeline.ImportanceSampling]]):
     * every 10th doc plays the high-quality target corpus, the rest the
     * raw pool (the [[pDecontaminate]] split), bigram features in

@@ -85,6 +85,7 @@ object SparkEntry {
     "p_url_blocklist" -> (Queries.pUrlBlocklist _),
     "p_dsir_weights" -> (Queries.pDsirWeights _),
     "p_dsir_resample" -> (Queries.pDsirResample _),
+    "p_random_project" -> (Queries.pRandomProject _),
     "p_gopher_filter" -> (Queries.pGopherFilter _),
     "p_heavy_tokens" -> (Queries.pHeavyTokens _),
     "p_asof_join" -> (Queries.pAsofJoin _),
@@ -1203,6 +1204,21 @@ object SparkEntry {
          |  FROM g)
          |SELECT doc_id, logw, gumbel_key, rnk FROM rk
          |WHERE rnk <= 40 ORDER BY rnk""".stripMargin,
+    // Rademacher projection: LCG sign matrix + fixed-order exact-term
+    // sum re-derived; x/sqrt(m) division mirrored (not *1/sqrt(m))
+    "p_random_project" ->
+      """WITH j AS (
+        |  SELECT vec_id, embedding, unnest(range(0, 8)) AS j FROM embeddings),
+        |y AS (
+        |  SELECT vec_id, j,
+        |    round(list_sum(list_transform(range(0, len(embedding)),
+        |      i -> CAST(embedding[i+1] AS DOUBLE) *
+        |        (CASE WHEN ((((i*8+j) % 4294967296) * 1103515245 + 12345)
+        |          % 4294967296) < 2147483648 THEN 1.0 ELSE -1.0 END)))
+        |      / sqrt(8.0), 6) AS y
+        |  FROM j)
+        |SELECT vec_id, CAST(j AS BIGINT) AS dim, y FROM y
+        |ORDER BY vec_id, dim""".stripMargin,
     // URL blocklist: host re-extracted with the same regex; the suffix
     // match re-derived as ends_with over the domain list (the theta shape
     // whose equi-join replacement the Spark side implements)

@@ -217,6 +217,46 @@ object Similarity {
     df.select(col(idCol), (am / lit(127.0)).as("scale"), codes.as("codes"))
   }
 
+  /** Rademacher (±1) random projection — Johnson–Lindenstrauss dimension
+    * reduction: `y_j = (1/√m) Σ_i x_i · s_ij` with `s_ij ∈ {+1, −1}`.
+    * The sign matrix is never materialized: `s_ij = +1 iff
+    * LCG(i·m + j) < 2^31` (the [[Sampling]] LCG — deterministic,
+    * engine-portable, layout- and retry-invariant; Achlioptas 2003
+    * showed ±1 entries satisfy the JL guarantee, no Gaussians needed).
+    * Output `(id, dim, y)` long-format, `y` snapped 6 dp.
+    *
+    * Why: at 100 TB the embedding SCAN dominates ANN cost — projecting
+    * 64-dim floats to m=8..16 before LSH/IVF cuts the candidate-scoring
+    * byte volume ~4-8x while approximately preserving distances. Pure
+    * higher-order-function expressions — map-side, zero shuffle, no UDF,
+    * streaming-safe. Each term `x_i·(±1)` is an exact double (float32
+    * inputs), so the fixed i=0..d−1 summation order makes the sum
+    * reproducible across engines before the snap.
+    */
+  def randomProject(df: DataFrame, idCol: String, vecCol: String, outDim: Int): DataFrame = {
+    require(outDim > 0, s"outDim must be positive, got $outDim")
+    val m = outDim.toLong
+    // `x / sqrt(m)` on BOTH engines — NOT `x * (1/sqrt(m))`, which
+    // rounds differently; sqrt of an integer is correctly rounded on both
+    val norm = lit(math.sqrt(outDim.toDouble))
+    val v = col(vecCol)
+    // null/empty guard: sequence(0, -1) is DESCENDING in Spark, and
+    // size(null) is -1 — null/empty vectors emit NO rows (posexplode of
+    // the null array)
+    val proj = when(v.isNotNull && size(v) > 0,
+      transform(sequence(lit(0L), lit(m - 1)), j =>
+        round(
+          aggregate(
+            sequence(lit(0), size(v) - 1),
+            lit(0.0),
+            (acc, i) => acc + element_at(v, i + 1).cast("double") *
+              when(Sampling.lcgBucket(i.cast("long") * m + j) < 2147483648L,
+                lit(1.0)).otherwise(lit(-1.0))) / norm,
+          6)))
+    df.select(col(idCol), posexplode(proj).as(Seq("dim", "y")))
+      .select(col(idCol), col("dim").cast("long").as("dim"), col("y"))
+  }
+
   // ------------------------------------------------------------------- PQ
 
   /** Product-quantization codebooks from the corpus rows with

@@ -2061,6 +2061,30 @@ class PipelineSuite extends SparkSpec {
     assert(scores.values.forall(v => v >= 0.0 && v <= 1.0))
   }
 
+  test("randomProject: hand-computed signs, null/empty contract, zero shuffle") {
+    val s = spark
+    import s.implicits._
+    import graft.pipeline.Similarity
+    val df = Seq(
+      (1L, Array(1.0f, 2.0f)),
+      (2L, Array.empty[Float]),
+      (3L, null.asInstanceOf[Array[Float]])
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.randomProject(df, "vec_id", "embedding", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // LCG(0)=12345, LCG(1)=1103527590 (< 2^31: +1); LCG(2)=2207042835,
+    // LCG(3)=3310558080 (>= 2^31: -1). y_j = (x0*s(0,j) + x1*s(1,j))/sqrt 2
+    val e = math.rint((1.0 - 2.0) / math.sqrt(2.0) * 1e6) / 1e6
+    assert(out === Map((1L, 0L) -> e, (1L, 1L) -> e),
+      s"empty/null vectors must emit no rows; got $out")
+    val plan = Similarity.randomProject(df, "vec_id", "embedding", 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"randomProject shuffles:\n$plan")
+    intercept[IllegalArgumentException] {
+      Similarity.randomProject(df, "vec_id", "embedding", 0)
+    }
+  }
+
   test("DSIR: hand-computed smoothed log-ratios and document weights") {
     val s = spark
     import s.implicits._
