@@ -1260,6 +1260,33 @@ object Queries {
       .gumbelTopK(dsirWeights(spark, sfDir), "doc_id", 40)
       .orderBy("rnk")
 
+  /** Composed selection pipeline: Gopher quality gate → DSIR importance
+    * weights over the SURVIVORS → Gumbel top-100 → per-language
+    * accounting. Each stage is individually gated (`p_gopher_filter`,
+    * `p_dsir_weights`, `p_dsir_resample`); the composition pins the
+    * seams — the survivor set feeding the estimator (distribution
+    * counts change when the gate changes!) and the shared tokenizer.
+    * Dataflow: map-side gate, the DSIR two-collapse + one scoring
+    * join, heap top-k, one semi join back, one final aggregation.
+    */
+  def pSelectionPipeline(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.pipeline.ImportanceSampling
+    val docs = documents(spark, sfDir)
+    val target = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+    val raw = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+      .filter(TF.gopherPass(col("text"), minWords = 30, maxWords = 1000))
+    val w = ImportanceSampling.importanceWeights(
+      raw, "doc_id", "text", target, "text", 2)
+    val picked = ImportanceSampling.gumbelTopK(w, "doc_id", 100).select("doc_id")
+    docs.join(picked, Seq("doc_id"), "left_semi")
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("doc_id").as("id_sum"),
+        sum(TF.tokenCount(col("text")).cast("long")).as("n_tokens"))
+      .orderBy("lang")
+  }
+
   /** Cross-document repeated-substring spans ([[Dedup.repeatedSpans]] —
     * the Lee-et-al substring-dedup primitive). The synthetic corpus has
     * exact-duplicate docs (full-length spans) but few partial overlaps,

@@ -86,6 +86,7 @@ object SparkEntry {
     "p_dsir_weights" -> (Queries.pDsirWeights _),
     "p_dsir_resample" -> (Queries.pDsirResample _),
     "p_random_project" -> (Queries.pRandomProject _),
+    "p_selection_pipeline" -> (Queries.pSelectionPipeline _),
     "p_gopher_filter" -> (Queries.pGopherFilter _),
     "p_heavy_tokens" -> (Queries.pHeavyTokens _),
     "p_asof_join" -> (Queries.pAsofJoin _),
@@ -123,14 +124,13 @@ object SparkEntry {
   private val EN = "['the','and','of','to','in','is','a','that','it','for']"
   private val TOKS = "regexp_split_to_array(lower(trim(text)), '\\s+')"
 
-  // Shared DSIR estimator CTE (p_dsir_weights / p_dsir_resample): every
-  // 10th doc is the target corpus, bigram features, add-one smoothing
-  // over the union vocabulary, per-gram log-ratio = one ln of a
-  // cross-multiplied exact rational snapped 6dp, decimal summation.
-  private val DSIR_CTE =
-    s"""WITH rawd AS (SELECT doc_id, $TOKS AS tk FROM documents WHERE doc_id % 10 != 0),
-       |tgtd AS (SELECT doc_id, $TOKS AS tk FROM documents WHERE doc_id % 10 = 0),
-       |rg AS (SELECT doc_id, tk[i] || ' ' || tk[i+1] AS gram
+  // Shared DSIR estimator chain (expects `rawd`/`tgtd` CTEs with
+  // (doc_id, tk) in scope): bigram features, add-one smoothing over the
+  // union vocabulary, per-gram log-ratio = one ln of a cross-multiplied
+  // exact rational snapped 6dp, decimal summation. Used by
+  // p_dsir_weights / p_dsir_resample / p_selection_pipeline.
+  private val DSIR_CHAIN =
+    s"""rg AS (SELECT doc_id, tk[i] || ' ' || tk[i+1] AS gram
        |  FROM rawd, LATERAL (SELECT unnest(range(1, len(tk))) AS i)),
        |tg AS (SELECT tk[i] || ' ' || tk[i+1] AS gram
        |  FROM tgtd, LATERAL (SELECT unnest(range(1, len(tk))) AS i)),
@@ -156,6 +156,25 @@ object SparkEntry {
        |    coalesce(logw, 0.0) AS logw
        |  FROM (SELECT DISTINCT doc_id FROM rawd) r
        |  LEFT JOIN dsc USING (doc_id))""".stripMargin
+
+  private val DSIR_CTE =
+    s"""WITH rawd AS (SELECT doc_id, $TOKS AS tk FROM documents WHERE doc_id % 10 != 0),
+       |tgtd AS (SELECT doc_id, $TOKS AS tk FROM documents WHERE doc_id % 10 = 0),
+       |$DSIR_CHAIN""".stripMargin
+
+  // Gumbel-max perturbation + rank over `wts` (shared by
+  // p_dsir_resample / p_selection_pipeline)
+  private val DSIR_GUMBEL =
+    """g AS (
+      |  SELECT doc_id, logw,
+      |    round(logw - ln(-ln((CAST(((((doc_id % 4294967296) * 1103515245
+      |      + 12345) % 4294967296) + 4294967296) % 4294967296 AS DOUBLE)
+      |      + 0.5) / 4294967296.0)), 6) AS gumbel_key
+      |  FROM wts),
+      |rk AS (
+      |  SELECT doc_id, logw, gumbel_key,
+      |    CAST(row_number() OVER (ORDER BY gumbel_key DESC, doc_id) AS BIGINT) AS rnk
+      |  FROM g)""".stripMargin
 
   /** Shared CTE for the repeated-substring oracles: 8-gram positional
     * strings over the %17-passage-enriched corpus, hot-gram guard (>64),
@@ -1192,18 +1211,37 @@ object SparkEntry {
          |SELECT doc_id, n_grams, logw FROM wts ORDER BY doc_id""".stripMargin,
     "p_dsir_resample" ->
       s"""$DSIR_CTE,
-         |g AS (
-         |  SELECT doc_id, logw,
-         |    round(logw - ln(-ln((CAST(((((doc_id % 4294967296) * 1103515245
-         |      + 12345) % 4294967296) + 4294967296) % 4294967296 AS DOUBLE)
-         |      + 0.5) / 4294967296.0)), 6) AS gumbel_key
-         |  FROM wts),
-         |rk AS (
-         |  SELECT doc_id, logw, gumbel_key,
-         |    CAST(row_number() OVER (ORDER BY gumbel_key DESC, doc_id) AS BIGINT) AS rnk
-         |  FROM g)
+         |$DSIR_GUMBEL
          |SELECT doc_id, logw, gumbel_key, rnk FROM rk
          |WHERE rnk <= 40 ORDER BY rnk""".stripMargin,
+    // composed selection pipeline: Gopher gate -> DSIR weights over the
+    // SURVIVORS -> Gumbel top-100 -> per-language accounting; every
+    // stage re-derived so the seams (survivor set feeding the estimator,
+    // one shared tokenizer) are pinned, not just each stage
+    "p_selection_pipeline" ->
+      s"""WITH base AS (SELECT doc_id, lang, text, $TOKS AS tk FROM documents),
+         |mraw AS (
+         |  SELECT doc_id, tk, len(tk) AS n,
+         |    list_sum(list_transform(tk, x -> length(x))) AS sumlen,
+         |    len(list_filter(tk, x -> regexp_matches(x, '[a-z]'))) AS nalpha,
+         |    (length(text) - length(replace(text, '#', '')))
+         |      + (length(text) - length(replace(text, chr(8230), ''))) AS nsym,
+         |    len(list_filter($EN,
+         |        w -> list_contains(list_distinct(tk), w))) AS nstop
+         |  FROM base WHERE doc_id % 10 != 0),
+         |rawd AS (
+         |  SELECT doc_id, tk FROM mraw
+         |  WHERE NOT (n < 30 OR n > 1000 OR sumlen < n*3 OR sumlen > n*10
+         |    OR nalpha*5 < n*4 OR nsym*10 > n OR nstop < 2)),
+         |tgtd AS (SELECT doc_id, tk FROM base WHERE doc_id % 10 = 0),
+         |$DSIR_CHAIN,
+         |$DSIR_GUMBEL,
+         |picked AS (SELECT doc_id FROM rk WHERE rnk <= 100)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(b.doc_id) AS BIGINT) AS id_sum,
+         |  CAST(sum(len(b.tk)) AS BIGINT) AS n_tokens
+         |FROM base b SEMI JOIN picked USING (doc_id)
+         |GROUP BY lang ORDER BY lang""".stripMargin,
     // Rademacher projection: LCG sign matrix + fixed-order exact-term
     // sum re-derived; x/sqrt(m) division mirrored (not *1/sqrt(m))
     "p_random_project" ->

@@ -497,6 +497,45 @@ class CorpusOpsSuite extends SparkSpec {
     assert("Exchange".r.findAllIn(plan).size <= 1, s"url dedup is one shuffle:\n$plan")
   }
 
+  test("html extraction, URL filtering, and DSIR scoring run verbatim on streams") {
+    val s = spark
+    import s.implicits._
+    import graft.pipeline.{CrawlFilters, ImportanceSampling}
+    // all three are stateless map-side operators — the batch expression
+    // applies unchanged to a continuous stream, parity by construction
+    val batch = Seq(
+      (1L, "<p>Hello &amp; world</p>", "https://ok.example/a"),
+      (2L, "<script>var x=1;</script><b>kept</b>", "https://sub.bad.example/b"),
+      (3L, "plain text", "https://ok.example/casino")
+    ).toDF("doc_id", "html", "url")
+    val weights = ImportanceSampling.weightTable(
+      batch.select(col("doc_id"), col("html").as("text")), "text",
+      batch.filter(col("doc_id") === 1L).select(col("html").as("text")), "text", 1)
+    // extract -> URL-filter -> DSIR-score, one map-only chain
+    def chain(df: org.apache.spark.sql.DataFrame) =
+      ImportanceSampling.scoreWithWeights(
+        CrawlFilters.urlFilterReport(df, "url", Seq("bad.example"), Seq("casino"))
+          .filter(!col("host_blocked") && col("word_hits") === 0)
+          .withColumn("text", TF.htmlToText(col("html"))),
+        "doc_id", "text", weights, 1)
+    implicit val sq = s.sqlContext
+    val mem = MemoryStream[(Long, String, String)]
+    val query = chain(mem.toDF().toDF("doc_id", "html", "url"))
+      .writeStream.format("memory").queryName("dsir_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(batch.collect().toSeq
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))))
+      query.processAllAvailable()
+      val streamed = s.sql("SELECT doc_id, n_grams, logw FROM dsir_stream")
+        .orderBy("doc_id").collect().map(_.toSeq)
+      val batchOut = chain(batch).orderBy("doc_id").collect().map(_.toSeq)
+      assert(streamed.toSeq === batchOut.toSeq)
+      // only doc 1 survives the URL gate (2: blocked suffix, 3: keyword)
+      assert(batchOut.map(_.head) === Seq(1L))
+    } finally query.stop()
+  }
+
   test("htmlToText: element removal, tag strip, entity decode order, null-safe") {
     val s = spark
     import s.implicits._
