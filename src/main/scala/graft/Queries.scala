@@ -1562,6 +1562,40 @@ object Queries {
       .orderBy("lang")
   }
 
+  /** Perceptual image hashes ([[Multimodal.aHash64]]): docs 0-39 carry
+    * hand-rolled BMP payloads keyed on `doc_id % 13` (so exact-duplicate
+    * IMAGES exist under distinct doc ids). The DuckDB oracle never
+    * decodes a byte — it re-derives the hash from the pixel RECIPE
+    * (integer luma, block-mean grid, cross-multiplied threshold, two
+    * 32-bit halves), so writer, container, decoder, and hash arithmetic
+    * are pinned end to end, extending the media-stats gates to
+    * perceptual hashing.
+    */
+  def pImagePhash(spark: SparkSession, sfDir: String): DataFrame = {
+    val bmpUdf = udf { (id: Long) => MediaSynth.bmpBytes(id) }
+    val docs = documents(spark, sfDir).filter(col("doc_id") < 40)
+      .withColumn("payload", bmpUdf(pmod(col("doc_id"), lit(13))))
+    Multimodal.withAHash(docs, "payload")
+      .select(col("doc_id"), col("hash_hi"), col("hash_lo"))
+      .orderBy("doc_id")
+  }
+
+  /** Image dedup over [[pImagePhash]]'s hashes: min-id survivor per
+    * exact 64-bit hash with the copy count — the first pass of an image
+    * dedup (Hamming-near pairs ride [[Multimodal.imageNearDupPairs]]'s
+    * banding, suite-pinned).
+    */
+  def pImageDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val bmpUdf = udf { (id: Long) => MediaSynth.bmpBytes(id) }
+    val docs = documents(spark, sfDir).filter(col("doc_id") < 40)
+      .withColumn("payload", bmpUdf(pmod(col("doc_id"), lit(13))))
+    Multimodal.withAHash(docs, "payload")
+      .groupBy("hash_hi", "hash_lo")
+      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
+      .select("doc_id", "hash_hi", "hash_lo", "n_copies")
+      .orderBy("doc_id")
+  }
+
   /** Malformed-media tolerance, gated end to end: a deterministic subset
     * of docs carries payloads the decoder must REJECT — `doc_id % 5 == 0`
     * gets non-media garbage (parser failure) and `doc_id % 5 == 1` gets a

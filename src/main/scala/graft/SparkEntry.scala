@@ -87,6 +87,8 @@ object SparkEntry {
     "p_dsir_resample" -> (Queries.pDsirResample _),
     "p_random_project" -> (Queries.pRandomProject _),
     "p_selection_pipeline" -> (Queries.pSelectionPipeline _),
+    "p_image_phash" -> (Queries.pImagePhash _),
+    "p_image_dedup" -> (Queries.pImageDedup _),
     "p_gopher_filter" -> (Queries.pGopherFilter _),
     "p_heavy_tokens" -> (Queries.pHeavyTokens _),
     "p_asof_join" -> (Queries.pAsofJoin _),
@@ -161,6 +163,38 @@ object SparkEntry {
     s"""WITH rawd AS (SELECT doc_id, $TOKS AS tk FROM documents WHERE doc_id % 10 != 0),
        |tgtd AS (SELECT doc_id, $TOKS AS tk FROM documents WHERE doc_id % 10 = 0),
        |$DSIR_CHAIN""".stripMargin
+
+  // aHash re-derived from the pixel RECIPE — no image decoding in the
+  // oracle: integer luma, the exact block-mean grid (cell of x = the
+  // largest c with floor(c*w/8) <= x), cross-multiplied mean threshold,
+  // two 32-bit halves. Shared by p_image_phash / p_image_dedup.
+  private val IMG_HASH_CTE =
+    """WITH ids AS (SELECT doc_id, doc_id % 13 AS img FROM documents WHERE doc_id < 40),
+      |dims AS (SELECT doc_id, img, 8 + img % 9 AS w, 8 + img % 7 AS h FROM ids),
+      |px AS (
+      |  SELECT doc_id, w, h, x, y,
+      |    299*((img + 3*x + 5*y) % 256) + 587*((2*img + 7*x + y) % 256)
+      |      + 114*((5*img + x + 11*y) % 256) AS g
+      |  FROM dims,
+      |    LATERAL (SELECT unnest(range(0, w)) AS x),
+      |    LATERAL (SELECT unnest(range(0, h)) AS y)),
+      |cells AS (
+      |  SELECT doc_id, g,
+      |    len(list_filter(range(0, 8), c -> (c*w)//8 <= x)) - 1 AS cx,
+      |    len(list_filter(range(0, 8), c -> (c*h)//8 <= y)) - 1 AS cy
+      |  FROM px),
+      |tot AS (SELECT doc_id, sum(g) AS s, count(*) AS n FROM cells GROUP BY doc_id),
+      |cs AS (SELECT doc_id, cx, cy, sum(g) AS sc, count(*) AS nc
+      |  FROM cells GROUP BY doc_id, cx, cy),
+      |bits AS (
+      |  SELECT cs.doc_id, cy*8 + cx AS p,
+      |    CASE WHEN cs.sc * t.n > t.s * cs.nc THEN 1 ELSE 0 END AS b
+      |  FROM cs JOIN tot t ON cs.doc_id = t.doc_id),
+      |hashes AS (
+      |  SELECT doc_id,
+      |    CAST(sum(CASE WHEN p >= 32 THEN b * (CAST(1 AS BIGINT) << (p - 32)) ELSE 0 END) AS BIGINT) AS hash_hi,
+      |    CAST(sum(CASE WHEN p < 32 THEN b * (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS hash_lo
+      |  FROM bits GROUP BY doc_id)""".stripMargin
 
   // Gumbel-max perturbation + rank over `wts` (shared by
   // p_dsir_resample / p_selection_pipeline)
@@ -1203,6 +1237,14 @@ object SparkEntry {
         |  FROM stripped)
         |SELECT doc_id, trim(regexp_replace(t, '\s+', ' ', 'g')) AS extracted
         |FROM decoded ORDER BY doc_id""".stripMargin,
+    "p_image_phash" ->
+      s"""$IMG_HASH_CTE
+         |SELECT doc_id, hash_hi, hash_lo FROM hashes ORDER BY doc_id""".stripMargin,
+    "p_image_dedup" ->
+      s"""$IMG_HASH_CTE
+         |SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, hash_hi, hash_lo,
+         |  CAST(count(*) AS BIGINT) AS n_copies
+         |FROM hashes GROUP BY hash_hi, hash_lo ORDER BY doc_id""".stripMargin,
     // DSIR: the full importance estimator re-derived — union vocabulary,
     // add-one smoothing, single-ln cross-multiplied ratio snapped 6dp,
     // decimal summation, gram-less docs restored at (0, 0.0)

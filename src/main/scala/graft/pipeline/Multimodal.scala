@@ -155,4 +155,134 @@ object Multimodal {
       .withColumn("frame_index", col("__frame._1"))
       .withColumn("frame_bytes", col("__frame._2"))
       .drop("__frame")
+
+  /** 64-bit perceptual average hash (aHash) of an image payload — the
+    * classic near-dup signature for image corpora (a re-encode, format
+    * change, or mild noise leaves the hash within a few bits; LAION-scale
+    * pipelines dedup on exactly this family). Pipeline per image, all
+    * INTEGER arithmetic so the hash is bit-portable and SQL-derivable:
+    *  1. decode (ImageIO, any container — BMP/PNG/...);
+    *  2. integer luma `g = 299·r + 587·g + 114·b` (×1000 fixed-point,
+    *     never divided);
+    *  3. 8×8 block-mean grid: cell (cx, cy) covers
+    *     `x ∈ [⌊cx·w/8⌋, ⌊(cx+1)·w/8⌋)` (the area-average downsample);
+    *  4. bit p = cy·8+cx set iff `cellSum · N > totalSum · cellCount`
+    *     (cell mean strictly above global mean — ties are 0; the
+    *     comparison is cross-multiplied, no division anywhere);
+    *  5. packed as two non-negative 32-bit halves `(hash_hi, hash_lo)` —
+    *     a single BIGINT would need bit 63 and change sign.
+    *
+    * Returns null for null/undecodable/sub-8×8 payloads — NOT a zero
+    * hash: a sentinel hash would collide every malformed image into one
+    * giant "duplicate" cluster. Per-row procedural decode (the UDF is
+    * justified); map-side, zero shuffle.
+    */
+  val aHash64: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (payload: Array[Byte]) =>
+      if (payload == null) null
+      else {
+        val img =
+          try {
+            val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+              new java.io.ByteArrayInputStream(payload))
+            javax.imageio.ImageIO.read(iis) // closes the stream itself
+          } catch { case _: Exception => null }
+        if (img == null || img.getWidth < 8 || img.getHeight < 8) null
+        else {
+          val w = img.getWidth
+          val h = img.getHeight
+          val gray = new Array[Long](w * h)
+          var total = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val g = 299L * ((rgb >>> 16) & 0xFF) +
+                587L * ((rgb >>> 8) & 0xFF) + 114L * (rgb & 0xFF)
+              gray(y * w + x) = g
+              total += g
+              x += 1
+            }
+            y += 1
+          }
+          val n = w.toLong * h
+          var hi = 0L
+          var lo = 0L
+          var cy = 0
+          while (cy < 8) {
+            val y0 = cy * h / 8; val y1 = (cy + 1) * h / 8
+            var cx = 0
+            while (cx < 8) {
+              val x0 = cx * w / 8; val x1 = (cx + 1) * w / 8
+              var s = 0L
+              var yy = y0
+              while (yy < y1) {
+                var xx = x0
+                while (xx < x1) { s += gray(yy * w + xx); xx += 1 }
+                yy += 1
+              }
+              val cnt = (x1 - x0).toLong * (y1 - y0)
+              if (s * n > total * cnt) {
+                val p = cy * 8 + cx
+                if (p < 32) lo |= 1L << p else hi |= 1L << (p - 32)
+              }
+              cx += 1
+            }
+            cy += 1
+          }
+          (hi, lo)
+        }
+      }
+    }
+
+  /** Image hash columns `(hash_hi, hash_lo)` for a payload column; rows
+    * with null/undecodable payloads keep a null struct.
+    */
+  def withAHash(df: DataFrame, payloadCol: String): DataFrame =
+    df.withColumn("__h", aHash64(col(payloadCol)))
+      .withColumn("hash_hi", col("__h._1"))
+      .withColumn("hash_lo", col("__h._2"))
+      .drop("__h")
+
+  /** Near-duplicate image pairs by aHash Hamming distance ≤ `maxHamming`
+    * (`id_a < id_b`, with the distance). Banding, not all-pairs: the 64
+    * bits split into 4 × 16-bit bands, and Hamming ≤ 3 pigeonholes at
+    * least one band equal — candidate pairs come from an equi-join on
+    * `(band_idx, band_value)` (ONE shuffle on 4 rows/image), then the
+    * exact `bit_count(xor)` check verifies. `maxHamming` must be ≤ 3
+    * for the 4-band pigeonhole to be exhaustive (fail-loud otherwise).
+    * Null-hash rows (undecodable images) never pair.
+    */
+  def imageNearDupPairs(
+      hashes: DataFrame,
+      idCol: String,
+      maxHamming: Int = 3,
+      hiCol: String = "hash_hi",
+      loCol: String = "hash_lo"): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"maxHamming must be in [0, 3] for the 4x16-bit pigeonhole, got $maxHamming")
+    val base = hashes.select(col(idCol), col(hiCol), col(loCol))
+      .filter(col(hiCol).isNotNull && col(loCol).isNotNull)
+    val banded = base.select(
+      col(idCol), col(hiCol), col(loCol),
+      explode(array((0 until 4).map { b =>
+        val src = if (b < 2) col(loCol) else col(hiCol)
+        struct(lit(b).as("band"),
+          (shiftright(src, (b % 2) * 16) % 65536).cast("long").as("bv"))
+      }: _*)).as("bb"))
+      .select(col(idCol), col(hiCol), col(loCol),
+        col("bb.band").as("band"), col("bb.bv").as("bv"))
+    val a = banded.select(col(idCol).as("id_a"), col(hiCol).as("hi_a"),
+      col(loCol).as("lo_a"), col("band"), col("bv"))
+    val b = banded.select(col(idCol).as("id_b"), col(hiCol).as("hi_b"),
+      col(loCol).as("lo_b"), col("band"), col("bv"))
+    a.join(b, Seq("band", "bv"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (bit_count(col("hi_a").bitwiseXOR(col("hi_b"))) +
+          bit_count(col("lo_a").bitwiseXOR(col("lo_b")))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
 }

@@ -2085,6 +2085,48 @@ class PipelineSuite extends SparkSpec {
     }
   }
 
+  test("aHash64: hand-built bit flips, banded near-dup pairs, null contract") {
+    val s = spark
+    import s.implicits._
+    import graft.pipeline.Multimodal
+    // 8x8 images (one pixel per grid cell): base lights cell (0,0) only;
+    // variant additionally lights (7,7) -> exactly one bit apart
+    def png(lit: Set[(Int, Int)]): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(8, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8; x <- 0 until 8) {
+        val v = if (lit((x, y))) 200 else 100
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val a = png(Set((0, 0)))
+    val b = png(Set((0, 0), (7, 7)))
+    val df = Seq(
+      (1L, a), (2L, b), (3L, a),
+      (4L, Array[Byte](1, 2, 3)),                 // undecodable
+      (5L, null.asInstanceOf[Array[Byte]])
+    ).toDF("doc_id", "payload")
+    val hashed = Multimodal.withAHash(df, "payload")
+    val hs = hashed.collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(2)) None
+        else Some((r.getLong(2), r.getLong(3))))).toMap
+    assert(hs(1L) === Some((0L, 1L)), s"base lights only bit 0: ${hs(1L)}")
+    assert(hs(2L) === Some((1L << 31, 1L)), s"variant adds bit 63: ${hs(2L)}")
+    assert(hs(3L) === hs(1L))
+    assert(hs(4L) === None && hs(5L) === None,
+      "undecodable/null payloads must hash to null, not a sentinel")
+    val pairs = Multimodal.imageNearDupPairs(hashed, "doc_id", maxHamming = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs === Map((1L, 2L) -> 1L, (1L, 3L) -> 0L, (2L, 3L) -> 1L),
+      s"got $pairs")
+    intercept[IllegalArgumentException] {
+      Multimodal.imageNearDupPairs(hashed, "doc_id", maxHamming = 4)
+    }
+  }
+
   test("DSIR: hand-computed smoothed log-ratios and document weights") {
     val s = spark
     import s.implicits._
