@@ -1596,6 +1596,30 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** NEAR-duplicate image pairs through the banded Hamming path
+    * ([[Multimodal.imageNearDupPairs]]): docs 0-51 carry BMP payloads
+    * keyed on `doc_id % 13` with a corner-region channel shift keyed on
+    * `doc_id / 13` ([[MediaSynth.bmpBytesPerturbed]]) — the recipe-level
+    * stand-in for re-encode artifacts, so pairs exist at Hamming 0, 1, 2
+    * AND 3. The oracle re-derives every perturbed hash from the pixel
+    * recipe and pairs by `bit_count(xor(...))` over ALL pairs — equality
+    * with the Spark result therefore ALSO proves the 4x16-bit banding is
+    * exhaustive at Hamming <= 3 (a dropped candidate would show as a
+    * missing row, not a flipped value).
+    */
+  def pImageNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+    val bmpUdf = udf { (img: Long, pert: Long) =>
+      MediaSynth.bmpBytesPerturbed(img, pert)
+    }
+    val docs = documents(spark, sfDir).filter(col("doc_id") < 52)
+      .withColumn("img", pmod(col("doc_id"), lit(13)))
+      .withColumn("pert", pmod(floor(col("doc_id") / lit(13)) * lit(37), lit(256)))
+      .withColumn("payload", bmpUdf(col("img"), col("pert")))
+    val hashed = Multimodal.withAHash(docs, "payload")
+    Multimodal.imageNearDupPairs(hashed, "doc_id", maxHamming = 3)
+      .orderBy("id_a", "id_b")
+  }
+
   /** Malformed-media tolerance, gated end to end: a deterministic subset
     * of docs carries payloads the decoder must REJECT — `doc_id % 5 == 0`
     * gets non-media garbage (parser failure) and `doc_id % 5 == 1` gets a

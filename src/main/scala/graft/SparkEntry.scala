@@ -89,6 +89,7 @@ object SparkEntry {
     "p_selection_pipeline" -> (Queries.pSelectionPipeline _),
     "p_image_phash" -> (Queries.pImagePhash _),
     "p_image_dedup" -> (Queries.pImageDedup _),
+    "p_image_neardup" -> (Queries.pImageNearDup _),
     "p_gopher_filter" -> (Queries.pGopherFilter _),
     "p_heavy_tokens" -> (Queries.pHeavyTokens _),
     "p_asof_join" -> (Queries.pAsofJoin _),
@@ -168,17 +169,9 @@ object SparkEntry {
   // oracle: integer luma, the exact block-mean grid (cell of x = the
   // largest c with floor(c*w/8) <= x), cross-multiplied mean threshold,
   // two 32-bit halves. Shared by p_image_phash / p_image_dedup.
-  private val IMG_HASH_CTE =
-    """WITH ids AS (SELECT doc_id, doc_id % 13 AS img FROM documents WHERE doc_id < 40),
-      |dims AS (SELECT doc_id, img, 8 + img % 9 AS w, 8 + img % 7 AS h FROM ids),
-      |px AS (
-      |  SELECT doc_id, w, h, x, y,
-      |    299*((img + 3*x + 5*y) % 256) + 587*((2*img + 7*x + y) % 256)
-      |      + 114*((5*img + x + 11*y) % 256) AS g
-      |  FROM dims,
-      |    LATERAL (SELECT unnest(range(0, w)) AS x),
-      |    LATERAL (SELECT unnest(range(0, h)) AS y)),
-      |cells AS (
+  // grid/threshold/packing tail shared by the exact and perturbed heads
+  private val IMG_HASH_TAIL =
+    """cells AS (
       |  SELECT doc_id, g,
       |    len(list_filter(range(0, 8), c -> (c*w)//8 <= x)) - 1 AS cx,
       |    len(list_filter(range(0, 8), c -> (c*h)//8 <= y)) - 1 AS cy
@@ -195,6 +188,35 @@ object SparkEntry {
       |    CAST(sum(CASE WHEN p >= 32 THEN b * (CAST(1 AS BIGINT) << (p - 32)) ELSE 0 END) AS BIGINT) AS hash_hi,
       |    CAST(sum(CASE WHEN p < 32 THEN b * (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS hash_lo
       |  FROM bits GROUP BY doc_id)""".stripMargin
+
+  private val IMG_HASH_CTE =
+    """WITH ids AS (SELECT doc_id, doc_id % 13 AS img FROM documents WHERE doc_id < 40),
+      |dims AS (SELECT doc_id, img, 8 + img % 9 AS w, 8 + img % 7 AS h FROM ids),
+      |px AS (
+      |  SELECT doc_id, w, h, x, y,
+      |    299*((img + 3*x + 5*y) % 256) + 587*((2*img + 7*x + y) % 256)
+      |      + 114*((5*img + x + 11*y) % 256) AS g
+      |  FROM dims,
+      |    LATERAL (SELECT unnest(range(0, w)) AS x),
+      |    LATERAL (SELECT unnest(range(0, h)) AS y)),
+      |""".stripMargin + IMG_HASH_TAIL
+
+  // perturbed head: corner pixels (x,y < 2) get `pert` added per channel
+  // (mod 256) — mirrors MediaSynth.pixelRgbPerturbed exactly
+  private val IMG_NEARDUP_CTE =
+    """WITH ids AS (SELECT doc_id, doc_id % 13 AS img,
+      |    (doc_id // 13) * 37 % 256 AS pert
+      |  FROM documents WHERE doc_id < 52),
+      |dims AS (SELECT doc_id, img, pert, 8 + img % 9 AS w, 8 + img % 7 AS h FROM ids),
+      |px AS (
+      |  SELECT doc_id, w, h, x, y,
+      |    299*((img + 3*x + 5*y + CASE WHEN x < 2 AND y < 2 THEN pert ELSE 0 END) % 256)
+      |      + 587*((2*img + 7*x + y + CASE WHEN x < 2 AND y < 2 THEN pert ELSE 0 END) % 256)
+      |      + 114*((5*img + x + 11*y + CASE WHEN x < 2 AND y < 2 THEN pert ELSE 0 END) % 256) AS g
+      |  FROM dims,
+      |    LATERAL (SELECT unnest(range(0, w)) AS x),
+      |    LATERAL (SELECT unnest(range(0, h)) AS y)),
+      |""".stripMargin + IMG_HASH_TAIL
 
   // Gumbel-max perturbation + rank over `wts` (shared by
   // p_dsir_resample / p_selection_pipeline)
@@ -1245,6 +1267,17 @@ object SparkEntry {
          |SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, hash_hi, hash_lo,
          |  CAST(count(*) AS BIGINT) AS n_copies
          |FROM hashes GROUP BY hash_hi, hash_lo ORDER BY doc_id""".stripMargin,
+    // ALL-pairs Hamming join on the re-derived perturbed hashes: equality
+    // with Spark's banded path also proves banding exhaustive at <= 3
+    "p_image_neardup" ->
+      s"""$IMG_NEARDUP_CTE
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(bit_count(xor(a.hash_hi, b.hash_hi))
+         |    + bit_count(xor(a.hash_lo, b.hash_lo)) AS BIGINT) AS hamming
+         |FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.hash_hi, b.hash_hi))
+         |    + bit_count(xor(a.hash_lo, b.hash_lo)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin,
     // DSIR: the full importance estimator re-derived — union vocabulary,
     // add-one smoothing, single-ln cross-multiplied ratio snapped 6dp,
     // decimal summation, gram-less docs restored at (0, 0.0)

@@ -165,6 +165,19 @@ object MediaSynth {
     java.lang.Math.floorMod(2L * id + 7L * x + 1L * y, 256L).toInt,
     java.lang.Math.floorMod(5L * id + 1L * x + 11L * y, 256L).toInt)
 
+  /** [[pixelRgb]] with a deterministic corner perturbation: pixels with
+    * `x < 2 && y < 2` get `pert` added to every channel (mod 256) — the
+    * recipe-level stand-in for a re-encode/crop artifact, so NEAR (not
+    * just exact) duplicate images exist under distinct payload bytes.
+    * `pert = 0` is exactly [[pixelRgb]].
+    */
+  def pixelRgbPerturbed(id: Long, pert: Long, x: Int, y: Int): (Int, Int, Int) =
+    if (x < 2 && y < 2) (
+      java.lang.Math.floorMod(id + 3L * x + 5L * y + pert, 256L).toInt,
+      java.lang.Math.floorMod(2L * id + 7L * x + 1L * y + pert, 256L).toInt,
+      java.lang.Math.floorMod(5L * id + 1L * x + 11L * y + pert, 256L).toInt)
+    else pixelRgb(id, x, y)
+
   /** Canonical 44-byte RIFF/WAVE header + 16-bit little-endian PCM.
     * `samples` are interleaved when `channels > 1`.
     */
@@ -224,7 +237,12 @@ object MediaSynth {
   /** 24-bpp uncompressed BMP (BITMAPFILEHEADER + BITMAPINFOHEADER),
     * bottom-up rows, BGR byte order, rows padded to 4 bytes.
     */
-  def bmpBytes(id: Long): Array[Byte] = {
+  def bmpBytes(id: Long): Array[Byte] = bmpBytesPerturbed(id, 0L)
+
+  /** [[bmpBytes]] over [[pixelRgbPerturbed]] — same container, corner
+    * region shifted by `pert`.
+    */
+  def bmpBytesPerturbed(id: Long, pert: Long): Array[Byte] = {
     val (w, h) = imageDims(id)
     val rowBytes = (w * 3 + 3) / 4 * 4
     val dataLen = rowBytes * h
@@ -239,7 +257,7 @@ object MediaSynth {
     while (y >= 0) {
       var x = 0
       while (x < w) {
-        val (r, g, b) = pixelRgb(id, x, y)
+        val (r, g, b) = pixelRgbPerturbed(id, pert, x, y)
         out.put(b.toByte).put(g.toByte).put(r.toByte)
         x += 1
       }
