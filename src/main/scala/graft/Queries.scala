@@ -174,7 +174,7 @@ object Queries {
 
   // ------------------------------------------------------- data-pipeline ops
 
-  import graft.pipeline.{Chunking, Clustering, CorpusStats, CrawlFilters, Decontaminate, Dedup, ImageRgbStatsCodec, MediaSynth, Multimodal, Retrieval, Sampling, Similarity, SkewJoin, TextFunctions => TF, WavPcmStatsCodec}
+  import graft.pipeline.{Chunking, Clustering, CorpusStats, CrawlFilters, Decontaminate, Dedup, FuzzyJoin, ImageRgbStatsCodec, MediaSynth, Multimodal, Retrieval, Sampling, Similarity, SkewJoin, TextFunctions => TF, WavPcmStatsCodec}
 
   /** Per-document text statistics — all pure expressions, single scan. */
   def pTextStats(spark: SparkSession, sfDir: String): DataFrame = {
@@ -1617,6 +1617,32 @@ object Queries {
       .withColumn("payload", bmpUdf(col("img"), col("pert")))
     val hashed = Multimodal.withAHash(docs, "payload")
     Multimodal.imageNearDupPairs(hashed, "doc_id", maxHamming = 3)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Fuzzy (Levenshtein) self-join ([[FuzzyJoin.editDistancePairs]]):
+    * docs 0-67 carry deterministic title strings — 17 base titles
+    * (`doc_id % 17`) x 4 single-edit variants (`doc_id / 17`: identity,
+    * one substitution, one deletion, one insertion) — so within-group
+    * pairs land at distance 1-2 and some CROSS-group pairs (numeric
+    * prefixes one digit apart) land inside the threshold too, exercising
+    * the verify stage genuinely. The oracle is DuckDB's NATIVE
+    * `levenshtein` over all pairs — an independent implementation of the
+    * metric AND an exhaustiveness check on the q-gram proposal (a pair
+    * the gram path missed would be a missing row).
+    */
+  def pFuzzyJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = documents(spark, sfDir).filter(col("doc_id") < 68)
+      .withColumn("g", pmod(col("doc_id"), lit(17)))
+      .withColumn("v", floor(col("doc_id") / lit(17)))
+    val num = lpad((col("g") * 7).cast("string"), 3, "0")
+    val tail = when(col("v") === 0, lit("-alpha-beta-gamma"))
+      .when(col("v") === 1, lit("-alpia-beta-gamma"))
+      .when(col("v") === 2, lit("-alpha-bta-gamma"))
+      .otherwise(lit("-alpha-beta-gammax"))
+    val strs = docs.select(col("doc_id"),
+      concat(lit("item-"), num, tail).as("s"))
+    FuzzyJoin.editDistancePairs(strs, "doc_id", "s", maxDist = 2)
       .orderBy("id_a", "id_b")
   }
 

@@ -90,6 +90,7 @@ object SparkEntry {
     "p_image_phash" -> (Queries.pImagePhash _),
     "p_image_dedup" -> (Queries.pImageDedup _),
     "p_image_neardup" -> (Queries.pImageNearDup _),
+    "p_fuzzy_join" -> (Queries.pFuzzyJoin _),
     "p_gopher_filter" -> (Queries.pGopherFilter _),
     "p_heavy_tokens" -> (Queries.pHeavyTokens _),
     "p_asof_join" -> (Queries.pAsofJoin _),
@@ -1278,6 +1279,23 @@ object SparkEntry {
          |WHERE bit_count(xor(a.hash_hi, b.hash_hi))
          |    + bit_count(xor(a.hash_lo, b.hash_lo)) <= 3
          |ORDER BY id_a, id_b""".stripMargin,
+    // DuckDB's NATIVE levenshtein over all pairs — independent metric
+    // implementation + exhaustiveness check on the q-gram proposal
+    "p_fuzzy_join" ->
+      """WITH ids AS (SELECT doc_id, doc_id % 17 AS g, doc_id // 17 AS v
+        |  FROM documents WHERE doc_id < 68),
+        |strs AS (SELECT doc_id,
+        |    'item-' || lpad(CAST(g * 7 AS VARCHAR), 3, '0') ||
+        |    CASE v WHEN 0 THEN '-alpha-beta-gamma'
+        |           WHEN 1 THEN '-alpia-beta-gamma'
+        |           WHEN 2 THEN '-alpha-bta-gamma'
+        |           ELSE '-alpha-beta-gammax' END AS s
+        |  FROM ids)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+        |FROM strs a JOIN strs b ON a.doc_id < b.doc_id
+        |WHERE levenshtein(a.s, b.s) <= 2
+        |ORDER BY id_a, id_b""".stripMargin,
     // DSIR: the full importance estimator re-derived — union vocabulary,
     // add-one smoothing, single-ln cross-multiplied ratio snapped 6dp,
     // decimal summation, gram-less docs restored at (0, 0.0)

@@ -2085,6 +2085,39 @@ class PipelineSuite extends SparkSpec {
     }
   }
 
+  test("editDistancePairs equals brute force across the short/long boundary") {
+    val s = spark
+    import s.implicits._
+    import graft.pipeline.FuzzyJoin
+    import org.apache.spark.sql.functions.levenshtein
+    // q=2, maxDist=2 -> gram guarantee needs len >= 6; lengths 0..8
+    // straddle the boundary so both proposal paths and their seam run
+    val df = Seq(
+      1L -> "", 2L -> "a", 3L -> "ab", 4L -> "abc", 5L -> "abcd",
+      6L -> "abcde", 7L -> "abcdef", 8L -> "abcdefg", 9L -> "zbcdefg",
+      10L -> "abzdefg", 11L -> "qrstuv", 12L -> "qrstuvw", 13L -> "ab",
+      14L -> (null: String)).toDF("id", "s")
+    val got = FuzzyJoin.editDistancePairs(df, "id", "s", maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val nn = df.filter($"s".isNotNull)
+    val exp = nn.as("x").join(nn.as("y"), $"x.id" < $"y.id")
+      .select($"x.id".as("a"), $"y.id".as("b"),
+        levenshtein($"x.s", $"y.s").cast("long").as("d"))
+      .filter($"d" <= 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === exp, s"banded=${got.size} brute=${exp.size}")
+    assert(exp.contains((3L, 13L, 0L)), "exact dup pair present")
+    assert(exp.exists(_._3 == 2L), "distance-2 pairs exercised")
+    assert(!exp.exists(t => t._1 == 14L || t._2 == 14L), "null never pairs")
+    // hot-gram guard: documented recall trade — with every gram capped at
+    // frequency 1, gram-path pairs vanish but short-short pairs survive
+    val guarded = FuzzyJoin.editDistancePairs(
+        df, "id", "s", maxDist = 2, maxGramFrequency = Some(1L))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(guarded.subsetOf(exp.map(t => (t._1, t._2))), "guard never ADDS pairs")
+    assert(guarded.contains((1L, 2L)), "short path unaffected by the gram guard")
+  }
+
   test("aHash64: hand-built bit flips, banded near-dup pairs, null contract") {
     val s = spark
     import s.implicits._
