@@ -1646,6 +1646,32 @@ object Queries {
       .orderBy("id_a", "id_b")
   }
 
+  /** Data-quality contract validation ([[QualityChecks.validate]]) over
+    * lineitem: completeness, two range checks (one passing, one failing —
+    * discounts run to 0.10), accepted values (R exists beyond {A, N}),
+    * volume, key uniqueness (the composite key passes, the bare orderkey
+    * fails), and referential integrity against orders. The oracle
+    * re-derives every metric in SQL, so the report SHAPE (one row per
+    * check, metric/threshold/passed) and each metric's definition are
+    * both pinned.
+    */
+  def pDataChecks(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.pipeline.QualityChecks
+    import QualityChecks._
+    val li = lineitem(spark, sfDir)
+    val ord = orders(spark, sfDir)
+    QualityChecks.validate(li, Seq(
+      NotNull("l_linestatus"),
+      InRange("l_quantity", 1.0, 50.0),
+      InRange("l_discount", 0.0, 0.05),
+      AcceptedValues("l_returnflag", Seq("A", "N")),
+      MinRows(1000L),
+      Unique(Seq("l_orderkey", "l_linenumber")),
+      Unique(Seq("l_orderkey")),
+      ForeignKey("l_orderkey", ord, "o_orderkey")))
+      .orderBy("check", "target")
+  }
+
   /** Malformed-media tolerance, gated end to end: a deterministic subset
     * of docs carries payloads the decoder must REJECT — `doc_id % 5 == 0`
     * gets non-media garbage (parser failure) and `doc_id % 5 == 1` gets a

@@ -91,6 +91,7 @@ object SparkEntry {
     "p_image_dedup" -> (Queries.pImageDedup _),
     "p_image_neardup" -> (Queries.pImageNearDup _),
     "p_fuzzy_join" -> (Queries.pFuzzyJoin _),
+    "p_data_checks" -> (Queries.pDataChecks _),
     "p_gopher_filter" -> (Queries.pGopherFilter _),
     "p_heavy_tokens" -> (Queries.pHeavyTokens _),
     "p_asof_join" -> (Queries.pAsofJoin _),
@@ -1296,6 +1297,34 @@ object SparkEntry {
         |FROM strs a JOIN strs b ON a.doc_id < b.doc_id
         |WHERE levenshtein(a.s, b.s) <= 2
         |ORDER BY id_a, id_b""".stripMargin,
+    // every check metric re-derived: one-scan aggregates for the
+    // row-local checks, GROUP BY for uniqueness, NOT IN for the FK
+    "p_data_checks" ->
+      """WITH agg AS (SELECT count(*) AS n,
+        |    sum(CASE WHEN l_linestatus IS NULL THEN 1 ELSE 0 END) AS nulls,
+        |    sum(CASE WHEN l_quantity IS NOT NULL AND (l_quantity < 1.0 OR l_quantity > 50.0) THEN 1 ELSE 0 END) AS qv,
+        |    sum(CASE WHEN l_discount IS NOT NULL AND (l_discount < 0.0 OR l_discount > 0.05) THEN 1 ELSE 0 END) AS dv,
+        |    sum(CASE WHEN l_returnflag IS NOT NULL AND l_returnflag NOT IN ('A','N') THEN 1 ELSE 0 END) AS av
+        |  FROM lineitem),
+        |uq1 AS (SELECT coalesce(sum(CASE WHEN n > 1 THEN n END), 0) AS m
+        |  FROM (SELECT count(*) AS n FROM lineitem GROUP BY l_orderkey, l_linenumber)),
+        |uq2 AS (SELECT coalesce(sum(CASE WHEN n > 1 THEN n END), 0) AS m
+        |  FROM (SELECT count(*) AS n FROM lineitem GROUP BY l_orderkey)),
+        |fk AS (SELECT count(*) AS m FROM lineitem
+        |  WHERE l_orderkey IS NOT NULL
+        |    AND l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+        |SELECT * FROM (
+        |  SELECT 'not_null' AS "check", 'l_linestatus' AS target,
+        |    round(CAST(nulls AS DOUBLE) / n, 6) AS metric, 0.0 AS threshold,
+        |    round(CAST(nulls AS DOUBLE) / n, 6) <= 0.0 AS passed FROM agg
+        |  UNION ALL SELECT 'in_range', 'l_quantity', round(CAST(qv AS DOUBLE), 6), 0.0, qv = 0 FROM agg
+        |  UNION ALL SELECT 'in_range', 'l_discount', round(CAST(dv AS DOUBLE), 6), 0.0, dv = 0 FROM agg
+        |  UNION ALL SELECT 'accepted_values', 'l_returnflag', round(CAST(av AS DOUBLE), 6), 0.0, av = 0 FROM agg
+        |  UNION ALL SELECT 'min_rows', '*', round(CAST(n AS DOUBLE), 6), 1000.0, n >= 1000 FROM agg
+        |  UNION ALL SELECT 'unique', 'l_orderkey,l_linenumber', round(CAST(m AS DOUBLE), 6), 0.0, m = 0 FROM uq1
+        |  UNION ALL SELECT 'unique', 'l_orderkey', round(CAST(m AS DOUBLE), 6), 0.0, m = 0 FROM uq2
+        |  UNION ALL SELECT 'foreign_key', 'l_orderkey->o_orderkey', round(CAST(m AS DOUBLE), 6), 0.0, m = 0 FROM fk
+        |) ORDER BY "check", target""".stripMargin,
     // DSIR: the full importance estimator re-derived — union vocabulary,
     // add-one smoothing, single-ln cross-multiplied ratio snapped 6dp,
     // decimal summation, gram-less docs restored at (0, 0.0)

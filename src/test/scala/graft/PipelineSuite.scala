@@ -2085,6 +2085,47 @@ class PipelineSuite extends SparkSpec {
     }
   }
 
+  test("QualityChecks: hand-computed metrics, null-key grouping, FK orphans") {
+    val s = spark
+    import s.implicits._
+    import graft.pipeline.QualityChecks
+    import QualityChecks._
+    val df = Seq(
+      (1L, "a", Some(5.0)), (2L, "b", Some(60.0)), (3L, null, Some(10.0)),
+      (4L, "a", None), (1L, "z", Some(-1.0)),
+      (5L, null, Some(2.0))).toDF("k", "cat", "v")
+    val ref = Seq(1L, 2L, 3L, 4L).toDF("rk")
+    val rep = QualityChecks.validate(df, Seq(
+        NotNull("cat", maxNullRatio = 0.25),
+        InRange("v", 0.0, 50.0),
+        AcceptedValues("cat", Seq("a", "b")),
+        MinRows(10L),
+        Unique(Seq("k")),
+        Unique(Seq("cat")),
+        ForeignKey("k", ref, "rk")))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getDouble(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(rep(("not_null", "cat")) === ((0.333333, 0.25, false)))
+    assert(rep(("in_range", "v")) === ((2.0, 0.0, false)), "60.0 and -1.0")
+    assert(rep(("accepted_values", "cat")) === ((1.0, 0.0, false)), "'z' only — nulls don't count")
+    assert(rep(("min_rows", "*")) === ((6.0, 10.0, false)))
+    assert(rep(("unique", "k")) === ((2.0, 0.0, false)), "two rows share k=1")
+    assert(rep(("unique", "cat")) === ((4.0, 0.0, false)),
+      "the two 'a' rows AND the two null rows — NULL keys group as a value")
+    assert(rep(("foreign_key", "k->rk")) === ((1.0, 0.0, false)), "k=5 is an orphan")
+    assert(rep.size === 7)
+    // all-green contract on the same data
+    val ok = QualityChecks.validate(df, Seq(
+        NotNull("k"), InRange("v", -1.0, 60.0), MinRows(6L),
+        Unique(Seq("k", "cat")), ForeignKey("k", ref.union(Seq(5L).toDF("rk")), "rk")))
+      .collect()
+    assert(ok.forall(_.getBoolean(4)), ok.mkString("; "))
+    intercept[IllegalArgumentException] {
+      QualityChecks.validate(df, Seq.empty)
+    }
+  }
+
   test("editDistancePairs equals brute force across the short/long boundary") {
     val s = spark
     import s.implicits._
