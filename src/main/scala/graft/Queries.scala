@@ -172,6 +172,72 @@ object Queries {
         concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"))
       .orderBy("p_partkey")
 
+  /** Trailing 1-hour per-user rolling aggregate over events — the
+    * time-range window frame (RANGE BETWEEN ... PRECEDING) behind
+    * rate-limit features and rolling health metrics. One shuffle
+    * (partitionBy user); frame state per key is bounded by the window
+    * horizon, not the key's history. `value` sums ride DECIMAL so the
+    * frame's summation order cannot flip the hash.
+    */
+  def q12RollingRange(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("tus")
+      .rangeBetween(-3600000000L, 0L)
+    events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("tus"),
+        col("value").cast("decimal(18,2)").as("v"))
+      .withColumn("n_1h", count(lit(1)).over(w))
+      .withColumn("sum_1h",
+        sum(col("v")).over(w).cast("decimal(28,2)").cast("double"))
+      .select(col("event_id"), col("user_id"), col("n_1h"), col("sum_1h"))
+      .orderBy("event_id")
+  }
+
+  /** Ordered funnel (signup → view → purchase): a user reaches step k+1
+    * only with an event STRICTLY AFTER their step-k time (first-touch
+    * semantics). Three conditional-min aggregates chained on the same
+    * user key — the first groupBy shuffles, the rest reuse the
+    * partitioning; per-step output is O(steps) rows. Ambiguity-free on
+    * ties: strictly-after comparisons on the deterministic min times.
+    */
+  def q13Funnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("tus"))
+    val t1 = e.groupBy("user_id")
+      .agg(min(when(col("event_type") === "signup", col("tus"))).as("t1"))
+      .filter(col("t1").isNotNull)
+    val t2 = e.join(t1, "user_id")
+      .groupBy("user_id", "t1")
+      .agg(min(when(col("event_type") === "view" && col("tus") > col("t1"),
+        col("tus"))).as("t2"))
+      .filter(col("t2").isNotNull)
+    val t3 = e.join(t2, "user_id")
+      .groupBy("user_id", "t2")
+      .agg(min(when(col("event_type") === "purchase" && col("tus") > col("t2"),
+        col("tus"))).as("t3"))
+      .filter(col("t3").isNotNull)
+    val steps = t1.agg(count(lit(1)).as("n")).select(lit(1L).as("step"), lit("signup").as("event_type"), col("n"))
+      .unionByName(t2.agg(count(lit(1)).as("n")).select(lit(2L).as("step"), lit("view").as("event_type"), col("n")))
+      .unionByName(t3.agg(count(lit(1)).as("n")).select(lit(3L).as("step"), lit("purchase").as("event_type"), col("n")))
+    steps.orderBy("step")
+  }
+
+  /** Cohort retention: users cohorted by first-activity day, activity
+    * counted as distinct users per (cohort_day, day_offset). Two
+    * aggregates + one join, all keyed on user/cohort — the O(days²)
+    * output is the dashboard matrix, never the events. Dates travel as
+    * strings so both engines hash identical bytes.
+    */
+  def q14CohortRetention(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = events(spark, sfDir)
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+    val cohorts = e.groupBy("user_id").agg(min(col("d")).as("cohort_d"))
+    e.join(cohorts, "user_id")
+      .groupBy(date_format(col("cohort_d"), "yyyy-MM-dd").as("cohort_day"),
+        datediff(col("d"), col("cohort_d")).cast("long").as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
   // ------------------------------------------------------- data-pipeline ops
 
   import graft.pipeline.{Chunking, Clustering, CorpusStats, CrawlFilters, Decontaminate, Dedup, FuzzyJoin, ImageRgbStatsCodec, MediaSynth, Multimodal, Retrieval, Sampling, Similarity, SkewJoin, TextFunctions => TF, WavPcmStatsCodec}

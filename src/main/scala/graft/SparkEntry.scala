@@ -23,6 +23,9 @@ object SparkEntry {
     "q8_pivot" -> (Queries.q8Pivot _),
     "q9_monthly_orders" -> (Queries.q9MonthlyOrders _),
     "q10_string_funcs" -> (Queries.q10StringFuncs _),
+    "q12_rolling_range" -> (Queries.q12RollingRange _),
+    "q13_funnel" -> (Queries.q13Funnel _),
+    "q14_cohort_retention" -> (Queries.q14CohortRetention _),
     "ml_dummy_mean" -> (Queries.dummyMean _),
     "ml_dummy_median" -> (Queries.dummyMedian _),
     "ml_dummy_quantile" -> (Queries.dummyQuantile _),
@@ -598,6 +601,42 @@ object SparkEntry {
         | concat_ws('|', p_brand, p_type) AS brand_type
         |FROM part
         |ORDER BY p_partkey""".stripMargin,
+    "q12_rolling_range" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tus,
+        |    CAST(value AS DECIMAL(18,2)) AS v FROM events)
+        |SELECT event_id, user_id,
+        |  CAST(count(*) OVER w AS BIGINT) AS n_1h,
+        |  CAST(CAST(sum(v) OVER w AS DECIMAL(28,2)) AS DOUBLE) AS sum_1h
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY tus
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+    "q13_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tus FROM events),
+        |t1 AS (SELECT * FROM (SELECT user_id,
+        |    min(CASE WHEN event_type = 'signup' THEN tus END) AS t1
+        |  FROM e GROUP BY user_id) WHERE t1 IS NOT NULL),
+        |t2 AS (SELECT * FROM (SELECT e.user_id,
+        |    min(CASE WHEN event_type = 'view' AND tus > t1 THEN tus END) AS t2
+        |  FROM e JOIN t1 ON e.user_id = t1.user_id GROUP BY e.user_id, t1.t1)
+        |  WHERE t2 IS NOT NULL),
+        |t3 AS (SELECT * FROM (SELECT e.user_id,
+        |    min(CASE WHEN event_type = 'purchase' AND tus > t2 THEN tus END) AS t3
+        |  FROM e JOIN t2 ON e.user_id = t2.user_id GROUP BY e.user_id, t2.t2)
+        |  WHERE t3 IS NOT NULL)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS step, 'signup' AS event_type, count(*) AS n FROM t1
+        |  UNION ALL SELECT 2, 'view', count(*) FROM t2
+        |  UNION ALL SELECT 3, 'purchase', count(*) FROM t3)
+        |ORDER BY step""".stripMargin,
+    "q14_cohort_retention" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+        |c AS (SELECT user_id, min(d) AS cohort_d FROM e GROUP BY user_id)
+        |SELECT strftime(cohort_d, '%Y-%m-%d') AS cohort_day,
+        |  CAST(date_diff('day', cohort_d, d) AS BIGINT) AS day_offset,
+        |  count(DISTINCT e.user_id) AS n_users
+        |FROM e JOIN c ON e.user_id = c.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "ml_dummy_mean" ->
       "SELECT round(avg(l_extendedprice), 4) AS prediction FROM lineitem",
     "ml_dummy_median" ->
