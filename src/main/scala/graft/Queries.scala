@@ -238,6 +238,21 @@ object Queries {
       .orderBy("cohort_day", "day_offset")
   }
 
+  /** Semi-structured column surface: JSON payload extraction
+    * (`get_json_object`) + typed aggregation over the extracted field —
+    * the events-table `props` column is a JSON string, the usual shape
+    * of product event payloads. Pure map-side extraction (codegen'd path
+    * scan, no UDF), then one partial-aggregated groupBy on the decile.
+    */
+  def q15JsonExtract(spark: SparkSession, sfDir: String): DataFrame =
+    events(spark, sfDir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .filter(col("k").isNotNull)
+      .groupBy(col("event_type"), (col("k") / lit(10)).cast("long").as("k_decile"))
+      .agg(count(lit(1)).as("n"), sum("k").as("sum_k"))
+      .orderBy("event_type", "k_decile")
+
   // ------------------------------------------------------- data-pipeline ops
 
   import graft.pipeline.{Chunking, Clustering, CorpusStats, CrawlFilters, Decontaminate, Dedup, FuzzyJoin, ImageRgbStatsCodec, MediaSynth, Multimodal, Retrieval, Sampling, Similarity, SkewJoin, TextFunctions => TF, WavPcmStatsCodec}
@@ -1710,6 +1725,42 @@ object Queries {
       concat(lit("item-"), num, tail).as("s"))
     FuzzyJoin.editDistancePairs(strs, "doc_id", "s", maxDist = 2)
       .orderBy("id_a", "id_b")
+  }
+
+  /** SCD2 dimension merge ([[Scd2.merge]]): the customer dimension as
+    * day-0 snapshot (all rows open at `valid_from = 0`, plus closed
+    * `-100..0` history for `custkey % 10 == 0`), merged with a day-1
+    * batch that changes segments (`% 3 == 0`), changes balances
+    * (`else % 4 == 1`), re-sends unchanged rows (`else % 2 == 0`), and
+    * introduces new keys (`custkey + 1000000` for `% 7 == 0`). The
+    * oracle re-derives the full merge — change classification with
+    * null-safe compares, closes, opens, history passthrough — so the
+    * versioning contract is pinned row for row.
+    */
+  def pScd2(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.pipeline.Scd2
+    val cust = customer(spark, sfDir).select(
+      col("c_custkey").as("key"), col("c_mktsegment").as("seg"),
+      col("c_acctbal").as("bal"))
+    val hist = cust.filter(col("key") % 10 === 0)
+      .select(col("key"), lit("OLD").as("seg"), col("bal"),
+        lit(-100L).as("valid_from"), lit(0L).cast("long").as("valid_to"),
+        lit(false).as("is_current"))
+    val cur = cust.select(col("key"), col("seg"), col("bal"),
+      lit(0L).as("valid_from"), lit(null).cast("long").as("valid_to"),
+      lit(true).as("is_current"))
+    val updates = cust.select(col("key"),
+        when(col("key") % 3 === 0, concat(col("seg"), lit("-X")))
+          .otherwise(col("seg")).as("seg"),
+        when(col("key") % 3 =!= 0 && col("key") % 4 === 1, col("bal") + 10.0)
+          .otherwise(col("bal")).as("bal"))
+      .filter(col("key") % 3 === 0 || col("key") % 4 === 1 || col("key") % 2 === 0)
+      .unionByName(cust.filter(col("key") % 7 === 0)
+        .select((col("key") + 1000000L).as("key"), lit("NEW").as("seg"),
+          lit(0.0).as("bal")))
+    Scd2.merge(cur.unionByName(hist), updates, "key", Seq("seg", "bal"),
+        batchTs = 86400L)
+      .orderBy("key", "valid_from", "is_current")
   }
 
   /** Data-quality contract validation ([[QualityChecks.validate]]) over

@@ -26,6 +26,7 @@ object SparkEntry {
     "q12_rolling_range" -> (Queries.q12RollingRange _),
     "q13_funnel" -> (Queries.q13Funnel _),
     "q14_cohort_retention" -> (Queries.q14CohortRetention _),
+    "q15_json_extract" -> (Queries.q15JsonExtract _),
     "ml_dummy_mean" -> (Queries.dummyMean _),
     "ml_dummy_median" -> (Queries.dummyMedian _),
     "ml_dummy_quantile" -> (Queries.dummyQuantile _),
@@ -95,6 +96,7 @@ object SparkEntry {
     "p_image_neardup" -> (Queries.pImageNearDup _),
     "p_fuzzy_join" -> (Queries.pFuzzyJoin _),
     "p_data_checks" -> (Queries.pDataChecks _),
+    "p_scd2_merge" -> (Queries.pScd2 _),
     "p_gopher_filter" -> (Queries.pGopherFilter _),
     "p_heavy_tokens" -> (Queries.pHeavyTokens _),
     "p_asof_join" -> (Queries.pAsofJoin _),
@@ -636,6 +638,13 @@ object SparkEntry {
         |  CAST(date_diff('day', cohort_d, d) AS BIGINT) AS day_offset,
         |  count(DISTINCT e.user_id) AS n_users
         |FROM e JOIN c ON e.user_id = c.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q15_json_extract" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events)
+        |SELECT event_type, k // 10 AS k_decile,
+        |  count(*) AS n, sum(k) AS sum_k
+        |FROM e WHERE k IS NOT NULL
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "ml_dummy_mean" ->
       "SELECT round(avg(l_extendedprice), 4) AS prediction FROM lineitem",
@@ -1364,6 +1373,40 @@ object SparkEntry {
         |  UNION ALL SELECT 'unique', 'l_orderkey', round(CAST(m AS DOUBLE), 6), 0.0, m = 0 FROM uq2
         |  UNION ALL SELECT 'foreign_key', 'l_orderkey->o_orderkey', round(CAST(m AS DOUBLE), 6), 0.0, m = 0 FROM fk
         |) ORDER BY "check", target""".stripMargin,
+    // full SCD2 merge re-derived: null-safe change classification,
+    // closes, opens, history passthrough
+    "p_scd2_merge" ->
+      """WITH cust AS (SELECT c_custkey AS key, c_mktsegment AS seg, c_acctbal AS bal FROM customer),
+        |hist AS (SELECT key, 'OLD' AS seg, bal,
+        |    CAST(-100 AS BIGINT) AS valid_from, CAST(0 AS BIGINT) AS valid_to,
+        |    false AS is_current
+        |  FROM cust WHERE key % 10 = 0),
+        |cur AS (SELECT key, seg, bal, CAST(0 AS BIGINT) AS valid_from,
+        |    CAST(NULL AS BIGINT) AS valid_to, true AS is_current FROM cust),
+        |batch AS (
+        |  SELECT key,
+        |    CASE WHEN key % 3 = 0 THEN seg || '-X' ELSE seg END AS seg,
+        |    CASE WHEN key % 3 <> 0 AND key % 4 = 1 THEN bal + 10.0 ELSE bal END AS bal
+        |  FROM cust WHERE key % 3 = 0 OR key % 4 = 1 OR key % 2 = 0
+        |  UNION ALL
+        |  SELECT key + 1000000 AS key, 'NEW' AS seg, 0.0 AS bal
+        |  FROM cust WHERE key % 7 = 0),
+        |changed AS (SELECT b.key FROM batch b JOIN cur c USING (key)
+        |  WHERE NOT (b.seg IS NOT DISTINCT FROM c.seg
+        |         AND b.bal IS NOT DISTINCT FROM c.bal)),
+        |newk AS (SELECT key FROM batch WHERE key NOT IN (SELECT key FROM cur))
+        |SELECT * FROM (
+        |  SELECT * FROM hist
+        |  UNION ALL
+        |  SELECT * FROM cur WHERE key NOT IN (SELECT key FROM changed)
+        |  UNION ALL
+        |  SELECT key, seg, bal, valid_from, CAST(86400 AS BIGINT), false
+        |  FROM cur WHERE key IN (SELECT key FROM changed)
+        |  UNION ALL
+        |  SELECT key, seg, bal, CAST(86400 AS BIGINT), CAST(NULL AS BIGINT), true
+        |  FROM batch WHERE key IN (SELECT key FROM changed)
+        |     OR key IN (SELECT key FROM newk)
+        |) ORDER BY key, valid_from, is_current""".stripMargin,
     // DSIR: the full importance estimator re-derived — union vocabulary,
     // add-one smoothing, single-ln cross-multiplied ratio snapped 6dp,
     // decimal summation, gram-less docs restored at (0, 0.0)

@@ -2085,6 +2085,44 @@ class PipelineSuite extends SparkSpec {
     }
   }
 
+  test("Scd2.merge: insert/close/untouched/null-safe/history contracts") {
+    val s = spark
+    import s.implicits._
+    import graft.pipeline.Scd2
+    val current = Seq(
+      (1L, Some("a"), 0L, None, true),          // unchanged in batch
+      (2L, Some("b"), 0L, None, true),          // changed in batch
+      (2L, Some("old"), -5L, Some(0L), false),  // closed history — must pass through
+      (3L, Some("c"), 0L, None, true),          // absent from batch
+      (6L, None, 0L, None, true)                // null attr, null in batch too
+    ).toDF("key", "seg", "valid_from", "valid_to", "is_current")
+    val updates = Seq(
+      1L -> Some("a"), 2L -> Some("B"), 4L -> Some("d"),
+      5L -> None, 6L -> None).toDF("key", "seg")
+    val got = Scd2.merge(current, updates, "key", Seq("seg"), batchTs = 100L)
+      .collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getBoolean(4)))
+      .toSet
+    val exp = Set(
+      (2L, Some("old"), -5L, Some(0L), false),  // history untouched
+      (1L, Some("a"), 0L, None, true),          // attrs equal -> untouched
+      (3L, Some("c"), 0L, None, true),          // absent -> untouched
+      (6L, None, 0L, None, true),               // null <=> null -> unchanged
+      (2L, Some("b"), 0L, Some(100L), false),   // closed old version
+      (2L, Some("B"), 100L, None, true),        // new version opened
+      (4L, Some("d"), 100L, None, true),        // new key
+      (5L, None, 100L, None, true))             // new key with null attr
+    assert(got === exp, s"got ${got.toSeq.sortBy(t => (t._1, t._3))}")
+    // idempotence: re-merging the same batch changes nothing
+    val again = Scd2.merge(
+      Scd2.merge(current, updates, "key", Seq("seg"), 100L),
+      updates, "key", Seq("seg"), 200L)
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getBoolean(4))).toSet
+    assert(again === exp, "same-batch re-merge must be a no-op")
+  }
+
   test("QualityChecks: hand-computed metrics, null-key grouping, FK orphans") {
     val s = spark
     import s.implicits._
