@@ -795,4 +795,47 @@ class StreamingSuite extends SparkSpec {
         } finally query.stop()
     }
   }
+
+  test("per-micro-batch data-quality gate matches batch validation") {
+    val s = spark
+    import s.implicits._
+    import graft.pipeline.QualityChecks
+    import QualityChecks._
+    // the production shape: validate each arriving batch in foreachBatch
+    // BEFORE it reaches the corpus sink; quarantine on any failed check.
+    // Parity pin: the per-batch report equals the batch API's report on
+    // the same static slice — i.e. the checks are streaming-deployable
+    // verbatim (stateless one-scan aggregates, no window/sort).
+    val clean = (1L to 20L).map(i => (i, s"doc $i", i.toDouble))
+    val dirty = Seq((100L, null.asInstanceOf[String], 5.0),
+      (100L, "dup key", -3.0), (101L, "ok", 2.0))
+    val checks = Seq(NotNull("text"), InRange("v", 0.0, 100.0), MinRows(2L))
+    implicit val sq = s.sqlContext
+    val mem = MemoryStream[(Long, String, Double)]
+    val reports = new java.util.concurrent.ConcurrentHashMap[Long, Seq[(String, Double, Boolean)]]()
+    val query = mem.toDF().toDF("id", "text", "v").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        val rep = QualityChecks.validate(batch, checks).collect()
+          .map(r => (r.getString(0), r.getDouble(2), r.getBoolean(4))).toSeq
+        reports.put(id, rep): Unit
+      }
+      .start()
+    try {
+      mem.addData(clean)
+      query.processAllAvailable()
+      mem.addData(dirty)
+      query.processAllAvailable()
+    } finally query.stop()
+    assert(reports.size === 2)
+    val batchClean = QualityChecks.validate(clean.toDF("id", "text", "v"), checks)
+      .collect().map(r => (r.getString(0), r.getDouble(2), r.getBoolean(4))).toSeq
+    val batchDirty = QualityChecks.validate(dirty.toDF("id", "text", "v"), checks)
+      .collect().map(r => (r.getString(0), r.getDouble(2), r.getBoolean(4))).toSeq
+    assert(reports.get(0L) === batchClean, "clean micro-batch == batch API")
+    assert(reports.get(1L) === batchDirty, "dirty micro-batch == batch API")
+    assert(reports.get(0L).forall(_._3), "clean batch passes the gate")
+    val dirtyFails = reports.get(1L).filterNot(_._3).map(_._1).toSet
+    assert(dirtyFails === Set("not_null", "in_range"),
+      s"quarantine decision pins WHICH checks failed: $dirtyFails")
+  }
 }
