@@ -1727,6 +1727,22 @@ object Queries {
       .orderBy("id_a", "id_b")
   }
 
+  /** Robust per-source outlier screening ([[Outliers.madScores]]) on
+    * document lengths: modified z-score against the source's median/MAD
+    * (integer inputs make the (n-1)p percentile interpolation exact on
+    * both engines; the score's multiply-then-divide order and 6dp snap
+    * are mirrored so the flag compares identically).
+    */
+  def pOutlierMad(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.pipeline.Outliers
+    val docs = documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("n_chars").as("v"))
+    Outliers.madScores(docs, "source", "v", k = 3.0)
+      .select(col("doc_id"), col("source"), col("v").cast("double").as("v"),
+        col("median"), col("mad"), col("score"), col("is_outlier"))
+      .orderBy("doc_id")
+  }
+
   /** SCD2 dimension merge ([[Scd2.merge]]): the customer dimension as
     * day-0 snapshot (all rows open at `valid_from = 0`, plus closed
     * `-100..0` history for `custkey % 10 == 0`), merged with a day-1

@@ -97,6 +97,7 @@ object SparkEntry {
     "p_fuzzy_join" -> (Queries.pFuzzyJoin _),
     "p_data_checks" -> (Queries.pDataChecks _),
     "p_scd2_merge" -> (Queries.pScd2 _),
+    "p_outlier_mad" -> (Queries.pOutlierMad _),
     "p_gopher_filter" -> (Queries.pGopherFilter _),
     "p_heavy_tokens" -> (Queries.pHeavyTokens _),
     "p_asof_join" -> (Queries.pAsofJoin _),
@@ -1407,6 +1408,25 @@ object SparkEntry {
         |  FROM batch WHERE key IN (SELECT key FROM changed)
         |     OR key IN (SELECT key FROM newk)
         |) ORDER BY key, valid_from, is_current""".stripMargin,
+    // modified z-score re-derived: exact (n-1)p percentile interpolation
+    // on integer inputs, multiply-then-divide order mirrored, 6dp snap
+    "p_outlier_mad" ->
+      """WITH med AS (SELECT source,
+        |    quantile_cont(CAST(n_chars AS DOUBLE), 0.5) AS med
+        |  FROM documents GROUP BY source),
+        |mad AS (SELECT d.source,
+        |    quantile_cont(abs(CAST(n_chars AS DOUBLE) - med), 0.5) AS mad
+        |  FROM documents d JOIN med USING (source) GROUP BY d.source)
+        |SELECT d.doc_id, d.source, CAST(n_chars AS DOUBLE) AS v,
+        |  med AS median, mad,
+        |  CASE WHEN mad > 0
+        |    THEN round(0.6745 * abs(CAST(n_chars AS DOUBLE) - med) / mad, 6)
+        |  END AS score,
+        |  coalesce(CASE WHEN mad > 0
+        |    THEN round(0.6745 * abs(CAST(n_chars AS DOUBLE) - med) / mad, 6) > 3.0
+        |  END, false) AS is_outlier
+        |FROM documents d JOIN med USING (source) JOIN mad USING (source)
+        |ORDER BY doc_id""".stripMargin,
     // DSIR: the full importance estimator re-derived — union vocabulary,
     // add-one smoothing, single-ln cross-multiplied ratio snapped 6dp,
     // decimal summation, gram-less docs restored at (0, 0.0)

@@ -2085,6 +2085,38 @@ class PipelineSuite extends SparkSpec {
     }
   }
 
+  test("Outliers.madScores: hand-computed, MAD-zero group, null values") {
+    val s = spark
+    import s.implicits._
+    import graft.pipeline.Outliers
+    // group a: values 1..5 + a 100 spike -> med 3.5(? n=6: (3+4)/2=3.5),
+    // MAD over devs {2.5,1.5,0.5,0.5,1.5,96.5} -> med 1.5
+    val df = Seq(
+      ("a", 1L, Some(1.0)), ("a", 2L, Some(2.0)), ("a", 3L, Some(3.0)),
+      ("a", 4L, Some(4.0)), ("a", 5L, Some(5.0)), ("a", 6L, Some(100.0)),
+      ("b", 7L, Some(9.0)), ("b", 8L, Some(9.0)), ("b", 9L, Some(9.0)),
+      ("b", 10L, Some(42.0)),           // MAD = 0: scale undefined
+      ("a", 11L, None)                  // null value: unscored
+    ).toDF("g", "id", "v")
+    val got = Outliers.madScores(df, "g", "v", k = 3.0).collect()
+      .map(r => r.getLong(1) -> ((r.getDouble(3), r.getDouble(4),
+        if (r.isNullAt(5)) None else Some(r.getDouble(5)), r.getBoolean(6))))
+      .toMap
+    assert(got(3L) === ((3.5, 1.5, Some(0.224833), false)))
+    assert(got(6L)._3 === Some(round6(0.6745 * 96.5 / 1.5)) && got(6L)._4,
+      s"spike flagged: ${got(6L)}")
+    assert(got(1L)._4 === false && got(5L)._4 === false)
+    // MAD-zero group: scores null, nothing flagged
+    Seq(7L, 8L, 9L, 10L).foreach { id =>
+      assert(got(id)._2 === 0.0 && got(id)._3 === None && !got(id)._4,
+        s"id=$id: ${got(id)}")
+    }
+    assert(got(11L)._3 === None && !got(11L)._4, "null value unscored")
+  }
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   test("Scd2.merge: insert/close/untouched/null-safe/history contracts") {
     val s = spark
     import s.implicits._

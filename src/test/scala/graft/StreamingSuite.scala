@@ -838,4 +838,44 @@ class StreamingSuite extends SparkSpec {
     assert(dirtyFails === Set("not_null", "in_range"),
       s"quarantine decision pins WHICH checks failed: $dirtyFails")
   }
+
+  test("streaming SCD2 maintenance equals sequential batch merges") {
+    val s = spark
+    import s.implicits._
+    import graft.pipeline.Scd2
+    // dimension sink maintained in foreachBatch: each micro-batch merges
+    // into the running snapshot. The snapshot must be eagerly
+    // localCheckpoint-ed per merge — the r10 recache trap: a lazily
+    // chained plan would re-read mutated inputs and double per batch.
+    val day0 = Seq((1L, "a", 0L, None: Option[Long], true),
+      (2L, "b", 0L, None: Option[Long], true))
+      .toDF("key", "seg", "valid_from", "valid_to", "is_current")
+    val b1 = Seq(2L -> "B", 3L -> "c")           // change 2, insert 3
+    val b2 = Seq(2L -> "B2", 4L -> "d", 1L -> "a") // change 2 again, insert 4, resend 1
+    implicit val sq = s.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    @volatile var snapshot = day0.localCheckpoint(true)
+    val query = mem.toDF().toDF("key", "seg").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        snapshot = Scd2.merge(snapshot, batch, "key", Seq("seg"),
+          batchTs = 100L * (id + 1)).localCheckpoint(true)
+        ()
+      }
+      .start()
+    try {
+      mem.addData(b1); query.processAllAvailable()
+      mem.addData(b2); query.processAllAvailable()
+    } finally query.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getBoolean(4))).toSet
+    val batchTwin = Scd2.merge(
+      Scd2.merge(day0, b1.toDF("key", "seg"), "key", Seq("seg"), 100L),
+      b2.toDF("key", "seg"), "key", Seq("seg"), 200L)
+    assert(rows(snapshot) === rows(batchTwin), "streamed == sequential batch merges")
+    // the twice-changed key carries its full version chain
+    val key2 = rows(snapshot).filter(_._1 == 2L).toSeq.sortBy(_._3)
+    assert(key2 === Seq((2L, "b", 0L, Some(100L), false),
+      (2L, "B", 100L, Some(200L), false), (2L, "B2", 200L, None, true)))
+  }
 }
