@@ -124,6 +124,7 @@ object SparkEntry {
     "p_tfidf_top_terms" -> (Queries.pTfidfTopTerms _),
     "p_bm25" -> (Queries.pBm25 _),
     "p_bm25_indexed" -> (Queries.pBm25Indexed _),
+    "p_rank_fusion" -> (Queries.pRankFusion _),
     "p_lm_score" -> (Queries.pLmScore _),
     "p_decontaminate" -> (Queries.pDecontaminate _),
     "p_decontaminate_neardup" -> (Queries.pNearDupDecontam _),
@@ -315,7 +316,10 @@ object SparkEntry {
     * arithmetic, per-term DECIMAL(18,6) snap+sum, (score desc, doc_id
     * asc) ranking. Shared by the corpus-scan and prebuilt-index gates.
     */
-  private val BM25_SQL =
+  // CTE body shared by the plain BM25 gates and the rank-fusion gate
+  // (which fuses the `r` ranking with a term-overlap ranking over the
+  // same `post`/`q` tables) — one ranking derivation, three gates.
+  private val BM25_CTE =
     s"""WITH toks AS (
        |  SELECT doc_id, CAST(len($TOKS) AS BIGINT) AS dl,
        |    unnest($TOKS) AS token
@@ -353,8 +357,45 @@ object SparkEntry {
        |  SELECT query_id, doc_id, score,
        |    row_number() OVER (PARTITION BY query_id
        |      ORDER BY score DESC, doc_id ASC) AS rnk
-       |  FROM agg)
+       |  FROM agg)""".stripMargin
+
+  private val BM25_SQL =
+    s"""$BM25_CTE
        |SELECT query_id, doc_id, score, rnk FROM r WHERE rnk <= 10
+       |ORDER BY query_id, rnk""".stripMargin
+
+  /** RRF oracle: BM25 top-10 (the `r` ranking above) ∪ term-overlap
+    * top-10 (distinct-term intersection counts over the same posting
+    * table), per-list contribution = one double division snapped 6dp,
+    * DECIMAL sum, (score desc, doc_id asc) fused rank.
+    */
+  private val RANK_FUSION_SQL =
+    s"""$BM25_CTE,
+       |bm AS (SELECT query_id, doc_id, rnk FROM r WHERE rnk <= 10),
+       |ovl AS (
+       |  SELECT query_id, doc_id, count(*) AS ov
+       |  FROM post p JOIN q USING (token) GROUP BY 1, 2),
+       |ovr AS (
+       |  SELECT query_id, doc_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY ov DESC, doc_id ASC) AS rnk
+       |  FROM ovl),
+       |contrib AS (
+       |  SELECT query_id, doc_id,
+       |    CAST(round(CAST(1.0 AS DOUBLE) / (60 + rnk), 6)
+       |      AS DECIMAL(18,6)) AS c
+       |  FROM (SELECT * FROM bm
+       |        UNION ALL
+       |        SELECT query_id, doc_id, rnk FROM ovr WHERE rnk <= 10)),
+       |fused AS (
+       |  SELECT query_id, doc_id, CAST(sum(c) AS DOUBLE) AS score
+       |  FROM contrib GROUP BY 1, 2),
+       |fr AS (
+       |  SELECT query_id, doc_id, score,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, doc_id ASC) AS rnk
+       |  FROM fused)
+       |SELECT query_id, doc_id, score, rnk FROM fr WHERE rnk <= 10
        |ORDER BY query_id, rnk""".stripMargin
 
   private val DECONTAM_SQL =
@@ -2117,6 +2158,7 @@ object SparkEntry {
     // (p_bm25_indexed) — one contract, so the paths cannot drift.
     "p_bm25" -> BM25_SQL,
     "p_bm25_indexed" -> BM25_SQL,
+    "p_rank_fusion" -> RANK_FUSION_SQL,
     // stupid-backoff bigram LM (Brants 2007): count tables, vocab-side
     // probability enrichment with the exact association order the Scala
     // Column tree uses (c2/c_prev; (0.4*c1)/N; (0.4*0.4)/N), log10

@@ -171,6 +171,98 @@ object Retrieval {
         col("t.score").as("score"), (col("pos") + 1).cast("long").as("rnk"))
   }
 
+  /** Term-overlap top-`k` docs per query — the cheap lexical pre-ranker
+    * next to [[bm25TopK]]: `score` = how many of the query's DISTINCT
+    * terms the doc contains (set intersection size, no tf/idf/length
+    * modeling), ties by doc_id asc, output
+    * `(query_id, doc_id, overlap, rnk)`. Exists both as a standalone
+    * coarse filter (boolean retrieval with ranking) and as the second
+    * voice in an [[rrfFuse]] hybrid — rank fusion wants rankers with
+    * DIFFERENT failure modes, and overlap's is opposite to BM25's
+    * (overlap ignores term rarity; BM25 can rank one rare term above
+    * many common ones).
+    *
+    * Scale shape: identical to BM25's — the posting table is pruned to
+    * query-term rows by a broadcast semi join before the
+    * (query_id, doc_id) count shuffles, and the top-k stage is the
+    * bounded-heap `topk_rows` aggregate. All-integer scoring: no float
+    * contract needed.
+    */
+  def termOverlapTopK(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryTextCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val qterms = queryTerms(queries, queryIdCol, queryTextCol)
+    // postings is distinct per (doc, token) and qterms per (query, token),
+    // so the join emits one row per matching (query, doc, token): count(*)
+    // IS the intersection size
+    val matched = postings(docs, idCol, textCol)
+      .join(broadcast(qterms), Seq("token"))
+      .groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).as("overlap"))
+    matched
+      .groupBy("query_id")
+      .agg(topk_rows(k, Seq(true, false), col("overlap"), col("doc_id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("query_id"), col("t.doc_id").as("doc_id"),
+        col("t.overlap").as("overlap"), (col("pos") + 1).cast("long").as("rnk"))
+  }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009) of
+    * N per-query rankings into one: each input list contributes
+    * `w_i / (rrfK + rnk)` for every `(query_id, doc_id, rnk)` row it
+    * holds, contributions are summed per (query, doc), and the fused
+    * top-`k` comes back as `(query_id, doc_id, score, rnk)` (score desc,
+    * doc_id asc — total order). RRF is THE standard hybrid-search
+    * combiner (BM25 ⊕ dense ANN) because it needs no score calibration:
+    * only ranks cross lists, so a 0-to-1 cosine and an unbounded BM25
+    * fuse without normalization.
+    *
+    * Cross-engine float contract: each contribution is one IEEE double
+    * division snapped to 1e-6, summed as DECIMAL(18,6) (exact,
+    * order-independent), returned as double.
+    *
+    * Scale shape: inputs are already (queries × k)-sized — the corpus
+    * never appears. Union + one (query_id, doc_id) shuffle + the
+    * bounded-heap `topk_rows` rank; O(N · queries · k) total, so fusion
+    * adds nothing to the retrieval stages' cost.
+    *
+    * `weights` (default: all 1.0) lets a caller tilt the fusion toward
+    * the ranker it trusts more — the weighted-RRF variant most vector
+    * stores expose.
+    */
+  def rrfFuse(
+      rankings: Seq[DataFrame],
+      k: Int,
+      rrfK: Int = 60,
+      weights: Seq[Double] = Nil): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    require(k > 0, s"k must be positive, got $k")
+    require(rrfK >= 0, s"rrfK must be non-negative, got $rrfK")
+    val ws = if (weights.isEmpty) Seq.fill(rankings.size)(1.0) else weights
+    require(ws.size == rankings.size,
+      s"weights size ${ws.size} != rankings size ${rankings.size}")
+    val contribs = rankings.zip(ws).map { case (r, w) =>
+      r.select(col("query_id"), col("doc_id"),
+        round(lit(w) / (lit(rrfK).cast("double") + col("rnk").cast("double")), 6)
+          .cast("decimal(18,6)").as("contrib"))
+    }
+    val scored = contribs.reduce(_ unionByName _)
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("contrib")).cast("double").as("score"))
+    scored
+      .groupBy("query_id")
+      .agg(topk_rows(k, Seq(true, false), col("score"), col("doc_id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("query_id"), col("t.doc_id").as("doc_id"),
+        col("t.score").as("score"), (col("pos") + 1).cast("long").as("rnk"))
+  }
+
   /** [[bm25TopK]] without the materialize/release step: returns the
     * result plan plus the persisted-but-unmaterialized pruned posting
     * table (caller must unpersist). Exists so plan tests can inspect the

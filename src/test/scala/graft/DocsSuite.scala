@@ -287,4 +287,21 @@ class DocsSuite extends SparkSpec {
     assert(hits.columns.toSeq === Seq("query_id", "doc_id", "score", "rnk"))
     hits.unpersist(blocking = false)
   }
+
+  test("pipeline-ops: hybrid rank-fusion snippet runs") {
+    val queries = docs.filter(pmod(col("doc_id"), lit(100)) === 0)
+      .select(col("doc_id").as("query_id"),
+        array_join(slice(pipeline.TextFunctions.tokens(col("text")), 1, 5), " ")
+          .as("qtext"))
+    val bm = pipeline.Retrieval.bm25TopK(
+      docs, "doc_id", "text", queries, "query_id", "qtext", k = 10)
+    val ov = pipeline.Retrieval.termOverlapTopK(
+      docs, "doc_id", "text", queries, "query_id", "qtext", k = 10)
+    val fused = pipeline.Retrieval.rrfFuse(Seq(
+      bm.select("query_id", "doc_id", "rnk"),
+      ov.select("query_id", "doc_id", "rnk")), k = 10)
+    assert(fused.count() > 0)
+    assert(fused.columns.toSeq === Seq("query_id", "doc_id", "score", "rnk"))
+    bm.unpersist(blocking = false)
+  }
 }

@@ -832,6 +832,78 @@ class PipelineSuite extends SparkSpec {
     backDf.unpersist(blocking = false)
   }
 
+  test("rrfFuse equals a window re-derivation; overlap ranker counts distinct terms") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (0L, "alpha beta gamma alpha"),
+      (1L, "alpha beta"),
+      (2L, "gamma delta epsilon"),
+      (3L, "beta beta beta"),
+      (4L, "alpha gamma delta")
+    ).toDF("doc_id", "text")
+    val queries = Seq(
+      (10L, "alpha beta alpha"),   // repeated query term counted once
+      (11L, "delta gamma"),
+      (12L, "nothing-matches")
+    ).toDF("query_id", "qtext")
+
+    val ov = Retrieval.termOverlapTopK(
+      docs, "doc_id", "text", queries, "query_id", "qtext", 3)
+    val gotOv = ov.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // q10 (alpha, beta): doc0=2, doc1=2, doc3=1, doc4=1 -> top3 by
+    // (overlap desc, doc_id asc) = 0, 1, 3; q11 (delta, gamma): doc2=2,
+    // doc4=2, doc0=1 -> 2, 4, 0; q12 matches nothing
+    assert(gotOv === Set(
+      (10L, 0L, 2L, 1L), (10L, 1L, 2L, 2L), (10L, 3L, 1L, 3L),
+      (11L, 2L, 2L, 1L), (11L, 4L, 2L, 2L), (11L, 0L, 1L, 3L)))
+
+    val bm = Retrieval.bm25TopK(
+      docs, "doc_id", "text", queries, "query_id", "qtext", 3)
+    val fusedDf = Retrieval.rrfFuse(Seq(
+      bm.select("query_id", "doc_id", "rnk"),
+      ov.select("query_id", "doc_id", "rnk")), 3)
+    val got = fusedDf.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+
+    // independent re-derivation: union + groupBy + row_number window
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("score").desc, col("doc_id").asc)
+    val want = bm.select("query_id", "doc_id", "rnk")
+      .unionByName(ov.select("query_id", "doc_id", "rnk"))
+      .withColumn("c", round(lit(1.0) / (lit(60.0) + col("rnk").cast("double")), 6)
+        .cast("decimal(18,6)"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("c")).cast("double").as("score"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(got === want)
+    bm.unpersist(blocking = false)
+
+    // q10: BM25 ranks (1, 0, 3), overlap ranks (0, 1, 3) — docs 0 and 1
+    // score EXACTLY 1/61 + 1/62 each, so the doc_id tie-break decides
+    // rank 1 (doc0); doc3 (rank 3 on both lists) scores 2/63 and stays
+    // strictly below
+    val q10 = got.filter(_._1 == 10L)
+    assert(q10.find(_._4 == 1L).map(_._2).contains(0L))
+    assert(q10.find(_._4 == 2L).map(_._2).contains(1L))
+    assert(q10.find(_._4 == 1L).map(_._3) === q10.find(_._4 == 2L).map(_._3))
+    assert(q10.maxBy(_._4)._3 < q10.minBy(_._4)._3)
+
+    // weighted fusion tilts the order: weight 0 on the overlap list must
+    // reproduce the BM25 ranking order exactly
+    val onlyBm = Retrieval.rrfFuse(Seq(
+      bm.select("query_id", "doc_id", "rnk"),
+      ov.select("query_id", "doc_id", "rnk")), 3, weights = Seq(1.0, 0.0))
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(1))).toSet
+    val bmOrder = bm.collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(1))).toSet
+    assert(onlyBm === bmOrder)
+  }
+
   test("epochShards: deterministic, balanced, epoch-decorrelated, layout-invariant") {
     val s = spark
     import s.implicits._
