@@ -1326,6 +1326,39 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Content blocklist gate ([[CrawlFilters.contentBlocklistReport]],
+    * the C4 bad-words shape): the corpus is deterministically enriched
+    * keyed on doc_id — every 11th doc gets 10 bad tokens (rate-fail at
+    * any length), else doc_id%7==1 gets one bad token (the 40-per-1000
+    * threshold then splits the class BY DOC LENGTH: ≥25 tokens pass,
+    * shorter fail — boundary pinned on both sides), %7==2 three bad
+    * tokens (pass needs ≥75 tokens), %7==3 the banned PHRASE (its words
+    * are NOT on the token list, so phrase docs fail on phrase_hit alone
+    * while their token rate stays clean — the two arms are pinned
+    * independently). The oracle applies the identical enrichment CASE,
+    * token counting, whole-token-run phrase position test, and the
+    * integer cross-multiplied rate rule.
+    */
+  def pBlocklistFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    val enriched = documents(spark, sfDir).withColumn("text",
+      when(pmod(col("doc_id"), lit(11)) === 0,
+        concat(col("text"), lit(" zzspam zzscam zzads zzspam zzscam" +
+          " zzads zzspam zzscam zzads zzspam")))
+        .when(pmod(col("doc_id"), lit(7)) === 1, concat(col("text"), lit(" zzspam")))
+        .when(pmod(col("doc_id"), lit(7)) === 2,
+          concat(col("text"), lit(" zzspam zzscam zzads")))
+        .when(pmod(col("doc_id"), lit(7)) === 3,
+          concat(col("text"), lit(" zzfree zzmoney")))
+        .otherwise(col("text")))
+    CrawlFilters.contentBlocklistReport(enriched, "text",
+        badWords = Seq("zzspam", "zzscam", "zzads"),
+        badPhrases = Seq("zzfree zzmoney"),
+        maxBadPer1000 = 40)
+      .select(col("doc_id"), col("n_tokens"), col("n_bad"),
+        col("phrase_hit"), col("pass"))
+      .orderBy("doc_id")
+  }
+
   /** Rademacher random projection ([[Similarity.randomProject]]): the
     * 64-dim embedding table projected to 8 dims, long format. The oracle
     * re-derives the LCG sign matrix and the fixed-order sum — each term

@@ -87,6 +87,7 @@ object SparkEntry {
     "p_url_dedup" -> (Queries.pUrlDedup _),
     "p_html_extract" -> (Queries.pHtmlExtract _),
     "p_url_blocklist" -> (Queries.pUrlBlocklist _),
+    "p_blocklist_filter" -> (Queries.pBlocklistFilter _),
     "p_dsir_weights" -> (Queries.pDsirWeights _),
     "p_dsir_resample" -> (Queries.pDsirResample _),
     "p_random_project" -> (Queries.pRandomProject _),
@@ -1553,6 +1554,32 @@ object SparkEntry {
         |  CAST(len(list_filter(['casino', 'poker'],
         |    w -> contains(lower(url_canon), w))) AS BIGINT) AS word_hits
         |FROM h ORDER BY doc_id""".stripMargin,
+    // C4-style content blocklist: enrichment CASE mirrored from the
+    // Scala gate, exact-token bad-word counts, whole-token-run phrase
+    // position test, integer cross-multiplied rate rule (fail closed on
+    // phrase hits)
+    "p_blocklist_filter" ->
+      s"""WITH enr AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 11 = 0 THEN text || ' zzspam zzscam zzads zzspam zzscam zzads zzspam zzscam zzads zzspam'
+         |         WHEN doc_id % 7 = 1 THEN text || ' zzspam'
+         |         WHEN doc_id % 7 = 2 THEN text || ' zzspam zzscam zzads'
+         |         WHEN doc_id % 7 = 3 THEN text || ' zzfree zzmoney'
+         |         ELSE text END AS text
+         |  FROM documents),
+         |t AS (SELECT doc_id, $TOKS AS tk FROM enr),
+         |m AS (
+         |  SELECT doc_id,
+         |    CAST(len(tk) AS BIGINT) AS n_tokens,
+         |    CAST(len(list_filter(tk,
+         |      x -> x IN ('zzspam', 'zzscam', 'zzads'))) AS BIGINT) AS n_bad,
+         |    CAST(CASE WHEN contains(' ' || array_to_string(tk, ' ') || ' ',
+         |      ' zzfree zzmoney ') THEN 1 ELSE 0 END AS BIGINT) AS phrase_hit
+         |  FROM t)
+         |SELECT doc_id, n_tokens, n_bad, phrase_hit,
+         |  CAST(CASE WHEN n_bad * 1000 <= n_tokens * 40 AND phrase_hit = 0
+         |    THEN 1 ELSE 0 END AS BIGINT) AS pass
+         |FROM m ORDER BY doc_id""".stripMargin,
     // Gopher document rules: every ratio threshold integer
     // cross-multiplied, per-rule violation counts + survivor sums per
     // source; the enrichment CASE injects each violation class

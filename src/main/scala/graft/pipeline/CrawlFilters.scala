@@ -110,4 +110,55 @@ object CrawlFilters {
       .join(blockedKeys.select(col(urlCol)).distinct(), Seq(urlCol), "left_anti")
       .drop("__suffixes")
   }
+
+  /** C4-style CONTENT blocklist report — the page-text complement of the
+    * URL gate above: per doc, `n_tokens`, `n_bad` (exact-token blocklist
+    * hits, [[TextFunctions.badWordCount]]), `phrase_hit` (whole-token-run
+    * banned phrases, [[TextFunctions.bannedPhraseHit]]), and `pass`.
+    * A doc passes when its bad-token rate stays at or under
+    * `maxBadPer1000` per thousand tokens AND no banned phrase appears;
+    * the rate check is the integer cross-multiplication
+    * `n_bad * 1000 <= n_tokens * maxBadPer1000` — no float division, so
+    * the decision cannot drift across engines. Null text fails closed
+    * (`pass = 0`, counts 0) — an unreadable page is not evidence of
+    * clean content.
+    *
+    * Scale shape: every signal is a pure map-side expression against a
+    * compile-time blocklist (real lists are ~400 entries — C4's — to a
+    * few thousand; the literal array is codegen'd once per task). Zero
+    * shuffle, streaming-safe verbatim.
+    */
+  def contentBlocklistReport(
+      docs: DataFrame,
+      textCol: String,
+      badWords: Seq[String],
+      badPhrases: Seq[String],
+      maxBadPer1000: Int): DataFrame = {
+    require(maxBadPer1000 >= 0, s"maxBadPer1000 must be >= 0, got $maxBadPer1000")
+    val t = col(textCol)
+    val nTok = coalesce(TextFunctions.tokenCount(t).cast("long"), lit(0L))
+    val nBad = coalesce(TextFunctions.badWordCount(t, badWords), lit(0L))
+    val phraseHit = TextFunctions.bannedPhraseHit(t, badPhrases)
+    docs
+      .withColumn("n_tokens", nTok)
+      .withColumn("n_bad", nBad)
+      .withColumn("phrase_hit", phraseHit)
+      .withColumn("pass",
+        when(t.isNotNull &&
+          col("n_bad") * 1000 <= col("n_tokens") * maxBadPer1000 &&
+          col("phrase_hit") === 0, lit(1L)).otherwise(lit(0L)))
+  }
+
+  /** Survivors of the content gate: [[contentBlocklistReport]] rows with
+    * `pass = 1`, report columns dropped — the form a pipeline chains.
+    */
+  def contentBlocklistFilter(
+      docs: DataFrame,
+      textCol: String,
+      badWords: Seq[String],
+      badPhrases: Seq[String],
+      maxBadPer1000: Int): DataFrame =
+    contentBlocklistReport(docs, textCol, badWords, badPhrases, maxBadPer1000)
+      .filter(col("pass") === 1)
+      .drop("n_tokens", "n_bad", "phrase_hit", "pass")
 }

@@ -52,6 +52,35 @@ object TextFunctions {
     round(lengthScore * lit(0.5) + diversity * lit(0.3) + stopSignal * lit(0.2), 6)
   }
 
+  /** Tokens on the word blocklist (exact whitespace-token matches over
+    * the normalized tokenizer) — the counting half of the C4-style
+    * content "bad words" gate. Substring matching is deliberately NOT
+    * used here: it flags innocent carriers ("class" contains "ass"),
+    * which is the documented false-positive mode of naive blocklist
+    * filters. Pure codegen'd expression, zero shuffle.
+    */
+  def badWordCount(text: Column, words: Seq[String]): Column = {
+    require(words.nonEmpty, "badWordCount needs a non-empty blocklist")
+    val bl = array(words.map(w => lit(w.toLowerCase(java.util.Locale.ROOT))): _*)
+    size(filter(tokens(text), t => array_contains(bl, t))).cast("long")
+  }
+
+  /** 1 when the text contains any banned PHRASE as a whole-token run
+    * (normalized: lowercased, whitespace collapsed to single spaces),
+    * else 0. Multi-word entries are the half of real blocklists that
+    * token matching cannot see ("bad phrase" where neither word alone is
+    * listed). Null text → 0.
+    */
+  def bannedPhraseHit(text: Column, phrases: Seq[String]): Column = {
+    require(phrases.nonEmpty, "bannedPhraseHit needs a non-empty phrase list")
+    val norm = concat(lit(" "), array_join(tokens(text), " "), lit(" "))
+    val hit = phrases
+      .map(p => " " + p.toLowerCase(java.util.Locale.ROOT).trim + " ")
+      .map(p => contains(norm, lit(p)))
+      .reduce(_ || _)
+    when(coalesce(hit, lit(false)), lit(1L)).otherwise(lit(0L))
+  }
+
   /** Tiny per-language stopword lists for the n-gram-free language-ID
     * heuristic. Public knowledge (the usual top function words).
     */

@@ -280,6 +280,77 @@ class CorpusOpsSuite extends SparkSpec {
     } finally query.stop()
   }
 
+  test("contentBlocklistReport: exact-token hits, phrase runs, integer rate rule") {
+    val s = spark
+    import s.implicits._
+    import graft.pipeline.CrawlFilters
+    val docs = Seq(
+      (0L, "clean text with many fine words here"),             // 7 tokens, 0 bad
+      (1L, "one zzspam in forty-nine padding " + Seq.fill(44)("w").mkString(" ")), // 49 tokens, 1 bad -> ~20/1000: pass at 40
+      (2L, "zzspam zzscam zzads zzspam bad heavy"),             // 6 tokens, 4 bad -> fail
+      (3L, "zzspammy is not a hit nor is azzspam"),             // substring carriers: 0 bad
+      (4L, "text with zzfree zzmoney inside"),                  // phrase -> fail
+      (5L, "zzmoney zzfree reversed order no phrase hit okay"), // reversed: no phrase
+      (6L, null.asInstanceOf[String])                           // null text: fail closed
+    ).toDF("doc_id", "text")
+    val got = CrawlFilters.contentBlocklistReport(docs, "text",
+        badWords = Seq("zzspam", "zzscam", "zzads"),
+        badPhrases = Seq("zzfree zzmoney"), maxBadPer1000 = 40)
+      .select("doc_id", "n_tokens", "n_bad", "phrase_hit", "pass")
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got(0L) === ((7L, 0L, 0L, 1L)))
+    assert(got(1L) === ((49L, 1L, 0L, 1L)))   // 1*1000 <= 49*40
+    assert(got(2L) === ((6L, 4L, 0L, 0L)))
+    assert(got(3L) === ((8L, 0L, 0L, 1L)))    // substrings never match
+    assert(got(4L)._3 === 1L)                 // phrase as whole-token run
+    assert(got(4L)._4 === 0L)                 // ... fails regardless of rate
+    assert(got(5L) === ((8L, 0L, 0L, 1L)))    // reversed words: no phrase
+    assert(got(6L) === ((0L, 0L, 0L, 0L)))    // null text fails closed
+    // the filter form keeps exactly the pass=1 docs with original columns
+    val kept = CrawlFilters.contentBlocklistFilter(docs, "text",
+        Seq("zzspam", "zzscam", "zzads"), Seq("zzfree zzmoney"), 40)
+    assert(kept.columns.toSeq === Seq("doc_id", "text"))
+    assert(kept.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ===
+      Seq(0L, 1L, 3L, 5L))
+    // map-side only: no exchange anywhere in the report plan
+    val plan = CrawlFilters.contentBlocklistReport(docs, "text",
+        Seq("zzspam"), Seq("zzfree zzmoney"), 40)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"content blocklist must not shuffle:\n$plan")
+  }
+
+  test("contentBlocklistReport runs verbatim on a streaming frame, parity with batch") {
+    val s = spark
+    import s.implicits._
+    import graft.pipeline.CrawlFilters
+    implicit val sq = s.sqlContext
+    val rows = Seq(
+      (0L, "clean text here"),
+      (1L, "zzspam zzscam zzads dense"),
+      (2L, "has zzfree zzmoney phrase"),
+      (3L, "a " + Seq.fill(48)("w").mkString(" ") + " zzspam"))
+    val mem = MemoryStream[(Long, String)]
+    val streamDf = mem.toDF().toDF("doc_id", "text")
+    val query = CrawlFilters.contentBlocklistReport(streamDf, "text",
+        Seq("zzspam", "zzscam", "zzads"), Seq("zzfree zzmoney"), 40)
+      .writeStream.format("memory").queryName("blocklist_stream")
+      .outputMode("append").start()
+    try {
+      val (a, b) = rows.splitAt(2)
+      mem.addData(a); query.processAllAvailable()
+      mem.addData(b); query.processAllAvailable()
+      val streamed = s.sql(
+        "SELECT doc_id, n_tokens, n_bad, phrase_hit, pass FROM blocklist_stream")
+        .orderBy("doc_id").collect().map(_.toSeq)
+      val batch = CrawlFilters.contentBlocklistReport(rows.toDF("doc_id", "text"),
+          "text", Seq("zzspam", "zzscam", "zzads"), Seq("zzfree zzmoney"), 40)
+        .select("doc_id", "n_tokens", "n_bad", "phrase_hit", "pass")
+        .orderBy("doc_id").collect().map(_.toSeq)
+      assert(streamed.toSeq === batch.toSeq)
+    } finally query.stop()
+  }
+
   test("decontaminated corpus: drops flagged docs, keeps all columns; eval side broadcast") {
     val (train, evalDocs) = decontFixture
     val clean = Decontaminate
