@@ -749,6 +749,29 @@ object Queries {
       .orderBy("source")
   }
 
+  /** Max-min-fair token-budget allocation
+    * ([[Sampling.tokenBudgetWaterfill]]): per-source demands are the
+    * corpus token counts scaled by a source-keyed quadratic weight
+    * (1 + (src_idx mod 7)², a 1–37× spread — the near-uniform synthetic
+    * sources would otherwise all land on one side of the threshold), the
+    * budget is 40% of total demand (floor-division, integer-exact), so
+    * the waterfill threshold lands MID-distribution: small-weight
+    * sources saturate (keep full demand), large ones clip to cap/cap+1
+    * with the remainder going to the largest demands. The oracle
+    * re-derives the weighted demands, the prefix-closed cross-multiplied
+    * saturation test, and the div/mod residual split.
+    */
+  def pTokenBudget(spark: SparkSession, sfDir: String): DataFrame = {
+    val srcIdx = col("source").substr(lit(4), lit(10)).cast("long")
+    val wgt = lit(1L) + pmod(srcIdx, lit(7)) * pmod(srcIdx, lit(7))
+    val demand = documents(spark, sfDir)
+      .groupBy(col("source"))
+      .agg(sum(TF.tokenCount(col("text")).cast("long") * wgt).as("n_tokens"))
+    val total = demand.agg(sum("n_tokens")).head().getLong(0)
+    Sampling.tokenBudgetWaterfill(demand, "source", "n_tokens", total * 2 / 5)
+      .orderBy("source")
+  }
+
   /** Sliding-window document chunking ([[Chunking.chunkDocuments]]):
     * 48-token windows advancing by 32 (16-token overlap). The corpus
     * spans doc lengths on both sides of one window, so the gate pins the

@@ -81,6 +81,7 @@ object SparkEntry {
     "p_repeated_spans" -> (Queries.pRepeatedSpans _),
     "p_span_removal" -> (Queries.pSpanRemoval _),
     "p_data_mixture" -> (Queries.pDataMixture _),
+    "p_token_budget" -> (Queries.pTokenBudget _),
     "p_doc_chunks" -> (Queries.pDocChunks _),
     "p_paragraph_dedup" -> (Queries.pParagraphDedup _),
     "p_boilerplate_removal" -> (Queries.pBoilerplateRemoval _),
@@ -1001,6 +1002,44 @@ object SparkEntry {
         |SELECT source, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum,
         |  CAST(sum(ntok) AS BIGINT) AS n_tokens
         |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin,
+    // max-min-fair waterfill: weighted demands, prefix-closed
+    // cross-multiplied saturation test, div/mod residual split with the
+    // leftover going to the largest demands — all-integer
+    "p_token_budget" ->
+      s"""WITH d AS (
+         |  SELECT source,
+         |    CAST(sum(len($TOKS) *
+         |      (1 + (CAST(substr(source, 4, 10) AS BIGINT) % 7)
+         |         * (CAST(substr(source, 4, 10) AS BIGINT) % 7))) AS BIGINT)
+         |      AS n_tokens
+         |  FROM documents GROUP BY source),
+         |b AS (
+         |  SELECT CAST(sum(n_tokens) AS BIGINT) * 2 // 5 AS budget,
+         |    CAST(count(*) AS BIGINT) AS m
+         |  FROM d),
+         |o AS (
+         |  SELECT source, n_tokens,
+         |    CAST(row_number() OVER (ORDER BY n_tokens, source) AS BIGINT) AS idx,
+         |    CAST(sum(n_tokens) OVER (ORDER BY n_tokens, source
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS prefix
+         |  FROM d),
+         |sat AS (
+         |  SELECT o.*, b.budget, b.m,
+         |    CAST(CASE WHEN n_tokens * (m - idx + 1) <= budget - (prefix - n_tokens)
+         |      THEN 1 ELSE 0 END AS BIGINT) AS saturated
+         |  FROM o, b),
+         |agg AS (
+         |  SELECT CAST(sum(saturated) AS BIGINT) AS s,
+         |    CAST(coalesce(sum(CASE WHEN saturated = 1 THEN n_tokens END), 0)
+         |      AS BIGINT) AS ps
+         |  FROM sat)
+         |SELECT source, n_tokens,
+         |  CAST(CASE WHEN saturated = 1 THEN n_tokens
+         |    ELSE (budget - ps) // (m - s)
+         |      + (CASE WHEN idx > m - ((budget - ps) % (m - s)) THEN 1 ELSE 0 END)
+         |    END AS BIGINT) AS alloc,
+         |  saturated
+         |FROM sat, agg ORDER BY source""".stripMargin,
     // sliding-window chunking: window starts + list slices re-derived
     // over the same normalized token array (48-token windows, stride 32)
     "p_doc_chunks" ->

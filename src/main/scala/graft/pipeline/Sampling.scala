@@ -383,6 +383,71 @@ object Sampling {
           .otherwise(array().cast("array<bigint>"))))
       .drop(copiesCol)
 
+  /** Token-budget waterfilling across sources — the allocation half of
+    * a training-mix design when NO target shares are given (for given
+    * shares, see [[mixRates]]): every source keeps its full demand up to
+    * a common cap `t`, with `t` set so the total exactly meets `budget`
+    * (`alloc_s = min(n_s, t)`, Σ alloc = min(budget, Σ n)). This is the
+    * classic max-min-fair allocation: small sources are untouched,
+    * oversized sources are clipped to the same ceiling — "no domain may
+    * dominate the mix" as an algorithm instead of hand-tuned shares.
+    *
+    * All-integer contract: sources sort by (n_tokens asc, source asc);
+    * source i saturates iff `n_i · (m − i + 1) <= budget − prefix_{i−1}`
+    * (cross-multiplied — saturation is prefix-closed in this order, so
+    * the test needs no search); unsaturated sources split the residual
+    * as `cap = residual div (m − s)` with the `residual mod (m − s)`
+    * leftover tokens going one each to the LARGEST-demand sources
+    * (deterministic tie order). No floats anywhere: two engines cannot
+    * disagree, and Σ alloc hits the budget EXACTLY, not ±rounding.
+    *
+    * Returns `(source, n_tokens, alloc, saturated)`. Feed `alloc /
+    * n_tokens` rates to [[hashStratifiedSample]] (or `alloc` itself to a
+    * token-packing stage) to materialize the mix.
+    *
+    * Scale shape: the input is the per-source AGGREGATE table (the
+    * corpus itself was collapsed by the upstream groupBy — this operator
+    * never sees documents). The sort window runs single-partition over
+    * #sources rows; web-scale source tables are ~1e7 narrow rows — fine
+    * for one task. Beyond that, the range-partitioned prefix-sum used by
+    * the distributed weighted quantile applies verbatim.
+    */
+  def tokenBudgetWaterfill(
+      demand: DataFrame,
+      sourceCol: String,
+      tokensCol: String,
+      budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budget >= 0L, s"budget must be >= 0, got $budget")
+    val w = Window.orderBy(col("n_tokens").asc, col(sourceCol).asc)
+    val base = demand.select(col(sourceCol),
+      col(tokensCol).cast("long").as("n_tokens"))
+    val ordered = base
+      .withColumn("idx", row_number().over(w).cast("long"))
+      .withColumn("prefix", sum(col("n_tokens"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val mDf = base.agg(count(lit(1)).as("m"))
+    val sat = ordered.crossJoin(broadcast(mDf))
+      .withColumn("saturated",
+        (col("n_tokens") * (col("m") - col("idx") + 1) <=
+          lit(budget) - (col("prefix") - col("n_tokens"))).cast("long"))
+    val satAgg = sat.agg(
+      sum(col("saturated")).as("s"),
+      coalesce(sum(when(col("saturated") === 1, col("n_tokens"))), lit(0L)).as("ps"))
+    // cap/remainder via integral `div`/pmod (never double division —
+    // exact past 2^53); the CaseWhen keeps the whole residual branch
+    // unevaluated when every source saturated (m = s would divide by 0)
+    sat.crossJoin(broadcast(satAgg))
+      .withColumn("alloc",
+        when(col("saturated") === 1, col("n_tokens"))
+          .otherwise(
+            expr(s"(${budget}L - ps) div (m - s)") +
+              when(col("idx") > col("m") -
+                pmod(lit(budget) - col("ps"), col("m") - col("s")), lit(1L))
+                .otherwise(lit(0L))))
+      .select(col(sourceCol), col("n_tokens"), col("alloc"), col("saturated"))
+  }
+
   def exactKPerGroup(
       df: DataFrame,
       groupCol: String,

@@ -288,6 +288,26 @@ class DocsSuite extends SparkSpec {
     hits.unpersist(blocking = false)
   }
 
+  test("pipeline-ops: content blocklist snippet runs") {
+    val report = pipeline.CrawlFilters.contentBlocklistReport(docs, "text",
+      badWords = Seq("zzspam"), badPhrases = Seq("zzfree zzmoney"),
+      maxBadPer1000 = 40)
+    assert(report.count() === docs.count())
+    assert(report.columns.takeRight(4).toSeq ===
+      Seq("n_tokens", "n_bad", "phrase_hit", "pass"))
+  }
+
+  test("pipeline-ops: token-budget waterfill snippet runs") {
+    val demand = docs.groupBy("source")
+      .agg(sum(pipeline.TextFunctions.tokenCount(col("text")).cast("long"))
+        .as("n_tokens"))
+    val alloc = pipeline.Sampling.tokenBudgetWaterfill(
+      demand, "source", "n_tokens", budget = 10000L)
+    val rows = alloc.collect()
+    assert(rows.map(_.getLong(2)).sum === 10000L)
+    assert(alloc.columns.toSeq === Seq("source", "n_tokens", "alloc", "saturated"))
+  }
+
   test("pipeline-ops: hybrid rank-fusion snippet runs") {
     val queries = docs.filter(pmod(col("doc_id"), lit(100)) === 0)
       .select(col("doc_id").as("query_id"),

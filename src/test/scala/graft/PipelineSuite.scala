@@ -832,6 +832,57 @@ class PipelineSuite extends SparkSpec {
     backDf.unpersist(blocking = false)
   }
 
+  test("tokenBudgetWaterfill: exact budget, max-min fairness, threshold equivalence") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    for (trial <- 0 until 8) {
+      val m = 1 + rnd.nextInt(12)
+      val demands = (0 until m).map(i => (f"s$i%02d", rnd.nextInt(1000).toLong))
+      val totalD = demands.map(_._2).sum
+      val budget = trial match {
+        case 0 => 0L
+        case 1 => totalD          // everything saturates exactly
+        case 2 => totalD + 17L    // over-budget: allocation is demand
+        case _ => totalD * (1 + rnd.nextInt(9)) / 10
+      }
+      val got = Sampling
+        .tokenBudgetWaterfill(demands.toDF("source", "n"), "source", "n", budget)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      val ctx = s"trial=$trial demands=$demands budget=$budget got=${got.toSeq}"
+
+      // exact budget: sum(alloc) == min(budget, sum(demand)), no rounding
+      assert(got.map(_._3).sum === math.min(budget, totalD), ctx)
+      got.foreach { case (_, n, a, _) => assert(a >= 0L && a <= n, ctx) }
+      got.filter(_._4 == 1L).foreach { case (_, n, a, _) => assert(a === n, ctx) }
+      // max-min fairness: allocation is monotone in demand
+      val byDemand = got.sortBy(g => (g._2, g._1)).map(_._3)
+      assert(byDemand.zip(byDemand.drop(1)).forall { case (a, b) => a <= b }, ctx)
+
+      // independent reference: binary-search the integer threshold t with
+      // f(t) = sum(min(n, t)) <= budget maximal, clip to t, hand the
+      // leftover one token each to the largest (n, source) clipped rows
+      def f(t: Long) = demands.map(d => math.min(d._2, t)).sum
+      val expected: Map[String, Long] =
+        if (totalD <= budget) demands.map(d => d._1 -> d._2).toMap
+        else {
+          var lo = 0L
+          var hi = demands.map(_._2).max
+          while (lo < hi) {
+            val mid = (lo + hi + 1) / 2
+            if (f(mid) <= budget) lo = mid else hi = mid - 1
+          }
+          val leftover = (budget - f(lo)).toInt
+          val bumped = demands.sortBy(d => (d._2, d._1))
+            .filter(_._2 > lo).takeRight(leftover).map(_._1).toSet
+          demands.map(d => d._1 ->
+            (math.min(d._2, lo) + (if (bumped(d._1)) 1L else 0L))).toMap
+        }
+      got.foreach { case (src, _, a, _) => assert(a === expected(src), ctx) }
+    }
+  }
+
   test("rrfFuse equals a window re-derivation; overlap ranker counts distinct terms") {
     val s = spark
     import s.implicits._
