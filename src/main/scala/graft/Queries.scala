@@ -1100,6 +1100,20 @@ object Queries {
       .orderBy("vec_id")
   }
 
+  /** Embedding covariance ([[EmbeddingStats.covariance]]): the full
+    * 64×64 upper triangle (2080 rows) of the corpus embedding table in
+    * long format. The oracle re-derives the fixed-point
+    * floor-half-up second-moment sums by exploding (vec, i, j) — the
+    * shape the one-pass `vec_moments` aggregate REPLACES at scale — and
+    * the integer-fed double covariance formula, so the aggregate's
+    * packed-triangle indexing, the snap arithmetic, and the final
+    * division order are all pinned bit-for-bit.
+    */
+  def pEmbeddingCov(spark: SparkSession, sfDir: String): DataFrame =
+    graft.pipeline.EmbeddingStats
+      .covariance(embeddings(spark, sfDir), "embedding", 64)
+      .orderBy("i", "j")
+
   /** Corpus report ([[CorpusStats.corpusReport]]): the dataset-card
     * summary in long format. Every ingredient (token counts, exact-dup
     * normalization, quality score, langId) is individually gated; this

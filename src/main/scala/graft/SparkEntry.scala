@@ -107,6 +107,7 @@ object SparkEntry {
     "p_warc_roundtrip" -> (Queries.pWarcRoundtrip _),
     "p_curriculum" -> (Queries.pCurriculum _),
     "p_embedding_quantize" -> (Queries.pEmbeddingQuantize _),
+    "p_embedding_cov" -> (Queries.pEmbeddingCov _),
     "p_corpus_report" -> (Queries.pCorpusReport _),
     "p_ingest_pipeline" -> (Queries.pIngestPipeline _),
     "p_corpus_diff" -> (Queries.pCorpusDiff _),
@@ -1706,6 +1707,37 @@ object SparkEntry {
         |  CAST(list_sum(codes) AS BIGINT) AS code_sum,
         |  CAST(len(list_filter(codes, c -> abs(c) = 127)) AS BIGINT) AS n_sat
         |FROM c ORDER BY vec_id""".stripMargin,
+    // embedding covariance: fixed-point floor-half-up second moments
+    // re-derived by the explode shape the one-pass aggregate replaces;
+    // the covariance double formula is fed integers only
+    "p_embedding_cov" ->
+      """WITH p AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |  WHERE embedding IS NOT NULL),
+        |ij AS (
+        |  SELECT a.i, b.j
+        |  FROM (SELECT CAST(unnest(range(0, 64)) AS BIGINT) AS i) a,
+        |       (SELECT CAST(unnest(range(0, 64)) AS BIGINT) AS j) b
+        |  WHERE b.j >= a.i),
+        |prods AS (
+        |  SELECT i, j,
+        |    CAST(sum(CAST(floor(v[i+1] * v[j+1] * CAST(1000000 AS DOUBLE)
+        |      + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS sxy
+        |  FROM p, ij GROUP BY i, j),
+        |els AS (
+        |  SELECT i,
+        |    CAST(sum(CAST(floor(v[i+1] * CAST(1000000 AS DOUBLE)
+        |      + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS sx
+        |  FROM p, (SELECT CAST(unnest(range(0, 64)) AS BIGINT) AS i) GROUP BY i),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM p)
+        |SELECT pr.i, pr.j, pr.sxy,
+        |  round(CAST(pr.sxy AS DOUBLE) / n / CAST(1000000 AS DOUBLE)
+        |      - (CAST(ex.sx AS DOUBLE) / n / CAST(1000000 AS DOUBLE))
+        |        * (CAST(ey.sx AS DOUBLE) / n / CAST(1000000 AS DOUBLE)),
+        |    6) AS cov
+        |FROM prods pr
+        |JOIN els ex ON pr.i = ex.i
+        |JOIN els ey ON pr.j = ey.i, nn
+        |ORDER BY pr.i, pr.j""".stripMargin,
     // composed crawl-ingest chain: the p_url_dedup canonicalization CTE
     // feeding min-id survivors, the p_gopher_filter integer rules (no
     // enrichment — organic violations only), one shared tokenizer

@@ -47,6 +47,9 @@ object GraftExtensions {
           literalInt(exprs(3))).toAggregateExpression()),
     ("vec_sum", classOf[VectorSumAgg],
       (exprs: Seq[Expression]) => VectorSumAgg(exprs(0)).toAggregateExpression()),
+    ("vec_moments", classOf[VectorMomentsAgg],
+      (exprs: Seq[Expression]) =>
+        VectorMomentsAgg(exprs(0), literalInt(exprs(1))).toAggregateExpression()),
     ("bloom_agg", classOf[BloomFilterAgg],
       (exprs: Seq[Expression]) =>
         BloomFilterAgg(exprs(0), literalInt(exprs(1)), literalInt(exprs(2)))

@@ -832,6 +832,108 @@ class PipelineSuite extends SparkSpec {
     backDf.unpersist(blocking = false)
   }
 
+  test("EmbeddingStats: covariance matches hand arithmetic, skips nulls, shuffles once") {
+    val s = spark
+    import s.implicits._
+    import graft.pipeline.EmbeddingStats
+    val vecs = Seq(
+      Seq(1.0, 2.0, -0.5),
+      Seq(0.25, -1.0, 0.75),
+      Seq(-0.125, 0.5, 1.5),
+      null.asInstanceOf[Seq[Double]])
+    val df = vecs.toDF("embedding").repartition(3)
+    val got = EmbeddingStats.covariance(df, "embedding", 3)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getDouble(3))))
+      .toMap
+    // hand re-derivation of the exact contract (floor-half-up fixed point)
+    val xs = vecs.filter(_ != null)
+    def fp(x: Double) = math.floor(x * 1e6 + 0.5).toLong
+    val n = xs.size.toDouble
+    for (i <- 0 until 3; j <- i until 3) {
+      val sxy = xs.map(v => math.floor(v(i) * v(j) * 1e6 + 0.5).toLong).sum
+      val sx = xs.map(v => fp(v(i))).sum
+      val sy = xs.map(v => fp(v(j))).sum
+      val cov = BigDecimal(sxy / n / 1e6 - (sx / n / 1e6) * (sy / n / 1e6))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(got((i.toLong, j.toLong)) === ((sxy, cov)), s"entry ($i,$j)")
+    }
+    assert(got.size === 6)
+    // one shuffle: the single-group moments collapse (plus AQE reuse
+    // wrappers) — no per-element explode ever reaches an exchange
+    val plan = EmbeddingStats.covariance(df, "embedding", 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.sliding("Exchange".length).count(_ == "Exchange") <= 2,
+      s"covariance should shuffle only the packed moments row:\n$plan")
+  }
+
+  test("EmbeddingStats: PCA basis orthonormal, eigvals ordered, whitening normalizes") {
+    import graft.pipeline.EmbeddingStats
+    val s = spark
+    import s.implicits._
+    // deterministic correlated data: z ~ LCG uniforms in [-0.5, 0.5],
+    // x = A z with a fixed mixing matrix + offset
+    val a = Array(
+      Array(1.0, 0.4, 0.0, 0.0),
+      Array(0.0, 0.8, 0.3, 0.0),
+      Array(0.2, 0.0, 0.6, 0.1),
+      Array(0.0, 0.1, 0.0, 0.5))
+    def lcg(seed: Long): Long = (seed * 6364136223846793005L + 1442695040888963407L)
+    val rows = (0 until 2000).map { r =>
+      var st = lcg(r.toLong + 1)
+      val z = Array.fill(4) { st = lcg(st); (st >>> 11).toDouble / (1L << 53).toDouble - 0.5 }
+      Seq.tabulate(4)(i => 0.1 * i + a(i).zip(z).map { case (w, x) => w * x }.sum)
+    }
+    val df = rows.map(Tuple1(_)).toDF("embedding")
+    val model = EmbeddingStats.fitPca(df, "embedding", 4)
+    assert(model.n === 2000L)
+    // eigvals descending, all >= 0 (covariance is PSD)
+    assert(model.eigvals.zip(model.eigvals.drop(1)).forall { case (x, y) => x >= y })
+    assert(model.eigvals.forall(_ >= -1e-9))
+    // orthonormal basis
+    for (r1 <- 0 until 4; r2 <- r1 until 4) {
+      val dot = model.components(r1).zip(model.components(r2)).map { case (x, y) => x * y }.sum
+      assert(math.abs(dot - (if (r1 == r2) 1.0 else 0.0)) < 1e-9, s"dot($r1,$r2)=$dot")
+    }
+    // sign convention: largest-|entry| of each axis is positive
+    model.components.foreach { c =>
+      assert(c(c.indices.maxBy(i => math.abs(c(i)))) > 0.0)
+    }
+    // projection decorrelates: sample covariance of projected == diag(eigvals)
+    // (same-sample identity, up to the 1e-6 fixed-point snap)
+    def sampleCov(data: Seq[Array[Double]]): Array[Array[Double]] = {
+      val m = data.head.length
+      val nn = data.size.toDouble
+      val mu = Array.tabulate(m)(i => data.map(_(i)).sum / nn)
+      Array.tabulate(m, m)((i, j) =>
+        data.map(v => (v(i) - mu(i)) * (v(j) - mu(j))).sum / nn)
+    }
+    val proj = EmbeddingStats.project(df, "embedding", model, 4)
+      .select("proj").collect().map(_.getSeq[Double](0).toArray).toSeq
+    val pc = sampleCov(proj)
+    for (i <- 0 until 4; j <- 0 until 4) {
+      val want = if (i == j) model.eigvals(i) else 0.0
+      assert(math.abs(pc(i)(j) - want) < 1e-4, s"projCov($i,$j)=${pc(i)(j)} want $want")
+    }
+    // whitening: covariance == identity
+    val white = EmbeddingStats.project(df, "embedding", model, 4, whiten = true)
+      .select("proj").collect().map(_.getSeq[Double](0).toArray).toSeq
+    val wc = sampleCov(white)
+    for (i <- 0 until 4; j <- 0 until 4) {
+      val want = if (i == j) 1.0 else 0.0
+      assert(math.abs(wc(i)(j) - want) < 1e-3, s"whiteCov($i,$j)=${wc(i)(j)}")
+    }
+    // k < d truncates; null vectors project to null
+    val k2 = EmbeddingStats.project(df, "embedding", model, 2)
+      .select("proj").head().getSeq[Double](0)
+    assert(k2.size === 2)
+    val nullRow = EmbeddingStats.project(
+      Seq(Tuple1(null.asInstanceOf[Seq[Double]])).toDF("embedding"),
+      "embedding", model, 2)
+      .select("proj").head()
+    assert(nullRow.isNullAt(0))
+  }
+
   test("tokenBudgetWaterfill: exact budget, max-min fairness, threshold equivalence") {
     val s = spark
     import s.implicits._
