@@ -97,7 +97,14 @@ object Bench {
     // "invalid_start": true so a contaminated run can never again be
     // archived as a round's reference row without the flag showing.
     val maxStartLoad = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_LOAD", "1.0").toDouble
-    val waitIdleSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_WAIT_IDLE_SEC", "0").toInt
+    // Default wait raised 0 → 900 in round 12: the r10 AND r11 reference
+    // rows were both archived from loaded starts (the r11 one with the
+    // guard firing — loadavg 20.7 — because the stamp alone does not stop
+    // archival). Waiting is the fix that needs no protocol cooperation:
+    // a bench launched right after a build/test burst now blocks up to
+    // 15 min for the 1-min loadavg to drain below the threshold, and
+    // only stamps invalid_start when even that wait was not enough.
+    val waitIdleSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_WAIT_IDLE_SEC", "900").toInt
     var loadStart = loadAvg()
     val waitDeadline = System.nanoTime() + waitIdleSec * 1_000_000_000L
     while (loadStart.headOption.exists(_ > maxStartLoad) && System.nanoTime() < waitDeadline) {

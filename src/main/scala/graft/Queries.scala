@@ -1107,11 +1107,17 @@ object Queries {
     * shape the one-pass `vec_moments` aggregate REPLACES at scale — and
     * the integer-fed double covariance formula, so the aggregate's
     * packed-triangle indexing, the snap arithmetic, and the final
-    * division order are all pinned bit-for-bit.
+    * division order are all pinned bit-for-bit. The gate compares the
+    * covariance as `cov_micro` (BIGINT micro-units), NOT the rounded
+    * DOUBLE: r11 found the two engines' `round()` disagreeing on the
+    * SIGN of zero (−0.0 vs +0.0) for tiny negative covariances —
+    * numerically equal, bit-different — so no floating column crosses
+    * the comparator.
     */
   def pEmbeddingCov(spark: SparkSession, sfDir: String): DataFrame =
     graft.pipeline.EmbeddingStats
       .covariance(embeddings(spark, sfDir), "embedding", 64)
+      .select("i", "j", "sxy", "cov_micro")
       .orderBy("i", "j")
 
   /** Corpus report ([[CorpusStats.corpusReport]]): the dataset-card

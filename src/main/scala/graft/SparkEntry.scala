@@ -688,7 +688,7 @@ object SparkEntry {
       """WITH e AS (SELECT event_type,
         |    CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events)
         |SELECT event_type, k // 10 AS k_decile,
-        |  count(*) AS n, sum(k) AS sum_k
+        |  count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k
         |FROM e WHERE k IS NOT NULL
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "ml_dummy_mean" ->
@@ -1730,10 +1730,11 @@ object SparkEntry {
         |  FROM p, (SELECT CAST(unnest(range(0, 64)) AS BIGINT) AS i) GROUP BY i),
         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM p)
         |SELECT pr.i, pr.j, pr.sxy,
-        |  round(CAST(pr.sxy AS DOUBLE) / n / CAST(1000000 AS DOUBLE)
+        |  CAST(floor((CAST(pr.sxy AS DOUBLE) / n / CAST(1000000 AS DOUBLE)
         |      - (CAST(ex.sx AS DOUBLE) / n / CAST(1000000 AS DOUBLE))
-        |        * (CAST(ey.sx AS DOUBLE) / n / CAST(1000000 AS DOUBLE)),
-        |    6) AS cov
+        |        * (CAST(ey.sx AS DOUBLE) / n / CAST(1000000 AS DOUBLE)))
+        |      * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+        |    AS cov_micro
         |FROM prods pr
         |JOIN els ex ON pr.i = ex.i
         |JOIN els ey ON pr.j = ey.i, nn

@@ -26,14 +26,22 @@ import org.apache.spark.sql.graft.VectorMoments.vec_moments
   */
 object EmbeddingStats {
 
-  /** Upper-triangle covariance in long format `(i, j, sxy, cov)` with
-    * `sxy = Σ floor(x_i·x_j·10^s + 0.5)` (the order-independent
-    * fixed-point second moment — see `vec_moments`) and
+  /** Upper-triangle covariance in long format `(i, j, sxy, cov,
+    * cov_micro)` with `sxy = Σ floor(x_i·x_j·10^s + 0.5)` (the
+    * order-independent fixed-point second moment — see `vec_moments`),
     * `cov = sxy/(n·10^s) − (sx/(n·10^s))·(sy/(n·10^s))` rounded 6 dp
-    * (both moments return to their natural units before subtracting).
-    * All inputs to the double formula are integers, so two engines
-    * cannot disagree on a ulp. `dim` must match the data (the aggregate
-    * throws on ragged or mismatched vectors); null vectors are skipped.
+    * (both moments return to their natural units before subtracting),
+    * and `cov_micro = floor(cov_raw·10⁶ + 0.5)` — the SAME quantity as
+    * an exact BIGINT in micro-units. All inputs to the double formula
+    * are integers, so two engines cannot disagree on a ulp — but a
+    * rounded DOUBLE can still diverge at the sign-of-zero level (−0.0
+    * vs +0.0 hash differently even though they compare equal), which is
+    * why cross-engine gates must compare `cov_micro`, never `cov`.
+    * `dim` must match the data: the aggregate throws on ragged vectors,
+    * and a plan-level guard raises when the packed moments length
+    * disagrees with `dim` (a smaller `dim` would otherwise read
+    * misaligned triangle slots and return silently wrong covariances).
+    * Null vectors are skipped.
     */
   def covariance(
       df: DataFrame,
@@ -43,7 +51,17 @@ object EmbeddingStats {
     require(dim > 0, s"dim must be positive, got $dim")
     val tri = dim * (dim + 1) / 2
     val scale = math.pow(10.0, scaleDigits)
-    val agg = df.agg(vec_moments(col(vecCol), scaleDigits).as("m"))
+    val agg = df.agg(vec_moments(col(vecCol), scaleDigits).as("m0"))
+      // guard: the packed array length is tri+dim+1 iff the caller's dim
+      // matches the data's true dimension (null = no non-null vectors —
+      // that degenerate case passes through as null rows, not an error)
+      .select(
+        when(col("m0").isNull || size(col("m0")) === lit(tri + dim + 1), col("m0"))
+          .otherwise(raise_error(concat(
+            lit(s"covariance: dim=$dim expects ${tri + dim + 1} packed moments, got "),
+            size(col("m0")).cast("string"),
+            lit(" — dim does not match the data's vector dimension"))))
+          .as("m"))
     // single-row fan-out to the d(d+1)/2 matrix entries; the packed
     // array rides along (one row, vocabulary-free — cost is nil)
     val n = element_at(col("m"), tri + dim + 1)
@@ -51,15 +69,16 @@ object EmbeddingStats {
     val sx = element_at(col("m"), (lit(tri) + col("i") + 1).cast("int"))
     val sy = element_at(col("m"), (lit(tri) + col("j") + 1).cast("int"))
     val sxy = element_at(col("m"), (k + 1).cast("int"))
+    val covRaw =
+      sxy.cast("double") / n / lit(scale) -
+        (sx.cast("double") / n / lit(scale)) *
+          (sy.cast("double") / n / lit(scale))
     agg
       .select(col("m"), explode(sequence(lit(0L), lit(dim - 1L))).as("i"))
       .select(col("m"), col("i"), explode(sequence(col("i"), lit(dim - 1L))).as("j"))
       .select(col("i"), col("j"), sxy.as("sxy"),
-        round(
-          sxy.cast("double") / n / lit(scale) -
-            (sx.cast("double") / n / lit(scale)) *
-              (sy.cast("double") / n / lit(scale)),
-          6).as("cov"))
+        round(covRaw, 6).as("cov"),
+        floor(covRaw * lit(scale) + lit(0.5)).cast("long").as("cov_micro"))
   }
 
   /** A fitted PCA basis: `mean` (length d), `eigvals` descending,

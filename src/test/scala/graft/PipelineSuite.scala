@@ -844,7 +844,7 @@ class PipelineSuite extends SparkSpec {
     val df = vecs.toDF("embedding").repartition(3)
     val got = EmbeddingStats.covariance(df, "embedding", 3)
       .collect()
-      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getDouble(3))))
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getDouble(3), r.getLong(4))))
       .toMap
     // hand re-derivation of the exact contract (floor-half-up fixed point)
     val xs = vecs.filter(_ != null)
@@ -854,11 +854,22 @@ class PipelineSuite extends SparkSpec {
       val sxy = xs.map(v => math.floor(v(i) * v(j) * 1e6 + 0.5).toLong).sum
       val sx = xs.map(v => fp(v(i))).sum
       val sy = xs.map(v => fp(v(j))).sum
-      val cov = BigDecimal(sxy / n / 1e6 - (sx / n / 1e6) * (sy / n / 1e6))
+      val raw = sxy / n / 1e6 - (sx / n / 1e6) * (sy / n / 1e6)
+      val cov = BigDecimal(raw)
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-      assert(got((i.toLong, j.toLong)) === ((sxy, cov)), s"entry ($i,$j)")
+      val covMicro = math.floor(raw * 1e6 + 0.5).toLong
+      assert(got((i.toLong, j.toLong)) === ((sxy, cov, covMicro)), s"entry ($i,$j)")
     }
     assert(got.size === 6)
+    // a dim that does not match the data's dimension must fail loud, not
+    // read misaligned packed-triangle slots
+    val boom = intercept[Exception] {
+      EmbeddingStats.covariance(df, "embedding", 2).collect()
+    }
+    assert(boom.getMessage.contains("packed moments") ||
+      Option(boom.getCause).exists(_.getMessage.contains("packed moments")) ||
+      boom.getMessage.contains("dimension"),
+      s"unexpected failure shape: ${boom.getMessage}")
     // one shuffle: the single-group moments collapse (plus AQE reuse
     // wrappers) — no per-element explode ever reaches an exchange
     val plan = EmbeddingStats.covariance(df, "embedding", 3)
