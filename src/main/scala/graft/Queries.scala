@@ -609,27 +609,24 @@ object Queries {
       .orderBy("query_id", "rnk")
   }
 
-  /** Hybrid-retrieval rank fusion ([[Retrieval.rrfFuse]]): the BM25
+  /** Hybrid-retrieval rank fusion ([[Retrieval.hybridTopK]]): the BM25
     * top-10 ([[pBm25]]'s exact ranking) fused with the term-overlap
-    * top-10 ([[Retrieval.termOverlapTopK]]) by reciprocal-rank fusion at
-    * rrfK=60 — the standard two-voice hybrid shape (calibrated lexical
-    * scorer ⊕ uncalibrated set-overlap ranker). The oracle re-derives
-    * BOTH rankings (sharing the BM25 gates' CTE) and the snapped
-    * 1/(60+rnk) DECIMAL fusion, so list membership, both tie-breaks, and
-    * the fused order are all pinned.
+    * top-10 ([[Retrieval.termOverlapFromPostings]]) by reciprocal-rank
+    * fusion at rrfK=60 — the standard two-voice hybrid shape (calibrated
+    * lexical scorer ⊕ uncalibrated set-overlap ranker). Both voices rank
+    * from ONE shared pruned posting index (the corpus is tokenized,
+    * pruned, and aggregated once — r11 built the index per ranker,
+    * doubling the hybrid's dominant cost; PlanSuite pins the single
+    * build). The oracle re-derives BOTH rankings (sharing the BM25
+    * gates' CTE) and the snapped 1/(60+rnk) DECIMAL fusion, so list
+    * membership, both tie-breaks, and the fused order are all pinned.
     */
   def pRankFusion(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = documents(spark, sfDir)
     val queries = docs.filter(pmod(col("doc_id"), lit(50)) === 0)
       .select(col("doc_id").as("query_id"),
         array_join(slice(TF.tokens(col("text")), 1, 5), " ").as("qtext"))
-    val bm25 = Retrieval
-      .bm25TopK(docs, "doc_id", "text", queries, "query_id", "qtext", 10)
-      .select("query_id", "doc_id", "rnk")
-    val overlap = Retrieval
-      .termOverlapTopK(docs, "doc_id", "text", queries, "query_id", "qtext", 10)
-      .select("query_id", "doc_id", "rnk")
-    Retrieval.rrfFuse(Seq(bm25, overlap), 10)
+    Retrieval.hybridTopK(docs, "doc_id", "text", queries, "query_id", "qtext", 10)
       .orderBy("query_id", "rnk")
   }
 

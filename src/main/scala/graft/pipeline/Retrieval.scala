@@ -28,12 +28,52 @@ object Retrieval {
     * by token.
     */
   def postings(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs
-      .select(col(idCol).as("doc_id"),
-        size(tokens(col(textCol))).cast("long").as("dl"),
-        explode(tokens(col(textCol))).as("token"))
+    docTokens(docs, idCol, textCol)
       // dl is functionally dependent on doc_id: keying it costs nothing
       // beyond key width and saves a join against a doc-length table
+      .groupBy("doc_id", "dl", "token")
+      .agg(count(lit(1)).as("tf"))
+
+  /** The shared tokenize-and-explode stage: `(doc_id, dl, token)`, one
+    * row per token OCCURRENCE. The token array is projected ONCE and
+    * then consumed by both `size` and `explode` as an attribute —
+    * putting `tokens(text)` inline in both positions would evaluate the
+    * regex split twice per row (Generate does not share subexpressions
+    * with its projection), and tokenization is the dominant per-row
+    * cost of the whole retrieval stack. The alias is wrapped in the
+    * [[org.apache.spark.sql.graft.Opaque]] evaluation barrier because
+    * projecting alone is not enough: `InferFiltersFromGenerate` +
+    * predicate pushdown re-derive the split TWICE in an inferred
+    * `size(tokens(text)) > 0` filter below the projection; with the
+    * barrier that filter evaluates on the materialized array instead.
+    * PlanSuite pins the single evaluation.
+    */
+  private def docTokens(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"),
+        org.apache.spark.sql.graft.GraftExpressions.opaque(tokens(col(textCol))).as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("dl"),
+        explode(col("toks")).as("token"))
+
+  /** [[postings]] restricted to a query vocabulary, with the broadcast
+    * prune applied BEFORE the tf aggregate: the token-occurrence stream
+    * is semi-joined against the (small by definition) distinct
+    * query-token set first, so the aggregate's shuffle carries
+    * query-vocabulary-sized data instead of the corpus's full
+    * doc×vocabulary sparsity — at 100 TB that is the difference between
+    * shuffling thousands of rows and shuffling the whole index. The
+    * prune keeps EVERY occurrence of a kept token, so tf (and df
+    * downstream) over the pruned table equal their global values for
+    * exactly those tokens.
+    */
+  private[graft] def prunedPostings(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      qtok: DataFrame): DataFrame =
+    docTokens(docs, idCol, textCol)
+      .join(broadcast(qtok), Seq("token"))
       .groupBy("doc_id", "dl", "token")
       .agg(count(lit(1)).as("tf"))
 
@@ -198,20 +238,43 @@ object Retrieval {
       k: Int): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     val qterms = queryTerms(queries, queryIdCol, queryTextCol)
-    // postings is distinct per (doc, token) and qterms per (query, token),
-    // so the join emits one row per matching (query, doc, token): count(*)
-    // IS the intersection size
-    val matched = postings(docs, idCol, textCol)
+    val qtok = qterms.select("token").distinct()
+    overlapRanked(prunedPostings(docs, idCol, textCol, qtok), qterms, k)
+  }
+
+  /** Term overlap over a PREBUILT posting table — the index-reuse twin
+    * of [[bm25FromPostings]], and the seam that lets a hybrid build its
+    * posting table ONCE and feed both rankers (see [[hybridTopK]]).
+    * `postings` is [[postings]]'s output (or any prune of it that keeps
+    * every query-token posting); ranking is the same code path as
+    * [[termOverlapTopK]], so the two plans share one result contract.
+    */
+  def termOverlapFromPostings(
+      postings: DataFrame,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryTextCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    overlapRanked(postings, queryTerms(queries, queryIdCol, queryTextCol), k)
+  }
+
+  /** Shared overlap ranking tail: postings × query terms → distinct-term
+    * intersection counts → bounded-heap top-k. `post` is distinct per
+    * (doc, token) and `qterms` per (query, token), so the join emits one
+    * row per matching (query, doc, token): count(*) IS the intersection
+    * size.
+    */
+  private def overlapRanked(post: DataFrame, qterms: DataFrame, k: Int): DataFrame =
+    post
       .join(broadcast(qterms), Seq("token"))
       .groupBy("query_id", "doc_id")
       .agg(count(lit(1)).as("overlap"))
-    matched
       .groupBy("query_id")
       .agg(topk_rows(k, Seq(true, false), col("overlap"), col("doc_id")).as("top"))
       .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
       .select(col("query_id"), col("t.doc_id").as("doc_id"),
         col("t.overlap").as("overlap"), (col("pos") + 1).cast("long").as("rnk"))
-  }
 
   /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009) of
     * N per-query rankings into one: each input list contributes
@@ -234,7 +297,10 @@ object Retrieval {
     *
     * `weights` (default: all 1.0) lets a caller tilt the fusion toward
     * the ranker it trusts more — the weighted-RRF variant most vector
-    * stores expose.
+    * stores expose. A ZERO weight drops its ranking entirely before the
+    * union: a 0.000000 contribution row is not "no vote" — it would
+    * still let that list's docs backfill fused top-k slots whenever the
+    * positive-weight lists return fewer than k rows for a query.
     */
   def rrfFuse(
       rankings: Seq[DataFrame],
@@ -247,7 +313,10 @@ object Retrieval {
     val ws = if (weights.isEmpty) Seq.fill(rankings.size)(1.0) else weights
     require(ws.size == rankings.size,
       s"weights size ${ws.size} != rankings size ${rankings.size}")
-    val contribs = rankings.zip(ws).map { case (r, w) =>
+    require(ws.forall(_ >= 0.0), s"weights must be non-negative, got $ws")
+    val kept = rankings.zip(ws).filter(_._2 != 0.0)
+    require(kept.nonEmpty, "rrfFuse: every ranking has weight 0")
+    val contribs = kept.map { case (r, w) =>
       r.select(col("query_id"), col("doc_id"),
         round(lit(w) / (lit(rrfK).cast("double") + col("rnk").cast("double")), 6)
           .cast("decimal(18,6)").as("contrib"))
@@ -284,15 +353,71 @@ object Retrieval {
       sum(size(tokens(col(textCol))).cast("long")).as("total_tokens"))
     val qterms = queryTerms(queries, queryIdCol, queryTextCol)
     val qtok = qterms.select("token").distinct()
-    // prune the posting table to query-term rows BEFORE anything shuffles:
-    // df over the pruned table equals global df for exactly those tokens
-    // (the prune keeps every posting of a kept token), so the vocabulary-
-    // wide df aggregate never runs. Persisted because both the df
-    // aggregate and the scoring join consume it — without the persist the
-    // corpus would be re-exploded twice.
-    val postQ = postings(docs, idCol, textCol)
-      .join(broadcast(qtok), Seq("token"))
-      .persist()
+    // prune the token stream to query-term rows BEFORE the tf aggregate
+    // shuffles (see prunedPostings): df over the pruned table equals
+    // global df for exactly those tokens (the prune keeps every posting
+    // of a kept token), so the vocabulary-wide df aggregate never runs.
+    // Persisted because both the df aggregate and the scoring join
+    // consume it — without the persist the corpus would be re-exploded
+    // twice.
+    val postQ = prunedPostings(docs, idCol, textCol, qtok).persist()
     (rankPruned(postQ, qterms, corpusStats, k, k1, b), postQ)
+  }
+
+  /** BM25 ⊕ term-overlap hybrid fused by [[rrfFuse]], sharing ONE
+    * posting index: the corpus is tokenized, pruned, and aggregated
+    * exactly once, and both voices rank from the persisted pruned table
+    * (r11's composition built the index twice — once per ranker — which
+    * doubles the dominant cost of the hybrid at corpus scale). Output is
+    * [[rrfFuse]]'s `(query_id, doc_id, score, rnk)`.
+    */
+  def hybridTopK(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryTextCol: String,
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      rrfK: Int = 60,
+      weights: Seq[Double] = Nil): DataFrame = {
+    val (out, postQ) = hybridStaged(
+      docs, idCol, textCol, queries, queryIdCol, queryTextCol, k, k1, b, rrfK, weights)
+    out.persist()
+    try out.count()
+    catch { case e: Throwable =>
+      out.unpersist(blocking = false); postQ.unpersist(blocking = false); throw e
+    }
+    postQ.unpersist(blocking = false)
+    out
+  }
+
+  /** [[hybridTopK]] without the materialize/release step (plan tests). */
+  private[graft] def hybridStaged(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryTextCol: String,
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      rrfK: Int = 60,
+      weights: Seq[Double] = Nil): (DataFrame, DataFrame) = {
+    require(k > 0, s"k must be positive, got $k")
+    val corpusStats = docs.agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(tokens(col(textCol))).cast("long")).as("total_tokens"))
+    val qterms = queryTerms(queries, queryIdCol, queryTextCol)
+    val qtok = qterms.select("token").distinct()
+    val postQ = prunedPostings(docs, idCol, textCol, qtok).persist()
+    val bm25 = rankPruned(postQ, qterms, corpusStats, k, k1, b)
+      .select("query_id", "doc_id", "rnk")
+    val overlap = overlapRanked(postQ, qterms, k)
+      .select("query_id", "doc_id", "rnk")
+    (rrfFuse(Seq(bm25, overlap), k, rrfK, weights), postQ)
   }
 }

@@ -249,7 +249,41 @@ object LshHyperplaneBucket {
   }
 }
 
+/** Non-deterministic identity: evaluates to its child unchanged (both
+  * interpreted and codegen paths delegate straight to the child, so the
+  * hot path stays inside whole-stage codegen), but `deterministic =
+  * false` stops the optimizer from duplicating the aliased child —
+  * `PushDownPredicates` will not substitute the alias into predicates it
+  * pushes through the projection, and `InferFiltersFromGenerate`'s
+  * inferred `size(x) > 0` filter therefore evaluates on the materialized
+  * attribute instead of re-deriving the expression (twice) per row.
+  * Use to pin ONE evaluation of an expensive projection consumed by both
+  * a Generate and sibling expressions — tokenization in the retrieval
+  * stack is the motivating case: without the pin the regex split ran 3×
+  * per doc (2× in the inferred filter, 1× in the projection).
+  */
+case class Opaque(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override lazy val deterministic: Boolean = false
+  override def dataType: DataType = child.dataType
+  override def nullable: Boolean = child.nullable
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    child.eval(input)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(code = c.code, isNull = c.isNull, value = c.value)
+  }
+  override protected def withNewChildInternal(newChild: Expression): Opaque =
+    copy(child = newChild)
+}
+
 object GraftExpressions {
+
+  /** [[Opaque]] as a Column: a zero-cost evaluation barrier for an
+    * expensive projection the optimizer would otherwise duplicate.
+    */
+  def opaque(c: Column): Column =
+    ExpressionUtils.column(Opaque(ExpressionUtils.expression(c)))
 
   /** `dot(a, b)` as a Column — summation order is the plain left-to-right
     * loop, matching DuckDB's list_dot_product for oracle bit-equality.

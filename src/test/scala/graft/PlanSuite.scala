@@ -102,6 +102,63 @@ class PlanSuite extends SparkSpec {
     } finally postQ.unpersist(blocking = false)
   }
 
+  test("postings tokenizes each doc exactly once; prune precedes the tf aggregate") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = formatted(graft.pipeline.Retrieval.postings(docs, "doc_id", "text"))
+    // tokens() lowers to one split(lower(trim(text))) — it must appear
+    // exactly once in the whole plan (r11 evaluated it twice per row:
+    // once under size() in the projection, once in the Generate, because
+    // Generate does not share subexpressions with its projection).
+    // Tokenization is the dominant per-row cost of the retrieval stack.
+    val splits = "split\\(".r.findAllIn(plan).size
+    assert(splits === 1, s"expected exactly 1 tokenization, found $splits:\n$plan")
+    // the pruned path: the broadcast semi-join on token sits BELOW the
+    // tf aggregate, so the aggregate's shuffle carries query-vocab-sized
+    // data, never the corpus's full doc x vocabulary sparsity
+    val queries = docs.limit(5)
+      .select(col("doc_id").as("query_id"), col("text").as("qtext"))
+    val qtok = queries
+      .select(explode(array_distinct(graft.pipeline.TextFunctions.tokens(col("qtext"))))
+        .as("token")).distinct()
+    val pruned = graft.pipeline.Retrieval.prunedPostings(docs, "doc_id", "text", qtok)
+    val pplan = pruned.queryExecution.executedPlan.toString
+    val joinPos = pplan.indexOf("BroadcastHashJoin")
+    val aggPos = pplan.indexOf("HashAggregate")
+    assert(joinPos >= 0, s"prune join is not broadcast:\n$pplan")
+    // executedPlan prints top-down: the aggregate (consumer) appears
+    // BEFORE the join (producer) iff the join runs below the aggregate
+    assert(aggPos >= 0 && aggPos < joinPos,
+      s"token prune does not precede the tf aggregate:\n$pplan")
+  }
+
+  test("hybrid rank fusion builds ONE shared posting index for both voices") {
+    spark.catalog.clearCache()
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val queries = docs
+      .filter(pmod(col("doc_id"), lit(50)) === 0)
+      .select(col("doc_id").as("query_id"),
+        array_join(slice(graft.pipeline.TextFunctions.tokens(col("text")), 1, 5), " ")
+          .as("qtext"))
+    val (fused, postQ) = graft.pipeline.Retrieval.hybridStaged(
+      docs, "doc_id", "text", queries, "query_id", "qtext", 10)
+    try {
+      val plan = formatted(fused)
+      // both rankers consume the persisted pruned posting table: the
+      // corpus-side tokenize/explode must appear exactly once in the
+      // fused plan (r11 tokenized and exploded the corpus once PER
+      // ranker — 2x the dominant cost of the hybrid at 100 TB). The
+      // query side contributes explodes too, so count only corpus-text
+      // tokenizations: Generate blocks over the docs relation.
+      val corpusExplodes = plan.linesIterator.count(l =>
+        l.contains("Generate explode(toks"))
+      assert(corpusExplodes <= 1,
+        s"fused plan explodes the corpus $corpusExplodes times:\n$plan")
+      assert(plan.contains("InMemoryTableScan") || plan.contains("InMemoryRelation"),
+        s"fused plan does not reuse the persisted posting index:\n$plan")
+      assert(!plan.contains("Window") && !plan.contains("CartesianProduct"))
+    } finally postQ.unpersist(blocking = false)
+  }
+
   test("broadcast-model LM scoring never shuffles the corpus side") {
     // plan-shape assertions are cache-sensitive: a logically-equal plan
     // persisted by an earlier suite would resolve to an InMemoryRelation
