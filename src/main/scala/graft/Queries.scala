@@ -609,6 +609,30 @@ object Queries {
       .orderBy("query_id", "rnk")
   }
 
+  /** Same BM25 contract through the collected-index map-side path
+    * ([[Retrieval.scoreWithIndex]]): the query-vocab-pruned posting
+    * table is collected into a broadcast [[Retrieval.Bm25Index]]
+    * (fail-loud bounded) and every query is scored by one scalar
+    * function — zero joins, zero shuffles, the shape that serves online
+    * queries and runs verbatim on a STREAM of queries (StreamingSuite
+    * parity-pins it). Shares [[pBm25]]'s oracle — three plans, one
+    * contract.
+    */
+  def pBm25Broadcast(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = documents(spark, sfDir)
+    val queries = docs.filter(pmod(col("doc_id"), lit(50)) === 0)
+      .select(col("doc_id").as("query_id"),
+        array_join(slice(TF.tokens(col("text")), 1, 5), " ").as("qtext"))
+    val qtok = queries
+      .select(explode(array_distinct(TF.tokens(col("qtext")))).as("token"))
+      .distinct()
+    val (n, tot) = Retrieval.indexStats(docs, "text")
+    val idx = Retrieval.collectIndex(
+      Retrieval.prunedPostings(docs, "doc_id", "text", qtok), n, tot)
+    Retrieval.scoreWithIndex(queries, "query_id", "qtext", idx, 10)
+      .orderBy("query_id", "rnk")
+  }
+
   /** Hybrid-retrieval rank fusion ([[Retrieval.hybridTopK]]): the BM25
     * top-10 ([[pBm25]]'s exact ranking) fused with the term-overlap
     * top-10 ([[Retrieval.termOverlapFromPostings]]) by reciprocal-rank

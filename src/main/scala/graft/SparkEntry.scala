@@ -127,6 +127,7 @@ object SparkEntry {
     "p_tfidf_top_terms" -> (Queries.pTfidfTopTerms _),
     "p_bm25" -> (Queries.pBm25 _),
     "p_bm25_indexed" -> (Queries.pBm25Indexed _),
+    "p_bm25_broadcast" -> (Queries.pBm25Broadcast _),
     "p_rank_fusion" -> (Queries.pRankFusion _),
     "p_lm_score" -> (Queries.pLmScore _),
     "p_decontaminate" -> (Queries.pDecontaminate _),
@@ -2253,10 +2254,12 @@ object SparkEntry {
     // (0.25+(0.75*dl)/avgdl)) exactly as the Scala Column tree
     // associates), the per-term DECIMAL(18,6) snap+sum (exact,
     // order-independent), and the (score desc, doc_id asc) ranking.
-    // Shared by both plans: corpus-scan (p_bm25) and prebuilt-index
-    // (p_bm25_indexed) — one contract, so the paths cannot drift.
+    // Shared by all three plans: corpus-scan (p_bm25), prebuilt-index
+    // (p_bm25_indexed), and collected-broadcast-index map-side scoring
+    // (p_bm25_broadcast) — one contract, so the paths cannot drift.
     "p_bm25" -> BM25_SQL,
     "p_bm25_indexed" -> BM25_SQL,
+    "p_bm25_broadcast" -> BM25_SQL,
     "p_rank_fusion" -> RANK_FUSION_SQL,
     // stupid-backoff bigram LM (Brants 2007): count tables, vocab-side
     // probability enrichment with the exact association order the Scala

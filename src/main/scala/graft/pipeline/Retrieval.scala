@@ -420,4 +420,103 @@ object Retrieval {
       .select("query_id", "doc_id", "rnk")
     (rrfFuse(Seq(bm25, overlap), k, rrfK, weights), postQ)
   }
+
+  /** A driver-collected BM25 index for map-side scoring:
+    * `token → (doc_id, tf, dl)*` plus the two [[indexStats]] scalars.
+    * Bounded by construction — [[collectIndex]] refuses indexes past
+    * `maxEntries` (the broadcast/streaming deployment is a PRUNED or
+    * domain-scoped index; a web-scale posting table belongs on the
+    * distributed [[bm25FromPostings]] path).
+    */
+  case class Bm25Index(
+      postings: Map[String, Array[(Long, Long, Long)]],
+      nDocs: Long,
+      totalTokens: Long)
+
+  /** Collect a [[postings]] table into a [[Bm25Index]]. Fails loud when
+    * the index exceeds `maxEntries` posting rows rather than silently
+    * OOM-ing the driver — the same discipline as
+    * `LanguageModel.collectModel`.
+    */
+  def collectIndex(
+      postings: DataFrame,
+      nDocs: Long,
+      totalTokens: Long,
+      maxEntries: Long = 5000000L): Bm25Index = {
+    require(nDocs > 0, s"nDocs must be positive, got $nDocs")
+    val n = postings.count()
+    require(n <= maxEntries,
+      s"index has $n posting rows > maxEntries=$maxEntries — prune the " +
+        "posting table or use the distributed bm25FromPostings path")
+    val grouped = postings.select("token", "doc_id", "tf", "dl").collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .groupBy(_._1)
+      .map { case (t, rows) => t -> rows.map(_._2) }
+    Bm25Index(grouped, nDocs, totalTokens)
+  }
+
+  /** Map-side-only BM25 scoring against a collected index: same output
+    * contract as [[bm25TopK]] — `(query_id, doc_id, score, rnk)` — but
+    * zero joins and zero shuffles: one scalar function per QUERY row
+    * over a broadcast index. This is the scorer that runs verbatim on a
+    * STREAM of queries (stateless, append-mode — StreamingSuite
+    * parity-pins it) and the one to prefer for online serving whenever
+    * the pruned index fits the driver; the suite pins it row-identical
+    * to [[bm25TopK]]. The arithmetic twins [[rankPruned]] exactly: same
+    * tokenizer (Spark `trim` strips ONLY ASCII space), df from the
+    * posting lists, 6dp HALF_UP idf snap after the `ln`, 6dp-snapped
+    * per-term scores summed at scale-6 decimal, rank by (score double
+    * desc, doc_id asc).
+    */
+  def scoreWithIndex(
+      queries: DataFrame,
+      queryIdCol: String,
+      queryTextCol: String,
+      index: Bm25Index,
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val bc = queries.sparkSession.sparkContext.broadcast(index)
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val score = udf { (qtext: String) =>
+      val idx = bc.value
+      // twin of tokens(): Spark's trim strips ONLY ASCII space (0x20),
+      // then lower + split keeping empties
+      val ts =
+        if (qtext == null) Array.empty[String]
+        else {
+          var a = 0; var z = qtext.length
+          while (a < z && qtext.charAt(a) == ' ') a += 1
+          while (z > a && qtext.charAt(z - 1) == ' ') z -= 1
+          qtext.substring(a, z).toLowerCase.split("\\s+", -1)
+        }
+      val avgdl = idx.totalTokens.toDouble / idx.nDocs.toDouble
+      val acc = scala.collection.mutable.HashMap.empty[Long, BigDecimal]
+      ts.distinct.foreach { t =>
+        idx.postings.get(t).foreach { posts =>
+          val df = posts.length.toLong
+          val idf = r6(math.log(
+            1.0 + ((idx.nDocs - df).toDouble + 0.5) / (df.toDouble + 0.5)))
+          posts.foreach { case (docId, tf, dl) =>
+            val tfNorm = (tf.toDouble * (k1 + 1.0)) /
+              (tf.toDouble + k1 * ((1.0 - b) + (b * dl.toDouble) / avgdl))
+            val term = BigDecimal(r6(idf * tfNorm)).setScale(6)
+            acc.update(docId, acc.getOrElse(docId, BigDecimal(0).setScale(6)) + term)
+          }
+        }
+      }
+      acc.iterator
+        .map { case (docId, s) => (docId, s.toDouble) }
+        .toArray
+        .sortBy { case (docId, s) => (-s, docId) }
+        .take(k)
+    }
+    queries
+      .select(col(queryIdCol).as("query_id"), score(col(queryTextCol)).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("query_id"), col("t._1").as("doc_id"),
+        col("t._2").as("score"), (col("pos") + 1).cast("long").as("rnk"))
+  }
 }

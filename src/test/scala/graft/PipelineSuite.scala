@@ -830,6 +830,25 @@ class PipelineSuite extends SparkSpec {
       .toSet
     assert(back === got)
     backDf.unpersist(blocking = false)
+
+    // collected-broadcast-index map-side path: zero joins, zero shuffles,
+    // same rows bit-for-bit (scores included) — the online/streaming twin
+    val idx = Retrieval.collectIndex(spark.read.parquet(s"$dir/postings"), n, tot)
+    val bcast = Retrieval.scoreWithIndex(queries, "query_id", "qtext", idx, k)
+    val gotB = bcast.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    assert(gotB === got)
+    // map-side means map-side: no exchange anywhere in the scorer's plan
+    val bplan = bcast.queryExecution.executedPlan.toString
+    assert(!bplan.contains("Exchange"),
+      s"scoreWithIndex plans a shuffle:\n$bplan")
+    // the collect bound fails loud instead of OOM-ing the driver
+    val boom = intercept[IllegalArgumentException] {
+      Retrieval.collectIndex(
+        spark.read.parquet(s"$dir/postings"), n, tot, maxEntries = 3)
+    }
+    assert(boom.getMessage.contains("maxEntries"))
   }
 
   test("EmbeddingStats: covariance matches hand arithmetic, skips nulls, shuffles once") {

@@ -722,6 +722,49 @@ class StreamingSuite extends SparkSpec {
     }
   }
 
+  test("broadcast-index BM25 query scoring runs verbatim on a query stream") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    import graft.pipeline.Retrieval
+    val docs = Seq(
+      (0L, "alpha beta gamma alpha"),
+      (1L, "alpha beta"),
+      (2L, "gamma delta epsilon"),
+      (3L, "beta beta beta"),
+      (4L, "alpha gamma delta")
+    ).toDF("doc_id", "text")
+    val (n, tot) = Retrieval.indexStats(docs, "text")
+    val idx = Retrieval.collectIndex(
+      Retrieval.postings(docs, "doc_id", "text"), n, tot)
+    val queries = Seq(
+      (10L, "alpha beta alpha"), (11L, "delta gamma"), (12L, "no-match"))
+    val batchDf = queries.toDF("query_id", "qtext")
+
+    val mem = MemoryStream[(Long, String)]
+    val streamDf = mem.toDF().toDF("query_id", "qtext")
+    // stateless map-side scorer: append mode, no watermark, SAME code
+    // path as batch — the online-serving deployment of the BM25 stack
+    val q = Retrieval.scoreWithIndex(streamDf, "query_id", "qtext", idx, 3)
+      .writeStream.format("memory").queryName("bm25_out").outputMode("append")
+      .start()
+    try {
+      mem.addData(queries.take(2): _*)
+      q.processAllAvailable()
+      mem.addData(queries.drop(2): _*)
+      q.processAllAvailable()
+      val streamed = s.sql("SELECT * FROM bm25_out").collect().map(_.toSeq).toSet
+      val batch = Retrieval.scoreWithIndex(batchDf, "query_id", "qtext", idx, 3)
+        .collect().map(_.toSeq).toSet
+      assert(streamed === batch)
+      // and the broadcast scorer agrees with the distributed corpus path
+      val dist = Retrieval.bm25TopK(docs, "doc_id", "text",
+          batchDf, "query_id", "qtext", 3)
+        .collect().map(_.toSeq).toSet
+      assert(batch === dist)
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState running stats accumulate across batches") {
     val s = spark
     import s.implicits._
