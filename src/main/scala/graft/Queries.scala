@@ -1141,6 +1141,72 @@ object Queries {
       .select("i", "j", "sxy", "cov_micro")
       .orderBy("i", "j")
 
+  /** PCA fit + projection invariants ([[EmbeddingStats.fitPca]] /
+    * [[EmbeddingStats.project]]), closing the r11 gap that only the
+    * covariance half of the embedding-stats stack was gated. An exact
+    * SQL eigensolve is unreasonable (DuckDB has no eigendecomposition,
+    * and a 64-dim Jacobi sweep in recursive SQL would itself be a
+    * float-drift source), so the gate pins the INVARIANTS that uniquely
+    * characterize the result instead, each as an integer-snapped
+    * residual the oracle expects to be EXACTLY zero:
+    *   - `ortho_nano`: max |v_r·v_s − δ_rs| over s, at 1e-9 (the basis
+    *     is orthonormal);
+    *   - `eig_resid_micro`: max_i |(C·v_r)_i − λ_r·v_ri| at 1e-6,
+    *     against the SAME snapped covariance matrix `p_embedding_cov`
+    *     pins bit-exactly — together the two gates pin "the emitted
+    *     basis diagonalizes the pinned matrix", which determines the
+    *     eigenpairs up to the (suite-pinned) sign/order convention;
+    *   - `trace_gap_e4` / `frob_gap_e3`: |Σλ − tr C| and |Σλ² − ‖C‖²_F|
+    *     (eigenvalue sum/square-sum conservation);
+    *   - `proj_mean_e4` / `var_gap_e3`: the distributed projection is
+    *     centered (mean_r = 0) with per-axis variance λ_r — the
+    *     round-trip that pins [[EmbeddingStats.project]]'s broadcast
+    *     arithmetic against the fit.
+    * Thresholds sit ≥10× above the worst-case fixed-point-snap error
+    * bounds (e.g. |mean_r| ≤ ‖v‖₁·5e-7·dim⁻¹… ≈ 4e-6 vs the 5e-5 snap)
+    * and ≥100× above Jacobi's 1e-12 convergence threshold, so the zeros
+    * are robust, not lucky.
+    */
+  def pEmbeddingPca(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.graft.VectorSum.vec_sum
+    val dim = 64
+    val df = embeddings(spark, sfDir).filter(col("embedding").isNotNull)
+    val (model, cov) = graft.pipeline.EmbeddingStats.fitPcaFull(df, "embedding", dim)
+    // corpus-side: one aggregate over the projected corpus (map-side
+    // broadcast-basis multiply + a single reduce row of 2·d doubles)
+    val proj = graft.pipeline.EmbeddingStats.project(df, "embedding", model, dim)
+    val row = proj.agg(
+      vec_sum(col("proj")).as("s1"),
+      vec_sum(transform(col("proj"), x => x * x)).as("s2"),
+      count(lit(1)).as("n")).head()
+    val s1 = row.getSeq[Double](0); val s2 = row.getSeq[Double](1)
+    val n = row.getLong(2).toDouble
+    // driver-side residual assembly on the d×d basis (microseconds)
+    def snap(x: Double, scale: Double): Long = math.floor(x * scale + 0.5).toLong
+    val traceGap = math.abs(model.eigvals.sum - (0 until dim).map(i => cov(i)(i)).sum)
+    val frobGap = math.abs(
+      model.eigvals.map(l => l * l).sum -
+        cov.map(r0 => r0.map(x => x * x).sum).sum)
+    val rows = (0 until dim).map { r =>
+      val v = model.components(r)
+      val ortho = (0 until dim).map { s =>
+        val dot = v.zip(model.components(s)).map { case (x, y) => x * y }.sum
+        math.abs(dot - (if (r == s) 1.0 else 0.0))
+      }.max
+      val eigResid = (0 until dim).map { i =>
+        math.abs((0 until dim).map(j => cov(i)(j) * v(j)).sum - model.eigvals(r) * v(i))
+      }.max
+      val mean = s1(r) / n
+      val varGap = math.abs(s2(r) / n - mean * mean - model.eigvals(r))
+      (r.toLong, snap(ortho, 1e9), snap(eigResid, 1e6), snap(math.abs(mean), 1e4),
+        snap(varGap, 1e3), snap(traceGap, 1e4), snap(frobGap, 1e3))
+    }
+    import spark.implicits._
+    rows.toDF("r", "ortho_nano", "eig_resid_micro", "proj_mean_e4",
+        "var_gap_e3", "trace_gap_e4", "frob_gap_e3")
+      .orderBy("r")
+  }
+
   /** Corpus report ([[CorpusStats.corpusReport]]): the dataset-card
     * summary in long format. Every ingredient (token counts, exact-dup
     * normalization, quality score, langId) is individually gated; this

@@ -108,6 +108,7 @@ object SparkEntry {
     "p_curriculum" -> (Queries.pCurriculum _),
     "p_embedding_quantize" -> (Queries.pEmbeddingQuantize _),
     "p_embedding_cov" -> (Queries.pEmbeddingCov _),
+    "p_embedding_pca" -> (Queries.pEmbeddingPca _),
     "p_corpus_report" -> (Queries.pCorpusReport _),
     "p_ingest_pipeline" -> (Queries.pIngestPipeline _),
     "p_corpus_diff" -> (Queries.pCorpusDiff _),
@@ -1740,6 +1741,23 @@ object SparkEntry {
         |JOIN els ex ON pr.i = ex.i
         |JOIN els ey ON pr.j = ey.i, nn
         |ORDER BY pr.i, pr.j""".stripMargin,
+    // PCA invariants gate: DuckDB has no eigensolve, so the oracle is
+    // the INVARIANT CONTRACT — every integer-snapped residual the Spark
+    // side emits (orthonormality at 1e-9, eigen-residual against the
+    // p_embedding_cov-pinned matrix at 1e-6, trace/Frobenius
+    // conservation, projection mean-zero and variance=λ round-trip)
+    // must be EXACTLY zero. Combined with p_embedding_cov (which pins
+    // the diagonalized matrix bit-exactly) this determines the
+    // eigenpairs up to sign/order, which the suite pins separately.
+    "p_embedding_pca" ->
+      """SELECT CAST(unnest(range(0, 64)) AS BIGINT) AS r,
+        |  CAST(0 AS BIGINT) AS ortho_nano,
+        |  CAST(0 AS BIGINT) AS eig_resid_micro,
+        |  CAST(0 AS BIGINT) AS proj_mean_e4,
+        |  CAST(0 AS BIGINT) AS var_gap_e3,
+        |  CAST(0 AS BIGINT) AS trace_gap_e4,
+        |  CAST(0 AS BIGINT) AS frob_gap_e3
+        |ORDER BY r""".stripMargin,
     // composed crawl-ingest chain: the p_url_dedup canonicalization CTE
     // feeding min-id survivors, the p_gopher_filter integer rules (no
     // enrichment — organic violations only), one shared tokenizer

@@ -97,7 +97,20 @@ object EmbeddingStats {
     * eigenvalue descending (tie: original index), signs canonicalized.
     * One Spark job; the corpus is scanned once.
     */
-  def fitPca(df: DataFrame, vecCol: String, dim: Int, scaleDigits: Int = 6): PcaModel = {
+  def fitPca(df: DataFrame, vecCol: String, dim: Int, scaleDigits: Int = 6): PcaModel =
+    fitPcaFull(df, vecCol, dim, scaleDigits)._1
+
+  /** [[fitPca]] plus the snapped covariance matrix it diagonalized —
+    * the d×d driver-side array assembled from the same fixed-point
+    * moments [[covariance]] pins, so a caller (the `p_embedding_pca`
+    * gate) can verify `C·v_r = λ_r·v_r` against the EXACT matrix the
+    * eigensolve saw, not a re-derivation that could drift.
+    */
+  def fitPcaFull(
+      df: DataFrame,
+      vecCol: String,
+      dim: Int,
+      scaleDigits: Int = 6): (PcaModel, Array[Array[Double]]) = {
     require(dim > 0, s"dim must be positive, got $dim")
     val tri = dim * (dim + 1) / 2
     val scale = math.pow(10.0, scaleDigits)
@@ -125,7 +138,7 @@ object EmbeddingStats {
       val piv = v.indices.maxBy(i => (math.abs(v(i)), -i))
       if (v(piv) < 0) v.map(x => -x) else v
     }.toArray
-    PcaModel(n, mean, eigvals, components)
+    (PcaModel(n, mean, eigvals, components), cov)
   }
 
   /** Project (and optionally whiten) embeddings onto the top `k` axes:
