@@ -633,6 +633,52 @@ object Queries {
       .orderBy("query_id", "rnk")
   }
 
+  /** Same BM25 contract over an INCREMENTALLY-extended index
+    * ([[Retrieval.extendPostings]]/[[Retrieval.extendIndexStats]]): the
+    * corpus is indexed in two batches (even doc_ids, then odd), the
+    * second appended to the first's posting artifact without a rebuild —
+    * the nightly maintenance loop, the retrieval twin of the dedup
+    * artifact loop. Scoring the extended artifact must equal the
+    * full-rebuild oracle exactly; the append-only clash check is
+    * suite-pinned separately. Shares [[pBm25]]'s oracle.
+    */
+  def pBm25Incr(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = documents(spark, sfDir)
+    val queries = docs.filter(pmod(col("doc_id"), lit(50)) === 0)
+      .select(col("doc_id").as("query_id"),
+        array_join(slice(TF.tokens(col("text")), 1, 5), " ").as("qtext"))
+    val day0 = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+    val day1 = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+    val post = Retrieval.extendPostings(
+      Retrieval.postings(day0, "doc_id", "text"), day1, "doc_id", "text")
+    val (n, tot) = Retrieval.extendIndexStats(
+      Retrieval.indexStats(day0, "text"), day1, "text")
+    Retrieval.bm25FromPostings(post, n, tot, queries, "query_id", "qtext", 10)
+      .orderBy("query_id", "rnk")
+  }
+
+  /** Same hybrid rank-fusion contract through the collected-index
+    * map-side path ([[Retrieval.hybridWithIndex]]): BM25 top-10, overlap
+    * top-10, and the snapped RRF fusion all computed per query row
+    * against the broadcast index — zero joins, zero shuffles, the
+    * online-serving twin of [[pRankFusion]]. Shares its oracle — two
+    * hybrid plans, one contract.
+    */
+  def pHybridBroadcast(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = documents(spark, sfDir)
+    val queries = docs.filter(pmod(col("doc_id"), lit(50)) === 0)
+      .select(col("doc_id").as("query_id"),
+        array_join(slice(TF.tokens(col("text")), 1, 5), " ").as("qtext"))
+    val qtok = queries
+      .select(explode(array_distinct(TF.tokens(col("qtext")))).as("token"))
+      .distinct()
+    val (n, tot) = Retrieval.indexStats(docs, "text")
+    val idx = Retrieval.collectIndex(
+      Retrieval.prunedPostings(docs, "doc_id", "text", qtok), n, tot)
+    Retrieval.hybridWithIndex(queries, "query_id", "qtext", idx, 10)
+      .orderBy("query_id", "rnk")
+  }
+
   /** Hybrid-retrieval rank fusion ([[Retrieval.hybridTopK]]): the BM25
     * top-10 ([[pBm25]]'s exact ranking) fused with the term-overlap
     * top-10 ([[Retrieval.termOverlapFromPostings]]) by reciprocal-rank

@@ -129,6 +129,8 @@ object SparkEntry {
     "p_bm25" -> (Queries.pBm25 _),
     "p_bm25_indexed" -> (Queries.pBm25Indexed _),
     "p_bm25_broadcast" -> (Queries.pBm25Broadcast _),
+    "p_bm25_incr" -> (Queries.pBm25Incr _),
+    "p_hybrid_broadcast" -> (Queries.pHybridBroadcast _),
     "p_rank_fusion" -> (Queries.pRankFusion _),
     "p_lm_score" -> (Queries.pLmScore _),
     "p_decontaminate" -> (Queries.pDecontaminate _),
@@ -2278,7 +2280,11 @@ object SparkEntry {
     "p_bm25" -> BM25_SQL,
     "p_bm25_indexed" -> BM25_SQL,
     "p_bm25_broadcast" -> BM25_SQL,
+    // incrementally-extended artifact == full rebuild: same oracle
+    "p_bm25_incr" -> BM25_SQL,
     "p_rank_fusion" -> RANK_FUSION_SQL,
+    // map-side collected-index hybrid == distributed hybrid: same oracle
+    "p_hybrid_broadcast" -> RANK_FUSION_SQL,
     // stupid-backoff bigram LM (Brants 2007): count tables, vocab-side
     // probability enrichment with the exact association order the Scala
     // Column tree uses (c2/c_prev; (0.4*c1)/N; (0.4*0.4)/N), log10

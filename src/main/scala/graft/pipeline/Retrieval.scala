@@ -519,4 +519,121 @@ object Retrieval {
       .select(col("query_id"), col("t._1").as("doc_id"),
         col("t._2").as("score"), (col("pos") + 1).cast("long").as("rnk"))
   }
+
+  /** Map-side-only HYBRID scoring against a collected index: BM25 top-k
+    * and term-overlap top-k computed per query row, fused by the exact
+    * [[rrfFuse]] arithmetic (snapped `w/(rrfK+rnk)` contributions summed
+    * at scale-6 decimal), all inside one scalar function — zero joins,
+    * zero shuffles, end to end. Same output contract as [[hybridTopK]];
+    * the gate shares its oracle, and the scorer runs verbatim on a
+    * query stream. Zero-weight voices are dropped, matching
+    * [[rrfFuse]]'s no-backfill rule.
+    */
+  def hybridWithIndex(
+      queries: DataFrame,
+      queryIdCol: String,
+      queryTextCol: String,
+      index: Bm25Index,
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      rrfK: Int = 60,
+      weights: Seq[Double] = Nil): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(rrfK >= 0, s"rrfK must be non-negative, got $rrfK")
+    val ws = if (weights.isEmpty) Seq(1.0, 1.0) else weights
+    require(ws.size == 2, s"hybrid has 2 voices (bm25, overlap), got ${ws.size} weights")
+    require(ws.forall(_ >= 0.0), s"weights must be non-negative, got $ws")
+    require(ws.exists(_ != 0.0), "hybridWithIndex: every voice has weight 0")
+    val bc = queries.sparkSession.sparkContext.broadcast(index)
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val score = udf { (qtext: String) =>
+      val idx = bc.value
+      val ts =
+        if (qtext == null) Array.empty[String]
+        else {
+          var a = 0; var z = qtext.length
+          while (a < z && qtext.charAt(a) == ' ') a += 1
+          while (z > a && qtext.charAt(z - 1) == ' ') z -= 1
+          qtext.substring(a, z).toLowerCase.split("\\s+", -1)
+        }
+      val avgdl = idx.totalTokens.toDouble / idx.nDocs.toDouble
+      val bmAcc = scala.collection.mutable.HashMap.empty[Long, BigDecimal]
+      val ovAcc = scala.collection.mutable.HashMap.empty[Long, Long]
+      ts.distinct.foreach { t =>
+        idx.postings.get(t).foreach { posts =>
+          val df = posts.length.toLong
+          val idf = r6(math.log(
+            1.0 + ((idx.nDocs - df).toDouble + 0.5) / (df.toDouble + 0.5)))
+          posts.foreach { case (docId, tf, dl) =>
+            val tfNorm = (tf.toDouble * (k1 + 1.0)) /
+              (tf.toDouble + k1 * ((1.0 - b) + (b * dl.toDouble) / avgdl))
+            val term = BigDecimal(r6(idf * tfNorm)).setScale(6)
+            bmAcc.update(docId, bmAcc.getOrElse(docId, BigDecimal(0).setScale(6)) + term)
+            ovAcc.update(docId, ovAcc.getOrElse(docId, 0L) + 1L)
+          }
+        }
+      }
+      // rank each voice exactly as its distributed twin does, then fuse
+      val bmRanked = bmAcc.iterator.map { case (d, s) => (d, s.toDouble) }
+        .toArray.sortBy { case (d, s) => (-s, d) }.take(k)
+      val ovRanked = ovAcc.iterator.toArray
+        .sortBy { case (d, ov) => (-ov, d) }.take(k)
+      val fuse = scala.collection.mutable.HashMap.empty[Long, BigDecimal]
+      def contribute(rankedIds: Array[Long], w: Double): Unit =
+        if (w != 0.0) rankedIds.iterator.zipWithIndex.foreach { case (d, pos) =>
+          val c = BigDecimal(r6(w / (rrfK.toDouble + (pos + 1).toDouble))).setScale(6)
+          fuse.update(d, fuse.getOrElse(d, BigDecimal(0).setScale(6)) + c)
+        }
+      contribute(bmRanked.map(_._1), ws(0))
+      contribute(ovRanked.map(_._1), ws(1))
+      fuse.iterator.map { case (d, s) => (d, s.toDouble) }
+        .toArray.sortBy { case (d, s) => (-s, d) }.take(k)
+    }
+    queries
+      .select(col(queryIdCol).as("query_id"), score(col(queryTextCol)).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("query_id"), col("t._1").as("doc_id"),
+        col("t._2").as("score"), (col("pos") + 1).cast("long").as("rnk"))
+  }
+
+  /** Day-over-day maintenance of a persisted posting-table artifact:
+    * append the new batch's postings without rebuilding the index — the
+    * retrieval twin of `Dedup.extendCorpusArtifact`'s artifact loop.
+    * APPEND-ONLY by contract: a `doc_id` that already has postings in
+    * the index fails loud (one broadcast semi-join of the new-batch ids
+    * against the index's doc side — a scan of the index, the honest
+    * nightly cost, never a corpus rescan). Re-crawled ids must be
+    * replaced upstream by the dedup/ingest stages; silently unioning
+    * them would double-count every shared token. Caveat the check
+    * cannot see: an existing doc with NO postings (null text) does not
+    * appear in the index, so re-adding such an id slips through —
+    * track ids upstream if null-text re-crawls are possible.
+    * Stats update: `(nDocs + batch count, totalTokens + batch tokens)`
+    * via [[extendIndexStats]].
+    */
+  def extendPostings(
+      oldPostings: DataFrame,
+      newDocs: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val newIds = newDocs.select(col(idCol).as("doc_id")).distinct()
+    val clashes = oldPostings.select("doc_id").distinct()
+      .join(broadcast(newIds), Seq("doc_id"), "left_semi")
+      .limit(1).count()
+    require(clashes == 0L,
+      "extendPostings: the new batch re-uses doc_ids already in the index — " +
+        "replace re-crawls upstream (dedup/ingest) before extending")
+    oldPostings.unionByName(postings(newDocs, idCol, textCol))
+  }
+
+  /** The [[indexStats]] update that pairs with [[extendPostings]]. */
+  def extendIndexStats(
+      old: (Long, Long),
+      newDocs: DataFrame,
+      textCol: String): (Long, Long) = {
+    val (n, tot) = indexStats(newDocs, textCol)
+    (old._1 + n, old._2 + tot)
+  }
 }

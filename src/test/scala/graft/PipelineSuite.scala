@@ -849,6 +849,66 @@ class PipelineSuite extends SparkSpec {
         spark.read.parquet(s"$dir/postings"), n, tot, maxEntries = 3)
     }
     assert(boom.getMessage.contains("maxEntries"))
+
+    // incremental artifact maintenance: indexing in two batches and
+    // appending equals the one-shot build, scores included
+    val day0 = docs.filter(col("doc_id") % 2 === 0)
+    val day1 = docs.filter(col("doc_id") % 2 === 1)
+    val extended = Retrieval.extendPostings(
+      Retrieval.postings(day0, "doc_id", "text"), day1, "doc_id", "text")
+    val (n2, tot2) = Retrieval.extendIndexStats(
+      Retrieval.indexStats(day0, "text"), day1, "text")
+    assert((n2, tot2) === ((n, tot)))
+    val incrDf = Retrieval.bm25FromPostings(
+      extended, n2, tot2, queries, "query_id", "qtext", k)
+    val incr = incrDf.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    assert(incr === got)
+    incrDf.unpersist(blocking = false)
+    // append-only contract: a re-used doc_id fails loud, never
+    // double-counts
+    val clash = intercept[IllegalArgumentException] {
+      Retrieval.extendPostings(
+        Retrieval.postings(day0, "doc_id", "text"), day0.limit(1), "doc_id", "text")
+    }
+    assert(clash.getMessage.contains("re-uses doc_ids"))
+  }
+
+  test("hybridWithIndex equals the distributed hybrid, rows and scores") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (0L, "alpha beta gamma alpha"),
+      (1L, "alpha beta"),
+      (2L, "gamma delta epsilon"),
+      (3L, "beta beta beta"),
+      (4L, "alpha gamma delta")
+    ).toDF("doc_id", "text")
+    val queries = Seq(
+      (10L, "alpha beta alpha"), (11L, "delta gamma"), (12L, "no-match"))
+      .toDF("query_id", "qtext")
+    val dist = Retrieval.hybridTopK(
+      docs, "doc_id", "text", queries, "query_id", "qtext", 3)
+    val want = dist.collect().map(_.toSeq).toSet
+    dist.unpersist(blocking = false)
+    val (n, tot) = Retrieval.indexStats(docs, "text")
+    val idx = Retrieval.collectIndex(
+      Retrieval.postings(docs, "doc_id", "text"), n, tot)
+    val local = Retrieval.hybridWithIndex(
+      queries, "query_id", "qtext", idx, 3)
+    assert(local.collect().map(_.toSeq).toSet === want)
+    // zero-weight voice drops entirely (no backfill), matching rrfFuse
+    val bmOnly = Retrieval.hybridWithIndex(
+        queries, "query_id", "qtext", idx, 3, weights = Seq(1.0, 0.0))
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(1))).toSet
+    val bmRef = Retrieval.scoreWithIndex(queries, "query_id", "qtext", idx, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(1))).toSet
+    assert(bmOnly === bmRef)
+    // map-side means map-side
+    val hplan = Retrieval.hybridWithIndex(queries, "query_id", "qtext", idx, 3)
+      .queryExecution.executedPlan.toString
+    assert(!hplan.contains("Exchange"), s"hybridWithIndex plans a shuffle:\n$hplan")
   }
 
   test("EmbeddingStats: covariance matches hand arithmetic, skips nulls, shuffles once") {
