@@ -444,15 +444,21 @@ object Retrieval {
       totalTokens: Long,
       maxEntries: Long = 5000000L): Bm25Index = {
     require(nDocs > 0, s"nDocs must be positive, got $nDocs")
-    val n = postings.count()
-    require(n <= maxEntries,
-      s"index has $n posting rows > maxEntries=$maxEntries — prune the " +
-        "posting table or use the distributed bm25FromPostings path")
-    val grouped = postings.select("token", "doc_id", "tf", "dl").collect()
-      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
-      .groupBy(_._1)
-      .map { case (t, rows) => t -> rows.map(_._2) }
-    Bm25Index(grouped, nDocs, totalTokens)
+    // the bound check and the collect both consume the input: persist it
+    // across the two jobs so a from-scratch posting plan (corpus
+    // tokenize + prune + aggregate) is not computed twice
+    val cached = postings.persist()
+    try {
+      val n = cached.count()
+      require(n <= maxEntries,
+        s"index has $n posting rows > maxEntries=$maxEntries — prune the " +
+          "posting table or use the distributed bm25FromPostings path")
+      val grouped = cached.select("token", "doc_id", "tf", "dl").collect()
+        .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+        .groupBy(_._1)
+        .map { case (t, rows) => t -> rows.map(_._2) }
+      Bm25Index(grouped, nDocs, totalTokens)
+    } finally cached.unpersist(blocking = false)
   }
 
   /** Map-side-only BM25 scoring against a collected index: same output
@@ -478,40 +484,9 @@ object Retrieval {
       b: Double = 0.75): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     val bc = queries.sparkSession.sparkContext.broadcast(index)
-    def r6(x: Double): Double =
-      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     val score = udf { (qtext: String) =>
-      val idx = bc.value
-      // twin of tokens(): Spark's trim strips ONLY ASCII space (0x20),
-      // then lower + split keeping empties
-      val ts =
-        if (qtext == null) Array.empty[String]
-        else {
-          var a = 0; var z = qtext.length
-          while (a < z && qtext.charAt(a) == ' ') a += 1
-          while (z > a && qtext.charAt(z - 1) == ' ') z -= 1
-          qtext.substring(a, z).toLowerCase.split("\\s+", -1)
-        }
-      val avgdl = idx.totalTokens.toDouble / idx.nDocs.toDouble
-      val acc = scala.collection.mutable.HashMap.empty[Long, BigDecimal]
-      ts.distinct.foreach { t =>
-        idx.postings.get(t).foreach { posts =>
-          val df = posts.length.toLong
-          val idf = r6(math.log(
-            1.0 + ((idx.nDocs - df).toDouble + 0.5) / (df.toDouble + 0.5)))
-          posts.foreach { case (docId, tf, dl) =>
-            val tfNorm = (tf.toDouble * (k1 + 1.0)) /
-              (tf.toDouble + k1 * ((1.0 - b) + (b * dl.toDouble) / avgdl))
-            val term = BigDecimal(r6(idf * tfNorm)).setScale(6)
-            acc.update(docId, acc.getOrElse(docId, BigDecimal(0).setScale(6)) + term)
-          }
-        }
-      }
-      acc.iterator
-        .map { case (docId, s) => (docId, s.toDouble) }
-        .toArray
-        .sortBy { case (docId, s) => (-s, docId) }
-        .take(k)
+      val acc = bm25Accumulate(bc.value, tokensTwin(qtext), k1, b, null)
+      rankMicro(acc, k)
     }
     queries
       .select(col(queryIdCol).as("query_id"), score(col(queryTextCol)).as("top"))
@@ -519,6 +494,89 @@ object Retrieval {
       .select(col("query_id"), col("t._1").as("doc_id"),
         col("t._2").as("score"), (col("pos") + 1).cast("long").as("rnk"))
   }
+
+  /** HALF_UP 6dp snap — the scalar twin of Spark/DuckDB `round(x, 6)`
+    * (`BigDecimal.decimal` rounds the SHORTEST DECIMAL representation,
+    * which is not always `floor(x·1e6 + 0.5)` — the engines' round() is
+    * the decimal-string one, so the twin must be too).
+    */
+  private def r6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** A snapped 6dp value as exact integer micro-units. The value is a
+    * 6dp decimal, so `x·1e6` sits within an ulp of an integer and
+    * `math.round` recovers it exactly; summing micros IS the exact
+    * DECIMAL(18,6) sum, and `micros/1e6` (one correctly-rounded IEEE
+    * division) equals Spark's `Decimal.toDouble` on that sum.
+    */
+  private def micro6(x: Double): Long = math.round(x * 1e6)
+
+  /** Twin of `tokens()`: Spark's `trim` strips ONLY ASCII space (0x20) —
+    * Java's `String.trim` strips all chars <= 0x20 and would tokenize
+    * "\ntext" differently — then lower + split keeping empties.
+    */
+  private def tokensTwin(text: String): Array[String] =
+    if (text == null) Array.empty[String]
+    else {
+      var a = 0; var z = text.length
+      while (a < z && text.charAt(a) == ' ') a += 1
+      while (z > a && text.charAt(z - 1) == ' ') z -= 1
+      text.substring(a, z).toLowerCase.split("\\s+", -1)
+    }
+
+  /** Per-query BM25 accumulation over a collected index: doc →
+    * exact-integer micro-unit score (the DECIMAL(18,6) sum as a Long).
+    * The arithmetic twins [[rankPruned]] term for term; the BigDecimal
+    * snap (the expensive part — two allocations per call) is cached per
+    * (token, tf, dl), and posting lists share few distinct (tf, dl)
+    * pairs, so it runs per CACHE ENTRY while the per-posting hot loop is
+    * unboxed LongMap arithmetic — at 60k-posting common tokens this is
+    * the difference between ~10⁵ BigDecimal allocations and ~10⁷.
+    * `overlap` (when non-null) collects the term-overlap counts from the
+    * same pass for the hybrid's second voice.
+    */
+  private def bm25Accumulate(
+      idx: Bm25Index,
+      ts: Array[String],
+      k1: Double,
+      b: Double,
+      overlap: scala.collection.mutable.LongMap[Long]): scala.collection.mutable.LongMap[Long] = {
+    val avgdl = idx.totalTokens.toDouble / idx.nDocs.toDouble
+    val acc = new scala.collection.mutable.LongMap[Long]()
+    ts.distinct.foreach { t =>
+      idx.postings.get(t).foreach { posts =>
+        val df = posts.length.toLong
+        val idf = r6(math.log(
+          1.0 + ((idx.nDocs - df).toDouble + 0.5) / (df.toDouble + 0.5)))
+        def termMicro(tf: Long, dl: Long): Long = {
+          val tfNorm = (tf.toDouble * (k1 + 1.0)) /
+            (tf.toDouble + k1 * ((1.0 - b) + (b * dl.toDouble) / avgdl))
+          micro6(r6(idf * tfNorm))
+        }
+        val snapCache = new scala.collection.mutable.LongMap[Long]()
+        posts.foreach { case (docId, tf, dl) =>
+          val m =
+            if (tf < (1L << 31) && dl < (1L << 32))
+              snapCache.getOrElseUpdate((tf << 32) | dl, termMicro(tf, dl))
+            else termMicro(tf, dl)
+          acc(docId) = acc.getOrElse(docId, 0L) + m
+          if (overlap != null) overlap(docId) = overlap.getOrElse(docId, 0L) + 1L
+        }
+      }
+    }
+    acc
+  }
+
+  /** Micro-unit doc scores → the top-k `(doc_id, score)` rows by
+    * (score double desc, doc_id asc) — the same comparison `topk_rows`
+    * makes after the decimal sum returns to double.
+    */
+  private def rankMicro(
+      acc: scala.collection.mutable.LongMap[Long], k: Int): Array[(Long, Double)] =
+    acc.toArray
+      .map { case (docId, m) => (docId, m / 1e6) }
+      .sortBy { case (docId, s) => (-s, docId) }
+      .take(k)
 
   /** Map-side-only HYBRID scoring against a collected index: BM25 top-k
     * and term-overlap top-k computed per query row, fused by the exact
@@ -546,50 +604,22 @@ object Retrieval {
     require(ws.forall(_ >= 0.0), s"weights must be non-negative, got $ws")
     require(ws.exists(_ != 0.0), "hybridWithIndex: every voice has weight 0")
     val bc = queries.sparkSession.sparkContext.broadcast(index)
-    def r6(x: Double): Double =
-      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     val score = udf { (qtext: String) =>
-      val idx = bc.value
-      val ts =
-        if (qtext == null) Array.empty[String]
-        else {
-          var a = 0; var z = qtext.length
-          while (a < z && qtext.charAt(a) == ' ') a += 1
-          while (z > a && qtext.charAt(z - 1) == ' ') z -= 1
-          qtext.substring(a, z).toLowerCase.split("\\s+", -1)
-        }
-      val avgdl = idx.totalTokens.toDouble / idx.nDocs.toDouble
-      val bmAcc = scala.collection.mutable.HashMap.empty[Long, BigDecimal]
-      val ovAcc = scala.collection.mutable.HashMap.empty[Long, Long]
-      ts.distinct.foreach { t =>
-        idx.postings.get(t).foreach { posts =>
-          val df = posts.length.toLong
-          val idf = r6(math.log(
-            1.0 + ((idx.nDocs - df).toDouble + 0.5) / (df.toDouble + 0.5)))
-          posts.foreach { case (docId, tf, dl) =>
-            val tfNorm = (tf.toDouble * (k1 + 1.0)) /
-              (tf.toDouble + k1 * ((1.0 - b) + (b * dl.toDouble) / avgdl))
-            val term = BigDecimal(r6(idf * tfNorm)).setScale(6)
-            bmAcc.update(docId, bmAcc.getOrElse(docId, BigDecimal(0).setScale(6)) + term)
-            ovAcc.update(docId, ovAcc.getOrElse(docId, 0L) + 1L)
-          }
-        }
-      }
+      val ovAcc = new scala.collection.mutable.LongMap[Long]()
+      val bmAcc = bm25Accumulate(bc.value, tokensTwin(qtext), k1, b, ovAcc)
       // rank each voice exactly as its distributed twin does, then fuse
-      val bmRanked = bmAcc.iterator.map { case (d, s) => (d, s.toDouble) }
-        .toArray.sortBy { case (d, s) => (-s, d) }.take(k)
-      val ovRanked = ovAcc.iterator.toArray
+      val bmRanked = rankMicro(bmAcc, k)
+      val ovRanked = ovAcc.toArray
         .sortBy { case (d, ov) => (-ov, d) }.take(k)
-      val fuse = scala.collection.mutable.HashMap.empty[Long, BigDecimal]
+      val fuse = new scala.collection.mutable.LongMap[Long]()
       def contribute(rankedIds: Array[Long], w: Double): Unit =
         if (w != 0.0) rankedIds.iterator.zipWithIndex.foreach { case (d, pos) =>
-          val c = BigDecimal(r6(w / (rrfK.toDouble + (pos + 1).toDouble))).setScale(6)
-          fuse.update(d, fuse.getOrElse(d, BigDecimal(0).setScale(6)) + c)
+          val c = micro6(r6(w / (rrfK.toDouble + (pos + 1).toDouble)))
+          fuse(d) = fuse.getOrElse(d, 0L) + c
         }
       contribute(bmRanked.map(_._1), ws(0))
       contribute(ovRanked.map(_._1), ws(1))
-      fuse.iterator.map { case (d, s) => (d, s.toDouble) }
-        .toArray.sortBy { case (d, s) => (-s, d) }.take(k)
+      rankMicro(fuse, k)
     }
     queries
       .select(col(queryIdCol).as("query_id"), score(col(queryTextCol)).as("top"))
