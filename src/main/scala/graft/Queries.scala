@@ -1253,6 +1253,27 @@ object Queries {
       .orderBy("r")
   }
 
+  /** FastText-style learned quality classifier
+    * ([[graft.pipeline.QualityClassifier.scoreWithTable]]): hashed
+    * bag-of-tokens logistic scoring — token → 32-bit codepoint-FNV
+    * bucket (1024 buckets), mean-pooled counts, per-bucket
+    * `round(w·cnt/n, 6)` DECIMAL terms, 6dp-snapped sigmoid. The gate
+    * pins the SCORING dataflow end to end with the oracle-derivable LCG
+    * weight table ([[graft.pipeline.QualityClassifier.lcgWeightTable]]);
+    * training ([[graft.pipeline.QualityClassifier.fitLogReg]]) is
+    * float-sum-order reproducible only, so it is suite-pinned by
+    * accuracy bars instead — the same split the tree learners use. The
+    * oracle re-derives the codepoint hash fold, the bucket collapse,
+    * the LCG weights, and both snaps.
+    */
+  def pQualityClassifier(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.pipeline.QualityClassifier
+    val docs = documents(spark, sfDir)
+    val weights = QualityClassifier.lcgWeightTable(docs, 1024)
+    QualityClassifier.scoreWithTable(docs, "doc_id", "text", weights, 0.037, 1024)
+      .orderBy("doc_id")
+  }
+
   /** Corpus report ([[CorpusStats.corpusReport]]): the dataset-card
     * summary in long format. Every ingredient (token counts, exact-dup
     * normalization, quality score, langId) is individually gated; this

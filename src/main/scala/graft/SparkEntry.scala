@@ -109,6 +109,7 @@ object SparkEntry {
     "p_embedding_quantize" -> (Queries.pEmbeddingQuantize _),
     "p_embedding_cov" -> (Queries.pEmbeddingCov _),
     "p_embedding_pca" -> (Queries.pEmbeddingPca _),
+    "p_quality_classifier" -> (Queries.pQualityClassifier _),
     "p_corpus_report" -> (Queries.pCorpusReport _),
     "p_ingest_pipeline" -> (Queries.pIngestPipeline _),
     "p_corpus_diff" -> (Queries.pCorpusDiff _),
@@ -1760,6 +1761,50 @@ object SparkEntry {
         |  CAST(0 AS BIGINT) AS trace_gap_e4,
         |  CAST(0 AS BIGINT) AS frob_gap_e3
         |ORDER BY r""".stripMargin,
+    // learned quality classifier: the oracle folds the 32-bit
+    // codepoint-FNV hash per token in plain BIGINT arithmetic (32-bit
+    // state x 24-bit prime < 2^57 -- the reason the hash is codepoint-
+    // based), re-derives the LCG bucket weights as integer micros, the
+    // per-term halfAway(wm*c / n) EXACT-INTEGER rounding (a float
+    // round(w*c/n, 6) sits exactly on half-micro boundaries here and the
+    // engines disagree on those -- see QualityClassifier's contract
+    // note), and the 6dp-snapped sigmoid (exp is the one
+    // transcendental -- snapped immediately, the BM25 ln rule).
+    "p_quality_classifier" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+        |  FROM documents WHERE text IS NOT NULL),
+        |tok AS (SELECT doc_id, len(tk) AS n, unnest(tk) AS token FROM t),
+        |h AS (
+        |  SELECT doc_id, n,
+        |    list_reduce(
+        |      list_prepend(CAST(2166136261 AS BIGINT),
+        |        list_transform(range(1, length(token)+1),
+        |          i -> CAST(unicode(substr(token, i, 1)) AS BIGINT))),
+        |      (acc, cp) -> (xor(acc, cp) * 16777619) % 4294967296) % 1024
+        |      AS bucket
+        |  FROM tok),
+        |cnt AS (SELECT doc_id, n, bucket, count(*) AS c FROM h GROUP BY 1, 2, 3),
+        |wt AS (
+        |  SELECT CAST(b AS BIGINT) AS bucket,
+        |    CAST(round(round(CAST((b * 1103515245 + 12345) % 4294967296 AS DOUBLE)
+        |        / CAST(4294967296 AS DOUBLE) * CAST(0.2 AS DOUBLE)
+        |      - CAST(0.1 AS DOUBLE), 6) * 1000000, 0) AS BIGINT) AS wm
+        |  FROM (SELECT unnest(range(0, 1024)) AS b)),
+        |terms AS (
+        |  SELECT doc_id, n,
+        |    CAST(sign(wm * c) AS BIGINT)
+        |      * ((2 * abs(wm * c) + n) // (2 * n)) AS term_micro
+        |  FROM cnt JOIN wt USING (bucket)),
+        |zz AS (
+        |  SELECT doc_id, n AS n_tokens,
+        |    CAST(37000 + sum(term_micro) AS BIGINT) AS z_micro
+        |  FROM terms GROUP BY 1, 2)
+        |SELECT doc_id, n_tokens, z_micro,
+        |  round(CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE)
+        |    + exp(-(CAST(z_micro AS DOUBLE) / CAST(1000000 AS DOUBLE)))), 6)
+        |    AS prob
+        |FROM zz ORDER BY doc_id""".stripMargin,
     // composed crawl-ingest chain: the p_url_dedup canonicalization CTE
     // feeding min-id survivors, the p_gopher_filter integer rules (no
     // enrichment — organic violations only), one shared tokenizer

@@ -206,6 +206,53 @@ object Fnv1aFingerprint {
   }
 }
 
+/** 32-bit FNV-1a over Unicode CODE POINTS (not UTF-8 bytes, not UTF-16
+  * units) — the engine-portable token hash for the hashing-trick feature
+  * spaces. Code points are the one string unit every engine agrees on:
+  * DuckDB strings are codepoint-indexed (`length`/`substr`/`unicode`),
+  * so a SQL oracle can fold the identical hash with plain BIGINT
+  * arithmetic (32-bit state × 24-bit prime < 2⁵⁷ never overflows),
+  * while byte-level FNV (see [[Fnv1aFingerprint]]) cannot be re-derived
+  * in SQL for multi-byte text. Result is the unsigned 32-bit hash in a
+  * long.
+  */
+case class CodePointFnv32(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(org.apache.spark.sql.types.StringType)
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def nullSafeEval(input: Any): Any =
+    CodePointFnv32.compute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = org.apache.spark.sql.graft.CodePointFnv32.compute($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): CodePointFnv32 =
+    copy(child = newChild)
+}
+
+object CodePointFnv32 {
+  def compute(text: org.apache.spark.unsafe.types.UTF8String): Long =
+    computeString(text.toString)
+
+  /** Scalar twin for driver/UDF callers (broadcast-model scoring). */
+  def computeString(s: String): Long = {
+    var h = 2166136261L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      h = ((h ^ cp) * 16777619L) & 0xFFFFFFFFL
+      i += Character.charCount(cp)
+    }
+    h
+  }
+}
+
 /** Random-hyperplane LSH bucket id for one table: sign bit per plane over
   * a dot product with the embedding. The plane matrix for the table is a
   * reference object embedded in the generated code, so the per-row loop
@@ -304,6 +351,10 @@ object GraftExpressions {
   /** FNV-1a fingerprint of normalized text (codegen'd). */
   def fnv1aFingerprint(text: Column): Column =
     ExpressionUtils.column(Fnv1aFingerprint(ExpressionUtils.expression(text)))
+
+  /** 32-bit codepoint FNV-1a token hash (codegen'd, SQL-re-derivable). */
+  def codePointFnv32(token: Column): Column =
+    ExpressionUtils.column(CodePointFnv32(ExpressionUtils.expression(token)))
 
   /** LSH hyperplane sign-bucket for one table's plane matrix (codegen'd). */
   def lshBucket(vec: Column, planes: Array[Array[Double]]): Column =

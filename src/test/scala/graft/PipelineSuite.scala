@@ -875,6 +875,83 @@ class PipelineSuite extends SparkSpec {
     assert(clash.getMessage.contains("re-uses doc_ids"))
   }
 
+  test("QualityClassifier: hand arithmetic, table==model parity, trainer separates") {
+    val s = spark
+    import s.implicits._
+    import graft.pipeline.QualityClassifier
+    import QualityClassifier.LinearModel
+    val docs = Seq(
+      (0L, "alpha beta alpha"), (1L, "GAMMA delta"), (2L, null.asInstanceOf[String]),
+      (3L, "  "), (4L, "中文 text mixé"))
+      .toDF("doc_id", "text")
+    val nb = 8
+    val wdf = QualityClassifier.lcgWeightTable(docs, nb).persist()
+    val wmap = wdf.collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val bias = 0.037
+    val got = QualityClassifier.scoreWithTable(docs, "doc_id", "text", wdf, bias, nb)
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    // scalar re-derivation of the exact contract
+    def fnv(t: String): Long = {
+      var h = 2166136261L; var i = 0
+      while (i < t.length) {
+        val cp = t.codePointAt(i)
+        h = ((h ^ cp) * 16777619L) & 0xFFFFFFFFL
+        i += Character.charCount(cp)
+      }
+      h
+    }
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def toks(text: String): Array[String] = {
+      var a = 0; var z = text.length
+      while (a < z && text.charAt(a) == ' ') a += 1
+      while (z > a && text.charAt(z - 1) == ' ') z -= 1
+      text.substring(a, z).toLowerCase.split("\\s+", -1)
+    }
+    for ((id, text) <- Seq((0L, "alpha beta alpha"), (1L, "GAMMA delta"),
+        (3L, "  "), (4L, "中文 text mixé"))) {
+      val ts = toks(text)
+      val cnt = ts.groupBy(t => fnv(t) % nb).map { case (b, g) => (b, g.size) }
+      val zsumMicro = cnt.toSeq.map { case (b, c) =>
+        val num = math.round(wmap(b) * 1e6) * c
+        java.lang.Long.signum(num) *
+          ((2L * math.abs(num) + ts.length) / (2L * ts.length))
+      }.sum
+      val zMicro = math.round(bias * 1e6) + zsumMicro
+      val z = zMicro / 1e6
+      assert(got(id) === ((ts.length.toLong, zMicro,
+        r6(1.0 / (1.0 + math.exp(-z))))), s"doc $id")
+    }
+    // null text emits no row (the posting builders' contract)
+    assert(!got.contains(2L) && got.size === 4)
+    // broadcast-model map-side twin: row-identical, shuffle-free
+    val model = LinearModel(Array.tabulate(nb)(b => wmap(b.toLong)), bias)
+    val viaModel = QualityClassifier.scoreWithModel(docs, "doc_id", "text", model)
+    assert(viaModel.collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap === got)
+    assert(!viaModel.queryExecution.executedPlan.toString.contains("Exchange"),
+      "scoreWithModel plans a shuffle")
+    wdf.unpersist(blocking = false)
+    // trainer separates planted classes (accuracy bar, not hash — training
+    // sums floats in partition order and is not bit-deterministic)
+    val train = (0 until 400).map { i =>
+      if (i % 2 == 0)
+        (i.toLong, s"good clean prose sample number ${i % 7} with structure", 1.0)
+      else
+        (i.toLong, s"spam junk clickbait garbage ${i % 5} buy now", 0.0)
+    }.toDF("doc_id", "text", "label")
+    val fitted = QualityClassifier.fitLogReg(
+      train, "text", "label", numBuckets = 256, iters = 40, stepSize = 1.0)
+    val acc = QualityClassifier.scoreWithModel(train, "doc_id", "text", fitted)
+      .join(train.select("doc_id", "label"), "doc_id")
+      .select(((col("prob") > 0.5).cast("double") === col("label")).cast("long").as("ok"))
+      .agg(avg("ok")).head().getDouble(0)
+    assert(acc >= 0.95, s"trainer accuracy $acc < 0.95")
+  }
+
   test("hybridWithIndex equals the distributed hybrid, rows and scores") {
     val s = spark
     import s.implicits._
