@@ -913,6 +913,37 @@ object Queries {
         round(col("q2"), 6).as("p99"))
       .orderBy("source")
 
+  /** Per-doc trigram novelty ([[CorpusStats.noveltyScore]]): distinct
+    * shingle counts and first-occurrence counts are pure integers; the
+    * oracle re-derives the shingle sets (with the same whole-text
+    * fallback for < 3-token docs) and the min-doc-id first-occurrence
+    * rule in SQL. Null-text docs keep a 0/0 row on both sides.
+    */
+  def pNovelty(spark: SparkSession, sfDir: String): DataFrame =
+    CorpusStats.noveltyScore(documents(spark, sfDir), "doc_id", "text", 3)
+      .select(col("id").as("doc_id"), col("n_grams"), col("n_novel"))
+      .orderBy("doc_id")
+
+  /** Range sharding by exact token-count quantiles
+    * ([[Sampling.rangeShards]], R = 8): boundary arithmetic is the
+    * engine-shared (n−1)·p interpolation over integer inputs (the
+    * [[pSourceQuantiles]] precedent) and the strict `key > boundary`
+    * shard rule is exact on both sides, so per-shard counts and min/max
+    * keys pin the whole boundary + assignment path.
+    */
+  def pRangeShard(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = documents(spark, sfDir).select(
+      col("doc_id"),
+      size(TF.tokens(col("text"))).cast("long").as("nt"))
+    Sampling.rangeShards(d, "nt", 8)
+      .groupBy(col("shard_id").cast("long").as("shard_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min(col("nt")).as("min_key"),
+        max(col("nt")).as("max_key"))
+      .orderBy("shard_id")
+  }
+
   /** BPE merge-candidate statistics ([[CorpusStats.bpePairStats]]): top
     * 30 adjacent character pairs weighted by word frequency — integer
     * counts with a total (n desc, pair asc) order, re-derived in SQL
@@ -1806,6 +1837,26 @@ object Queries {
         numCentroids = 16, nprobe = 16)
       .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rnk"))
       .orderBy("query_id", "rnk")
+  }
+
+  /** ANN recall@5 with an EXACT oracle — pruning is ON here (recall < 1
+    * is the point, unlike the full-probe gates above). The seeded IVF
+    * ([[Similarity.ivfTopKSeeded]]: centroids = the 16 smallest-id
+    * embeddings, argmin assignment with lower-list tie-break, nprobe=4)
+    * is fully deterministic and SQL-replayable, so DuckDB re-derives the
+    * approximate result ITSELF, the exact top-5, and the per-query hit
+    * counts — pinning the evaluation harness ([[Similarity.recallAtK]])
+    * and the approximation's entire decision path exactly.
+    */
+  def pAnnRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = embeddings(spark, sfDir)
+    val qs = e.filter(col("vec_id") < 30)
+    val exact = Similarity.bruteForceTopKAgg(qs, e, "vec_id", "embedding", 5)
+    val approx = Similarity.ivfTopKSeeded(qs, e, "vec_id", "embedding", 5,
+      numCentroids = 16, nprobe = 4)
+    Similarity.recallAtK(approx, exact)
+      .select(col("query_id"), col("n_exact"), col("n_hits"))
+      .orderBy("query_id")
   }
 
   /** Product-quantization ANN ([[Similarity.pqTopK]]): min-id codebooks

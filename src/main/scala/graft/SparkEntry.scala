@@ -60,6 +60,7 @@ object SparkEntry {
     "p_ann_ivf" -> (Queries.pAnnIvf _),
     "p_ann_pq" -> (Queries.pAnnPq _),
     "p_ann_ivfpq" -> (Queries.pAnnIvfPq _),
+    "p_ann_recall" -> (Queries.pAnnRecall _),
     "p_multimodal" -> (Queries.pMultimodal _),
     "p_media_decode" -> (Queries.pMediaDecode _),
     "p_media_decode_robust" -> (Queries.pMediaDecodeRobust _),
@@ -123,6 +124,8 @@ object SparkEntry {
     "p_source_stats" -> (Queries.pSourceStats _),
     "p_source_filter" -> (Queries.pSourceFilter _),
     "p_source_quantiles" -> (Queries.pSourceQuantiles _),
+    "p_novelty" -> (Queries.pNovelty _),
+    "p_range_shard" -> (Queries.pRangeShard _),
     "p_bpe_pairs" -> (Queries.pBpePairs _),
     "p_ngram_repetition" -> (Queries.pNgramRepetition _),
     "p_pii_redaction" -> (Queries.pPiiRedaction _),
@@ -482,6 +485,61 @@ object SparkEntry {
       |  FROM s WHERE NOT isnan(cos))
       |SELECT query_id, neighbor_id, rnk FROM r WHERE rnk <= 5
       |ORDER BY query_id, rnk""".stripMargin
+
+  /** Seeded-IVF recall@5 oracle: re-derives the approximate search itself
+    * (centroids = 16 smallest-id embeddings; argmin assignment, ties to
+    * the lower list; nprobe=4 probe; cosine top-5) AND the exact top-5,
+    * then counts per-query hits. The squared-distance and dot-product
+    * sums run in index order on both engines (the PQ/ANN-gate precedent),
+    * so every comparison is bit-exact.
+    */
+  private val ANN_RECALL_SQL =
+    """WITH p AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |cen AS (
+      |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS list_id, v AS cv
+      |  FROM p WHERE vec_id < 16),
+      |d AS (
+      |  SELECT p.vec_id AS id, cen.list_id,
+      |    list_sum(list_transform(range(1, 65),
+      |      i -> (p.v[i]-cen.cv[i])*(p.v[i]-cen.cv[i]))) AS d2
+      |  FROM p, cen),
+      |asg AS (
+      |  SELECT id AS nid, list_id FROM (
+      |    SELECT id, list_id,
+      |      row_number() OVER (PARTITION BY id ORDER BY d2, list_id) AS rn FROM d)
+      |  WHERE rn = 1),
+      |pr AS (
+      |  SELECT id AS qid, list_id FROM (
+      |    SELECT id, list_id,
+      |      row_number() OVER (PARTITION BY id ORDER BY d2, list_id) AS rn
+      |    FROM d WHERE id < 30)
+      |  WHERE rn <= 4),
+      |q AS (SELECT vec_id AS qid, v AS qv FROM p WHERE vec_id < 30),
+      |sc AS (
+      |  SELECT q.qid, a.nid,
+      |    list_dot_product(q.qv, c.v) /
+      |      (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+      |  FROM q JOIN pr ON q.qid = pr.qid
+      |    JOIN asg a ON a.list_id = pr.list_id
+      |    JOIN p c ON c.vec_id = a.nid
+      |  WHERE q.qid != a.nid),
+      |approx AS (
+      |  SELECT qid, nid FROM (
+      |    SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rnk
+      |    FROM sc WHERE NOT isnan(cos)) WHERE rnk <= 5),
+      |es AS (
+      |  SELECT q.qid, c.vec_id AS nid,
+      |    list_dot_product(q.qv, c.v) /
+      |      (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+      |  FROM q, p c WHERE q.qid != c.vec_id),
+      |exact AS (
+      |  SELECT qid, nid FROM (
+      |    SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rnk
+      |    FROM es WHERE NOT isnan(cos)) WHERE rnk <= 5)
+      |SELECT e.qid AS query_id, CAST(count(*) AS BIGINT) AS n_exact,
+      |  CAST(count(a.nid) AS BIGINT) AS n_hits
+      |FROM exact e LEFT JOIN approx a ON e.qid = a.qid AND e.nid = a.nid
+      |GROUP BY e.qid ORDER BY query_id""".stripMargin
 
   /** Constant-prediction ensemble oracle: when the fitted ensemble's
     * prediction provably equals avg(label) (Dummy-mean bases, sampling
@@ -1180,6 +1238,40 @@ object SparkEntry {
          |  round(quantile_cont(nt, 0.9), 6) AS p90,
          |  round(quantile_cont(nt, 0.99), 6) AS p99
          |FROM tc GROUP BY source ORDER BY source""".stripMargin,
+    // per-doc trigram novelty: distinct shingles (whole-text fallback
+    // below 3 tokens, matching TextFunctions.shingles), first occurrence
+    // = min doc_id per shingle; null-text docs keep a 0/0 row
+    "p_novelty" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $TOKS AS t FROM documents WHERE text IS NOT NULL),
+         |g AS (
+         |  SELECT DISTINCT doc_id,
+         |    CASE WHEN len(t) >= 3 THEN t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+         |         ELSE array_to_string(t, ' ') END AS s
+         |  FROM toks, LATERAL (SELECT unnest(range(1,
+         |    CASE WHEN len(t) >= 3 THEN len(t) - 1 ELSE 2 END)) AS i)),
+         |f AS (SELECT s, min(doc_id) AS first_id FROM g GROUP BY s),
+         |n AS (
+         |  SELECT g.doc_id, count(*) AS n_grams,
+         |    sum(CASE WHEN f.first_id = g.doc_id THEN 1 ELSE 0 END) AS n_novel
+         |  FROM g JOIN f USING (s) GROUP BY g.doc_id)
+         |SELECT d.doc_id, CAST(coalesce(n.n_grams, 0) AS BIGINT) AS n_grams,
+         |  CAST(coalesce(n.n_novel, 0) AS BIGINT) AS n_novel
+         |FROM documents d LEFT JOIN n ON d.doc_id = n.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+    // range sharding: exact (n-1)*p percentile boundaries over integer
+    // token counts, shard = count of boundaries strictly below the key
+    "p_range_shard" ->
+      s"""WITH tc AS (
+         |  SELECT doc_id, CAST(len($TOKS) AS BIGINT) AS nt FROM documents),
+         |b AS (SELECT quantile_cont(nt,
+         |  [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS qs FROM tc),
+         |s AS (SELECT nt, len(list_filter(qs, x -> nt > x)) AS shard_id
+         |  FROM tc, b)
+         |SELECT CAST(shard_id AS BIGINT) AS shard_id,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  min(nt) AS min_key, max(nt) AS max_key
+         |FROM s GROUP BY shard_id ORDER BY shard_id""".stripMargin,
     // BPE merge candidates: vocabulary collapse, adjacent char pairs
     // weighted by word frequency, total-ordered top 30
     "p_bpe_pairs" ->
@@ -2142,6 +2234,7 @@ object SparkEntry {
     // the composed coarse-quantizer + ADC pipeline too.
     "p_ann_pq" -> ANN_PQ_SQL,
     "p_ann_ivfpq" -> ANN_PQ_SQL,
+    "p_ann_recall" -> ANN_RECALL_SQL,
     // frame arithmetic: 64-byte frames, every 2nd sampled, ragged last
     // frame — all integer math on the UTF-8 payload size, exact in SQL
     "p_multimodal" ->

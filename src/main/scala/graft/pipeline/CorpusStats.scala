@@ -303,4 +303,37 @@ object CorpusStats {
         col("t.df").as("df"), col("t.tfidf").as("tfidf"),
         (col("pos") + 1).cast("long").as("rnk"))
   }
+
+  /** Per-document n-gram novelty vs the EARLIER corpus (id order): of the
+    * doc's distinct n-gram shingles, how many appear here for the first
+    * time (no smaller-id doc contains them). The curation signal behind
+    * "how much NEW text does each crawl slice add" — aggregated by
+    * source/day it tells a data team which feeds still pay for themselves
+    * and which only re-crawl what the corpus already holds (the
+    * memorization literature's n-gram-novelty curve).
+    *
+    * Scale shape: shingle rows ~ token volume (the decontaminate cost
+    * class), and first-occurrence is a window `min` partitioned by the
+    * shingle — ONE wide shuffle, no self-join, nothing collected. The
+    * per-doc re-aggregation shuffles (doc, counts) pairs only. Null-text
+    * docs keep their row with `n_grams = 0` (explode_outer).
+    */
+  def noveltyScore(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = docs.select(
+      col(idCol).as("id"),
+      explode_outer(when(col(textCol).isNotNull,
+        TextFunctions.shingles(col(textCol), n))).as("s"))
+    val w = Window.partitionBy("s")
+    grams
+      .withColumn("first_id", when(col("s").isNotNull, min(col("id")).over(w)))
+      .groupBy("id")
+      .agg(
+        count(col("s")).as("n_grams"),
+        sum(when(col("first_id") === col("id"), 1L).otherwise(0L)).as("n_novel"))
+  }
 }

@@ -462,4 +462,36 @@ object Sampling {
       .select(col(groupCol), explode(col("picks")).as("p"))
       .select(col(groupCol), col("p.id").as(idCol))
   }
+
+  /** Range sharding by exact key quantiles: boundaries are the (1/R ...
+    * (R-1)/R) percentiles of `keyCol` ((n-1)·p interpolation, the
+    * Spark/DuckDB-shared formula), and `shard_id` = number of boundaries
+    * strictly below the key — ties at a boundary all land in the lower
+    * shard, deterministically, with no row sampling anywhere. This is the
+    * write-side twin of `repartitionByRange` (whose boundaries come from
+    * a nondeterministic reservoir sample): sorted, roughly equal shards
+    * make parquet zone maps (min/max) prune range scans, the layout a
+    * time- or length-keyed corpus wants on disk.
+    *
+    * Scale shape: one percentile aggregate (map-side partial, R-1 output
+    * doubles), then a broadcast of that single boundary row and a
+    * map-side `aggregate()` comparison per row — no shuffle of the data
+    * itself (writers then `repartition(shard_id)` or partitionBy as
+    * needed). At 100 TB swap the exact percentile for `approx_percentile`
+    * and the semantics keep: ANY monotone boundary vector yields a valid
+    * range partitioning; boundary quality affects balance, not
+    * correctness. NULL keys compare false against every boundary and
+    * land in shard 0.
+    */
+  def rangeShards(df: DataFrame, keyCol: String, numShards: Int): DataFrame = {
+    require(numShards >= 2, s"numShards=$numShards must be >= 2")
+    val ps = (1 until numShards).map(_.toDouble / numShards)
+    val bounds = df.agg(
+      percentile(col(keyCol).cast("double"), typedLit(ps)).as("bs"))
+    df.crossJoin(broadcast(bounds))
+      .withColumn("shard_id",
+        aggregate(col("bs"), lit(0),
+          (acc, bv) => acc + when(col(keyCol).cast("double") > bv, 1).otherwise(0)))
+      .drop("bs")
+  }
 }

@@ -111,6 +111,80 @@ object Similarity {
       }.sortBy(_._2).take(nprobe).map(_._1)
     }
 
+  /** Deterministic seeded coarse quantizer: centroids are the embeddings
+    * of the `numCentroids` smallest ids, `list_id` = 0-based rank in id
+    * order. No KMeans fit, so assignment, probe, and therefore the whole
+    * approximate result are exactly re-derivable by another SQL engine —
+    * which is what makes an EXACT recall oracle possible (gate
+    * `p_ann_recall`). The collect is `numCentroids` rows (capped), never
+    * the corpus; at scale the seed set rides a broadcast like any other
+    * centroid table.
+    */
+  def seedCentroids(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      numCentroids: Int): Array[(Int, Array[Double])] = {
+    require(numCentroids > 0 && numCentroids <= 65536,
+      s"seedCentroids collects $numCentroids rows to the driver (cap 65536)")
+    corpus
+      .select(col(idCol).cast("long").as("id"), col(vecCol).cast("array<double>").as("v"))
+      .orderBy("id")
+      .limit(numCentroids)
+      .collect()
+      .zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Double](1).toArray) }
+  }
+
+  /** IVF over the seeded quantizer of [[seedCentroids]]: same pruned
+    * probe join as [[ivfTopK]] (corpus rows assigned to their argmin
+    * centroid — distance ties break to the lower list id — queries probe
+    * `nprobe` lists, bounded-heap rank), but every stage is deterministic
+    * and engine-replayable. At `nprobe < numCentroids` recall < 1 by
+    * construction — this is the variant the exact recall gate measures;
+    * at `nprobe = numCentroids` it reproduces [[bruteForceTopKAgg]]
+    * exactly (each corpus row lives in exactly one list and all lists are
+    * probed — suite-pinned).
+    */
+  def ivfTopKSeeded(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      numCentroids: Int = 16,
+      nprobe: Int = 4): DataFrame = {
+    val centroids = seedCentroids(corpus, idCol, vecCol, numCentroids)
+    val c = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).cast("array<double>").as("cv"))
+      .withColumn("list_id", element_at(probeLists(centroids, 1)(col("cv")), 1))
+    val q = queries
+      .select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("list_id", explode(probeLists(centroids, nprobe)(col("qv"))))
+    val scored = c.join(broadcast(q),
+        col("query_id") =!= col("neighbor_id") && c("list_id") === q("list_id"))
+      .withColumn("cos", Dedup.cosine(col("qv"), col("cv")))
+    rankTopK(scored, k)
+  }
+
+  /** Recall@k evaluation harness: per-query overlap between an
+    * approximate top-k and the exact top-k, both as (query_id,
+    * neighbor_id) row sets — the output contract every `*TopK` in this
+    * file shares, so any ANN variant plugs in. Inputs are O(queries x k)
+    * rows: the evaluation never touches the corpus, and the overlap join
+    * is trivially broadcastable at any corpus scale. All-integer output
+    * (comparator discipline); recall = n_hits / n_exact.
+    */
+  def recallAtK(approx: DataFrame, exact: DataFrame): DataFrame = {
+    val a = approx.select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+    exact.select("query_id", "neighbor_id")
+      .join(a, Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(
+        count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+  }
+
   def ivfTopKFromIndex(
       spark: org.apache.spark.sql.SparkSession,
       indexPath: String,

@@ -664,4 +664,28 @@ class CorpusOpsSuite extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(keptDf === keptSeq, s"DF path $keptDf != Seq path $keptSeq")
   }
+
+  test("noveltyScore: first occurrence wins, dup doc adds nothing, null text keeps a 0/0 row") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "a b c d"),  // shingles "a b c", "b c d" — both first here
+      (2L, "a b c d"),  // exact dup — 2 shingles, 0 novel
+      (3L, "b c d e"),  // "b c d" already seen, "c d e" novel
+      (4L, "x y"),      // < 3 tokens — whole-text fallback shingle, novel
+      (5L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = CorpusStats.noveltyScore(df, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(1L) === ((2L, 2L)))
+    assert(out(2L) === ((2L, 0L)))
+    assert(out(3L) === ((2L, 1L)))
+    assert(out(4L) === ((1L, 1L)))
+    assert(out(5L) === ((0L, 0L)))
+    // repeated shingles inside one doc count once (array_distinct)
+    val rep = Seq((1L, "a b c a b c a b c")).toDF("doc_id", "text")
+    val r1 = CorpusStats.noveltyScore(rep, "doc_id", "text", 3).head()
+    // distinct shingles of the 9-token text: a b c / b c a / c a b
+    assert(r1.getLong(1) === 3L && r1.getLong(2) === 3L)
+  }
 }

@@ -239,6 +239,23 @@ class DocsSuite extends SparkSpec {
       .count() === 50)
     assert(pipeline.Similarity.ivfTopK(q, embs, "vec_id", "embedding", 10,
       numCentroids = 8, nprobe = 4).count() > 0)
+    val exact = pipeline.Similarity.bruteForceTopKAgg(q, embs, "vec_id", "embedding", 10)
+    val approx = pipeline.Similarity.ivfTopKSeeded(q, embs, "vec_id", "embedding", 10,
+      numCentroids = 16, nprobe = 4)
+    val rec = pipeline.Similarity.recallAtK(approx, exact)
+    assert(rec.columns.toSeq === Seq("query_id", "n_exact", "n_hits"))
+    assert(rec.count() === 5)
+  }
+
+  test("pipeline-ops: novelty + range-shard snippets run") {
+    val nov = pipeline.CorpusStats.noveltyScore(docs, "doc_id", "text", n = 3)
+    assert(nov.columns.toSeq === Seq("id", "n_grams", "n_novel"))
+    assert(nov.count() === docs.count())
+    val keyed = docs.select(col("doc_id"),
+      size(split(lower(trim(col("text"))), "\\s+")).cast("long").as("n_tokens"))
+    val sharded = pipeline.Sampling.rangeShards(keyed, "n_tokens", numShards = 8)
+    assert(sharded.count() === docs.count())
+    assert(sharded.select("shard_id").distinct().count() >= 2)
   }
 
   test("pipeline-ops: temperature mix snippet runs") {

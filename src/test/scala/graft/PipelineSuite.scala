@@ -1456,6 +1456,62 @@ class PipelineSuite extends SparkSpec {
     assert(recall >= 0.6, s"ivf recall vs brute force: $recall")
   }
 
+  test("seeded IVF at full probe == brute force; recallAtK pins the harness") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(53)
+    val df = (0 until 300).map(i => (i.toLong, Array.fill(16)(rng.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val queries = df.filter(col("vec_id") < 10)
+    def rows(d: DataFrame): Set[(Long, Long, Long)] =
+      d.select(col("query_id"), col("neighbor_id"), col("rank").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val brute = Similarity.bruteForceTopKAgg(queries, df, "vec_id", "embedding", 5)
+    // every corpus row lives in exactly one list, so probing all lists
+    // scores every pair once: ranks must match brute force EXACTLY
+    val full = Similarity.ivfTopKSeeded(queries, df, "vec_id", "embedding", 5,
+      numCentroids = 8, nprobe = 8)
+    assert(rows(full) === rows(brute))
+
+    // the harness itself: exact vs exact is k/k on every query
+    val self = Similarity.recallAtK(brute, brute).collect()
+    assert(self.length === 10)
+    assert(self.forall(r => r.getLong(1) === 5L && r.getLong(2) === 5L))
+
+    // pruned probe: hits <= exact per query, and pruning on clusterless
+    // gaussians must lose something overall (recall < 1 is the point of
+    // the p_ann_recall gate) while still finding something
+    val pruned = Similarity.ivfTopKSeeded(queries, df, "vec_id", "embedding", 5,
+      numCentroids = 8, nprobe = 2)
+    val rec = Similarity.recallAtK(pruned, brute).collect()
+    assert(rec.length === 10)
+    assert(rec.forall(r => r.getLong(2) <= r.getLong(1)))
+    val (hits, exact) = (rec.map(_.getLong(2)).sum, rec.map(_.getLong(1)).sum)
+    assert(hits > 0L && hits < exact, s"pruned recall $hits/$exact")
+  }
+
+  test("rangeShards: monotone in the key, ties stay together, null key in shard 0") {
+    val s = spark
+    import s.implicits._
+    val rows = (1 to 100).map(i => (i.toLong, Some((i % 10).toLong))) :+
+      ((101L, Option.empty[Long]))
+    val df = rows.toDF("id", "k")
+    val out = Sampling.rangeShards(df, "k", 4)
+      .select(col("id"), col("k"), col("shard_id")).collect()
+    assert(out.length === 101)
+    assert(out.forall(r => r.getInt(2) >= 0 && r.getInt(2) < 4))
+    // equal keys land in the same shard; shard is monotone in the key
+    val byKey = out.filter(!_.isNullAt(1)).groupBy(_.getLong(1))
+      .map { case (k, rs) => k -> rs.map(_.getInt(2)).distinct }
+    assert(byKey.values.forall(_.length === 1), s"tied keys split: $byKey")
+    val sorted = byKey.toSeq.sortBy(_._1).map(_._2.head)
+    assert(sorted.zip(sorted.tail).forall { case (a, b) => a <= b })
+    // the null-key row fails every boundary comparison -> shard 0
+    assert(out.find(_.isNullAt(1)).get.getInt(2) === 0)
+    // at least two non-empty shards on a spread-out key
+    assert(sorted.distinct.length >= 2)
+  }
+
   test("multimodal payload/decode/frame plumbing") {
     val s = spark
     import s.implicits._

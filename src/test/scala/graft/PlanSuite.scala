@@ -256,6 +256,27 @@ class PlanSuite extends SparkSpec {
     assert(!plan.contains("Window"), s"epochShards plans a window:\n$plan")
   }
 
+  test("rangeShards never shuffles the fact side; novelty joins nothing") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), length(col("text")).cast("long").as("k"))
+    val plan = formatted(graft.pipeline.Sampling.rangeShards(docs, "k", 8))
+    // the ONLY exchange feeds the R-1-row percentile aggregate; the fact
+    // side rides a broadcast nested-loop join of that single row
+    val exchanges = plan.linesIterator.count(_.matches("""^\(\d+\) Exchange.*"""))
+    assert(exchanges <= 2, s"rangeShards shuffles the data:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"boundary row not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"fact side shuffled for the boundary join:\n$plan")
+
+    // novelty: first-occurrence is a window min, NOT a self-join — the
+    // shingle table crosses the wire once, never twice
+    val novPlan = formatted(graft.pipeline.CorpusStats
+      .noveltyScore(spark.read.parquet(s"$sf/documents.parquet"), "doc_id", "text", 3))
+    assert(!novPlan.contains("Join"), s"novelty plans a join:\n$novPlan")
+    assert(novPlan.contains("Window"), s"novelty lost its window min:\n$novPlan")
+  }
+
   test("quality filter evaluates NgramRepetition exactly once per row") {
     val plan = formatted(Queries.pQualityFilter(spark, sf))
     val n = "ngram_?repetition".r.findAllIn(plan.toLowerCase).length
