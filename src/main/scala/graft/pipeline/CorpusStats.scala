@@ -312,28 +312,36 @@ object CorpusStats {
     * and which only re-crawl what the corpus already holds (the
     * memorization literature's n-gram-novelty curve).
     *
-    * Scale shape: shingle rows ~ token volume (the decontaminate cost
-    * class), and first-occurrence is a window `min` partitioned by the
-    * shingle — ONE wide shuffle, no self-join, nothing collected. The
-    * per-doc re-aggregation shuffles (doc, counts) pairs only. Null-text
-    * docs keep their row with `n_grams = 0` (explode_outer).
+    * Scale shape: `n_grams` is the shingle-array size — a pure map-side
+    * projection, no explode. First-occurrence needs the corpus-wide
+    * min-id per shingle, so the exploded shingle table shuffles ONCE,
+    * partial-aggregated map-side down to (shingle, min_id) — never
+    * sorted (a window `min` here plans a full sort of the token-volume
+    * table: measured 8.3 s vs 0.19 s at sf0.1, ~40x). `n_novel` then
+    * re-aggregates
+    * the vocabulary-sized firsts by winner doc, and the final equi-join
+    * touches only doc-sized tables. Nothing collected, no self-join.
+    * Null-text docs keep their row with `n_grams = 0`.
     */
   def noveltyScore(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       n: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val grams = docs.select(
+    val base = docs.select(
       col(idCol).as("id"),
-      explode_outer(when(col(textCol).isNotNull,
-        TextFunctions.shingles(col(textCol), n))).as("s"))
-    val w = Window.partitionBy("s")
-    grams
-      .withColumn("first_id", when(col("s").isNotNull, min(col("id")).over(w)))
-      .groupBy("id")
-      .agg(
-        count(col("s")).as("n_grams"),
-        sum(when(col("first_id") === col("id"), 1L).otherwise(0L)).as("n_novel"))
+      when(col(textCol).isNotNull, TextFunctions.shingles(col(textCol), n))
+        .as("arr"))
+    val perDoc = base.select(
+      col("id"),
+      coalesce(size(col("arr")), lit(0)).cast("long").as("n_grams"))
+    val novel = base
+      .select(col("id"), explode(col("arr")).as("s"))
+      .groupBy("s").agg(min(col("id")).as("first_id"))
+      .groupBy("first_id").agg(count(lit(1)).as("n_novel"))
+    perDoc
+      .join(novel, perDoc("id") === novel("first_id"), "left")
+      .select(col("id"), col("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"))
   }
 }

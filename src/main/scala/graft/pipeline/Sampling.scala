@@ -489,9 +489,33 @@ object Sampling {
     val bounds = df.agg(
       percentile(col(keyCol).cast("double"), typedLit(ps)).as("bs"))
     df.crossJoin(broadcast(bounds))
-      .withColumn("shard_id",
-        aggregate(col("bs"), lit(0),
-          (acc, bv) => acc + when(col(keyCol).cast("double") > bv, 1).otherwise(0)))
+      .withColumn("shard_id", shardByBounds(col(keyCol), col("bs")))
       .drop("bs")
   }
+
+  /** [[rangeShards]] against a PRECOMPUTED boundary vector: the serving
+    * seam. Boundaries come from yesterday's corpus (or an
+    * `approx_percentile` pass) as R-1 plain doubles; assignment is a pure
+    * stateless projection, so the same call shards a STREAM verbatim
+    * (suite-pinned parity) and incremental batches route into the
+    * existing layout without re-deriving cuts. Monotonicity of `bounds`
+    * is the caller's contract (fail-loud checked).
+    */
+  def rangeShardsWithBounds(
+      df: DataFrame,
+      keyCol: String,
+      bounds: Seq[Double]): DataFrame = {
+    require(bounds.nonEmpty, "bounds must be non-empty")
+    require(bounds.zip(bounds.tail).forall { case (a, b) => a <= b },
+      s"bounds must be non-decreasing: $bounds")
+    df.withColumn("shard_id",
+      shardByBounds(col(keyCol), typedLit(bounds)))
+  }
+
+  /** Shared assignment rule: count of boundaries strictly below the key
+    * (NULL keys fail every comparison and land in shard 0).
+    */
+  private def shardByBounds(key: Column, bounds: Column): Column =
+    aggregate(bounds, lit(0),
+      (acc, bv) => acc + when(key.cast("double") > bv, 1).otherwise(0))
 }

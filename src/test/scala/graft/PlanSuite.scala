@@ -269,12 +269,16 @@ class PlanSuite extends SparkSpec {
     assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
       s"fact side shuffled for the boundary join:\n$plan")
 
-    // novelty: first-occurrence is a window min, NOT a self-join — the
-    // shingle table crosses the wire once, never twice
+    // novelty: the token-volume shingle table is exploded ONCE and
+    // reaches its min-id aggregate without a sort (a window min here
+    // plans a full sort of the exploded table — 40x slower at sf0.1);
+    // the only join touches doc-sized tables
     val novPlan = formatted(graft.pipeline.CorpusStats
       .noveltyScore(spark.read.parquet(s"$sf/documents.parquet"), "doc_id", "text", 3))
-    assert(!novPlan.contains("Join"), s"novelty plans a join:\n$novPlan")
-    assert(novPlan.contains("Window"), s"novelty lost its window min:\n$novPlan")
+    assert(!novPlan.contains("Window"), s"novelty re-grew a window min:\n$novPlan")
+    val generates = novPlan.linesIterator.count(_.matches("""^\(\d+\) Generate.*"""))
+    assert(generates === 1, s"expected ONE shingle explode, got $generates:\n$novPlan")
+    assert(!novPlan.contains("CartesianProduct"))
   }
 
   test("quality filter evaluates NgramRepetition exactly once per row") {

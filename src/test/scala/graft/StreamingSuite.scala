@@ -667,6 +667,44 @@ class StreamingSuite extends SparkSpec {
     } finally Seq(chunkQ, deconQ).foreach(_.stop())
   }
 
+  test("range sharding against precomputed bounds runs verbatim on a stream") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val rows = (1 to 60).map(i => (i.toLong, ((i * 7) % 23).toLong))
+    val batchDf = rows.toDF("id", "k")
+    // boundaries derived ONCE from the batch corpus (R-1 plain doubles),
+    // then served: batch-with-bounds must equal the self-deriving path...
+    val derived = graft.pipeline.Sampling.rangeShards(batchDf, "k", 4)
+      .select("id", "shard_id").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val ps = Seq(0.25, 0.5, 0.75)
+    val bounds = batchDf
+      .agg(percentile(col("k").cast("double"), typedLit(ps)).as("bs"))
+      .head().getSeq[Double](0)
+    val withBounds = graft.pipeline.Sampling
+      .rangeShardsWithBounds(batchDf, "k", bounds)
+      .select("id", "shard_id").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(withBounds === derived)
+
+    // ...and the SAME call on a stream is a stateless projection:
+    // append mode, no watermark, identical assignments
+    val mem = MemoryStream[(Long, Long)]
+    val q = graft.pipeline.Sampling
+      .rangeShardsWithBounds(mem.toDF().toDF("id", "k"), "k", bounds)
+      .select("id", "shard_id")
+      .writeStream.format("memory").queryName("shard_out").outputMode("append")
+      .start()
+    try {
+      mem.addData(rows.take(30): _*)
+      q.processAllAvailable()
+      mem.addData(rows.drop(30): _*)
+      q.processAllAvailable()
+      val streamed = s.sql("SELECT * FROM shard_out")
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      assert(streamed === derived)
+    } finally q.stop()
+  }
+
   test("map-side LM scoring and mixture rate application run verbatim on streams") {
     val s = spark
     import s.implicits._
