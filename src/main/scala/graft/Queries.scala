@@ -953,6 +953,28 @@ object Queries {
     CorpusStats.bpePairStats(documents(spark, sfDir), "text", 30)
       .orderBy("rnk")
 
+  /** BPE merge application ([[CorpusStats.bpeEncodeStats]]): learn the
+    * top-8 letter-pair merges with the (already-gated) [[pBpePairs]]
+    * statistics, then apply them in rank order and count the resulting
+    * pieces per doc. All integer outputs; the oracle re-derives the
+    * merge list from the same pair statistics and applies the identical
+    * nested-replace chain (placeholder chars = chr(0xE000+rank) on both
+    * engines), so learn -> rank -> greedy apply is pinned end to end.
+    * The 8-row merge collect is bounded by construction.
+    */
+  def pBpeEncode(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = documents(spark, sfDir)
+    val merges = CorpusStats.bpePairStats(d, "text", 30)
+      .filter(col("pair").rlike("^[a-z]{2}$"))
+      .orderBy("rnk")
+      .limit(8)
+      .collect().map(_.getString(0)).toSeq
+    CorpusStats.bpeEncodeStats(d, "doc_id", "text", merges)
+      .select(col("id").as("doc_id"), col("n_tokens"), col("n_chars"),
+        col("n_pieces"))
+      .orderBy("doc_id")
+  }
+
   /** K-means corpus clustering ([[Clustering]]): min-id init (vec_id
     * < 8), ONE Lloyd round, then a final assignment against centroids
     * rounded to 6 decimals. The rounding is the gate's cross-engine

@@ -127,6 +127,7 @@ object SparkEntry {
     "p_novelty" -> (Queries.pNovelty _),
     "p_range_shard" -> (Queries.pRangeShard _),
     "p_bpe_pairs" -> (Queries.pBpePairs _),
+    "p_bpe_encode" -> (Queries.pBpeEncode _),
     "p_ngram_repetition" -> (Queries.pNgramRepetition _),
     "p_pii_redaction" -> (Queries.pPiiRedaction _),
     "p_tfidf_top_terms" -> (Queries.pTfidfTopTerms _),
@@ -1272,6 +1273,51 @@ object SparkEntry {
          |  CAST(count(*) AS BIGINT) AS n_docs,
          |  min(nt) AS min_key, max(nt) AS max_key
          |FROM s GROUP BY shard_id ORDER BY shard_id""".stripMargin,
+    // BPE merge APPLICATION: top-8 letter-pair merges re-learned from
+    // the same pair statistics, applied as the identical nested-replace
+    // chain (placeholders chr(0xE000+rank)); chr(1) sentinels no-op the
+    // unused slots if fewer than 8 letter pairs exist
+    "p_bpe_encode" ->
+      s"""WITH w AS (
+         |  SELECT t AS word, count(*) AS wc
+         |  FROM (SELECT unnest($TOKS) AS t FROM documents)
+         |  GROUP BY 1),
+         |p AS (
+         |  SELECT substr(word, CAST(i AS INT), 2) AS pair, sum(wc) AS n
+         |  FROM w, LATERAL (SELECT unnest(range(1, len(word))) AS i)
+         |  WHERE len(word) >= 2 GROUP BY 1),
+         |m AS (
+         |  SELECT pair, row_number() OVER (ORDER BY n DESC, pair) AS mi
+         |  FROM p WHERE regexp_matches(pair, '^[a-z]{2}$$')
+         |  QUALIFY mi <= 8),
+         |mm AS (SELECT
+         |  coalesce(max(CASE WHEN mi = 1 THEN pair END), chr(1)) AS m1,
+         |  coalesce(max(CASE WHEN mi = 2 THEN pair END), chr(1)) AS m2,
+         |  coalesce(max(CASE WHEN mi = 3 THEN pair END), chr(1)) AS m3,
+         |  coalesce(max(CASE WHEN mi = 4 THEN pair END), chr(1)) AS m4,
+         |  coalesce(max(CASE WHEN mi = 5 THEN pair END), chr(1)) AS m5,
+         |  coalesce(max(CASE WHEN mi = 6 THEN pair END), chr(1)) AS m6,
+         |  coalesce(max(CASE WHEN mi = 7 THEN pair END), chr(1)) AS m7,
+         |  coalesce(max(CASE WHEN mi = 8 THEN pair END), chr(1)) AS m8
+         |  FROM m),
+         |toks AS (
+         |  SELECT doc_id, $TOKS AS t FROM documents WHERE text IS NOT NULL),
+         |enc AS (
+         |  SELECT doc_id,
+         |    CAST(len(t) AS BIGINT) AS n_tokens,
+         |    CAST(list_sum(list_transform(t, x -> length(x))) AS BIGINT) AS n_chars,
+         |    CAST(list_sum(list_transform(t, x -> length(
+         |      replace(replace(replace(replace(replace(replace(replace(replace(x,
+         |        m1, chr(57344)), m2, chr(57345)), m3, chr(57346)), m4, chr(57347)),
+         |        m5, chr(57348)), m6, chr(57349)), m7, chr(57350)), m8, chr(57351))
+         |    ))) AS BIGINT) AS n_pieces
+         |  FROM toks, mm)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(e.n_tokens, 0) AS BIGINT) AS n_tokens,
+         |  CAST(coalesce(e.n_chars, 0) AS BIGINT) AS n_chars,
+         |  CAST(coalesce(e.n_pieces, 0) AS BIGINT) AS n_pieces
+         |FROM documents d LEFT JOIN enc e ON d.doc_id = e.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     // BPE merge candidates: vocabulary collapse, adjacent char pairs
     // weighted by word frequency, total-ordered top 30
     "p_bpe_pairs" ->

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.TopKRows.topk_rows
 
@@ -158,6 +158,44 @@ object CorpusStats {
       .select(posexplode(col("top")).as(Seq("pos", "t")))
       .select(col("t.pair").as("pair"), col("t.n").as("n"),
         (col("pos") + 1).cast("long").as("rnk"))
+  }
+
+  /** Greedy rank-ordered BPE merge APPLICATION — the encode side of
+    * [[bpePairStats]]'s learn side: each merge pair is replaced across
+    * every token in rank order (all occurrences, left-to-right — exactly
+    * the BPE merge step), with merged symbols carried as private-use
+    * placeholder chars so later merges see single symbols. Emits per-doc
+    * `(id, n_tokens, n_chars, n_pieces)`: piece counts are what
+    * token-budget planning ([[Sampling.mixToBudget]]) and cost models
+    * consume. The merge list here is one learning round (pairs over raw
+    * chars, by [[bpePairStats]] rank); full iterative BPE is the
+    * standard driver-side loop — re-learn stats over the encoded corpus,
+    * append merges, repeat.
+    *
+    * Scale shape: pure map-side expressions — the merge chain folds into
+    * nested `replace` calls inside a `transform`/`aggregate` over the
+    * token array (no explode, no shuffle, no UDF); the merge list itself
+    * is tiny and rides the plan as literals.
+    */
+  def bpeEncodeStats(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      merges: Seq[String]): DataFrame = {
+    require(merges.size <= 256, s"merge list ${merges.size} > 256 placeholders")
+    require(merges.distinct.size == merges.size, "duplicate merge pair")
+    def pieces(t: Column): Column =
+      length(merges.zipWithIndex.foldLeft(t) { case (c, (m, i)) =>
+        replace(c, lit(m), lit(String.valueOf((0xE000 + i).toChar)))
+      })
+    val toks = tokens(col(textCol))
+    docs.select(
+      col(idCol).as("id"),
+      coalesce(size(toks).cast("long"), lit(0L)).as("n_tokens"),
+      coalesce(aggregate(toks, lit(0L), (acc, t) => acc + length(t)), lit(0L))
+        .as("n_chars"),
+      coalesce(aggregate(toks, lit(0L), (acc, t) => acc + pieces(t)), lit(0L))
+        .as("n_pieces"))
   }
 
   /** One-call corpus report — the dataset-card summary a corpus release

@@ -688,4 +688,25 @@ class CorpusOpsSuite extends SparkSpec {
     // distinct shingles of the 9-token text: a b c / b c a / c a b
     assert(r1.getLong(1) === 3L && r1.getLong(2) === 3L)
   }
+
+  test("bpeEncodeStats: rank order shadows later merges, overlap is left-greedy, null text zeros") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "abc"),     // ab fires first -> [AB, c]; bc never applies
+      (2L, "aaa"),     // aa left-greedy -> [AA, a]
+      (3L, "xbc yz"),  // bc -> [x, BC] + [y, z]
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = CorpusStats.bpeEncodeStats(df, "doc_id", "text", Seq("ab", "bc", "aa"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) === ((1L, 3L, 2L)), s"got ${out(1L)}")
+    assert(out(2L) === ((1L, 3L, 2L)), s"got ${out(2L)}")
+    assert(out(3L) === ((2L, 5L, 4L)), s"got ${out(3L)}")
+    assert(out(4L) === ((0L, 0L, 0L)), s"got ${out(4L)}")
+    // no merges = pieces == chars
+    val plain = CorpusStats.bpeEncodeStats(df.filter($"text".isNotNull),
+      "doc_id", "text", Seq.empty).collect()
+    assert(plain.forall(r => r.getLong(2) === r.getLong(3)))
+  }
 }
