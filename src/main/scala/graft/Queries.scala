@@ -924,6 +924,25 @@ object Queries {
       .select(col("id").as("doc_id"), col("n_grams"), col("n_novel"))
       .orderBy("doc_id")
 
+  /** Incremental novelty ([[CorpusStats.noveltyScoreIncremental]]): docs
+    * with doc_id < 250 form the stored corpus (its
+    * [[CorpusStats.shingleFirstOccurrence]] artifact), the rest arrive
+    * as today's batch. Because corpus ids precede batch ids, the
+    * incremental result must equal the full-corpus [[pNovelty]]
+    * restricted to batch docs — the oracle IS that full recompute, so
+    * the artifact path's contract is pinned at driver level (the
+    * p_dedup_incr_artifact pattern).
+    */
+  def pNoveltyIncr(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = documents(spark, sfDir)
+    val artifact = CorpusStats.shingleFirstOccurrence(
+      d.filter(col("doc_id") < 250), "doc_id", "text", 3)
+    CorpusStats.noveltyScoreIncremental(
+        d.filter(col("doc_id") >= 250), artifact, "doc_id", "text", 3)
+      .select(col("id").as("doc_id"), col("n_grams"), col("n_novel"))
+      .orderBy("doc_id")
+  }
+
   /** Range sharding by exact token-count quantiles
     * ([[Sampling.rangeShards]], R = 8): boundary arithmetic is the
     * engine-shared (n−1)·p interpolation over integer inputs (the

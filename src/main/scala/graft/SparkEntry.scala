@@ -125,6 +125,7 @@ object SparkEntry {
     "p_source_filter" -> (Queries.pSourceFilter _),
     "p_source_quantiles" -> (Queries.pSourceQuantiles _),
     "p_novelty" -> (Queries.pNovelty _),
+    "p_novelty_incr" -> (Queries.pNoveltyIncr _),
     "p_range_shard" -> (Queries.pRangeShard _),
     "p_bpe_pairs" -> (Queries.pBpePairs _),
     "p_bpe_encode" -> (Queries.pBpeEncode _),
@@ -1259,6 +1260,28 @@ object SparkEntry {
          |SELECT d.doc_id, CAST(coalesce(n.n_grams, 0) AS BIGINT) AS n_grams,
          |  CAST(coalesce(n.n_novel, 0) AS BIGINT) AS n_novel
          |FROM documents d LEFT JOIN n ON d.doc_id = n.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+    // incremental novelty == full-corpus novelty restricted to batch
+    // docs (corpus ids all precede batch ids): the oracle is the full
+    // recompute, pinning the artifact path's contract
+    "p_novelty_incr" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $TOKS AS t FROM documents WHERE text IS NOT NULL),
+         |g AS (
+         |  SELECT DISTINCT doc_id,
+         |    CASE WHEN len(t) >= 3 THEN t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+         |         ELSE array_to_string(t, ' ') END AS s
+         |  FROM toks, LATERAL (SELECT unnest(range(1,
+         |    CASE WHEN len(t) >= 3 THEN len(t) - 1 ELSE 2 END)) AS i)),
+         |f AS (SELECT s, min(doc_id) AS first_id FROM g GROUP BY s),
+         |n AS (
+         |  SELECT g.doc_id, count(*) AS n_grams,
+         |    sum(CASE WHEN f.first_id = g.doc_id THEN 1 ELSE 0 END) AS n_novel
+         |  FROM g JOIN f USING (s) GROUP BY g.doc_id)
+         |SELECT d.doc_id, CAST(coalesce(n.n_grams, 0) AS BIGINT) AS n_grams,
+         |  CAST(coalesce(n.n_novel, 0) AS BIGINT) AS n_novel
+         |FROM documents d LEFT JOIN n ON d.doc_id = n.doc_id
+         |WHERE d.doc_id >= 250
          |ORDER BY d.doc_id""".stripMargin,
     // range sharding: exact (n-1)*p percentile boundaries over integer
     // token counts, shard = count of boundaries strictly below the key

@@ -366,17 +366,89 @@ object CorpusStats {
       idCol: String,
       textCol: String,
       n: Int): DataFrame = {
-    val base = docs.select(
+    val base = shingleBase(docs, idCol, textCol, n)
+    joinNovelCounts(base,
+      explodeShingles(base)
+        .groupBy("s").agg(min(col("id")).as("first_id"))
+        .groupBy("first_id").agg(count(lit(1)).as("n_novel")))
+  }
+
+  /** The persistable first-occurrence artifact behind [[noveltyScore]]:
+    * one `(s, first_id)` row per distinct corpus shingle. Store it
+    * (parquet, ideally bucketed by `s`) and the daily loop never
+    * re-shingles the corpus — see [[noveltyScoreIncremental]] /
+    * [[extendFirstOccurrence]].
+    */
+  def shingleFirstOccurrence(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int): DataFrame =
+    explodeShingles(shingleBase(docs, idCol, textCol, n))
+      .groupBy("s").agg(min(col("id")).as("first_id"))
+
+  /** Daily-batch novelty: score TODAY's docs against a precomputed
+    * [[shingleFirstOccurrence]] artifact. A batch shingle is novel iff
+    * the artifact lacks it, and it is credited to the batch's min-id
+    * holder — so when every artifact id precedes every batch id, the
+    * result equals [[noveltyScore]] over corpus ∪ batch restricted to
+    * batch docs (gate `p_novelty_incr` pins exactly that equivalence).
+    * Work scales with the BATCH's token volume plus one shingle-keyed
+    * equi-join against the artifact (bucket the stored artifact by `s`
+    * to make that join shuffle-free); the corpus is never re-shingled.
+    */
+  def noveltyScoreIncremental(
+      batch: DataFrame,
+      artifact: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int): DataFrame = {
+    val base = shingleBase(batch, idCol, textCol, n)
+    val batchFirsts = explodeShingles(base)
+      .groupBy("s").agg(min(col("id")).as("batch_first"))
+    val novel = batchFirsts
+      .join(artifact.select(col("s"), lit(1L).as("seen")), Seq("s"), "left")
+      .filter(col("seen").isNull)
+      .groupBy(col("batch_first").as("first_id"))
+      .agg(count(lit(1)).as("n_novel"))
+    joinNovelCounts(base, novel)
+  }
+
+  /** Tomorrow's artifact = today's ∪ the batch's unseen shingles (their
+    * first_id = the batch min-id holder). Append-only like the dedup
+    * banding and posting artifacts: the stored corpus side is never
+    * rewritten, only extended. Callers feed batches in id order — the
+    * artifact's min-id semantics assume ids never decrease day over day.
+    */
+  def extendFirstOccurrence(
+      artifact: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int): DataFrame = {
+    val batchFirsts = explodeShingles(shingleBase(batch, idCol, textCol, n))
+      .groupBy("s").agg(min(col("id")).as("first_id"))
+    artifact.unionByName(
+      batchFirsts.join(artifact.select("s"), Seq("s"), "left_anti"))
+  }
+
+  private def shingleBase(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int): DataFrame =
+    docs.select(
       col(idCol).as("id"),
       when(col(textCol).isNotNull, TextFunctions.shingles(col(textCol), n))
         .as("arr"))
+
+  private def explodeShingles(base: DataFrame): DataFrame =
+    base.select(col("id"), explode(col("arr")).as("s"))
+
+  private def joinNovelCounts(base: DataFrame, novel: DataFrame): DataFrame = {
     val perDoc = base.select(
       col("id"),
       coalesce(size(col("arr")), lit(0)).cast("long").as("n_grams"))
-    val novel = base
-      .select(col("id"), explode(col("arr")).as("s"))
-      .groupBy("s").agg(min(col("id")).as("first_id"))
-      .groupBy("first_id").agg(count(lit(1)).as("n_novel"))
     perDoc
       .join(novel, perDoc("id") === novel("first_id"), "left")
       .select(col("id"), col("n_grams"),

@@ -689,6 +689,38 @@ class CorpusOpsSuite extends SparkSpec {
     assert(r1.getLong(1) === 3L && r1.getLong(2) === 3L)
   }
 
+  test("incremental novelty == full recompute on batch docs; artifact extends to the full one") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      (1L, "a b c d e"), (2L, "c d e f g"), (3L, "x y z w v")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "a b c q r"),          // 'a b c' seen in corpus; rest novel
+      (11L, "a b c q r"),          // dup of 10 -> nothing novel
+      (12L, "x y z w v"),          // fully seen -> nothing novel
+      (13L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val full = CorpusStats.noveltyScore(corpus.unionByName(batch), "doc_id", "text", 3)
+      .filter(col("id") >= 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val artifact = CorpusStats.shingleFirstOccurrence(corpus, "doc_id", "text", 3)
+    val incr = CorpusStats.noveltyScoreIncremental(batch, artifact, "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(incr === full, s"incremental $incr != full $full")
+    assert(incr.contains((11L, 3L, 0L)) && incr.contains((12L, 3L, 0L))
+      && incr.contains((13L, 0L, 0L)))
+
+    // day-over-day: extended artifact == a from-scratch rebuild
+    val extended = CorpusStats
+      .extendFirstOccurrence(artifact, batch, "doc_id", "text", 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val rebuilt = CorpusStats
+      .shingleFirstOccurrence(corpus.unionByName(batch), "doc_id", "text", 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(extended === rebuilt)
+  }
+
   test("bpeEncodeStats: rank order shadows later merges, overlap is left-greedy, null text zeros") {
     val s = spark
     import s.implicits._
