@@ -228,7 +228,11 @@ object Bench {
       java.nio.file.Paths.get(outFile),
       (fullJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable => System.err.println(s"[bench] sidecar write failed: $e") }
-    println(s"""{"metric":"total","value":$total,$shared,"queries_min":$qsMin,"queries":$qs}""")
+    // The JSON line is printed AFTER spark.stop() and explicitly flushed:
+    // the driver parses the LAST line of stdout, and r11/r12 both archived
+    // "parsed": null because shutdown output trailed the (earlier) JSON.
     spark.stop()
+    println(s"""{"metric":"total","value":$total,$shared,"queries_min":$qsMin,"queries":$qs}""")
+    System.out.flush()
   }
 }

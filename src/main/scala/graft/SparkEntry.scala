@@ -498,8 +498,10 @@ object SparkEntry {
   private val ANN_RECALL_SQL =
     """WITH p AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       |cen AS (
+      |  -- rank-based seed, matching seedCentroids (orderBy id, limit N)
+      |  -- exactly even on id spaces with gaps or a nonzero minimum
       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS list_id, v AS cv
-      |  FROM p WHERE vec_id < 16),
+      |  FROM p QUALIFY row_number() OVER (ORDER BY vec_id) <= 16),
       |d AS (
       |  SELECT p.vec_id AS id, cen.list_id,
       |    list_sum(list_transform(range(1, 65),
@@ -1296,10 +1298,14 @@ object SparkEntry {
          |  CAST(count(*) AS BIGINT) AS n_docs,
          |  min(nt) AS min_key, max(nt) AS max_key
          |FROM s GROUP BY shard_id ORDER BY shard_id""".stripMargin,
-    // BPE merge APPLICATION: top-8 letter-pair merges re-learned from
-    // the same pair statistics, applied as the identical nested-replace
-    // chain (placeholders chr(0xE000+rank)); chr(1) sentinels no-op the
-    // unused slots if fewer than 8 letter pairs exist
+    // BPE merge APPLICATION: the merge list mirrors the impl's exact
+    // selection RULE — rank ALL pairs, keep the global top-30, THEN
+    // filter to letter pairs and take the first 8 in rank order (r12's
+    // oracle ranked within letter pairs over all pairs, which only
+    // happened to agree on this corpus) — applied as the identical
+    // nested-replace chain (placeholders chr(0xE000+rank)); chr(1)
+    // sentinels no-op the unused slots if fewer than 8 letter pairs
+    // survive the top-30 cut
     "p_bpe_encode" ->
       s"""WITH w AS (
          |  SELECT t AS word, count(*) AS wc
@@ -1309,9 +1315,12 @@ object SparkEntry {
          |  SELECT substr(word, CAST(i AS INT), 2) AS pair, sum(wc) AS n
          |  FROM w, LATERAL (SELECT unnest(range(1, len(word))) AS i)
          |  WHERE len(word) >= 2 GROUP BY 1),
+         |m0 AS (
+         |  SELECT pair, row_number() OVER (ORDER BY n DESC, pair) AS rnk
+         |  FROM p QUALIFY rnk <= 30),
          |m AS (
-         |  SELECT pair, row_number() OVER (ORDER BY n DESC, pair) AS mi
-         |  FROM p WHERE regexp_matches(pair, '^[a-z]{2}$$')
+         |  SELECT pair, row_number() OVER (ORDER BY rnk) AS mi
+         |  FROM m0 WHERE regexp_matches(pair, '^[a-z]{2}$$')
          |  QUALIFY mi <= 8),
          |mm AS (SELECT
          |  coalesce(max(CASE WHEN mi = 1 THEN pair END), chr(1)) AS m1,

@@ -370,6 +370,16 @@ object Retrieval {
     * (r11's composition built the index twice — once per ranker — which
     * doubles the dominant cost of the hybrid at corpus scale). Output is
     * [[rrfFuse]]'s `(query_id, doc_id, score, rnk)`.
+    *
+    * Cache contract (same as [[bm25TopK]]/[[bm25FromPostings]]): the
+    * returned DataFrame is PERSISTED and already materialized — the
+    * (queries × k)-sized result, kept so consumers never recompute the
+    * retrieval (the pruned posting cache is released before return, so a
+    * recompute would rebuild the index from scratch). Callers that are
+    * done with the result should `unpersist()` it; long-lived drivers
+    * issuing many batches otherwise accumulate these small caches (the
+    * suites unpersist; the gate queries deliberately leave the tiny
+    * result cached for the driver's write).
     */
   def hybridTopK(
       docs: DataFrame,

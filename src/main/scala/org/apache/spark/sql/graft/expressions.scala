@@ -308,6 +308,17 @@ object LshHyperplaneBucket {
   * a Generate and sibling expressions — tokenization in the retrieval
   * stack is the motivating case: without the pin the regex split ran 3×
   * per doc (2× in the inferred filter, 1× in the projection).
+  *
+  * Side effect callers must design around: `deterministic = false` also
+  * blocks ALL predicate pushdown through the projection — a caller's
+  * `doc_id` filter placed ABOVE an opaque tokenize projection will no
+  * longer reach the parquet scan, and Catalyst restricts where
+  * non-deterministic expressions may appear (a future call site moving
+  * the opaque column into a join key or aggregate would fail analysis).
+  * Keep usage confined to Project nodes, and place user filters BELOW
+  * the opaque projection (filter the docs DataFrame first, then
+  * project) — every current call site (docTokens, scoreWithTable)
+  * follows that order.
   */
 case class Opaque(child: Expression)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
