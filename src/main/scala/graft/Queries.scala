@@ -700,6 +700,33 @@ object Queries {
       .orderBy("query_id", "rnk")
   }
 
+  /** Lexical ⊕ DENSE hybrid retrieval ([[Retrieval.hybridDenseTopK]]):
+    * the production hybrid-search shape — BM25 top-10 over the text
+    * corpus fused with seeded-IVF embedding ANN top-10 (numCentroids=16,
+    * nprobe=4 — pruning ON, the [[pAnnRecall]] configuration) by
+    * reciprocal-rank fusion at rrfK=60. documents.doc_id and
+    * embeddings.vec_id share one id space, so each query (ids % 50 = 0)
+    * retrieves through both modalities and the fused ranking is over one
+    * doc universe. The oracle re-derives BOTH voices end to end — the
+    * BM25 gates' shared CTE for the lexical ranking, the
+    * [[pAnnRecall]]-style seeded-quantizer replay (rank-based seed,
+    * argmin assignment with lower-list tie-break, nprobe=4 probe, cosine
+    * top-10) for the dense one — plus the snapped 1/(60+rnk) DECIMAL
+    * fusion, so list membership, every tie-break, and the fused order
+    * are all pinned across engines.
+    */
+  def pHybridDense(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = documents(spark, sfDir)
+    val queries = docs.filter(pmod(col("doc_id"), lit(50)) === 0)
+      .select(col("doc_id").as("query_id"),
+        array_join(slice(TF.tokens(col("text")), 1, 5), " ").as("qtext"))
+    val e = embeddings(spark, sfDir)
+    val vecQueries = e.filter(pmod(col("vec_id"), lit(50)) === 0)
+    Retrieval.hybridDenseTopK(docs, "doc_id", "text", queries, "query_id", "qtext",
+        e, "vec_id", "embedding", vecQueries, 10)
+      .orderBy("query_id", "rnk")
+  }
+
   /** Stupid-backoff bigram LM scoring ([[LanguageModel.perplexityScore]],
     * the CCNet perplexity-filter stage): the corpus is its own model; every
     * doc gets `(n_scored, avg_logp, ppl)` — sub-two-token and null-text

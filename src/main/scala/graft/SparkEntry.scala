@@ -138,6 +138,7 @@ object SparkEntry {
     "p_bm25_incr" -> (Queries.pBm25Incr _),
     "p_hybrid_broadcast" -> (Queries.pHybridBroadcast _),
     "p_rank_fusion" -> (Queries.pRankFusion _),
+    "p_hybrid_dense" -> (Queries.pHybridDense _),
     "p_lm_score" -> (Queries.pLmScore _),
     "p_decontaminate" -> (Queries.pDecontaminate _),
     "p_decontaminate_neardup" -> (Queries.pNearDupDecontam _),
@@ -400,6 +401,67 @@ object SparkEntry {
        |  FROM (SELECT * FROM bm
        |        UNION ALL
        |        SELECT query_id, doc_id, rnk FROM ovr WHERE rnk <= 10)),
+       |fused AS (
+       |  SELECT query_id, doc_id, CAST(sum(c) AS DOUBLE) AS score
+       |  FROM contrib GROUP BY 1, 2),
+       |fr AS (
+       |  SELECT query_id, doc_id, score,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, doc_id ASC) AS rnk
+       |  FROM fused)
+       |SELECT query_id, doc_id, score, rnk FROM fr WHERE rnk <= 10
+       |ORDER BY query_id, rnk""".stripMargin
+
+  /** Dense⊕lexical hybrid oracle: the BM25 `r` ranking (shared CTE
+    * above) fused with a seeded-IVF dense ranking re-derived end to end
+    * — rank-based centroid seed (the 16 smallest vec_ids), argmin list
+    * assignment with lower-list tie-break, nprobe=4 probe, index-order
+    * cosine top-10 — through the snapped 1/(60+rnk) DECIMAL RRF sum.
+    * documents.doc_id and embeddings.vec_id share one id space, so the
+    * fused doc universe is well-defined.
+    */
+  private val HYBRID_DENSE_SQL =
+    s"""$BM25_CTE,
+       |bm AS (SELECT query_id, doc_id, rnk FROM r WHERE rnk <= 10),
+       |ep AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |cen AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS list_id, v AS cv
+       |  FROM ep QUALIFY row_number() OVER (ORDER BY vec_id) <= 16),
+       |dsq AS (
+       |  SELECT ep.vec_id AS id, cen.list_id,
+       |    list_sum(list_transform(range(1, 65),
+       |      i -> (ep.v[i]-cen.cv[i])*(ep.v[i]-cen.cv[i]))) AS d2
+       |  FROM ep, cen),
+       |asg AS (
+       |  SELECT id AS nid, list_id FROM (
+       |    SELECT id, list_id,
+       |      row_number() OVER (PARTITION BY id ORDER BY d2, list_id) AS rn FROM dsq)
+       |  WHERE rn = 1),
+       |pr AS (
+       |  SELECT id AS qid, list_id FROM (
+       |    SELECT id, list_id,
+       |      row_number() OVER (PARTITION BY id ORDER BY d2, list_id) AS rn
+       |    FROM dsq WHERE id % 50 = 0)
+       |  WHERE rn <= 4),
+       |qd AS (SELECT vec_id AS qid, v AS qv FROM ep WHERE vec_id % 50 = 0),
+       |sc AS (
+       |  SELECT qd.qid, a.nid,
+       |    list_dot_product(qd.qv, c.v) /
+       |      (sqrt(list_dot_product(qd.qv, qd.qv)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+       |  FROM qd JOIN pr ON qd.qid = pr.qid
+       |    JOIN asg a ON a.list_id = pr.list_id
+       |    JOIN ep c ON c.vec_id = a.nid
+       |  WHERE qd.qid != a.nid),
+       |dn AS (
+       |  SELECT qid AS query_id, nid AS doc_id, rnk FROM (
+       |    SELECT qid, nid,
+       |      row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rnk
+       |    FROM sc WHERE NOT isnan(cos)) WHERE rnk <= 10),
+       |contrib AS (
+       |  SELECT query_id, doc_id,
+       |    CAST(round(CAST(1.0 AS DOUBLE) / (60 + rnk), 6)
+       |      AS DECIMAL(18,6)) AS c
+       |  FROM (SELECT * FROM bm UNION ALL SELECT * FROM dn)),
        |fused AS (
        |  SELECT query_id, doc_id, CAST(sum(c) AS DOUBLE) AS score
        |  FROM contrib GROUP BY 1, 2),
@@ -2499,6 +2561,7 @@ object SparkEntry {
     // incrementally-extended artifact == full rebuild: same oracle
     "p_bm25_incr" -> BM25_SQL,
     "p_rank_fusion" -> RANK_FUSION_SQL,
+    "p_hybrid_dense" -> HYBRID_DENSE_SQL,
     // map-side collected-index hybrid == distributed hybrid: same oracle
     "p_hybrid_broadcast" -> RANK_FUSION_SQL,
     // stupid-backoff bigram LM (Brants 2007): count tables, vocab-side

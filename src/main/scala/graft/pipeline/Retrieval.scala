@@ -431,6 +431,93 @@ object Retrieval {
     (rrfFuse(Seq(bm25, overlap), k, rrfK, weights), postQ)
   }
 
+  /** Lexical ⊕ dense hybrid retrieval — THE production hybrid-search
+    * shape (BM25 ⊕ embedding ANN fused by RRF, the composition
+    * [[rrfFuse]]'s docstring names as its motivating case and the one
+    * every RAG / vector-store deployment actually runs). Voice 1 is
+    * [[bm25TopK]] over the text corpus; voice 2 is
+    * [[Similarity.ivfTopKSeeded]] over the embedding corpus (the
+    * deterministic seeded coarse quantizer — swap in the KMeans
+    * [[Similarity.ivfTopK]] for production recall; the fusion contract
+    * is identical since only ranks cross the seam). The two corpora
+    * share one id space (`doc_id` = `vecIdCol` value); `queries` carries
+    * the query TEXT and `vecQueries` the same query ids' embeddings.
+    *
+    * RRF needs no score calibration — an unbounded BM25 score and a
+    * [−1, 1] cosine fuse by rank alone — which is exactly why it is the
+    * standard combiner here. Output is [[rrfFuse]]'s
+    * `(query_id, doc_id, score, rnk)`.
+    *
+    * Scale shape: each voice keeps its own optimal plan (pruned posting
+    * index + bounded-heap rank; IVF probe join + bounded-heap rank) and
+    * the fusion stage only ever sees (queries × k)-sized inputs, so the
+    * hybrid adds nothing to the retrieval stages' cost. Cache contract
+    * as [[hybridTopK]]: the returned (queries × k) result is persisted
+    * and materialized; callers done with it should `unpersist()`.
+    */
+  def hybridDenseTopK(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryTextCol: String,
+      vecCorpus: DataFrame,
+      vecIdCol: String,
+      vecCol: String,
+      vecQueries: DataFrame,
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      numCentroids: Int = 16,
+      nprobe: Int = 4,
+      rrfK: Int = 60,
+      weights: Seq[Double] = Nil): DataFrame = {
+    val (out, postQ) = hybridDenseStaged(docs, idCol, textCol, queries, queryIdCol,
+      queryTextCol, vecCorpus, vecIdCol, vecCol, vecQueries, k, k1, b,
+      numCentroids, nprobe, rrfK, weights)
+    out.persist()
+    try out.count()
+    catch { case e: Throwable =>
+      out.unpersist(blocking = false); postQ.unpersist(blocking = false); throw e
+    }
+    postQ.unpersist(blocking = false)
+    out
+  }
+
+  /** [[hybridDenseTopK]] without the materialize/release step (plan
+    * tests); returns the fused plan plus the persisted pruned posting
+    * table (caller must unpersist).
+    */
+  private[graft] def hybridDenseStaged(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryTextCol: String,
+      vecCorpus: DataFrame,
+      vecIdCol: String,
+      vecCol: String,
+      vecQueries: DataFrame,
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      numCentroids: Int = 16,
+      nprobe: Int = 4,
+      rrfK: Int = 60,
+      weights: Seq[Double] = Nil): (DataFrame, DataFrame) = {
+    require(k > 0, s"k must be positive, got $k")
+    val (bm25Ranked, postQ) =
+      bm25Staged(docs, idCol, textCol, queries, queryIdCol, queryTextCol, k, k1, b)
+    val lexical = bm25Ranked.select("query_id", "doc_id", "rnk")
+    val dense = Similarity
+      .ivfTopKSeeded(vecQueries, vecCorpus, vecIdCol, vecCol, k, numCentroids, nprobe)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("rank").cast("long").as("rnk"))
+    (rrfFuse(Seq(lexical, dense), k, rrfK, weights), postQ)
+  }
+
   /** A driver-collected BM25 index for map-side scoring:
     * `token → (doc_id, tf, dl)*` plus the two [[indexStats]] scalars.
     * Bounded by construction — [[collectIndex]] refuses indexes past

@@ -988,6 +988,52 @@ class PipelineSuite extends SparkSpec {
     assert(!hplan.contains("Exchange"), s"hybridWithIndex plans a shuffle:\n$hplan")
   }
 
+  test("hybridDenseTopK fuses bm25 and seeded-IVF voices; dense voice surfaces lexically-invisible docs") {
+    val s = spark
+    import s.implicits._
+    // one id space: doc 3 shares NO query term but its embedding is the
+    // query's nearest neighbor — only the dense voice can surface it
+    val docs = Seq(
+      (0L, "alpha beta gamma"),
+      (1L, "alpha beta"),
+      (2L, "gamma delta"),
+      (3L, "zeta eta theta"),
+      (4L, "alpha gamma")
+    ).toDF("doc_id", "text")
+    val emb = Seq(
+      (0L, Seq(1.0, 0.0, 0.0)),
+      (1L, Seq(0.9, 0.1, 0.0)),
+      (2L, Seq(0.0, 1.0, 0.0)),
+      (3L, Seq(0.99, 0.01, 0.0)),
+      (4L, Seq(0.0, 0.0, 1.0))
+    ).toDF("vec_id", "embedding")
+    val queries = Seq((0L, "alpha beta")).toDF("query_id", "qtext")
+    val vq = emb.filter(col("vec_id") === 0L)
+    val fused = Retrieval.hybridDenseTopK(
+      docs, "doc_id", "text", queries, "query_id", "qtext",
+      emb, "vec_id", "embedding", vq, 3, numCentroids = 2, nprobe = 2)
+    try {
+      val got = fused.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+      // independent re-derivation: each voice alone, fused by rrfFuse
+      val lex = Retrieval.bm25TopK(
+        docs, "doc_id", "text", queries, "query_id", "qtext", 3)
+      val den = graft.pipeline.Similarity
+        .ivfTopKSeeded(vq, emb, "vec_id", "embedding", 3, numCentroids = 2, nprobe = 2)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"),
+          col("rank").cast("long").as("rnk"))
+      val want = Retrieval.rrfFuse(
+          Seq(lex.select("query_id", "doc_id", "rnk"), den), 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+      lex.unpersist(blocking = false)
+      assert(got.toSet === want.toSet)
+      // doc 3 never matches a query term (bm25 cannot rank it) but is
+      // the dense top neighbor: the hybrid must carry it into the fused
+      // top-3 — the reason production retrieval runs two modalities
+      assert(got.exists(_._2 === 3L),
+        s"dense-only neighbor missing from fused top-k: ${got.mkString(",")}")
+    } finally fused.unpersist(blocking = false)
+  }
+
   test("EmbeddingStats: covariance matches hand arithmetic, skips nulls, shuffles once") {
     val s = spark
     import s.implicits._

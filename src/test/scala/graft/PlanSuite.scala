@@ -159,6 +159,47 @@ class PlanSuite extends SparkSpec {
     } finally postQ.unpersist(blocking = false)
   }
 
+  test("dense-lexical hybrid scans each corpus once per modality, fuses rank-only") {
+    spark.catalog.clearCache()
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val queries = docs
+      .filter(pmod(col("doc_id"), lit(50)) === 0)
+      .select(col("doc_id").as("query_id"),
+        array_join(slice(graft.pipeline.TextFunctions.tokens(col("text")), 1, 5), " ")
+          .as("qtext"))
+    val vq = emb.filter(pmod(col("vec_id"), lit(50)) === 0)
+    val (fused, postQ) = graft.pipeline.Retrieval.hybridDenseStaged(
+      docs, "doc_id", "text", queries, "query_id", "qtext",
+      emb, "vec_id", "embedding", vq, 10)
+    try {
+      val plan = formatted(fused)
+      // lexical modality: the corpus text is tokenized/exploded exactly
+      // once — the pruned posting table feeds the whole BM25 voice
+      val corpusExplodes = plan.linesIterator.count(l =>
+        l.contains("Generate explode(toks"))
+      assert(corpusExplodes <= 1,
+        s"fused plan explodes the text corpus $corpusExplodes times:\n$plan")
+      // dense modality: one full-corpus assignment pass probed by a
+      // BROADCAST of the (small) query side — never a cartesian product
+      // or a per-query corpus sort
+      assert(!plan.contains("CartesianProduct"),
+        s"dense voice plans a cartesian product:\n$plan")
+      assert(!plan.contains("Window"),
+        s"hybrid plans a window sort:\n$plan")
+      assert(plan.toLowerCase.contains("topkbyscoreagg"),
+        s"dense voice does not rank through the bounded heap:\n$plan")
+      assert(plan.toLowerCase.contains("topkrowsagg"),
+        s"lexical voice / fusion does not rank through the bounded heap:\n$plan")
+      // fusion sees only (queries x k)-sized inputs: both voices reduce
+      // to rank rows before the union (no corpus column survives)
+      val embScans = plan.linesIterator.count(l =>
+        l.contains("Scan parquet") && l.contains("embeddings"))
+      assert(embScans <= 2,
+        s"dense voice scans the embedding corpus $embScans times (corpus + queries expected):\n$plan")
+    } finally postQ.unpersist(blocking = false)
+  }
+
   test("broadcast-model LM scoring never shuffles the corpus side") {
     // plan-shape assertions are cache-sensitive: a logically-equal plan
     // persisted by an earlier suite would resolve to an InMemoryRelation
