@@ -1021,6 +1021,34 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Iterative BPE TRAINING ([[CorpusStats.bpeTrain]], 6 rounds): the
+    * full learn → apply → re-learn recursion — each round's pair counts
+    * run over the vocabulary as encoded by the previous rounds' merges,
+    * so the oracle must re-run the entire chain (six chained
+    * encode/count/argmax CTEs) to reproduce the merge list; a single
+    * statistics pass provably cannot (round k's winner may only exist
+    * after round k−1's merge — suite-pinned). Output is a union: sect=0
+    * rows carry the learned sequence as
+    * `(mi, codepoint₁, codepoint₂, count)` — codepoints because merge
+    * pairs contain private-use placeholder chars, and each round's
+    * WINNING COUNT pins that round's statistics to the re-encoded
+    * vocabulary — and sect=1 rows carry the final per-doc encoding
+    * (token/char/piece counts via [[CorpusStats.bpeEncodeStats]] with
+    * the learned list). All-integer output.
+    */
+  def pBpeTrain(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = documents(spark, sfDir)
+    val learned = CorpusStats.bpeTrain(d, "text", 6)
+    import spark.implicits._
+    val mergeRows = learned.zipWithIndex.map { case ((pair, n), i) =>
+      (0L, (i + 1).toLong, pair.charAt(0).toLong, pair.charAt(1).toLong, n)
+    }.toDF("sect", "id", "v1", "v2", "v3")
+    val docRows = CorpusStats.bpeEncodeStats(d, "doc_id", "text", learned.map(_._1))
+      .select(lit(1L).as("sect"), col("id"), col("n_tokens").as("v1"),
+        col("n_chars").as("v2"), col("n_pieces").as("v3"))
+    mergeRows.unionByName(docRows).orderBy("sect", "id")
+  }
+
   /** K-means corpus clustering ([[Clustering]]): min-id init (vec_id
     * < 8), ONE Lloyd round, then a final assignment against centroids
     * rounded to 6 decimals. The rounding is the gate's cross-engine

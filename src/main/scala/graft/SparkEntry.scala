@@ -129,6 +129,7 @@ object SparkEntry {
     "p_range_shard" -> (Queries.pRangeShard _),
     "p_bpe_pairs" -> (Queries.pBpePairs _),
     "p_bpe_encode" -> (Queries.pBpeEncode _),
+    "p_bpe_train" -> (Queries.pBpeTrain _),
     "p_ngram_repetition" -> (Queries.pNgramRepetition _),
     "p_pii_redaction" -> (Queries.pPiiRedaction _),
     "p_tfidf_top_terms" -> (Queries.pTfidfTopTerms _),
@@ -411,6 +412,65 @@ object SparkEntry {
        |  FROM fused)
        |SELECT query_id, doc_id, score, rnk FROM fr WHERE rnk <= 10
        |ORDER BY query_id, rnk""".stripMargin
+
+  /** Iterative-BPE oracle: DuckDB re-runs the ENTIRE learn → apply →
+    * re-learn recursion — six chained rounds, each counting adjacent
+    * pairs over the vocabulary AS RE-ENCODED by every earlier round's
+    * merge (placeholder chr(0xE000+round−1), binary-order tie-break,
+    * top-1 per round) — then re-applies the learned chain per document.
+    * Merge pairs are emitted as codepoints (placeholders are private-use
+    * chars); each round's winning count pins that round's statistics to
+    * the re-encoded vocabulary, which a single-pass merge list cannot
+    * reproduce.
+    */
+  private val BPE_TRAIN_SQL: String = {
+    val rounds = 6
+    val chain = (1 to rounds).map { r =>
+      s"""p$r AS (
+         |  SELECT substr(word, CAST(i AS INT), 2) AS pair, sum(wc) AS n
+         |  FROM w${r - 1}, LATERAL (SELECT unnest(range(1, len(word))) AS i)
+         |  WHERE len(word) >= 2 GROUP BY 1),
+         |m$r AS (SELECT pair, CAST(n AS BIGINT) AS n FROM p$r ORDER BY n DESC, pair LIMIT 1),
+         |w$r AS (
+         |  SELECT replace(word, (SELECT pair FROM m$r), chr(${57343 + r})) AS word, wc
+         |  FROM w${r - 1})""".stripMargin
+    }.mkString(",\n")
+    val mergeScalars = (1 to rounds).map(r => s"(SELECT pair FROM m$r) AS q$r").mkString(", ")
+    val encodeChain = (1 to rounds).foldLeft("x") { (acc, r) =>
+      s"replace($acc, q$r, chr(${57343 + r}))"
+    }
+    val mergeUnion = (1 to rounds).map(r => s"SELECT $r AS mi, pair, n FROM m$r")
+      .mkString("\n  UNION ALL ")
+    s"""WITH w0 AS (
+       |  SELECT t AS word, count(*) AS wc
+       |  FROM (SELECT unnest($TOKS) AS t FROM documents)
+       |  GROUP BY 1),
+       |$chain,
+       |mg AS (
+       |  $mergeUnion),
+       |ms AS (SELECT $mergeScalars),
+       |toksd AS (
+       |  SELECT doc_id, $TOKS AS t FROM documents WHERE text IS NOT NULL),
+       |encd AS (
+       |  SELECT doc_id,
+       |    CAST(len(t) AS BIGINT) AS n_tokens,
+       |    CAST(list_sum(list_transform(t, x -> length(x))) AS BIGINT) AS n_chars,
+       |    CAST(list_sum(list_transform(t, x -> length($encodeChain))) AS BIGINT)
+       |      AS n_pieces
+       |  FROM toksd, ms)
+       |SELECT CAST(0 AS BIGINT) AS sect, CAST(mi AS BIGINT) AS id,
+       |  CAST(unicode(substr(pair, 1, 1)) AS BIGINT) AS v1,
+       |  CAST(unicode(substr(pair, 2, 1)) AS BIGINT) AS v2,
+       |  n AS v3
+       |FROM mg
+       |UNION ALL
+       |SELECT CAST(1 AS BIGINT), d.doc_id,
+       |  CAST(coalesce(e.n_tokens, 0) AS BIGINT),
+       |  CAST(coalesce(e.n_chars, 0) AS BIGINT),
+       |  CAST(coalesce(e.n_pieces, 0) AS BIGINT)
+       |FROM documents d LEFT JOIN encd e ON d.doc_id = e.doc_id
+       |ORDER BY sect, id""".stripMargin
+  }
 
   /** Dense⊕lexical hybrid oracle: the BM25 `r` ranking (shared CTE
     * above) fused with a seeded-IVF dense ranking re-derived end to end
@@ -1412,6 +1472,9 @@ object SparkEntry {
          |  CAST(coalesce(e.n_pieces, 0) AS BIGINT) AS n_pieces
          |FROM documents d LEFT JOIN enc e ON d.doc_id = e.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+    // iterative BPE training: the full 6-round learn->apply->re-learn
+    // chain re-run in SQL (see BPE_TRAIN_SQL's scaladoc)
+    "p_bpe_train" -> BPE_TRAIN_SQL,
     // BPE merge candidates: vocabulary collapse, adjacent char pairs
     // weighted by word frequency, total-ordered top 30
     "p_bpe_pairs" ->

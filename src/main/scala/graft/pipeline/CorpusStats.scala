@@ -160,6 +160,68 @@ object CorpusStats {
         (col("pos") + 1).cast("long").as("rnk"))
   }
 
+  /** ITERATIVE BPE training — the real learn loop, not one statistics
+    * pass: each round re-counts adjacent-symbol pairs over the
+    * vocabulary AS ENCODED BY the merges learned so far (merged symbols
+    * carried as private-use placeholder chars, exactly the
+    * representation [[bpeEncodeStats]] applies), takes the single
+    * highest-count pair (count desc, pair asc — binary string order on
+    * both engines), and appends it. This is the classic Sennrich BPE
+    * recursion: round k's winning pair can be one that DID NOT EXIST in
+    * round k−1's symbol stream (e.g. a placeholder-placeholder pair) —
+    * the property a single-pass merge list cannot have, and the reason
+    * the loop must re-encode between counts (suite-pinned on a corpus
+    * where round 2's winner only exists after round 1's merge).
+    *
+    * Returns the merge list in learned order with each round's winning
+    * count — feed `.map(_._1)` to [[bpeEncodeStats]] to encode a corpus.
+    *
+    * Scale shape (the GBM driver-loop pattern): the corpus is scanned
+    * ONCE (the word-frequency collapse, partial-aggregated to
+    * vocabulary size and persisted); each round is one vocabulary-sized
+    * aggregate — the k merges so far fold into a nested-replace chain
+    * evaluated map-side on the cached vocab — and a single top-1 collect
+    * (`TakeOrderedAndProject`, one row to the driver). Cost is
+    * O(rounds × vocab), corpus-size-independent after the first scan.
+    */
+  def bpeTrain(docs: DataFrame, textCol: String, rounds: Int): Seq[(String, Long)] = {
+    require(rounds > 0 && rounds <= 256,
+      s"rounds must be in [1, 256] (placeholder space), got $rounds")
+    val vocab = docs
+      .select(explode(tokens(col(textCol))).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("wc"))
+      .persist()
+    try {
+      val acc = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+      var r = 0
+      while (r < rounds) {
+        val enc = acc.zipWithIndex.foldLeft(col("word")) { case (c, ((m, _), i)) =>
+          replace(c, lit(m), lit(String.valueOf((0xE000 + i).toChar)))
+        }
+        // words shrunk below 2 symbols have no pairs; filter BEFORE the
+        // position explode (sequence(1, 0) is descending in Spark)
+        val top = vocab
+          .select(enc.as("w"), col("wc"))
+          .filter(length(col("w")) >= 2)
+          .select(col("wc"),
+            explode(transform(
+              sequence(lit(1), length(col("w")) - 1),
+              i => col("w").substr(i, lit(2)))).as("pair"))
+          .groupBy("pair")
+          .agg(sum("wc").as("n"))
+          .orderBy(col("n").desc, col("pair").asc)
+          .limit(1)
+          .collect()
+        require(top.nonEmpty,
+          s"bpeTrain: vocabulary exhausted after $r merges (no pairs left)")
+        acc += ((top(0).getString(0), top(0).getLong(1)))
+        r += 1
+      }
+      acc.toSeq
+    } finally vocab.unpersist(blocking = false)
+  }
+
   /** Greedy rank-ordered BPE merge APPLICATION — the encode side of
     * [[bpePairStats]]'s learn side: each merge pair is replaced across
     * every token in rank order (all occurrences, left-to-right — exactly

@@ -741,4 +741,31 @@ class CorpusOpsSuite extends SparkSpec {
       "doc_id", "text", Seq.empty).collect()
     assert(plain.forall(r => r.getLong(2) === r.getLong(3)))
   }
+
+  test("bpeTrain: round k counts pairs over round k-1's encoding, not the raw chars") {
+    val s = spark
+    import s.implicits._
+    // "abab" x3: round 1 pairs over raw chars = {ab:6, ba:3} -> merge
+    // "ab" -> X; the word becomes "XX", so round 2's winner is the
+    // placeholder pair "XX" — a pair that DOES NOT EXIST in the raw
+    // character stream. A single-pass learner (pair stats once, take
+    // top-2) would pick "ba" instead: the test that separates the
+    // iterative recursion from the one-shot merge list.
+    val df = Seq((1L, "abab abab abab")).toDF("doc_id", "text")
+    val learned = CorpusStats.bpeTrain(df, "text", 2)
+    val ph0 = String.valueOf(0xE000.toChar)
+    assert(learned(0) === (("ab", 6L)), s"round 1 learned ${learned(0)}")
+    assert(learned(1) === ((ph0 + ph0, 3L)), s"round 2 learned ${learned(1)}")
+    // the learned chain encodes each word to ONE piece
+    val enc = CorpusStats.bpeEncodeStats(df, "doc_id", "text", learned.map(_._1))
+      .collect().head
+    assert(enc.getLong(1) === 3L && enc.getLong(3) === 3L,
+      s"expected 3 tokens -> 3 pieces, got ${enc.mkString(",")}")
+    // exhaustion fails loud rather than returning a short list
+    val tiny = Seq((1L, "ab")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      CorpusStats.bpeTrain(tiny, "text", 3)
+    }
+    assert(e.getMessage.contains("exhausted"))
+  }
 }
