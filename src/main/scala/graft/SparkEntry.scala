@@ -2039,22 +2039,66 @@ object SparkEntry {
         |JOIN els ex ON pr.i = ex.i
         |JOIN els ey ON pr.j = ey.i, nn
         |ORDER BY pr.i, pr.j""".stripMargin,
-    // PCA invariants gate: DuckDB has no eigensolve, so the oracle is
-    // the INVARIANT CONTRACT — every integer-snapped residual the Spark
-    // side emits (orthonormality at 1e-9, eigen-residual against the
-    // p_embedding_cov-pinned matrix at 1e-6, trace/Frobenius
+    // PCA gate: DuckDB has no eigensolve, so the eigen-specific columns
+    // are the INVARIANT CONTRACT — every integer-snapped residual the
+    // Spark side emits (orthonormality at 1e-9, eigen-residual against
+    // the p_embedding_cov-pinned matrix at 1e-6, trace/Frobenius
     // conservation, projection mean-zero and variance=λ round-trip)
-    // must be EXACTLY zero. Combined with p_embedding_cov (which pins
-    // the diagonalized matrix bit-exactly) this determines the
-    // eigenpairs up to sign/order, which the suite pins separately.
+    // must be EXACTLY zero. Since r13 three columns are additionally
+    // GENUINE two-engine checks, re-derived here from the embeddings
+    // table itself via the p_embedding_cov CTE chain: the per-axis
+    // covariance diagonal (cov_diag_micro), its sum (trace_micro = tr C
+    // in exact micro units), and the snapped-matrix Frobenius norm
+    // (frob_m2 = Σ m_ij² with off-diagonals twice, exact micro²
+    // integers). The zero residuals tie the eigenvalues to the SAME
+    // matrix these columns pin, so conservation is now cross-engine,
+    // not self-referential.
     "p_embedding_pca" ->
-      """SELECT CAST(unnest(range(0, 64)) AS BIGINT) AS r,
+      """WITH p AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |  WHERE embedding IS NOT NULL),
+        |ij AS (
+        |  SELECT a.i, b.j
+        |  FROM (SELECT CAST(unnest(range(0, 64)) AS BIGINT) AS i) a,
+        |       (SELECT CAST(unnest(range(0, 64)) AS BIGINT) AS j) b
+        |  WHERE b.j >= a.i),
+        |prods AS (
+        |  SELECT i, j,
+        |    CAST(sum(CAST(floor(v[i+1] * v[j+1] * CAST(1000000 AS DOUBLE)
+        |      + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS sxy
+        |  FROM p, ij GROUP BY i, j),
+        |els AS (
+        |  SELECT i,
+        |    CAST(sum(CAST(floor(v[i+1] * CAST(1000000 AS DOUBLE)
+        |      + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS sx
+        |  FROM p, (SELECT CAST(unnest(range(0, 64)) AS BIGINT) AS i) GROUP BY i),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM p),
+        |cv AS (
+        |  SELECT pr.i, pr.j,
+        |    CAST(floor((CAST(pr.sxy AS DOUBLE) / n / CAST(1000000 AS DOUBLE)
+        |        - (CAST(ex.sx AS DOUBLE) / n / CAST(1000000 AS DOUBLE))
+        |          * (CAST(ey.sx AS DOUBLE) / n / CAST(1000000 AS DOUBLE)))
+        |        * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+        |      AS cm
+        |  FROM prods pr
+        |  JOIN els ex ON pr.i = ex.i
+        |  JOIN els ey ON pr.j = ey.i, nn),
+        |tot AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN i = j THEN cm ELSE 0 END) AS BIGINT) AS trace_micro,
+        |    CAST(sum(CASE WHEN i = j THEN cm * cm ELSE 2 * cm * cm END) AS BIGINT)
+        |      AS frob_m2
+        |  FROM cv)
+        |SELECT cv.i AS r,
         |  CAST(0 AS BIGINT) AS ortho_nano,
         |  CAST(0 AS BIGINT) AS eig_resid_micro,
         |  CAST(0 AS BIGINT) AS proj_mean_e4,
         |  CAST(0 AS BIGINT) AS var_gap_e3,
+        |  cv.cm AS cov_diag_micro,
+        |  tot.trace_micro,
+        |  tot.frob_m2,
         |  CAST(0 AS BIGINT) AS trace_gap_e4,
         |  CAST(0 AS BIGINT) AS frob_gap_e3
+        |FROM cv, tot WHERE cv.i = cv.j
         |ORDER BY r""".stripMargin,
     // learned quality classifier: the oracle folds the 32-bit
     // codepoint-FNV hash per token in plain BIGINT arithmetic (32-bit
