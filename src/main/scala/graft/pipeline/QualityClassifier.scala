@@ -175,6 +175,40 @@ object QualityClassifier {
         col("s._2").as("z_micro"), col("s._3").as("prob"))
   }
 
+  /** Persist a fitted [[LinearModel]] as the parquet weight-table
+    * artifact every other model-shaped object here follows (the LM count
+    * tables, the posting index, the dedup banding): `(bucket, w)` rows
+    * for buckets 0..numBuckets−1 plus one `bucket = −1` row carrying the
+    * bias. Doubles round-trip parquet bit-exactly, so
+    * save → [[loadModel]] → score is row-identical to scoring the
+    * in-memory model (suite-pinned), and the weight rows feed
+    * [[scoreWithTable]] directly (filter `bucket >= 0`) — the artifact
+    * IS the join-path weight table.
+    */
+  def saveModel(model: LinearModel, path: String,
+      spark: org.apache.spark.sql.SparkSession): Unit = {
+    import spark.implicits._
+    val rows = model.weights.zipWithIndex
+      .map { case (w, b) => (b.toLong, w) }.toSeq :+ ((-1L, model.bias))
+    rows.toDF("bucket", "w").coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Reload a [[saveModel]] artifact. Fails loud on a malformed table
+    * (missing bias row or non-contiguous buckets) rather than scoring
+    * with silently-shifted weights.
+    */
+  def loadModel(spark: org.apache.spark.sql.SparkSession, path: String): LinearModel = {
+    val rows = spark.read.parquet(path).select("bucket", "w").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val bias = rows.collect { case (-1L, b) => b }
+    require(bias.length == 1,
+      s"loadModel: expected exactly one bias row (bucket = -1), got ${bias.length}")
+    val ws = rows.filter(_._1 >= 0L).sortBy(_._1)
+    require(ws.nonEmpty && ws.map(_._1).sameElements(ws.indices.map(_.toLong)),
+      "loadModel: weight buckets are not contiguous 0..n-1")
+    LinearModel(ws.map(_._2), bias.head)
+  }
+
   /** Fit the logistic model by full-batch gradient descent: `iters`
     * passes, each ONE `treeAggregate` over the persisted hashed-feature
     * set (gradient is a dense numBuckets+1 array — 2 MB at 2¹⁸ buckets,

@@ -952,6 +952,44 @@ class PipelineSuite extends SparkSpec {
     assert(acc >= 0.95, s"trainer accuracy $acc < 0.95")
   }
 
+  test("quality-classifier model round-trips parquet; artifact scores identically via both paths") {
+    val s = spark
+    import s.implicits._
+    import graft.pipeline.QualityClassifier
+    val train = (0 until 200).map { i =>
+      if (i % 2 == 0)
+        (i.toLong, s"good clean prose sample number ${i % 7} with structure", 1.0)
+      else
+        (i.toLong, s"spam junk clickbait garbage ${i % 5} buy now", 0.0)
+    }.toDF("doc_id", "text", "label")
+    val fitted = QualityClassifier.fitLogReg(
+      train, "text", "label", numBuckets = 128, iters = 15, stepSize = 1.0)
+    val path = java.nio.file.Files.createTempDirectory("qcmodel").toString + "/m"
+    QualityClassifier.saveModel(fitted, path, s)
+    val loaded = QualityClassifier.loadModel(s, path)
+    // doubles round-trip parquet bit-exactly
+    assert(loaded.bias === fitted.bias)
+    assert(loaded.weights.sameElements(fitted.weights))
+    // the artifact scores identically through BOTH deployment paths:
+    // broadcast map-side (scoreWithModel on the reloaded model) and the
+    // join path (scoreWithTable fed the artifact's weight rows directly)
+    val want = QualityClassifier.scoreWithModel(train, "doc_id", "text", fitted)
+      .collect().map(_.toSeq).toSet
+    val viaModel = QualityClassifier.scoreWithModel(train, "doc_id", "text", loaded)
+      .collect().map(_.toSeq).toSet
+    val viaTable = QualityClassifier.scoreWithTable(train, "doc_id", "text",
+        s.read.parquet(path).filter(col("bucket") >= 0L), loaded.bias, 128)
+      .collect().map(_.toSeq).toSet
+    assert(viaModel === want)
+    assert(viaTable === want)
+    // malformed artifacts fail loud
+    val noBias = s.read.parquet(path).filter(col("bucket") >= 0L)
+    val p2 = java.nio.file.Files.createTempDirectory("qcmodel").toString + "/bad"
+    noBias.write.parquet(p2)
+    val e = intercept[IllegalArgumentException] { QualityClassifier.loadModel(s, p2) }
+    assert(e.getMessage.contains("bias"))
+  }
+
   test("hybridWithIndex equals the distributed hybrid, rows and scores") {
     val s = spark
     import s.implicits._

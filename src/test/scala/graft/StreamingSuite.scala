@@ -760,6 +760,48 @@ class StreamingSuite extends SparkSpec {
     }
   }
 
+  test("broadcast-model quality-classifier scoring runs verbatim on a document stream") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    import graft.pipeline.QualityClassifier
+    // a deterministic synthetic model (the gate's LCG table) — the
+    // streaming pin is about the SCORER's stateless map-side shape, not
+    // training
+    val nb = 64
+    val weights = (0 until nb).map { b =>
+      val u = java.lang.Math.floorMod(b.toLong * 1103515245L + 12345L, 4294967296L) / 4294967296.0
+      BigDecimal(u * 0.2 - 0.1).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.toArray
+    val model = QualityClassifier.LinearModel(weights, 0.037)
+    val docs = Seq(
+      (1L, "the cat sat on the mat"), (2L, "alpha beta gamma"),
+      (3L, null.asInstanceOf[String]), (4L, "solo"), (5L, "  padded   text  "))
+    val batchDf = docs.toDF("doc_id", "text")
+    val mem = MemoryStream[(Long, String)]
+    val streamDf = mem.toDF().toDF("doc_id", "text")
+    // stateless broadcast scorer: append mode, no watermark, the SAME
+    // code path as batch
+    val q = QualityClassifier.scoreWithModel(streamDf, "doc_id", "text", model)
+      .writeStream.format("memory").queryName("qc_out").outputMode("append")
+      .start()
+    try {
+      mem.addData(docs.take(2): _*)
+      q.processAllAvailable()
+      mem.addData(docs.drop(2): _*)
+      q.processAllAvailable()
+      val batch = QualityClassifier.scoreWithModel(batchDf, "doc_id", "text", model)
+        .collect().map(_.toSeq).toSet
+      assert(s.sql("SELECT * FROM qc_out").collect().map(_.toSeq).toSet === batch)
+      // and the streamed scorer agrees with the distributed join path
+      val tbl = QualityClassifier.lcgWeightTable(batchDf, nb)
+      val dist = QualityClassifier
+        .scoreWithTable(batchDf, "doc_id", "text", tbl, 0.037, nb)
+        .collect().map(_.toSeq).toSet
+      assert(batch === dist)
+    } finally q.stop()
+  }
+
   test("broadcast-index BM25 query scoring runs verbatim on a query stream") {
     val s = spark
     import s.implicits._
