@@ -626,9 +626,10 @@ object Queries {
     val qtok = queries
       .select(explode(array_distinct(TF.tokens(col("qtext")))).as("token"))
       .distinct()
-    val (n, tot) = Retrieval.indexStats(docs, "text")
-    val idx = Retrieval.collectIndex(
-      Retrieval.prunedPostings(docs, "doc_id", "text", qtok), n, tot)
+    // ONE tokenized corpus pass feeds both the stats aggregate and the
+    // pruned posting table (r12 composed indexStats + prunedPostings,
+    // tokenizing the corpus twice inside the gate)
+    val idx = Retrieval.buildPrunedIndex(docs, "doc_id", "text", qtok)
     Retrieval.scoreWithIndex(queries, "query_id", "qtext", idx, 10)
       .orderBy("query_id", "rnk")
   }
@@ -672,9 +673,8 @@ object Queries {
     val qtok = queries
       .select(explode(array_distinct(TF.tokens(col("qtext")))).as("token"))
       .distinct()
-    val (n, tot) = Retrieval.indexStats(docs, "text")
-    val idx = Retrieval.collectIndex(
-      Retrieval.prunedPostings(docs, "doc_id", "text", qtok), n, tot)
+    // ONE tokenized corpus pass for stats + postings (see pBm25Broadcast)
+    val idx = Retrieval.buildPrunedIndex(docs, "doc_id", "text", qtok)
     Retrieval.hybridWithIndex(queries, "query_id", "qtext", idx, 10)
       .orderBy("query_id", "rnk")
   }

@@ -49,9 +49,7 @@ object Retrieval {
     * PlanSuite pins the single evaluation.
     */
   private def docTokens(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs
-      .select(col(idCol).as("doc_id"),
-        org.apache.spark.sql.graft.GraftExpressions.opaque(tokens(col(textCol))).as("toks"))
+    tokenizedDocs(docs, idCol, textCol)
       .select(col("doc_id"),
         size(col("toks")).cast("long").as("dl"),
         explode(col("toks")).as("token"))
@@ -556,6 +554,55 @@ object Retrieval {
         .map { case (t, rows) => t -> rows.map(_._2) }
       Bm25Index(grouped, nDocs, totalTokens)
     } finally cached.unpersist(blocking = false)
+  }
+
+  /** The shared tokenized projection `(doc_id, toks)` — [[docTokens]]
+    * before the explode, with the same [[org.apache.spark.sql.graft.Opaque]]
+    * single-evaluation barrier. Exists so a caller that needs BOTH the
+    * corpus stats and a posting table can persist ONE tokenize pass and
+    * derive each from it (see [[buildPrunedIndex]]).
+    */
+  private[graft] def tokenizedDocs(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      org.apache.spark.sql.graft.GraftExpressions.opaque(tokens(col(textCol))).as("toks"))
+
+  /** [[prunedPostings]] over an already-tokenized `(doc_id, toks)`
+    * projection (typically the persisted [[tokenizedDocs]]). */
+  private[graft] def prunedFromTokens(tk: DataFrame, qtok: DataFrame): DataFrame =
+    tk.select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        explode(col("toks")).as("token"))
+      .join(broadcast(qtok), Seq("token"))
+      .groupBy("doc_id", "dl", "token")
+      .agg(count(lit(1)).as("tf"))
+
+  /** Build a collected [[Bm25Index]] (query-vocab-pruned postings + the
+    * two corpus scalars) from ONE tokenized corpus pass: the
+    * `(doc_id, toks)` projection is persisted and consumed by both the
+    * stats aggregate and the pruned posting table — composing
+    * [[indexStats]] + [[prunedPostings]] + [[collectIndex]] separately
+    * tokenizes the corpus twice, and tokenization is the dominant
+    * per-row cost of the whole retrieval stack (this is how the
+    * broadcast/online gates assemble their index; a production
+    * deployment stores the stats scalars WITH the posting artifact — the
+    * `p_bm25_indexed`/`p_bm25_incr` path — and never replays either
+    * pass). Same fail-loud `maxEntries` bound as [[collectIndex]].
+    */
+  def buildPrunedIndex(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      qtok: DataFrame,
+      maxEntries: Long = 5000000L): Bm25Index = {
+    val tk = tokenizedDocs(docs, idCol, textCol).persist()
+    try {
+      val r = tk.agg(
+        count(lit(1)),
+        sum(size(col("toks")).cast("long"))).head()
+      val n = r.getLong(0)
+      val tot = if (r.isNullAt(1)) 0L else r.getLong(1)
+      collectIndex(prunedFromTokens(tk, qtok), n, tot, maxEntries)
+    } finally tk.unpersist(blocking = false)
   }
 
   /** Map-side-only BM25 scoring against a collected index: same output

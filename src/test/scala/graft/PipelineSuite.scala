@@ -1026,6 +1026,40 @@ class PipelineSuite extends SparkSpec {
     assert(!hplan.contains("Exchange"), s"hybridWithIndex plans a shuffle:\n$hplan")
   }
 
+  test("buildPrunedIndex equals the two-pass composition from ONE tokenize pass") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (0L, "alpha beta gamma alpha"),
+      (1L, "alpha beta"),
+      (2L, null.asInstanceOf[String]), // counts toward nDocs, no postings
+      (3L, "beta beta beta"),
+      (4L, "alpha gamma delta")
+    ).toDF("doc_id", "text")
+    val qtok = Seq("alpha", "beta", "no-match").toDF("token")
+    val onePass = Retrieval.buildPrunedIndex(docs, "doc_id", "text", qtok)
+    // the two-pass composition it replaces (indexStats + prunedPostings
+    // each tokenize the corpus)
+    val (n, tot) = Retrieval.indexStats(docs, "text")
+    val twoPass = Retrieval.collectIndex(
+      Retrieval.prunedPostings(docs, "doc_id", "text", qtok), n, tot)
+    assert(onePass.nDocs === twoPass.nDocs)
+    assert(onePass.totalTokens === twoPass.totalTokens)
+    assert(onePass.postings.view.mapValues(_.toSeq).toMap ===
+      twoPass.postings.view.mapValues(_.toSeq).toMap)
+    // plan shape: the posting build reads the PERSISTED tokens projection
+    // (tokenize runs once, at cache materialization) instead of
+    // re-deriving the split
+    val tk = Retrieval.tokenizedDocs(docs, "doc_id", "text").persist()
+    try {
+      tk.count()
+      val plan = Retrieval.prunedFromTokens(tk, qtok)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("InMemoryTableScan"),
+        s"posting build does not reuse the cached tokens:\n$plan")
+    } finally tk.unpersist(blocking = false)
+  }
+
   test("hybridDenseTopK fuses bm25 and seeded-IVF voices; dense voice surfaces lexically-invisible docs") {
     val s = spark
     import s.implicits._
