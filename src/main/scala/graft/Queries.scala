@@ -1008,16 +1008,46 @@ object Queries {
     * engines), so learn -> rank -> greedy apply is pinned end to end.
     * The 8-row merge collect is bounded by construction.
     */
-  def pBpeEncode(spark: SparkSession, sfDir: String): DataFrame = {
-    val d = documents(spark, sfDir)
-    val merges = CorpusStats.bpePairStats(d, "text", 30)
+  /** The shared single-round merge rule of the BPE gates: letter pairs
+    * within the GLOBAL top-30 pair statistics, first 8 in rank order
+    * (the oracle mirrors this exact rule — rank all, cut 30, filter,
+    * take 8). The 8-row collect is bounded by construction.
+    */
+  private def bpeLetterMerges(d: DataFrame): Seq[String] =
+    CorpusStats.bpePairStats(d, "text", 30)
       .filter(col("pair").rlike("^[a-z]{2}$"))
       .orderBy("rnk")
       .limit(8)
       .collect().map(_.getString(0)).toSeq
-    CorpusStats.bpeEncodeStats(d, "doc_id", "text", merges)
+
+  def pBpeEncode(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = documents(spark, sfDir)
+    CorpusStats.bpeEncodeStats(d, "doc_id", "text", bpeLetterMerges(d))
       .select(col("id").as("doc_id"), col("n_tokens"), col("n_chars"),
         col("n_pieces"))
+      .orderBy("doc_id")
+  }
+
+  /** Tokenizer-aware sequence packing ([[Chunking.packConcatBy]] fed
+    * [[CorpusStats.bpeEncodeStats]]'s piece counts): packing coordinates
+    * planned in LEARNED-token space — the per-doc stream widths are the
+    * BPE piece counts (the token space a training run actually
+    * consumes), not whitespace counts, so sequence budgets are exact
+    * under the learned tokenizer. Null-text docs (recognizable as
+    * `n_tokens = 0` — only a null tokenize yields zero tokens) carry
+    * null widths and contribute zero stream width, matching
+    * [[Chunking.packConcat]]'s null contract. The oracle re-learns the
+    * merge list, re-encodes, and re-runs the LCG stream hash + running
+    * sum + floor-division pack arithmetic end to end — pinning the
+    * piece-count seam the encode and pack gates previously shared only
+    * by convention.
+    */
+  def pBpePack(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = documents(spark, sfDir)
+    val widths = CorpusStats.bpeEncodeStats(d, "doc_id", "text", bpeLetterMerges(d))
+      .select(col("id").as("doc_id"),
+        when(col("n_tokens") > 0, col("n_pieces")).as("n_pieces"))
+    Chunking.packConcatBy(widths, "doc_id", "n_pieces", seqLen = 64, numStreams = 4)
       .orderBy("doc_id")
   }
 

@@ -130,6 +130,7 @@ object SparkEntry {
     "p_bpe_pairs" -> (Queries.pBpePairs _),
     "p_bpe_encode" -> (Queries.pBpeEncode _),
     "p_bpe_train" -> (Queries.pBpeTrain _),
+    "p_bpe_pack" -> (Queries.pBpePack _),
     "p_ngram_repetition" -> (Queries.pNgramRepetition _),
     "p_pii_redaction" -> (Queries.pPiiRedaction _),
     "p_tfidf_top_terms" -> (Queries.pTfidfTopTerms _),
@@ -412,6 +413,55 @@ object SparkEntry {
        |  FROM fused)
        |SELECT query_id, doc_id, score, rnk FROM fr WHERE rnk <= 10
        |ORDER BY query_id, rnk""".stripMargin
+
+  /** Shared single-round BPE learn+encode CTE chain (gates
+    * `p_bpe_encode` and `p_bpe_pack`): rank ALL pairs, keep the global
+    * top-30, filter to letter pairs, take the first 8 in rank order —
+    * the exact selection rule `Queries.bpeLetterMerges` implements —
+    * then apply the merges as the identical nested-replace chain
+    * (placeholders chr(0xE000+rank)); chr(1) sentinels no-op unused
+    * slots if fewer than 8 letter pairs survive the top-30 cut. Ends
+    * with `enc(doc_id, n_tokens, n_chars, n_pieces)` over non-null-text
+    * docs.
+    */
+  private val BPE_ENCODE_CTE =
+    s"""WITH w AS (
+       |  SELECT t AS word, count(*) AS wc
+       |  FROM (SELECT unnest($TOKS) AS t FROM documents)
+       |  GROUP BY 1),
+       |p AS (
+       |  SELECT substr(word, CAST(i AS INT), 2) AS pair, sum(wc) AS n
+       |  FROM w, LATERAL (SELECT unnest(range(1, len(word))) AS i)
+       |  WHERE len(word) >= 2 GROUP BY 1),
+       |m0 AS (
+       |  SELECT pair, row_number() OVER (ORDER BY n DESC, pair) AS rnk
+       |  FROM p QUALIFY rnk <= 30),
+       |m AS (
+       |  SELECT pair, row_number() OVER (ORDER BY rnk) AS mi
+       |  FROM m0 WHERE regexp_matches(pair, '^[a-z]{2}$$')
+       |  QUALIFY mi <= 8),
+       |mm AS (SELECT
+       |  coalesce(max(CASE WHEN mi = 1 THEN pair END), chr(1)) AS m1,
+       |  coalesce(max(CASE WHEN mi = 2 THEN pair END), chr(1)) AS m2,
+       |  coalesce(max(CASE WHEN mi = 3 THEN pair END), chr(1)) AS m3,
+       |  coalesce(max(CASE WHEN mi = 4 THEN pair END), chr(1)) AS m4,
+       |  coalesce(max(CASE WHEN mi = 5 THEN pair END), chr(1)) AS m5,
+       |  coalesce(max(CASE WHEN mi = 6 THEN pair END), chr(1)) AS m6,
+       |  coalesce(max(CASE WHEN mi = 7 THEN pair END), chr(1)) AS m7,
+       |  coalesce(max(CASE WHEN mi = 8 THEN pair END), chr(1)) AS m8
+       |  FROM m),
+       |toks AS (
+       |  SELECT doc_id, $TOKS AS t FROM documents WHERE text IS NOT NULL),
+       |enc AS (
+       |  SELECT doc_id,
+       |    CAST(len(t) AS BIGINT) AS n_tokens,
+       |    CAST(list_sum(list_transform(t, x -> length(x))) AS BIGINT) AS n_chars,
+       |    CAST(list_sum(list_transform(t, x -> length(
+       |      replace(replace(replace(replace(replace(replace(replace(replace(x,
+       |        m1, chr(57344)), m2, chr(57345)), m3, chr(57346)), m4, chr(57347)),
+       |        m5, chr(57348)), m6, chr(57349)), m7, chr(57350)), m8, chr(57351))
+       |    ))) AS BIGINT) AS n_pieces
+       |  FROM toks, mm)""".stripMargin
 
   /** Iterative-BPE oracle: DuckDB re-runs the ENTIRE learn → apply →
     * re-learn recursion — six chained rounds, each counting adjacent
@@ -1429,49 +1479,40 @@ object SparkEntry {
     // sentinels no-op the unused slots if fewer than 8 letter pairs
     // survive the top-30 cut
     "p_bpe_encode" ->
-      s"""WITH w AS (
-         |  SELECT t AS word, count(*) AS wc
-         |  FROM (SELECT unnest($TOKS) AS t FROM documents)
-         |  GROUP BY 1),
-         |p AS (
-         |  SELECT substr(word, CAST(i AS INT), 2) AS pair, sum(wc) AS n
-         |  FROM w, LATERAL (SELECT unnest(range(1, len(word))) AS i)
-         |  WHERE len(word) >= 2 GROUP BY 1),
-         |m0 AS (
-         |  SELECT pair, row_number() OVER (ORDER BY n DESC, pair) AS rnk
-         |  FROM p QUALIFY rnk <= 30),
-         |m AS (
-         |  SELECT pair, row_number() OVER (ORDER BY rnk) AS mi
-         |  FROM m0 WHERE regexp_matches(pair, '^[a-z]{2}$$')
-         |  QUALIFY mi <= 8),
-         |mm AS (SELECT
-         |  coalesce(max(CASE WHEN mi = 1 THEN pair END), chr(1)) AS m1,
-         |  coalesce(max(CASE WHEN mi = 2 THEN pair END), chr(1)) AS m2,
-         |  coalesce(max(CASE WHEN mi = 3 THEN pair END), chr(1)) AS m3,
-         |  coalesce(max(CASE WHEN mi = 4 THEN pair END), chr(1)) AS m4,
-         |  coalesce(max(CASE WHEN mi = 5 THEN pair END), chr(1)) AS m5,
-         |  coalesce(max(CASE WHEN mi = 6 THEN pair END), chr(1)) AS m6,
-         |  coalesce(max(CASE WHEN mi = 7 THEN pair END), chr(1)) AS m7,
-         |  coalesce(max(CASE WHEN mi = 8 THEN pair END), chr(1)) AS m8
-         |  FROM m),
-         |toks AS (
-         |  SELECT doc_id, $TOKS AS t FROM documents WHERE text IS NOT NULL),
-         |enc AS (
-         |  SELECT doc_id,
-         |    CAST(len(t) AS BIGINT) AS n_tokens,
-         |    CAST(list_sum(list_transform(t, x -> length(x))) AS BIGINT) AS n_chars,
-         |    CAST(list_sum(list_transform(t, x -> length(
-         |      replace(replace(replace(replace(replace(replace(replace(replace(x,
-         |        m1, chr(57344)), m2, chr(57345)), m3, chr(57346)), m4, chr(57347)),
-         |        m5, chr(57348)), m6, chr(57349)), m7, chr(57350)), m8, chr(57351))
-         |    ))) AS BIGINT) AS n_pieces
-         |  FROM toks, mm)
+      s"""$BPE_ENCODE_CTE
          |SELECT d.doc_id,
          |  CAST(coalesce(e.n_tokens, 0) AS BIGINT) AS n_tokens,
          |  CAST(coalesce(e.n_chars, 0) AS BIGINT) AS n_chars,
          |  CAST(coalesce(e.n_pieces, 0) AS BIGINT) AS n_pieces
          |FROM documents d LEFT JOIN enc e ON d.doc_id = e.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+    // tokenizer-aware sequence packing: the SAME learned-merge encode
+    // chain produces per-doc piece counts, which then feed the seq-pack
+    // arithmetic (LCG stream hash, running sum with one EOS per doc,
+    // floor-division sequence indices) — widths in learned-token space,
+    // null for null-text docs (zero stream width, null coordinates)
+    "p_bpe_pack" ->
+      s"""$BPE_ENCODE_CTE,
+         |wd AS (
+         |  SELECT d.doc_id, e.n_pieces
+         |  FROM documents d LEFT JOIN enc e ON d.doc_id = e.doc_id),
+         |tc AS (
+         |  SELECT doc_id,
+         |    CAST((((((doc_id % 4294967296) * 1103515245 + 12345) % 4294967296)
+         |          + 4294967296) % 4294967296) % 4 AS BIGINT) AS stream,
+         |    CAST(n_pieces AS BIGINT) AS n_pieces
+         |  FROM wd),
+         |o AS (
+         |  SELECT doc_id, stream, n_pieces,
+         |    CAST(coalesce(sum(n_pieces + 1) OVER (
+         |      PARTITION BY stream ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |      AS start_off
+         |  FROM tc)
+         |SELECT doc_id, stream, n_pieces, start_off,
+         |  CAST(floor(start_off / 64) AS BIGINT) AS first_seq,
+         |  CAST(floor((start_off + n_pieces - 1) / 64) AS BIGINT) AS last_seq
+         |FROM o ORDER BY doc_id""".stripMargin,
     // iterative BPE training: the full 6-round learn->apply->re-learn
     // chain re-run in SQL (see BPE_TRAIN_SQL's scaladoc)
     "p_bpe_train" -> BPE_TRAIN_SQL,

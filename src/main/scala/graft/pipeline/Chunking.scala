@@ -100,6 +100,30 @@ object Chunking {
       idCol: String,
       textCol: String,
       seqLen: Int,
+      numStreams: Int = 1): DataFrame =
+    packConcatBy(
+      df.select(col(idCol),
+        TextFunctions.tokenCount(col(textCol)).cast("long").as("n_tokens")),
+      idCol, "n_tokens", seqLen, numStreams)
+
+  /** [[packConcat]] over a CALLER-SUPPLIED width column instead of the
+    * whitespace token count — tokenizer-aware packing: feed it the
+    * per-doc PIECE counts of a learned tokenizer
+    * ([[CorpusStats.bpeEncodeStats]]'s `n_pieces`) and the packing
+    * coordinates are planned in the same token space the training run
+    * will actually consume, so sequence budgets are exact rather than
+    * whitespace-approximate (whitespace counts under-estimate BPE pieces
+    * by the merge compression ratio — a packer planning in the wrong
+    * space systematically overfills sequences). Same determinism, null
+    * (width = null contributes zero stream width, coordinates null), and
+    * shuffle contract as [[packConcat]]; the width column is emitted
+    * under its own name.
+    */
+  def packConcatBy(
+      df: DataFrame,
+      idCol: String,
+      widthCol: String,
+      seqLen: Int,
       numStreams: Int = 1): DataFrame = {
     require(seqLen > 0, s"seqLen must be positive, got $seqLen")
     require(numStreams > 0, s"numStreams must be positive, got $numStreams")
@@ -108,9 +132,9 @@ object Chunking {
     df.select(
         col(idCol),
         pmod(Sampling.lcgBucket(col(idCol)), lit(numStreams.toLong)).as("stream"),
-        TextFunctions.tokenCount(col(textCol)).cast("long").as("n_tokens"))
-      .withColumn("start_off", coalesce(sum(col("n_tokens") + 1L).over(w), lit(0L)))
+        col(widthCol).cast("long").as(widthCol))
+      .withColumn("start_off", coalesce(sum(col(widthCol) + 1L).over(w), lit(0L)))
       .withColumn("first_seq", floor(col("start_off") / seqLen))
-      .withColumn("last_seq", floor((col("start_off") + col("n_tokens") - 1L) / seqLen))
+      .withColumn("last_seq", floor((col("start_off") + col(widthCol) - 1L) / seqLen))
   }
 }
