@@ -341,4 +341,33 @@ class DocsSuite extends SparkSpec {
     assert(fused.columns.toSeq === Seq("query_id", "doc_id", "score", "rnk"))
     bm.unpersist(blocking = false)
   }
+
+  test("pipeline-ops: dense-lexical hybrid snippet runs") {
+    val queries = docs.filter(pmod(col("doc_id"), lit(100)) === 0)
+      .select(col("doc_id").as("query_id"),
+        array_join(slice(pipeline.TextFunctions.tokens(col("text")), 1, 5), " ")
+          .as("qtext"))
+    val vecQueries = embs.filter(pmod(col("vec_id"), lit(100)) === 0)
+    val fused = pipeline.Retrieval.hybridDenseTopK(
+      docs, "doc_id", "text", queries, "query_id", "qtext",
+      embs, "vec_id", "embedding", vecQueries, 10)
+    assert(fused.count() > 0)
+    assert(fused.columns.toSeq === Seq("query_id", "doc_id", "score", "rnk"))
+    fused.unpersist(blocking = false)
+  }
+
+  test("pipeline-ops: iterative BPE trainer + tokenizer-aware packing snippets run") {
+    val small = docs.limit(100)
+    val learned = pipeline.CorpusStats.bpeTrain(small, "text", rounds = 3)
+    assert(learned.size === 3 && learned.forall(_._2 > 0))
+    val enc = pipeline.CorpusStats.bpeEncodeStats(
+      small, "doc_id", "text", learned.map(_._1))
+    assert(enc.count() === small.count())
+    val packed = pipeline.Chunking.packConcatBy(
+      enc.select(col("id").as("doc_id"), col("n_pieces")),
+      "doc_id", "n_pieces", seqLen = 64, numStreams = 4)
+    assert(packed.count() === small.count())
+    assert(packed.columns.toSeq ===
+      Seq("doc_id", "stream", "n_pieces", "start_off", "first_seq", "last_seq"))
+  }
 }
