@@ -222,6 +222,38 @@ object CorpusStats {
     } finally vocab.unpersist(blocking = false)
   }
 
+  /** Persist a learned merge list ([[bpeTrain]]'s output) as the parquet
+    * tokenizer artifact — `(rnk, pair, n)` rows, 1-based rank; THE ORDER
+    * IS THE MODEL (BPE merges apply in learned order), so the artifact
+    * stores it explicitly rather than relying on row order. This is the
+    * artifact every training pipeline actually ships: the tokenizer is
+    * learned once on a corpus snapshot and applied verbatim to every
+    * later batch — re-learning per batch would silently change the token
+    * space under the packer and the budget planner.
+    */
+  def saveMerges(merges: Seq[(String, Long)], path: String,
+      spark: org.apache.spark.sql.SparkSession): Unit = {
+    require(merges.nonEmpty, "saveMerges: empty merge list")
+    import spark.implicits._
+    merges.zipWithIndex.map { case ((pair, n), i) => ((i + 1).toLong, pair, n) }
+      .toDF("rnk", "pair", "n")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Reload a [[saveMerges]] artifact in learned order. Fails loud on
+    * non-contiguous ranks (a filtered or corrupted artifact would
+    * otherwise silently re-number the merge chain, changing every
+    * placeholder assignment downstream).
+    */
+  def loadMerges(spark: org.apache.spark.sql.SparkSession, path: String): Seq[(String, Long)] = {
+    val rows = spark.read.parquet(path).select("rnk", "pair", "n").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1)
+    require(rows.nonEmpty && rows.map(_._1).sameElements((1 to rows.length).map(_.toLong)),
+      "loadMerges: ranks are not contiguous 1..n — corrupted tokenizer artifact")
+    rows.map(r => (r._2, r._3)).toSeq
+  }
+
   /** Greedy rank-ordered BPE merge APPLICATION — the encode side of
     * [[bpePairStats]]'s learn side: each merge pair is replaced across
     * every token in rank order (all occurrences, left-to-right — exactly

@@ -768,4 +768,28 @@ class CorpusOpsSuite extends SparkSpec {
     }
     assert(e.getMessage.contains("exhausted"))
   }
+
+  test("BPE merge artifact round-trips parquet in learned order; reload fails loud on gaps") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "abab abab abab"), (2L, "abc abc")).toDF("doc_id", "text")
+    val learned = CorpusStats.bpeTrain(df, "text", 3)
+    val path = java.nio.file.Files.createTempDirectory("bpe").toString + "/merges"
+    CorpusStats.saveMerges(learned, path, s)
+    val loaded = CorpusStats.loadMerges(s, path)
+    assert(loaded === learned)
+    // the reloaded artifact encodes identically — the order IS the model
+    val a = CorpusStats.bpeEncodeStats(df, "doc_id", "text", learned.map(_._1))
+      .collect().map(_.toSeq).toSet
+    val b = CorpusStats.bpeEncodeStats(df, "doc_id", "text", loaded.map(_._1))
+      .collect().map(_.toSeq).toSet
+    assert(a === b)
+    // a rank gap (filtered/corrupted artifact) must not silently
+    // re-number the merge chain
+    val p2 = java.nio.file.Files.createTempDirectory("bpe").toString + "/bad"
+    s.read.parquet(path).filter(col("rnk") =!= 2L)
+      .write.parquet(p2)
+    val e = intercept[IllegalArgumentException] { CorpusStats.loadMerges(s, p2) }
+    assert(e.getMessage.contains("contiguous"))
+  }
 }
