@@ -1079,6 +1079,33 @@ object Queries {
     mergeRows.unionByName(docRows).orderBy("sect", "id")
   }
 
+  /** Winnowing fingerprints ([[graft.pipeline.Winnowing]], k=3 w=4): the
+    * MOSS local-fingerprint selection — per w-window minimum k-gram hash,
+    * ties to the rightmost occurrence, distinct selections. The oracle
+    * re-derives the codepoint-FNV gram hashes (the quality classifier's
+    * BIGINT fold), every window's min, the rightmost tie rule, and the
+    * distinct selection set, then pins each doc's fingerprint SET via
+    * count + sum + bit_xor + position sum (all integer-exact). Docs with
+    * fewer than k tokens keep an all-zero row on both sides.
+    */
+  def pWinnow(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = documents(spark, sfDir)
+    val fps = graft.pipeline.Winnowing.winnowFingerprints(d, "doc_id", "text", 3, 4)
+    val agg = fps.groupBy("doc_id").agg(
+      count(lit(1)).as("n_fp"),
+      sum("fp").as("fp_sum"),
+      expr("bit_xor(fp)").as("fp_xor"),
+      sum("pos").as("pos_sum"))
+    d.select(col("doc_id"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_fp"), lit(0L)).as("n_fp"),
+        coalesce(col("fp_sum"), lit(0L)).as("fp_sum"),
+        coalesce(col("fp_xor"), lit(0L)).as("fp_xor"),
+        coalesce(col("pos_sum"), lit(0L)).as("pos_sum"))
+      .orderBy("doc_id")
+  }
+
   /** K-means corpus clustering ([[Clustering]]): min-id init (vec_id
     * < 8), ONE Lloyd round, then a final assignment against centroids
     * rounded to 6 decimals. The rounding is the gate's cross-engine

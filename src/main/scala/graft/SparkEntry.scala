@@ -131,6 +131,7 @@ object SparkEntry {
     "p_bpe_encode" -> (Queries.pBpeEncode _),
     "p_bpe_train" -> (Queries.pBpeTrain _),
     "p_bpe_pack" -> (Queries.pBpePack _),
+    "p_winnow" -> (Queries.pWinnow _),
     "p_ngram_repetition" -> (Queries.pNgramRepetition _),
     "p_pii_redaction" -> (Queries.pPiiRedaction _),
     "p_tfidf_top_terms" -> (Queries.pTfidfTopTerms _),
@@ -1516,6 +1517,54 @@ object SparkEntry {
     // iterative BPE training: the full 6-round learn->apply->re-learn
     // chain re-run in SQL (see BPE_TRAIN_SQL's scaladoc)
     "p_bpe_train" -> BPE_TRAIN_SQL,
+    // winnowing (MOSS local fingerprints, k=3 w=4): codepoint-FNV gram
+    // hashes, per-window min with the rightmost tie rule, distinct
+    // selections — each doc's fingerprint SET pinned by count / sum /
+    // bit_xor / position sum, all integer-exact BIGINT arithmetic
+    "p_winnow" ->
+      s"""WITH toksw AS (
+         |  SELECT doc_id, $TOKS AS t FROM documents WHERE text IS NOT NULL),
+         |gr AS (
+         |  SELECT doc_id, CAST(i AS BIGINT) AS gpos,
+         |    list_reduce(
+         |      list_prepend(CAST(2166136261 AS BIGINT),
+         |        list_transform(range(1, length(gs)+1),
+         |          c -> CAST(unicode(substr(gs, CAST(c AS INT), 1)) AS BIGINT))),
+         |      (acc, cp) -> (xor(acc, cp) * 16777619) % 4294967296) AS h
+         |  FROM (
+         |    SELECT doc_id, i,
+         |      array_to_string(t[CAST(i+1 AS INT):CAST(i+3 AS INT)], ' ') AS gs
+         |    FROM toksw, LATERAL (SELECT unnest(range(0, greatest(len(t) - 2, 0))) AS i)
+         |  )),
+         |gl AS (SELECT doc_id, count(*) AS ng FROM gr GROUP BY 1),
+         |wins AS (
+         |  SELECT doc_id, CAST(unnest(range(0, greatest(ng - 3, 1))) AS BIGINT) AS s
+         |  FROM gl WHERE ng >= 1),
+         |wm AS (
+         |  SELECT w.doc_id, w.s, min(g.h) AS mh
+         |  FROM wins w JOIN gr g
+         |    ON g.doc_id = w.doc_id AND g.gpos BETWEEN w.s AND w.s + 3
+         |  GROUP BY 1, 2),
+         |sel AS (
+         |  SELECT w.doc_id, max(g.gpos) AS pos, w.mh AS fp
+         |  FROM wm w JOIN gr g
+         |    ON g.doc_id = w.doc_id AND g.h = w.mh
+         |    AND g.gpos BETWEEN w.s AND w.s + 3
+         |  GROUP BY w.doc_id, w.s, w.mh),
+         |ds AS (SELECT DISTINCT doc_id, pos, fp FROM sel),
+         |agg AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp,
+         |    CAST(sum(fp) AS BIGINT) AS fp_sum,
+         |    CAST(bit_xor(fp) AS BIGINT) AS fp_xor,
+         |    CAST(sum(pos) AS BIGINT) AS pos_sum
+         |  FROM ds GROUP BY 1)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(a.n_fp, 0) AS BIGINT) AS n_fp,
+         |  CAST(coalesce(a.fp_sum, 0) AS BIGINT) AS fp_sum,
+         |  CAST(coalesce(a.fp_xor, 0) AS BIGINT) AS fp_xor,
+         |  CAST(coalesce(a.pos_sum, 0) AS BIGINT) AS pos_sum
+         |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     // BPE merge candidates: vocabulary collapse, adjacent char pairs
     // weighted by word frequency, total-ordered top 30
     "p_bpe_pairs" ->

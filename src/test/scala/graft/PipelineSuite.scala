@@ -952,6 +952,70 @@ class PipelineSuite extends SparkSpec {
     assert(acc >= 0.95, s"trainer accuracy $acc < 0.95")
   }
 
+  test("winnowing: coverage, rightmost ties, the partial-copy guarantee, and the df guard") {
+    val s = spark
+    import s.implicits._
+    import graft.pipeline.Winnowing
+    val k = 3; val w = 4
+    // A: 40 distinct tokens; B: unrelated except a (w+k-1)=6-token
+    // excerpt copied from the middle of A — whole-doc Jaccard is tiny,
+    // but winnowing GUARANTEES a shared fingerprint
+    val aText = (0 until 40).map(i => s"tok$i").mkString(" ")
+    val excerpt = (10 until 16).map(i => s"tok$i").mkString(" ")
+    val bText = s"zzz yyy xxx $excerpt www vvv uuu"
+    val docs = Seq((0L, aText), (1L, bText), (2L, "short"), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val fps = Winnowing.winnowFingerprints(docs, "doc_id", "text", k, w)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // < k tokens and null text emit nothing
+    assert(!fps.exists(f => f._1 == 2L || f._1 == 3L))
+    // coverage: every w-window of A's gram stream contains a selection
+    val aPos = fps.filter(_._1 == 0L).map(_._2).sorted
+    val nGrams = 40 - k + 1
+    (0 to nGrams - w).foreach { st =>
+      assert(aPos.exists(p => p >= st && p < st + w),
+        s"window at $st has no fingerprint (positions: ${aPos.mkString(",")})")
+    }
+    // the guarantee: the 6-token shared run contributes a COMMON fp value
+    val aFps = fps.filter(_._1 == 0L).map(_._3).toSet
+    val bFps = fps.filter(_._1 == 1L).map(_._3).toSet
+    assert(aFps.intersect(bFps).nonEmpty,
+      "shared (w+k-1)-token excerpt produced no common fingerprint")
+    // rightmost tie rule: a doc of one repeated token has ONE distinct
+    // gram hash; every window selects its rightmost position, so the
+    // selected positions are exactly {w-1, w, ..., nGrams-1}... minus
+    // distinct collapse — verify the FIRST selection sits at pos w-1,
+    // not 0 (a leftmost rule would select 0)
+    val rep = Seq((9L, Seq.fill(10)("same").mkString(" "))).toDF("doc_id", "text")
+    val repPos = Winnowing.winnowFingerprints(rep, "doc_id", "text", k, w)
+      .collect().map(_.getLong(1)).sorted
+    assert(repPos.head === (w - 1).toLong,
+      s"tie did not go rightmost: positions ${repPos.mkString(",")}")
+    // overlap pairs surface the partial copy at minShared=1
+    val pairs = Winnowing.winnowOverlapPairs(docs, "doc_id", "text", k, w)
+    try {
+      val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === Set((0L, 1L)))
+    } finally pairs.unpersist(blocking = false)
+    // df guard: a fingerprint SELECTED by more than maxDocFrequency docs
+    // is dropped before the self-join; at maxDocFrequency=1 every shared
+    // fingerprint dies, so no pair can survive regardless of which gram
+    // each doc's window happened to select
+    val boiler = Seq(
+      (0L, "the boiler plate line alpha"),
+      (1L, "the boiler plate line beta"),
+      (2L, "the boiler plate line gamma")).toDF("doc_id", "text")
+    val guarded = Winnowing.winnowOverlapPairs(boiler, "doc_id", "text", k, w,
+      minShared = 1L, maxDocFrequency = 1L)
+    try assert(guarded.count() === 0L)
+    finally guarded.unpersist(blocking = false)
+    // and no cartesian anywhere in the pair plan
+    val probe = Winnowing.winnowOverlapPairs(docs, "doc_id", "text", k, w)
+    try {
+      assert(!probe.queryExecution.executedPlan.toString.contains("CartesianProduct"))
+    } finally probe.unpersist(blocking = false)
+  }
+
   test("quality-classifier model round-trips parquet; artifact scores identically via both paths") {
     val s = spark
     import s.implicits._
