@@ -49,10 +49,13 @@ object Winnowing {
     * hash array is computed ONCE (an [[opaque]] barrier pins the single
     * evaluation against optimizer duplication, the retrieval-stack
     * lesson), windows are `transform` over window starts with
-    * `slice`/`array_min` (O(grams × w) per row, w is small), and the
-    * only shuffle is the final per-doc `distinct` over selections
-    * (fingerprint-density-sized, ~2/(w+1) of gram volume). The corpus
-    * never self-joins here.
+    * `slice`/`array_min` (O(grams × w) per row, w is small), and
+    * adjacent windows re-selecting the same (pos, hash) collapse with a
+    * per-row `array_distinct` BEFORE the explode — selections can only
+    * repeat within their own document, so the operator needs NO shuffle
+    * at all: map-side end to end, streaming-safe (StreamingSuite
+    * parity-pins it), shuffle-free (PlanSuite pins no Exchange). The
+    * corpus never self-joins here.
     */
   def winnowFingerprints(
       docs: DataFrame,
@@ -88,10 +91,9 @@ object Winnowing {
     docs
       .select(col(idCol).as("doc_id"), opaque(gramArr).as("g"))
       .select(col("doc_id"),
-        explode(when(size(g) >= 1, sel)
-          .otherwise(array().cast("array<struct<pos:bigint,fp:bigint>>"))).as("s"))
+        explode(array_distinct(when(size(g) >= 1, sel)
+          .otherwise(array().cast("array<struct<pos:bigint,fp:bigint>>")))).as("s"))
       .select(col("doc_id"), col("s.pos").as("pos"), col("s.fp").as("fp"))
-      .distinct()
   }
 
   /** Partial-copy candidate pairs: documents sharing at least

@@ -1014,6 +1014,13 @@ class PipelineSuite extends SparkSpec {
     try {
       assert(!probe.queryExecution.executedPlan.toString.contains("CartesianProduct"))
     } finally probe.unpersist(blocking = false)
+    // fingerprint selection itself is map-side end to end — adjacent
+    // windows' repeat selections collapse per row (array_distinct), so
+    // NO shuffle exists to collapse them globally
+    val fpPlan = Winnowing.winnowFingerprints(docs, "doc_id", "text", k, w)
+      .queryExecution.executedPlan.toString
+    assert(!fpPlan.contains("Exchange"),
+      s"winnowFingerprints plans a shuffle:\n$fpPlan")
   }
 
   test("quality-classifier model round-trips parquet; artifact scores identically via both paths") {

@@ -802,6 +802,35 @@ class StreamingSuite extends SparkSpec {
     } finally q.stop()
   }
 
+  test("winnowing fingerprint selection runs verbatim on a document stream") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    import graft.pipeline.Winnowing
+    val docs = Seq(
+      (0L, (0 until 20).map(i => s"tok$i").mkString(" ")),
+      (1L, "zzz yyy tok5 tok6 tok7 tok8 tok9 tok10 www"),
+      (2L, "short"), (3L, null.asInstanceOf[String]),
+      (4L, Seq.fill(9)("same").mkString(" ")))
+    val batchDf = docs.toDF("doc_id", "text")
+    val mem = MemoryStream[(Long, String)]
+    val streamDf = mem.toDF().toDF("doc_id", "text")
+    // map-side selection (per-row array program, no shuffle): append
+    // mode, no watermark, the SAME code path as batch
+    val q = Winnowing.winnowFingerprints(streamDf, "doc_id", "text", 3, 4)
+      .writeStream.format("memory").queryName("win_out").outputMode("append")
+      .start()
+    try {
+      mem.addData(docs.take(2): _*)
+      q.processAllAvailable()
+      mem.addData(docs.drop(2): _*)
+      q.processAllAvailable()
+      val batch = Winnowing.winnowFingerprints(batchDf, "doc_id", "text", 3, 4)
+        .collect().map(_.toSeq).toSet
+      assert(s.sql("SELECT * FROM win_out").collect().map(_.toSeq).toSet === batch)
+    } finally q.stop()
+  }
+
   test("broadcast-index BM25 query scoring runs verbatim on a query stream") {
     val s = spark
     import s.implicits._
