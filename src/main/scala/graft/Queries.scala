@@ -1079,6 +1079,19 @@ object Queries {
     mergeRows.unionByName(docRows).orderBy("sect", "id")
   }
 
+  /** Zipf diagnostics + head coverage ([[CorpusStats.zipfStats]],
+    * maxRank=500, k ∈ {10, 100, 1000}): vocabulary collapse, the
+    * shuffle-light rank (freq-histogram cumulative + within-freq
+    * tie-break), 6dp-snapped ln(rank)/ln(freq) carried as exact
+    * micro-integers, INTEGER regression sums, and the fixed-op-order
+    * closed-form slope/intercept/R². The oracle re-derives the whole
+    * chain with a plain global row_number rank — pinning that the
+    * scale-shaped rank equals the naive total order. All-BIGINT output.
+    */
+  def pZipf(spark: SparkSession, sfDir: String): DataFrame =
+    CorpusStats.zipfStats(documents(spark, sfDir), "text")
+      .orderBy("metric")
+
   /** Winnowing fingerprints ([[graft.pipeline.Winnowing]], k=3 w=4): the
     * MOSS local-fingerprint selection — per w-window minimum k-gram hash,
     * ties to the rightmost occurrence, distinct selections. The oracle

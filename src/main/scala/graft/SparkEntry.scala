@@ -132,6 +132,7 @@ object SparkEntry {
     "p_bpe_train" -> (Queries.pBpeTrain _),
     "p_bpe_pack" -> (Queries.pBpePack _),
     "p_winnow" -> (Queries.pWinnow _),
+    "p_zipf" -> (Queries.pZipf _),
     "p_ngram_repetition" -> (Queries.pNgramRepetition _),
     "p_pii_redaction" -> (Queries.pPiiRedaction _),
     "p_tfidf_top_terms" -> (Queries.pTfidfTopTerms _),
@@ -1517,6 +1518,68 @@ object SparkEntry {
     // iterative BPE training: the full 6-round learn->apply->re-learn
     // chain re-run in SQL (see BPE_TRAIN_SQL's scaladoc)
     "p_bpe_train" -> BPE_TRAIN_SQL,
+    // Zipf diagnostics: naive global row_number rank (pinning the
+    // impl's histogram-cumulative rank equals the total order), snapped
+    // ln micro-integers, INTEGER regression sums, fixed-op-order
+    // closed-form slope/intercept/R2, floor-half-up micro snaps
+    "p_zipf" ->
+      s"""WITH v AS (
+         |  SELECT t AS word, CAST(count(*) AS BIGINT) AS freq
+         |  FROM (SELECT unnest($TOKS) AS t FROM documents) GROUP BY 1),
+         |r AS (
+         |  SELECT word, freq,
+         |    CAST(row_number() OVER (ORDER BY freq DESC, word) AS BIGINT) AS rnk
+         |  FROM v),
+         |t AS (
+         |  SELECT rnk, freq,
+         |    CAST(floor(round(ln(CAST(rnk AS DOUBLE)), 6)
+         |      * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS xm,
+         |    CAST(floor(round(ln(CAST(freq AS DOUBLE)), 6)
+         |      * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS ym
+         |  FROM r),
+         |a AS (
+         |  SELECT
+         |    CAST(count(*) AS BIGINT) AS n_vocab,
+         |    CAST(sum(freq) AS BIGINT) AS total_tokens,
+         |    CAST(sum(CASE WHEN rnk <= 10 THEN freq ELSE 0 END) AS BIGINT) AS h10,
+         |    CAST(sum(CASE WHEN rnk <= 100 THEN freq ELSE 0 END) AS BIGINT) AS h100,
+         |    CAST(sum(CASE WHEN rnk <= 1000 THEN freq ELSE 0 END) AS BIGINT) AS h1000,
+         |    CAST(sum(CASE WHEN rnk <= 500 THEN 1 ELSE 0 END) AS BIGINT) AS n,
+         |    CAST(sum(CASE WHEN rnk <= 500 THEN xm ELSE 0 END) AS BIGINT) AS sx,
+         |    CAST(sum(CASE WHEN rnk <= 500 THEN ym ELSE 0 END) AS BIGINT) AS sy,
+         |    CAST(sum(CASE WHEN rnk <= 500 THEN xm * ym ELSE 0 END) AS BIGINT) AS sxy,
+         |    CAST(sum(CASE WHEN rnk <= 500 THEN xm * xm ELSE 0 END) AS BIGINT) AS sxx,
+         |    CAST(sum(CASE WHEN rnk <= 500 THEN ym * ym ELSE 0 END) AS BIGINT) AS syy
+         |  FROM t),
+         |f AS (
+         |  SELECT *,
+         |    CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy AS num,
+         |    CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx AS denx,
+         |    CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy AS deny
+         |  FROM a),
+         |g AS (
+         |  SELECT *,
+         |    CASE WHEN denx = 0 THEN CAST(0 AS DOUBLE) ELSE num / denx END AS slope
+         |  FROM f)
+         |SELECT metric, value FROM (
+         |  SELECT 'n_vocab' AS metric, n_vocab AS value FROM g
+         |  UNION ALL SELECT 'total_tokens', total_tokens FROM g
+         |  UNION ALL SELECT 'zipf_n', n FROM g
+         |  UNION ALL SELECT 'zipf_slope_micro',
+         |    CAST(floor(slope * 1000000 + 0.5) AS BIGINT) FROM g
+         |  UNION ALL SELECT 'zipf_intercept_micro',
+         |    CAST(floor(((sy - slope * sx) / (n * CAST(1000000 AS DOUBLE)))
+         |      * 1000000 + 0.5) AS BIGINT) FROM g
+         |  UNION ALL SELECT 'zipf_r2_micro',
+         |    CAST(floor(CASE WHEN denx = 0 OR deny = 0 THEN CAST(0 AS DOUBLE)
+         |      ELSE (num * num) / (denx * deny) END * 1000000 + 0.5) AS BIGINT) FROM g
+         |  UNION ALL SELECT 'cov_10',
+         |    CAST(floor(CAST(h10 AS DOUBLE) * 1000000 / total_tokens + 0.5) AS BIGINT) FROM g
+         |  UNION ALL SELECT 'cov_100',
+         |    CAST(floor(CAST(h100 AS DOUBLE) * 1000000 / total_tokens + 0.5) AS BIGINT) FROM g
+         |  UNION ALL SELECT 'cov_1000',
+         |    CAST(floor(CAST(h1000 AS DOUBLE) * 1000000 / total_tokens + 0.5) AS BIGINT) FROM g)
+         |ORDER BY metric""".stripMargin,
     // winnowing (MOSS local fingerprints, k=3 w=4): codepoint-FNV gram
     // hashes, per-window min with the rightmost tie rule, distinct
     // selections — each doc's fingerprint SET pinned by count / sum /

@@ -292,6 +292,103 @@ object CorpusStats {
         .as("n_pieces"))
   }
 
+  /** Zipf-law diagnostics + vocabulary head coverage — the table a
+    * tokenizer-sizing / corpus-health decision reads: the log-log
+    * least-squares slope of the frequency-rank curve over the top
+    * `maxRank` words (natural text sits near −1; a collapsed slope
+    * flags template/boilerplate corpora, a flat one flags shredded
+    * text), plus what share of all token OCCURRENCES the top-k
+    * vocabulary covers for each `coverageKs` (the classic
+    * "how big must the vocab be" curve). Output is long-format
+    * `(metric, value)` with every value an exact BIGINT: counts raw,
+    * shares and regression coefficients in 1e-6 units.
+    *
+    * Cross-engine float contract: `ln(rank)`/`ln(freq)` are snapped to
+    * 6 dp right after the transcendental (the BM25 `ln` rule) and
+    * carried as exact micro-unit integers; the regression sums
+    * (Σx, Σy, Σxy, Σx², Σy²) are INTEGER sums — exact and
+    * order-independent, the property that makes the slope reproducible
+    * across partitionings and engines (a float Σxy would drift with
+    * partition order). The closed-form slope/intercept/R² then run a
+    * fixed sequence of IEEE double ops on identical integer inputs.
+    * `maxRank ≤ 20000` keeps Σxy·1e12 inside int64.
+    *
+    * Scale shape: one corpus scan collapses to vocabulary size
+    * (partial-aggregated groupBy). Ranking does NOT globally sort the
+    * vocabulary: rank = (# words with higher freq) + row_number within
+    * the word's own freq group — the cumulative side is a window over
+    * DISTINCT FREQUENCY VALUES (O(√corpus) rows by Zipf itself), and
+    * the tie-break window partitions by freq (bounded groups). One
+    * final single-row aggregate carries every metric at once.
+    */
+  def zipfStats(
+      docs: DataFrame,
+      textCol: String,
+      maxRank: Int = 500,
+      coverageKs: Seq[Int] = Seq(10, 100, 1000)): DataFrame = {
+    require(maxRank >= 2 && maxRank <= 20000,
+      s"maxRank must be in [2, 20000] (int64 overflow bound), got $maxRank")
+    require(coverageKs.nonEmpty && coverageKs.forall(_ > 0),
+      s"coverageKs must be positive, got $coverageKs")
+    val spark = docs.sparkSession
+    val vocab = docs
+      .select(explode(tokens(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    val fhist = vocab.groupBy("freq").agg(count(lit(1)).as("cnt"))
+    val wcum = org.apache.spark.sql.expressions.Window
+      .orderBy(col("freq").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val above = fhist.withColumn("n_above", coalesce(sum("cnt").over(wcum), lit(0L)))
+    val wtie = org.apache.spark.sql.expressions.Window
+      .partitionBy("freq").orderBy("word")
+    val ranked = vocab.join(above, Seq("freq"))
+      .withColumn("rnk", col("n_above") + row_number().over(wtie))
+    def micro6(c: Column): Column = floor(round(c, 6) * lit(1e6) + lit(0.5)).cast("long")
+    val xm = micro6(log(col("rnk").cast("double")))
+    val ym = micro6(log(col("freq").cast("double")))
+    val inHead = col("rnk") <= maxRank
+    val covAggs = coverageKs.map(kk =>
+      sum(when(col("rnk") <= kk, col("freq")).otherwise(0L)).as(s"h$kk"))
+    val aggs = Seq(
+      count(lit(1)).as("n_vocab"),
+      sum(col("freq")).as("total_tokens"),
+      sum(when(inHead, 1L).otherwise(0L)).as("n"),
+      sum(when(inHead, xm).otherwise(0L)).as("sx"),
+      sum(when(inHead, ym).otherwise(0L)).as("sy"),
+      sum(when(inHead, xm * ym).otherwise(0L)).as("sxy"),
+      sum(when(inHead, xm * xm).otherwise(0L)).as("sxx"),
+      sum(when(inHead, ym * ym).otherwise(0L)).as("syy")) ++ covAggs
+    val row = ranked.agg(aggs.head, aggs.tail: _*).head()
+    val nVocab = row.getLong(0); val total = row.getLong(1)
+    val n = row.getLong(2).toDouble
+    val sx = row.getLong(3).toDouble; val sy = row.getLong(4).toDouble
+    val sxy = row.getLong(5).toDouble
+    val sxx = row.getLong(6).toDouble; val syy = row.getLong(7).toDouble
+    // fixed op order on identical integer inputs: engine-exact doubles.
+    // Degenerate heads (all-equal x or y — never a real corpus) snap to
+    // 0 rather than NaN so the oracle can mirror with a CASE.
+    val num = n * sxy - sx * sy
+    val denX = n * sxx - sx * sx
+    val denY = n * syy - sy * sy
+    val slope = if (denX == 0.0) 0.0 else num / denX
+    val intercept = (sy - slope * sx) / (n * 1e6)
+    val r2 = if (denX == 0.0 || denY == 0.0) 0.0 else (num * num) / (denX * denY)
+    def snap(x: Double): Long = math.floor(x * 1e6 + 0.5).toLong
+    val covRows = coverageKs.zipWithIndex.map { case (kk, i) =>
+      val h = row.getLong(8 + i)
+      (s"cov_$kk", math.floor(h.toDouble * 1e6 / total.toDouble + 0.5).toLong)
+    }
+    import spark.implicits._
+    (Seq(
+      ("n_vocab", nVocab),
+      ("total_tokens", total),
+      ("zipf_n", row.getLong(2)),
+      ("zipf_slope_micro", snap(slope)),
+      ("zipf_intercept_micro", snap(intercept)),
+      ("zipf_r2_micro", snap(r2))) ++ covRows)
+      .toDF("metric", "value")
+  }
+
   /** One-call corpus report — the dataset-card summary a corpus release
     * ships: global volume (docs, tokens, chars, exact-dup ratio),
     * per-source doc counts and mean quality, per-predicted-language doc

@@ -952,6 +952,33 @@ class PipelineSuite extends SparkSpec {
     assert(acc >= 0.95, s"trainer accuracy $acc < 0.95")
   }
 
+  test("zipfStats: exact -1 slope on a 1/rank corpus, coverage arithmetic, tie order") {
+    val s = spark
+    import s.implicits._
+    import graft.pipeline.CorpusStats
+    // freq = 12/rank exactly: y = ln 12 - x, a perfect log-log line
+    val words = Seq.fill(12)("aa") ++ Seq.fill(6)("bb") ++ Seq.fill(4)("cc") ++ Seq.fill(3)("dd")
+    val docs = Seq((0L, words.mkString(" "))).toDF("doc_id", "text")
+    val m = CorpusStats.zipfStats(docs, "text", maxRank = 4, coverageKs = Seq(1, 2))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m("n_vocab") === 4L && m("total_tokens") === 25L && m("zipf_n") === 4L)
+    // slope -1 and r2 1 up to the 6dp ln snap
+    assert(math.abs(m("zipf_slope_micro") + 1000000L) <= 20L, s"slope ${m("zipf_slope_micro")}")
+    assert(m("zipf_r2_micro") >= 999990L, s"r2 ${m("zipf_r2_micro")}")
+    // intercept = ln 12 = 2.484907
+    assert(math.abs(m("zipf_intercept_micro") - 2484907L) <= 20L,
+      s"intercept ${m("zipf_intercept_micro")}")
+    // coverage: top-1 = 12/25, top-2 = 18/25
+    assert(m("cov_1") === 480000L && m("cov_2") === 720000L)
+    // frequency ties break by word: equal-freq words get distinct
+    // consecutive ranks (total tokens pin the histogram-rank path
+    // against the naive order — the gate pins it vs DuckDB too)
+    val tied = Seq((0L, "bb aa cc bb aa cc")).toDF("doc_id", "text")
+    val t = CorpusStats.zipfStats(tied, "text", maxRank = 3, coverageKs = Seq(1))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(t("n_vocab") === 3L && t("cov_1") === 333333L)
+  }
+
   test("winnowing: coverage, rightmost ties, the partial-copy guarantee, and the df guard") {
     val s = spark
     import s.implicits._
