@@ -1596,6 +1596,36 @@ object Queries {
       .orderBy("url")
   }
 
+  /** JSONL source/sink round trip ([[graft.sources.Jsonl]]): the corpus
+    * is written as gzipped JSONL shards (the format training corpora
+    * actually ship in), read back through the quarantine path with an
+    * explicit schema, and reduced to per-doc stats the oracle derives
+    * from the documents table directly — pinning JSON string escaping,
+    * null-field omission/restoration, and the text round trip. The
+    * quarantine split itself (malformed lines → side table) is
+    * suite-pinned with hand-broken shards.
+    */
+  def pJsonlRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.sources.Jsonl
+    val dir = new java.io.File(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_jsonl_gate_${math.abs(sfDir.hashCode)}")
+    val docs = documents(spark, sfDir).select("doc_id", "text", "lang", "source")
+    Jsonl.writeCorpus(docs, dir.getAbsolutePath, gzip = true)
+    val (good, bad) = Jsonl.readWithQuarantine(spark, dir.getAbsolutePath, docs.schema)
+    val nBad = bad.count()
+    require(nBad == 0L, s"self-written JSONL quarantined $nBad lines")
+    val out = good.select(
+        col("doc_id"),
+        coalesce(length(col("text")).cast("long"), lit(-1L)).as("text_chars"),
+        col("lang"), col("source"))
+      .orderBy("doc_id")
+    out.persist()
+    out.count()
+    good.unpersist(blocking = false)
+    out
+  }
+
   /** Heavy trigrams by sketch-then-verify ([[CorpusStats.heavyTokens]]):
     * %3==0 docs get five appended "click here now" repetitions, so the
     * three phrase trigrams tower over the organic tail; the 2048-counter

@@ -106,6 +106,7 @@ object SparkEntry {
     "p_asof_join" -> (Queries.pAsofJoin _),
     "p_interval_join" -> (Queries.pIntervalJoin _),
     "p_warc_roundtrip" -> (Queries.pWarcRoundtrip _),
+    "p_jsonl_roundtrip" -> (Queries.pJsonlRoundtrip _),
     "p_curriculum" -> (Queries.pCurriculum _),
     "p_embedding_quantize" -> (Queries.pEmbeddingQuantize _),
     "p_embedding_cov" -> (Queries.pEmbeddingCov _),
@@ -2454,6 +2455,15 @@ object SparkEntry {
          |  CAST(octet_length(encode(text)) AS BIGINT) AS body_bytes,
          |  CAST(len($TOKS) AS BIGINT) AS n_tokens
          |FROM documents ORDER BY url""".stripMargin,
+    // JSONL round trip: per-doc stats derived from the documents table
+    // directly — whatever JSON escaping/framing the sink chose, the
+    // reader must restore the exact text (null text -> -1 sentinel,
+    // JSONL omits null fields and the schema restores them)
+    "p_jsonl_roundtrip" ->
+      """SELECT doc_id,
+        |  CAST(coalesce(length(text), -1) AS BIGINT) AS text_chars,
+        |  lang, source
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // interval join: DuckDB's native range join (IEJoin) as an
     // independent oracle for the bin-explode + equi-join + exact-filter
     // composition; half-open [start, end), one row per hit

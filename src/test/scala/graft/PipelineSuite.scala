@@ -952,6 +952,46 @@ class PipelineSuite extends SparkSpec {
     assert(acc >= 0.95, s"trainer accuracy $acc < 0.95")
   }
 
+  test("JSONL source: quarantine splits malformed lines, gzip round-trips, schema restores nulls") {
+    val s = spark
+    import s.implicits._
+    import graft.sources.Jsonl
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    // hand-broken shard: 2 good lines (one with a null field omitted,
+    // one with escapes), 2 malformed (truncated JSON; not JSON at all)
+    val dir = java.nio.file.Files.createTempDirectory("jsonl").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "shard0.jsonl"),
+      """{"doc_id":1,"text":"with \"quotes\" and\nnewline"}
+        |{"doc_id":2}
+        |{"doc_id":3,"text":"trunca
+        |not json at all
+        |""".stripMargin)
+    val (good, bad) = Jsonl.readWithQuarantine(s, dir, schema)
+    try {
+      val g = good.collect().map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1)))
+      assert(g.toSet === Set((1L, "with \"quotes\" and\nnewline"), (2L, null)))
+      val b = bad.collect().map(_.getString(0))
+      assert(b.length === 2 && b.exists(_.contains("trunca")) && b.contains("not json at all"))
+    } finally good.unpersist(blocking = false)
+    // gzip write -> read round trip preserves every row and escape
+    val docs = Seq((1L, "tab\there"), (2L, null.asInstanceOf[String]), (3L, "plain"))
+      .toDF("doc_id", "text")
+    val outDir = java.nio.file.Files.createTempDirectory("jsonl").toString + "/gz"
+    Jsonl.writeCorpus(docs, outDir, gzip = true)
+    assert(new java.io.File(outDir).listFiles().exists(_.getName.endsWith(".gz")))
+    val back = Jsonl.readCorpus(s, outDir, docs.schema)
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1))).toSet
+    assert(back === Set((1L, "tab\there"), (2L, null), (3L, "plain")))
+    // reserved column fails loud
+    val e = intercept[IllegalArgumentException] {
+      Jsonl.readWithQuarantine(s, dir, schema.add("_corrupt", StringType))
+    }
+    assert(e.getMessage.contains("_corrupt"))
+  }
+
   test("zipfStats: exact -1 slope on a 1/rank corpus, coverage arithmetic, tie order") {
     val s = spark
     import s.implicits._
