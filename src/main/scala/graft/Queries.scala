@@ -1079,6 +1079,29 @@ object Queries {
     mergeRows.unionByName(docRows).orderBy("sect", "id")
   }
 
+  /** Paragraph-level language mixture ([[TF.langMixture]]): docs get
+    * deterministic foreign-language paragraphs appended (%4==1 a German
+    * one; %4==2 a French AND a Spanish one plus an all-whitespace
+    * paragraph that must be dropped), so multi-paragraph multi-language
+    * mixtures, the majority tie-break, and the emptiness filter are all
+    * genuinely exercised. The oracle re-derives the paragraph split, the
+    * per-paragraph stopword-argmax language ID (the p_langid formula),
+    * the (count desc, lang asc) majority rule, and the exact micro
+    * share; null-text docs keep a 0/0/'und'/0 row.
+    */
+  def pLangMixture(spark: SparkSession, sfDir: String): DataFrame = {
+    val enriched = documents(spark, sfDir).withColumn("text",
+      when(pmod(col("doc_id"), lit(4)) === 1,
+        concat(col("text"), lit("\n\nder die und das ist ein nicht mit auf zu")))
+        .when(pmod(col("doc_id"), lit(4)) === 2,
+          concat(col("text"),
+            lit("\n\nle la et les des est une dans que pour" +
+              "\n\nel la que de los una es por con para\n\n   ")))
+        .otherwise(col("text")))
+    TF.langMixture(enriched, "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
   /** Zipf diagnostics + head coverage ([[CorpusStats.zipfStats]],
     * maxRank=500, k ∈ {10, 100, 1000}): vocabulary collapse, the
     * shuffle-light rank (freq-histogram cumulative + within-freq

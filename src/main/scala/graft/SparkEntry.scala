@@ -134,6 +134,7 @@ object SparkEntry {
     "p_bpe_pack" -> (Queries.pBpePack _),
     "p_winnow" -> (Queries.pWinnow _),
     "p_zipf" -> (Queries.pZipf _),
+    "p_lang_mixture" -> (Queries.pLangMixture _),
     "p_ngram_repetition" -> (Queries.pNgramRepetition _),
     "p_pii_redaction" -> (Queries.pPiiRedaction _),
     "p_tfidf_top_terms" -> (Queries.pTfidfTopTerms _),
@@ -1519,6 +1520,65 @@ object SparkEntry {
     // iterative BPE training: the full 6-round learn->apply->re-learn
     // chain re-run in SQL (see BPE_TRAIN_SQL's scaladoc)
     "p_bpe_train" -> BPE_TRAIN_SQL,
+    // paragraph-level language mixture: enrichment CASE, blank-line
+    // split, whitespace-removal emptiness filter, per-paragraph
+    // stopword-argmax langid, (count desc, lang asc) majority, exact
+    // micro share, 0/0/'und'/0 rows for null text
+    "p_lang_mixture" ->
+      s"""WITH enr AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 4 = 1 THEN text || chr(10) || chr(10) ||
+         |           'der die und das ist ein nicht mit auf zu'
+         |         WHEN doc_id % 4 = 2 THEN text || chr(10) || chr(10) ||
+         |           'le la et les des est une dans que pour' || chr(10) || chr(10) ||
+         |           'el la que de los una es por con para' || chr(10) || chr(10) || '   '
+         |         ELSE text END AS text
+         |  FROM documents),
+         |p0 AS (
+         |  SELECT doc_id, unnest(string_split(text, chr(10) || chr(10))) AS para
+         |  FROM enr),
+         |p1 AS (
+         |  SELECT doc_id, regexp_split_to_array(lower(trim(para)), '\\s+') AS ptk
+         |  FROM p0 WHERE regexp_replace(para, '\\s+', '', 'g') <> ''),
+         |sc AS (
+         |  SELECT doc_id,
+         |    len(list_filter(ptk, t -> list_contains($EN, t))) AS en,
+         |    len(list_filter(ptk, t -> list_contains(['der','die','und','das','ist','ein','nicht','mit','auf','zu'], t))) AS de,
+         |    len(list_filter(ptk, t -> list_contains(['le','la','et','les','des','est','une','dans','que','pour'], t))) AS fr,
+         |    len(list_filter(ptk, t -> list_contains(['el','la','que','de','los','una','es','por','con','para'], t))) AS es
+         |  FROM p1),
+         |pl AS (
+         |  SELECT doc_id, CASE
+         |    WHEN greatest(en, de, fr, es) <= 0 THEN 'und'
+         |    WHEN en = greatest(en, de, fr, es) THEN 'en'
+         |    WHEN de = greatest(en, de, fr, es) THEN 'de'
+         |    WHEN fr = greatest(en, de, fr, es) THEN 'fr'
+         |    WHEN es = greatest(en, de, fr, es) THEN 'es'
+         |    ELSE 'und' END AS plang
+         |  FROM sc),
+         |c AS (
+         |  SELECT doc_id, plang, CAST(count(*) AS BIGINT) AS c
+         |  FROM pl GROUP BY 1, 2),
+         |d AS (
+         |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_paras,
+         |    CAST(count(*) AS BIGINT) AS n_langs
+         |  FROM c GROUP BY 1),
+         |mj AS (
+         |  SELECT doc_id, plang, c FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY doc_id ORDER BY c DESC, plang) AS rn FROM c)
+         |  WHERE rn = 1)
+         |SELECT doc.doc_id,
+         |  CAST(coalesce(d.n_paras, 0) AS BIGINT) AS n_paras,
+         |  CAST(coalesce(d.n_langs, 0) AS BIGINT) AS n_langs,
+         |  coalesce(mj.plang, 'und') AS major_lang,
+         |  CAST(coalesce(
+         |    floor(CAST(mj.c AS DOUBLE) * 1000000 / d.n_paras + 0.5), 0) AS BIGINT)
+         |    AS major_frac_micro
+         |FROM documents doc
+         |LEFT JOIN d ON doc.doc_id = d.doc_id
+         |LEFT JOIN mj ON doc.doc_id = mj.doc_id
+         |ORDER BY doc.doc_id""".stripMargin,
     // Zipf diagnostics: naive global row_number rank (pinning the
     // impl's histogram-cumulative rank equals the total order), snapped
     // ln micro-integers, INTEGER regression sums, fixed-op-order

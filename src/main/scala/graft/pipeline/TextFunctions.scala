@@ -329,6 +329,51 @@ object TextFunctions {
     * own group syntax) so the canonical form is reproducible across the
     * engines that touch a corpus, like [[redactPii]]'s patterns.
     */
+  /** Paragraph-level language mixture — the signal doc-level [[langId]]
+    * structurally cannot see: a document that is 70% English with a
+    * German boilerplate footer and a French quote block IDs as "en"
+    * whole-doc, yet poisons a monolingual training mix. Splits on `sep`
+    * (default blank line), drops paragraphs that are empty after
+    * whitespace removal, runs [[langId]] per paragraph, and reports per
+    * doc: `n_paras`, `n_langs` (distinct predictions), `major_lang`
+    * (most common, ties by language code ascending), and
+    * `major_frac_micro` (its share, exact 1e-6 integer). Docs with null
+    * text or no non-empty paragraphs keep a `0/0/'und'/0` row.
+    *
+    * Scale shape: one paragraph explode with a map-side per-paragraph
+    * langId (pure Column program), one partial-aggregated (doc, lang)
+    * collapse, one doc-level aggregate — the argmax rides a
+    * `min(struct(-count, lang))`, never a window. Output is doc-sized.
+    */
+  def langMixture(
+      docs: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      sep: String = "\n\n"): org.apache.spark.sql.DataFrame = {
+    require(sep.nonEmpty, "sep must be non-empty")
+    val paras = docs
+      .select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), java.util.regex.Pattern.quote(sep))).as("para"))
+      .filter(regexp_replace(col("para"), "\\s+", "") =!= "")
+      .select(col("doc_id"), langId(col("para")).as("plang"))
+    val counts = paras.groupBy("doc_id", "plang").agg(count(lit(1)).as("c"))
+    val perDoc = counts.groupBy("doc_id").agg(
+      sum("c").as("n_paras"),
+      count(lit(1)).as("n_langs"),
+      min(struct((-col("c")).as("nc"), col("plang").as("l"))).as("m"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_paras"), lit(0L)).as("n_paras"),
+        coalesce(col("n_langs"), lit(0L)).as("n_langs"),
+        coalesce(col("m.l"), lit("und")).as("major_lang"),
+        coalesce(
+          floor((-col("m.nc")).cast("double") * lit(1e6) /
+            col("n_paras").cast("double") + lit(0.5)).cast("long"),
+          lit(0L)).as("major_frac_micro"))
+  }
+
   def canonicalizeUrl(url: Column): Column = {
     val noFrag = regexp_replace(trim(url), "#.*$", "")
     // authority prefix lowercased, remainder (path?query) untouched

@@ -952,6 +952,28 @@ class PipelineSuite extends SparkSpec {
     assert(acc >= 0.95, s"trainer accuracy $acc < 0.95")
   }
 
+  test("langMixture: majority + tie rule, empty-paragraph drop, null-text zeros") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      // 2 DE paras vs 1 FR: majority de at 2/3
+      (1L, "der die und\n\nder das ist\n\nle la et"),
+      // exact 1-1 tie: de vs en -> lang code ascending picks 'de'
+      (2L, "the and of\n\nder die und"),
+      // whitespace-only paragraph dropped; lone real para counts
+      (3L, "the and of\n\n   \n\n\t"),
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val m = graft.pipeline.TextFunctions.langMixture(docs, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4))))
+      .toMap
+    assert(m(1L) === ((3L, 2L, "de", 666667L)), s"got ${m(1L)}")
+    assert(m(2L) === ((2L, 2L, "de", 500000L)), s"got ${m(2L)}")
+    assert(m(3L) === ((1L, 1L, "en", 1000000L)), s"got ${m(3L)}")
+    assert(m(4L) === ((0L, 0L, "und", 0L)), s"got ${m(4L)}")
+  }
+
   test("JSONL source: quarantine splits malformed lines, gzip round-trips, schema restores nulls") {
     val s = spark
     import s.implicits._
