@@ -727,6 +727,35 @@ object Queries {
       .orderBy("query_id", "rnk")
   }
 
+  /** Contrastive-retrieval training triples ([[Retrieval.hardNegatives]]
+    * over [[Chunking.chunkDocuments]] crops): anchors are chunk 0 of
+    * every %25 doc with ≥ 2 non-overlapping 32-token chunks, the
+    * positive is the SAME doc's adjacent crop (chunk 1 — the standard
+    * unsupervised cropping positive), and the hard negatives are the
+    * BM25 top-10 for the anchor text MINUS the source doc, re-ranked
+    * 1..3 — the DPR-style lexical hard-negative recipe. Output
+    * `(query_id, pos_tokens, neg_id, score, rnk)`. The oracle re-derives
+    * the crop boundaries, the anchor query terms, the full BM25 chain,
+    * the self-exclusion, and the survivor re-rank.
+    */
+  def pContrastive(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = documents(spark, sfDir)
+    val chunks = Chunking.chunkDocuments(d, "text", maxTokens = 32, stride = 32)
+    val anchors = chunks
+      .filter(pmod(col("doc_id"), lit(25)) === 0 && col("chunk_id") === 0L)
+      .select(col("doc_id").as("query_id"), col("chunk_text").as("qtext"))
+    val positives = chunks.filter(col("chunk_id") === 1L)
+      .select(col("doc_id").as("query_id"), col("n_tokens").as("pos_tokens"))
+    val anch = anchors.join(positives.select("query_id"), Seq("query_id"), "left_semi")
+    val posMap = anch.select(col("query_id"), col("query_id").as("pos_id"))
+    val negs = Retrieval.hardNegatives(d, "doc_id", "text",
+      anch, "query_id", "qtext", posMap, k = 10, nNeg = 3)
+    negs.join(positives, Seq("query_id"))
+      .select(col("query_id"), col("pos_tokens"), col("doc_id").as("neg_id"),
+        col("score"), col("rnk"))
+      .orderBy("query_id", "rnk")
+  }
+
   /** Stupid-backoff bigram LM scoring ([[LanguageModel.perplexityScore]],
     * the CCNet perplexity-filter stage): the corpus is its own model; every
     * doc gets `(n_scored, avg_logp, ppl)` — sub-two-token and null-text

@@ -145,6 +145,7 @@ object SparkEntry {
     "p_hybrid_broadcast" -> (Queries.pHybridBroadcast _),
     "p_rank_fusion" -> (Queries.pRankFusion _),
     "p_hybrid_dense" -> (Queries.pHybridDense _),
+    "p_contrastive" -> (Queries.pContrastive _),
     "p_lm_score" -> (Queries.pLmScore _),
     "p_decontaminate" -> (Queries.pDecontaminate _),
     "p_decontaminate_neardup" -> (Queries.pNearDupDecontam _),
@@ -525,6 +526,66 @@ object SparkEntry {
        |FROM documents d LEFT JOIN encd e ON d.doc_id = e.doc_id
        |ORDER BY sect, id""".stripMargin
   }
+
+  /** Contrastive-triples oracle: crop boundaries, anchor query terms
+    * (distinct tokens of the first 32), the full BM25 chain with the
+    * standard constants, self-exclusion, and the survivor re-rank —
+    * the hard-negative mining recipe end to end.
+    */
+  private val CONTRASTIVE_SQL =
+    s"""WITH toks AS (
+       |  SELECT doc_id, CAST(len($TOKS) AS BIGINT) AS dl,
+       |    unnest($TOKS) AS token
+       |  FROM documents),
+       |post AS (
+       |  SELECT doc_id, dl, token, count(*) AS tf FROM toks GROUP BY 1, 2, 3),
+       |stats AS (
+       |  SELECT count(*) AS n_docs,
+       |    sum(CAST(len($TOKS) AS BIGINT)) AS total_tokens
+       |  FROM documents),
+       |tk AS (SELECT doc_id, $TOKS AS t FROM documents),
+       |anch AS (SELECT doc_id FROM tk WHERE doc_id % 25 = 0 AND len(t) > 32),
+       |q AS (
+       |  SELECT doc_id AS query_id, t2 AS token FROM (
+       |    SELECT a.doc_id, unnest(tk.t[1:32]) AS t2
+       |    FROM anch a JOIN tk ON a.doc_id = tk.doc_id)
+       |  GROUP BY 1, 2),
+       |df AS (SELECT token, count(*) AS df FROM post GROUP BY 1),
+       |scored AS (
+       |  SELECT q.query_id, p.doc_id,
+       |    CAST(round(
+       |      round(ln(CAST(1.0 AS DOUBLE)
+       |          + ((s.n_docs - d.df) + CAST(0.5 AS DOUBLE))
+       |            / (d.df + CAST(0.5 AS DOUBLE))), 6)
+       |      * ((p.tf * CAST(2.2 AS DOUBLE))
+       |          / (p.tf + CAST(1.2 AS DOUBLE)
+       |              * (CAST(0.25 AS DOUBLE)
+       |                 + (CAST(0.75 AS DOUBLE) * p.dl)
+       |                   / (CAST(s.total_tokens AS DOUBLE)
+       |                      / CAST(s.n_docs AS DOUBLE))))),
+       |      6) AS DECIMAL(18,6)) AS term_score
+       |  FROM post p JOIN q USING (token) JOIN df d USING (token), stats s),
+       |agg AS (
+       |  SELECT query_id, doc_id, CAST(sum(term_score) AS DOUBLE) AS score
+       |  FROM scored GROUP BY 1, 2),
+       |r AS (
+       |  SELECT query_id, doc_id, score,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, doc_id ASC) AS rnk
+       |  FROM agg),
+       |neg AS (
+       |  SELECT query_id, doc_id, score,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY rnk) AS nrnk
+       |  FROM r WHERE rnk <= 10 AND doc_id <> query_id),
+       |pos AS (
+       |  SELECT doc_id AS query_id,
+       |    CAST(least(len(t) - 32, 32) AS BIGINT) AS pos_tokens
+       |  FROM tk WHERE len(t) > 32)
+       |SELECT n.query_id, p.pos_tokens, n.doc_id AS neg_id, n.score,
+       |  CAST(n.nrnk AS BIGINT) AS rnk
+       |FROM neg n JOIN pos p USING (query_id)
+       |WHERE n.nrnk <= 3
+       |ORDER BY query_id, rnk""".stripMargin
 
   /** Dense⊕lexical hybrid oracle: the BM25 `r` ranking (shared CTE
     * above) fused with a seeded-IVF dense ranking re-derived end to end
@@ -2892,6 +2953,7 @@ object SparkEntry {
     "p_bm25_incr" -> BM25_SQL,
     "p_rank_fusion" -> RANK_FUSION_SQL,
     "p_hybrid_dense" -> HYBRID_DENSE_SQL,
+    "p_contrastive" -> CONTRASTIVE_SQL,
     // map-side collected-index hybrid == distributed hybrid: same oracle
     "p_hybrid_broadcast" -> RANK_FUSION_SQL,
     // stupid-backoff bigram LM (Brants 2007): count tables, vocab-side

@@ -429,6 +429,59 @@ object Retrieval {
     (rrfFuse(Seq(bm25, overlap), k, rrfK, weights), postQ)
   }
 
+  /** BM25 hard-negative mining — the standard contrastive-retrieval
+    * training-data recipe (DPR, ANCE, Contriever all train against
+    * lexically-retrieved negatives): for each query, rank the corpus by
+    * BM25, DROP the query's known positive(s), and keep the top `nNeg`
+    * survivors — documents the lexical ranker finds plausible but that
+    * are NOT the answer, which is exactly what makes them hard. Random
+    * negatives teach a retriever nothing the batch already contains;
+    * BM25 negatives are the cheap high-signal middle before
+    * ANN-mined ones (swap voice via [[hybridDenseTopK]]'s machinery).
+    *
+    * `positives` is `(query_id, pos_id)` — multiple positives per query
+    * allowed, all excluded. Output `(query_id, doc_id, score, rnk)` with
+    * `rnk` re-ranked 1..nNeg over the survivors in BM25 order. A query
+    * whose top-k is entirely positives yields fewer than `nNeg` rows
+    * (mine with `k` comfortably above `nNeg` + max positives).
+    *
+    * Scale shape: [[bm25TopK]]'s plan (pruned postings, bounded-heap
+    * rank) plus a broadcast join against the (queries-sized) positives
+    * table and a second bounded-heap re-rank over (queries × k) rows —
+    * the mining stage adds nothing corpus-scale.
+    */
+  def hardNegatives(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryTextCol: String,
+      positives: DataFrame,
+      k: Int,
+      nNeg: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(nNeg > 0 && nNeg <= k, s"nNeg must be in [1, k=$k], got $nNeg")
+    val ranked = bm25TopK(docs, idCol, textCol, queries, queryIdCol, queryTextCol, k, k1, b)
+    val pos = positives.select(col("query_id"), col("pos_id"))
+    val out = ranked
+      .join(broadcast(pos), ranked("query_id") === pos("query_id") &&
+        ranked("doc_id") === pos("pos_id"), "left_anti")
+      .groupBy("query_id")
+      .agg(topk_rows(nNeg, Seq(false), col("rnk"), col("doc_id"), col("score")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("p", "t")))
+      .select(col("query_id"), col("t.doc_id").as("doc_id"),
+        col("t.score").as("score"), (col("p") + 1).cast("long").as("rnk"))
+    out.persist()
+    try out.count()
+    catch { case e: Throwable =>
+      out.unpersist(blocking = false); ranked.unpersist(blocking = false); throw e
+    }
+    ranked.unpersist(blocking = false)
+    out
+  }
+
   /** Lexical ⊕ dense hybrid retrieval — THE production hybrid-search
     * shape (BM25 ⊕ embedding ANN fused by RRF, the composition
     * [[rrfFuse]]'s docstring names as its motivating case and the one

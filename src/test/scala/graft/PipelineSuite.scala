@@ -952,6 +952,44 @@ class PipelineSuite extends SparkSpec {
     assert(acc >= 0.95, s"trainer accuracy $acc < 0.95")
   }
 
+  test("hardNegatives: positives excluded, survivors re-ranked, multi-positive support") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (0L, "alpha beta gamma delta"),
+      (1L, "alpha beta gamma"),   // near-copy of the query: hardest negative
+      (2L, "alpha beta"),
+      (3L, "gamma delta"),
+      (4L, "unrelated words here")
+    ).toDF("doc_id", "text")
+    val queries = Seq((0L, "alpha beta gamma delta")).toDF("query_id", "qtext")
+    // without exclusion the source doc 0 is rank-1 (it IS the query)
+    val raw = Retrieval.bm25TopK(docs, "doc_id", "text", queries, "query_id", "qtext", 5)
+    val top1 = raw.filter(col("rnk") === 1L).head().getLong(1)
+    raw.unpersist(blocking = false)
+    assert(top1 === 0L)
+    // exclusion removes it; survivors re-rank densely from 1
+    val pos = Seq((0L, 0L)).toDF("query_id", "pos_id")
+    val negs = Retrieval.hardNegatives(docs, "doc_id", "text",
+      queries, "query_id", "qtext", pos, k = 5, nNeg = 3)
+    try {
+      val got = negs.collect().map(r => (r.getLong(3), r.getLong(1)))
+      assert(got.map(_._1).toSeq.sorted === Seq(1L, 2L, 3L))
+      assert(!got.map(_._2).contains(0L))
+      // the three term-matching docs are the negatives; the
+      // no-term-overlap doc 4 never scores
+      assert(got.map(_._2).toSet === Set(1L, 2L, 3L))
+    } finally negs.unpersist(blocking = false)
+    // multiple positives per query all excluded
+    val pos2 = Seq((0L, 0L), (0L, 1L)).toDF("query_id", "pos_id")
+    val negs2 = Retrieval.hardNegatives(docs, "doc_id", "text",
+      queries, "query_id", "qtext", pos2, k = 5, nNeg = 3)
+    try {
+      val ids = negs2.collect().map(_.getLong(1)).toSet
+      assert(!ids.contains(0L) && !ids.contains(1L))
+    } finally negs2.unpersist(blocking = false)
+  }
+
   test("langMixture: majority + tie rule, empty-paragraph drop, null-text zeros") {
     val s = spark
     import s.implicits._
