@@ -1108,6 +1108,25 @@ object Queries {
     mergeRows.unionByName(docRows).orderBy("sect", "id")
   }
 
+  /** Z-order layout keys ([[Sampling.zorderKey]] 16-bit over
+    * (token count, n_chars) composed with [[Sampling.rangeShards]]):
+    * the multi-column clustering layout — bit interleave is exact
+    * integer arithmetic re-derived bit for bit by the oracle, and the
+    * 8-way range sharding over the keys reuses the gated percentile
+    * boundary rule, so the full "z-key → range layout" chain is pinned.
+    * Null-text docs carry null keys and null shards on both sides.
+    */
+  def pZorder(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = documents(spark, sfDir)
+    val keyed = d.select(col("doc_id"),
+      Sampling.zorderKey(
+        TF.tokenCount(col("text")).cast("long"), col("n_chars"), 16).as("zkey"))
+    val sharded = Sampling.rangeShards(keyed.filter(col("zkey").isNotNull), "zkey", 8)
+      .select(col("doc_id"), col("shard_id").cast("long").as("shard_id"))
+    keyed.join(sharded, Seq("doc_id"), "left")
+      .orderBy("doc_id")
+  }
+
   /** Paragraph-level language mixture ([[TF.langMixture]]): docs get
     * deterministic foreign-language paragraphs appended (%4==1 a German
     * one; %4==2 a French AND a Spanish one plus an all-whitespace

@@ -135,6 +135,7 @@ object SparkEntry {
     "p_winnow" -> (Queries.pWinnow _),
     "p_zipf" -> (Queries.pZipf _),
     "p_lang_mixture" -> (Queries.pLangMixture _),
+    "p_zorder" -> (Queries.pZorder _),
     "p_ngram_repetition" -> (Queries.pNgramRepetition _),
     "p_pii_redaction" -> (Queries.pPiiRedaction _),
     "p_tfidf_top_terms" -> (Queries.pTfidfTopTerms _),
@@ -1581,6 +1582,29 @@ object SparkEntry {
     // iterative BPE training: the full 6-round learn->apply->re-learn
     // chain re-run in SQL (see BPE_TRAIN_SQL's scaladoc)
     "p_bpe_train" -> BPE_TRAIN_SQL,
+    // z-order keys: the 16-bit Morton interleave re-derived bit for bit
+    // (generated OR chain), then the gated percentile range-shard rule
+    // over the keys; null text -> null key/shard on both sides
+    "p_zorder" -> {
+      val interleave = (0 until 16).map(i =>
+        s"(((tn >> $i) & 1) << ${2 * i}) | (((nc >> $i) & 1) << ${2 * i + 1})")
+        .mkString(" | ")
+      s"""WITH k AS (
+         |  SELECT doc_id,
+         |    CAST(len($TOKS) AS BIGINT) AS tn,
+         |    CAST(n_chars AS BIGINT) AS nc
+         |  FROM documents),
+         |z AS (SELECT doc_id, CAST($interleave AS BIGINT) AS zkey FROM k),
+         |b AS (SELECT quantile_cont(zkey::DOUBLE,
+         |  [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS qs
+         |  FROM z WHERE zkey IS NOT NULL),
+         |s AS (
+         |  SELECT doc_id, zkey,
+         |    CASE WHEN zkey IS NULL THEN NULL
+         |      ELSE CAST(len(list_filter(qs, x -> zkey > x)) AS BIGINT) END AS shard_id
+         |  FROM z, b)
+         |SELECT doc_id, zkey, shard_id FROM s ORDER BY doc_id""".stripMargin
+    },
     // paragraph-level language mixture: enrichment CASE, blank-line
     // split, whitespace-removal emptiness filter, per-paragraph
     // stopword-argmax langid, (count desc, lang asc) majority, exact

@@ -518,4 +518,31 @@ object Sampling {
   private def shardByBounds(key: Column, bounds: Column): Column =
     aggregate(bounds, lit(0),
       (acc, bv) => acc + when(key.cast("double") > bv, 1).otherwise(0))
+
+  /** Z-order (Morton) key: interleave the low `bits` bits of two
+    * non-negative integer columns — `a`'s bit i lands at position 2i,
+    * `b`'s at 2i+1 — so sorting by the key clusters rows that are close
+    * in BOTH dimensions. This is the multi-column layout technique
+    * (Delta `ZORDER BY`, Iceberg z-ordering) that single-column
+    * [[rangeShards]] cannot express: range-sort by `a` gives perfect
+    * zone-map pruning on `a` and none on `b`; z-order gives ~√-quality
+    * pruning on each — two predicates each touching ~√N of N sorted
+    * files instead of one touching 1 and the other touching all.
+    * Compose: `zorderKey` → [[rangeShards]]/[[rangeShardsWithBounds]] →
+    * write sorted-by-key (min/max file stats then prune both columns).
+    *
+    * Pure integer bit arithmetic — one codegen'd expression, map-side,
+    * engine-portable (the oracle re-derives it bit for bit), and
+    * streaming-safe. Caller contract: inputs non-negative and below
+    * 2^bits (masked, not checked — a clipped key still z-orders, it
+    * just aliases the overflow region).
+    */
+  def zorderKey(a: Column, b: Column, bits: Int = 32): Column = {
+    require(bits >= 1 && bits <= 32, s"bits must be in [1, 32], got $bits")
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(shiftright(a.cast("long"), i).bitwiseAND(lit(1L)), 2 * i))
+        .bitwiseOR(shiftleft(shiftright(b.cast("long"), i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }
+  }
 }

@@ -952,6 +952,42 @@ class PipelineSuite extends SparkSpec {
     assert(acc >= 0.95, s"trainer accuracy $acc < 0.95")
   }
 
+  test("zorderKey: hand-checked interleave, masking, null propagation, both-dimension clustering") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, Some(5L), 3L),                   // 0b101 x 0b011 -> 0b011011 = 27
+      (2L, Some(0L), 0L),
+      (3L, Some(7L), 7L),                   // full low bits -> 0b111111 = 63
+      (4L, Some(1L << 16), 0L),             // above 2^bits: masked to 0
+      (5L, None: Option[Long], 1L)
+    ).toDF("id", "a", "b")
+    val got = df.select(col("id"),
+        Sampling.zorderKey(col("a"), col("b"), 16).as("z"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getLong(1))).toMap
+    assert(got(1L) === 27L)
+    assert(got(2L) === 0L)
+    assert(got(3L) === 63L)
+    assert(got(4L) === 0L)
+    assert(got(5L) === null)
+    // the layout property range-sort cannot have: for points on a
+    // 16x16 grid, both coordinates of z-adjacent points stay close —
+    // max single-step jump in EITHER dimension is bounded, while an
+    // a-major sort makes b jump the full 0..15 range between neighbors
+    val grid = (for (a <- 0 until 16; b <- 0 until 16) yield (a.toLong, b.toLong))
+      .toDF("a", "b")
+    val ordered = grid.select(col("a"), col("b"),
+        Sampling.zorderKey(col("a"), col("b"), 4).as("z"))
+      .orderBy("z").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // z-keys over a full grid are a permutation of 0..255 (bijection)
+    assert(ordered.length === 256)
+    val meanJumpB = ordered.sliding(2)
+      .map { case Array(p, q) => math.abs(q._2 - p._2) }.sum.toDouble / 255
+    // a-major sort has mean |Δb| ~ (15 jumps of 15 + in-group 1s) ≈ 1.9;
+    // the z-curve stays ~1.4 and never strands one dimension
+    assert(meanJumpB < 1.6, s"z-curve b-locality degraded: $meanJumpB")
+  }
+
   test("hardNegatives: positives excluded, survivors re-ranked, multi-positive support") {
     val s = spark
     import s.implicits._
