@@ -356,6 +356,41 @@ class DocsSuite extends SparkSpec {
     fused.unpersist(blocking = false)
   }
 
+  test("pipeline-ops: copy-detection / diagnostics / layout / interchange snippets run") {
+    val small = docs.limit(100)
+    val fps = pipeline.Winnowing.winnowFingerprints(small, "doc_id", "text", 3, 4)
+    assert(fps.count() > 0)
+    val pairs = pipeline.Winnowing.winnowOverlapPairs(small, "doc_id", "text", 3, 4,
+      minShared = 1, maxDocFrequency = 1000)
+    try assert(pairs.columns.toSeq === Seq("doc_a", "doc_b", "n_shared"))
+    finally pairs.unpersist(blocking = false)
+    val zipf = pipeline.CorpusStats.zipfStats(small, "text", maxRank = 20)
+    assert(zipf.count() === 9)
+    val mix = pipeline.TextFunctions.langMixture(small, "doc_id", "text")
+    assert(mix.count() === small.count())
+    val z = small.select(col("doc_id"),
+      pipeline.Sampling.zorderKey(
+        pipeline.TextFunctions.tokenCount(col("text")).cast("long"),
+        col("n_chars"), 16).as("zkey"))
+    assert(pipeline.Sampling.rangeShards(z.filter(col("zkey").isNotNull), "zkey", 8)
+      .select("shard_id").distinct().count() >= 2)
+    val dir = java.nio.file.Files.createTempDirectory("docs-jsonl").toString + "/c"
+    graft.sources.Jsonl.writeCorpus(small, dir, gzip = true)
+    val (good, bad) = graft.sources.Jsonl.readWithQuarantine(spark, dir, small.schema)
+    try {
+      assert(good.count() === small.count() && bad.count() === 0)
+    } finally good.unpersist(blocking = false)
+    val queries = small.limit(3)
+      .select(col("doc_id").as("query_id"),
+        array_join(slice(pipeline.TextFunctions.tokens(col("text")), 1, 5), " ")
+          .as("qtext"))
+    val positives = queries.select(col("query_id"), col("query_id").as("pos_id"))
+    val negs = pipeline.Retrieval.hardNegatives(small, "doc_id", "text",
+      queries, "query_id", "qtext", positives, k = 10, nNeg = 3)
+    try assert(negs.filter(col("doc_id") === col("query_id")).count() === 0)
+    finally negs.unpersist(blocking = false)
+  }
+
   test("pipeline-ops: iterative BPE trainer + tokenizer-aware packing snippets run") {
     val small = docs.limit(100)
     val learned = pipeline.CorpusStats.bpeTrain(small, "text", rounds = 3)
