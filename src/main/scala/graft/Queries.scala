@@ -740,9 +740,15 @@ object Queries {
     */
   def pContrastive(spark: SparkSession, sfDir: String): DataFrame = {
     val d = documents(spark, sfDir)
-    val chunks = Chunking.chunkDocuments(d, "text", maxTokens = 32, stride = 32)
+    // only anchor docs are chunked (filter BEFORE the explode); %50
+    // matches the other BM25 gates' query-batch size — the synthetic
+    // corpus's 31-word vocabulary defeats posting pruning (every
+    // 32-term anchor touches every posting), so anchor count IS the
+    // gate's cost knob
+    val chunks = Chunking.chunkDocuments(
+      d.filter(pmod(col("doc_id"), lit(50)) === 0), "text", maxTokens = 32, stride = 32)
     val anchors = chunks
-      .filter(pmod(col("doc_id"), lit(25)) === 0 && col("chunk_id") === 0L)
+      .filter(col("chunk_id") === 0L)
       .select(col("doc_id").as("query_id"), col("chunk_text").as("qtext"))
     val positives = chunks.filter(col("chunk_id") === 1L)
       .select(col("doc_id").as("query_id"), col("n_tokens").as("pos_tokens"))
@@ -1118,9 +1124,14 @@ object Queries {
     */
   def pZorder(spark: SparkSession, sfDir: String): DataFrame = {
     val d = documents(spark, sfDir)
+    // the opaque barrier pins ONE evaluation of the 64-term interleave:
+    // without it project-collapse inlines the expression into the
+    // percentile input, the null filter, AND the per-bound assignment
+    // lambda (7 more copies per row) — measured 2.6 s -> 0.6 s at sf0.1
     val keyed = d.select(col("doc_id"),
-      Sampling.zorderKey(
-        TF.tokenCount(col("text")).cast("long"), col("n_chars"), 16).as("zkey"))
+      org.apache.spark.sql.graft.GraftExpressions.opaque(
+        Sampling.zorderKey(
+          TF.tokenCount(col("text")).cast("long"), col("n_chars"), 16)).as("zkey"))
     val sharded = Sampling.rangeShards(keyed.filter(col("zkey").isNotNull), "zkey", 8)
       .select(col("doc_id"), col("shard_id").cast("long").as("shard_id"))
     keyed.join(sharded, Seq("doc_id"), "left")

@@ -545,7 +545,7 @@ object SparkEntry {
        |    sum(CAST(len($TOKS) AS BIGINT)) AS total_tokens
        |  FROM documents),
        |tk AS (SELECT doc_id, $TOKS AS t FROM documents),
-       |anch AS (SELECT doc_id FROM tk WHERE doc_id % 25 = 0 AND len(t) > 32),
+       |anch AS (SELECT doc_id FROM tk WHERE doc_id % 50 = 0 AND len(t) > 32),
        |q AS (
        |  SELECT doc_id AS query_id, t2 AS token FROM (
        |    SELECT a.doc_id, unnest(tk.t[1:32]) AS t2

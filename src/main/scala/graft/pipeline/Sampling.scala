@@ -536,6 +536,16 @@ object Sampling {
     * streaming-safe. Caller contract: inputs non-negative and below
     * 2^bits (masked, not checked — a clipped key still z-orders, it
     * just aliases the overflow region).
+    *
+    * Composition note: the expression is 2·bits terms wide, and
+    * project-collapse will happily inline it into every downstream
+    * consumer (a [[rangeShards]] composition re-evaluates it in the
+    * percentile input, the null filter, and once per boundary in the
+    * assignment lambda — measured 4× the whole gate's cost at sf0.1).
+    * When the key feeds more than one operator, alias it through
+    * `GraftExpressions.opaque` to pin a single evaluation — but keep
+    * the opaque alias OUT of join keys/aggregation keys (it is marked
+    * nondeterministic; see Opaque's scaladoc).
     */
   def zorderKey(a: Column, b: Column, bits: Int = 32): Column = {
     require(bits >= 1 && bits <= 32, s"bits must be in [1, 32], got $bits")
