@@ -727,6 +727,34 @@ object Queries {
       .orderBy("query_id", "rnk")
   }
 
+  /** Ranking-metrics harness ([[Retrieval.rankMetrics]]) grading the
+    * gated BM25 ranking against a deterministic graded qrel rule (the
+    * query doc itself rel 2, every other query-batch doc rel 1 — so the
+    * ideal list is [2,1,1,…] and the graded-sort branch of IDCG is
+    * always exercised, while hits/misses vary by data): per-query
+    * reciprocal rank, precision@10, DCG/IDCG/nDCG as exact micro
+    * integers. The oracle shares the BM25 gates' CTE and re-derives the
+    * qrel rule, the snapped ln-discount terms, and every ratio.
+    */
+  def pRankMetrics(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = documents(spark, sfDir)
+    val queries = docs.filter(pmod(col("doc_id"), lit(50)) === 0)
+      .select(col("doc_id").as("query_id"),
+        array_join(slice(TF.tokens(col("text")), 1, 5), " ").as("qtext"))
+    val ranked = Retrieval.bm25TopK(docs, "doc_id", "text",
+      queries, "query_id", "qtext", 10)
+    val ids = docs.filter(pmod(col("doc_id"), lit(50)) === 0).select("doc_id")
+    val qrels = ids.select(col("doc_id").as("query_id"))
+      .crossJoin(ids)
+      .withColumn("rel",
+        when(col("query_id") === col("doc_id"), 2.0).otherwise(1.0))
+    val out = Retrieval.rankMetrics(ranked, qrels, 10).orderBy("query_id")
+    out.persist()
+    out.count()
+    ranked.unpersist(blocking = false)
+    out
+  }
+
   /** Contrastive-retrieval training triples ([[Retrieval.hardNegatives]]
     * over [[Chunking.chunkDocuments]] crops): anchors are chunk 0 of
     * every %25 doc with ≥ 2 non-overlapping 32-token chunks, the

@@ -147,6 +147,7 @@ object SparkEntry {
     "p_rank_fusion" -> (Queries.pRankFusion _),
     "p_hybrid_dense" -> (Queries.pHybridDense _),
     "p_contrastive" -> (Queries.pContrastive _),
+    "p_rank_metrics" -> (Queries.pRankMetrics _),
     "p_lm_score" -> (Queries.pLmScore _),
     "p_decontaminate" -> (Queries.pDecontaminate _),
     "p_decontaminate_neardup" -> (Queries.pNearDupDecontam _),
@@ -2978,6 +2979,52 @@ object SparkEntry {
     "p_rank_fusion" -> RANK_FUSION_SQL,
     "p_hybrid_dense" -> HYBRID_DENSE_SQL,
     "p_contrastive" -> CONTRASTIVE_SQL,
+    // ranking-metrics harness: the shared BM25 CTE plus the graded qrel
+    // rule, the 6dp-snapped rel*ln2/ln(rank+1) discount terms (ln2 as
+    // the fixed double literal on both engines), exact micro sums, and
+    // the rr/p@k/ndcg ratios; queries with no hit keep a null-best_rank
+    // zero-metric row
+    "p_rank_metrics" ->
+      s"""$BM25_CTE,
+         |qrel AS (
+         |  SELECT a.query_id, b.doc_id,
+         |    CASE WHEN a.query_id = b.doc_id THEN CAST(2.0 AS DOUBLE)
+         |         ELSE CAST(1.0 AS DOUBLE) END AS rel
+         |  FROM (SELECT doc_id AS query_id FROM documents WHERE doc_id % 50 = 0) a,
+         |       (SELECT doc_id FROM documents WHERE doc_id % 50 = 0) b),
+         |h AS (
+         |  SELECT r.query_id, CAST(count(*) AS BIGINT) AS n_hits,
+         |    CAST(min(r.rnk) AS BIGINT) AS best_rank,
+         |    CAST(sum(CAST(floor(round(
+         |      q2.rel * CAST(0.6931471805599453 AS DOUBLE) / ln(r.rnk + 1), 6)
+         |      * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS dcg_micro
+         |  FROM r JOIN qrel q2 ON r.query_id = q2.query_id AND r.doc_id = q2.doc_id
+         |  WHERE r.rnk <= 10 GROUP BY 1),
+         |idl AS (
+         |  SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel,
+         |    CAST(sum(CASE WHEN irank <= 10 THEN
+         |      CAST(floor(round(
+         |        rel * CAST(0.6931471805599453 AS DOUBLE) / ln(irank + 1), 6)
+         |        * 1000000 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS idcg_micro
+         |  FROM (
+         |    SELECT query_id, rel,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY rel DESC) AS irank
+         |    FROM qrel)
+         |  GROUP BY 1)
+         |SELECT idl.query_id, idl.n_rel,
+         |  CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+         |  h.best_rank,
+         |  CAST(coalesce(floor(1000000.0 / h.best_rank + 0.5), 0) AS BIGINT)
+         |    AS rr_micro,
+         |  CAST(floor(coalesce(h.n_hits, 0) * 1000000.0 / 10 + 0.5) AS BIGINT)
+         |    AS p_at_k_micro,
+         |  CAST(coalesce(h.dcg_micro, 0) AS BIGINT) AS dcg_micro,
+         |  idl.idcg_micro,
+         |  CAST(coalesce(
+         |    floor(CAST(h.dcg_micro AS DOUBLE) * 1000000
+         |      / CAST(idl.idcg_micro AS DOUBLE) + 0.5), 0) AS BIGINT) AS ndcg_micro
+         |FROM idl LEFT JOIN h ON idl.query_id = h.query_id
+         |ORDER BY idl.query_id""".stripMargin,
     // map-side collected-index hybrid == distributed hybrid: same oracle
     "p_hybrid_broadcast" -> RANK_FUSION_SQL,
     // stupid-backoff bigram LM (Brants 2007): count tables, vocab-side

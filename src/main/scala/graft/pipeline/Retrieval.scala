@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.TopKRows.topk_rows
 
@@ -427,6 +427,69 @@ object Retrieval {
     val overlap = overlapRanked(postQ, qterms, k)
       .select("query_id", "doc_id", "rnk")
     (rrfFuse(Seq(bm25, overlap), k, rrfK, weights), postQ)
+  }
+
+  /** Ranking-quality evaluation harness — per-query reciprocal rank,
+    * precision@k, and nDCG@k of ANY `(query_id, doc_id, rnk)` ranking
+    * (every `*TopK` here shares that contract) against a graded
+    * relevance table `(query_id, doc_id, rel ≥ 0)`. The retrieval twin
+    * of `Similarity.recallAtK`: the harness never touches the corpus —
+    * both inputs are (queries × k)- and qrels-sized, so grading an
+    * index at 100 TB costs one query batch, not a corpus pass. Emits
+    * exact integers: `rr_micro = ⌊10⁶/best_rank + ½⌋`,
+    * `p_at_k_micro`, and DCG/IDCG as micro-integer sums of
+    * 6dp-snapped `rel·ln2/ln(rank+1)` terms (the linear-gain DCG
+    * variant; ln2 is the fixed double literal so both engines divide
+    * identical operands), `ndcg_micro` their ratio. Queries with no
+    * ranked hit keep a row with null `best_rank` and zero
+    * rr/p/dcg/ndcg.
+    *
+    * Per-query qrel lists ride a `collect_list` for the ideal DCG —
+    * bounded by the labeled-eval-data contract (qrels per query are
+    * human- or rule-labeled, inherently small).
+    */
+  def rankMetrics(ranking: DataFrame, qrels: DataFrame, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val LN2 = math.log(2.0)
+    def termMicro(rel: Column, pos: Column): Column =
+      floor(round(rel * lit(LN2) / log(pos.cast("double") + lit(1.0)), 6) *
+        lit(1e6) + lit(0.5)).cast("long")
+    val r = ranking.select(col("query_id"), col("doc_id"), col("rnk"))
+      .filter(col("rnk") <= k)
+    val rel = qrels
+      .select(col("query_id"), col("doc_id"), col("rel").cast("double").as("rel"))
+      .filter(col("rel") > 0)
+    val hits = r.join(rel, Seq("query_id", "doc_id"))
+      .groupBy("query_id")
+      .agg(
+        count(lit(1)).as("n_hits"),
+        min("rnk").as("best_rank"),
+        sum(termMicro(col("rel"), col("rnk"))).as("dcg_micro"))
+    val ideal = rel.groupBy("query_id")
+      .agg(
+        count(lit(1)).as("n_rel"),
+        slice(sort_array(collect_list(col("rel")), asc = false), 1, k).as("rels"))
+      .withColumn("idcg_micro",
+        aggregate(sequence(lit(1), size(col("rels"))), lit(0L),
+          (acc, i) => acc + termMicro(element_at(col("rels"), i), i)))
+      .drop("rels")
+    ideal.join(hits, Seq("query_id"), "left")
+      .select(
+        col("query_id"),
+        col("n_rel"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        col("best_rank"),
+        coalesce(
+          floor(lit(1e6) / col("best_rank").cast("double") + lit(0.5)).cast("long"),
+          lit(0L)).as("rr_micro"),
+        floor(coalesce(col("n_hits"), lit(0L)).cast("double") * lit(1e6) /
+          lit(k.toDouble) + lit(0.5)).cast("long").as("p_at_k_micro"),
+        coalesce(col("dcg_micro"), lit(0L)).as("dcg_micro"),
+        col("idcg_micro"),
+        coalesce(
+          floor(col("dcg_micro").cast("double") * lit(1e6) /
+            col("idcg_micro").cast("double") + lit(0.5)).cast("long"),
+          lit(0L)).as("ndcg_micro"))
   }
 
   /** BM25 hard-negative mining — the standard contrastive-retrieval

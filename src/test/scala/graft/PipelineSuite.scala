@@ -952,6 +952,41 @@ class PipelineSuite extends SparkSpec {
     assert(acc >= 0.95, s"trainer accuracy $acc < 0.95")
   }
 
+  test("rankMetrics: hand arithmetic for rr/p@k/dcg/ndcg, graded ideal, no-hit zeros") {
+    val s = spark
+    import s.implicits._
+    val ranking = Seq(
+      (1L, 100L, 1L), (1L, 101L, 2L), (1L, 102L, 3L),
+      (2L, 200L, 1L)).toDF("query_id", "doc_id", "rnk")
+    val qrels = Seq(
+      (1L, 101L, 2.0), (1L, 999L, 1.0), // hit at rank 2 + an unranked rel
+      (2L, 888L, 1.0),                  // no hit at all
+      (1L, 102L, 0.0)                   // rel 0 rows are ignored
+    ).toDF("query_id", "doc_id", "rel")
+    val m = Retrieval.rankMetrics(ranking, qrels, 3)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def micro(x: Double) = math.floor(x * 1e6 + 0.5).toLong
+    val ln2 = math.log(2.0)
+    // query 1: hit rel-2 at rank 2 -> rr 1/2, p@3 1/3,
+    // dcg = snap(2*ln2/ln3); ideal [2,1] -> 2000000 + snap(1*ln2/ln3)
+    val dcg = micro(r6(2.0 * ln2 / math.log(3.0)))
+    val idcg = 2000000L + micro(r6(1.0 * ln2 / math.log(3.0)))
+    val q1 = m(1L)
+    assert(q1.getLong(1) === 2L && q1.getLong(2) === 1L) // n_rel, n_hits
+    assert(q1.getLong(3) === 2L && q1.getLong(4) === 500000L)
+    assert(q1.getLong(5) === 333333L) // p@3
+    assert(q1.getLong(6) === dcg && q1.getLong(7) === idcg)
+    assert(q1.getLong(8) === math.floor(dcg.toDouble * 1e6 / idcg + 0.5).toLong)
+    // query 2: no hits -> null best_rank, zero metrics, idcg from rels
+    val q2 = m(2L)
+    assert(q2.getLong(1) === 1L && q2.getLong(2) === 0L)
+    assert(q2.isNullAt(3))
+    assert(q2.getLong(4) === 0L && q2.getLong(6) === 0L && q2.getLong(8) === 0L)
+    assert(q2.getLong(7) === 1000000L) // ideal [1] at pos 1: ln2/ln2 = 1
+  }
+
   test("zorderKey: hand-checked interleave, masking, null propagation, both-dimension clustering") {
     val s = spark
     import s.implicits._
