@@ -389,6 +389,13 @@ class DocsSuite extends SparkSpec {
       queries, "query_id", "qtext", positives, k = 10, nNeg = 3)
     try assert(negs.filter(col("doc_id") === col("query_id")).count() === 0)
     finally negs.unpersist(blocking = false)
+    val ranked = pipeline.Retrieval.bm25TopK(small, "doc_id", "text",
+      queries, "query_id", "qtext", 10)
+    val qrels = queries.select(col("query_id"), col("query_id").as("doc_id"),
+      lit(1.0).as("rel"))
+    val metrics = pipeline.Retrieval.rankMetrics(ranked, qrels, 10)
+    assert(metrics.count() === queries.count())
+    ranked.unpersist(blocking = false)
   }
 
   test("pipeline-ops: iterative BPE trainer + tokenizer-aware packing snippets run") {
