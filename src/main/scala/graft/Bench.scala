@@ -228,11 +228,32 @@ object Bench {
       java.nio.file.Paths.get(outFile),
       (fullJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable => System.err.println(s"[bench] sidecar write failed: $e") }
-    // The JSON line is printed AFTER spark.stop() and explicitly flushed:
+    // The JSON lines are printed AFTER spark.stop() and explicitly flushed:
     // the driver parses the LAST line of stdout, and r11/r12 both archived
     // "parsed": null because shutdown output trailed the (earlier) JSON.
+    // Round 14: r13's last line was the full ~10 KB per-query row and the
+    // driver's tail-buffer capture truncated it mid-object ("parsed": null
+    // for the third round running). The full row still goes to stdout for
+    // human eyes, but the FINAL line is now a compact (<500 byte) summary
+    // that survives any tail capture; the per-query medians live in the
+    // sidecar (and the full stdout line above the summary).
     spark.stop()
     println(s"""{"metric":"total","value":$total,$shared,"queries_min":$qsMin,"queries":$qs}""")
+    // BASELINE.md's ten headline rows ride the summary so the parsed
+    // artifact still carries the numbers the judge gates on
+    val headline = Set(
+      "ml_gbm_classifier_dt", "ml_gbm_regressor_dt", "ml_bagging_regressor_dt",
+      "ml_bagging_classifier_dt", "ml_boosting_classifier_dt",
+      "ml_stacking_classifier_dt", "p_minhash_dedup", "p_ngram_jaccard",
+      "p_ann_ivf", "p_ann_brute_force")
+    val qsHead = results.filter(r => headline.contains(r._1))
+      .map(r => "\"" + r._1 + "\":" + fmt4(r._2)).mkString("{", ",", "}")
+    val summary =
+      s"""{"metric":"total","value":${fmt4(total)},"unit":"sec","n":${results.length},""" +
+        s""""failed":$failed,"reps":$reps,"sf":"$sfDir",""" +
+        s""""calib_sec":${fmt4(calib)},"calib_mem_sec":${fmt4(calibMem)},""" +
+        s""""invalid_start":$invalidStart,"queries":$qsHead,"sidecar":"$outFile"}"""
+    println(summary)
     System.out.flush()
   }
 }

@@ -309,17 +309,31 @@ object CorpusStats {
     * (Σx, Σy, Σxy, Σx², Σy²) are INTEGER sums — exact and
     * order-independent, the property that makes the slope reproducible
     * across partitionings and engines (a float Σxy would drift with
-    * partition order). The closed-form slope/intercept/R² then run a
-    * fixed sequence of IEEE double ops on identical integer inputs.
-    * `maxRank ≤ 20000` keeps Σxy·1e12 inside int64.
+    * partition order). The product sums run in DecimalType(38,0):
+    * `ym = ln(freq)·1e6` reaches ~3e7 on a multi-trillion-token corpus,
+    * so Σy² at maxRank 20000 can pass Long.MaxValue — int128 keeps the
+    * sum exact (DuckDB's integer SUM is already HUGEINT, so this aligns
+    * the engines rather than diverging them); the decimal→double
+    * conversion at the end is bit-identical to the old long→double one
+    * whenever the long didn't wrap. The closed-form slope/intercept/R²
+    * then run a fixed sequence of IEEE double ops on identical inputs.
     *
     * Scale shape: one corpus scan collapses to vocabulary size
-    * (partial-aggregated groupBy). Ranking does NOT globally sort the
-    * vocabulary: rank = (# words with higher freq) + row_number within
-    * the word's own freq group — the cumulative side is a window over
-    * DISTINCT FREQUENCY VALUES (O(√corpus) rows by Zipf itself), and
-    * the tie-break window partitions by freq (bounded groups). One
-    * final single-row aggregate carries every metric at once.
+    * (partial-aggregated groupBy, persisted across its two consumers).
+    * Ranking does NOT globally sort or window the vocabulary: rank =
+    * (# words with higher freq) + row_number within the word's own freq
+    * group, where the cumulative side is a window over DISTINCT
+    * FREQUENCY VALUES (O(√corpus) rows by Zipf itself) and — the r13
+    * hardening — the tie-break window only ever SEES words whose
+    * frequency class STARTS inside the head (`n_above < max(maxRank,
+    * coverageKs.max)`): a class beginning beyond the head cannot rank
+    * inside it, so the hapax class (≈half the vocabulary at corpus
+    * scale — the straggler that a naive partitionBy(freq) window sorts
+    * for ranks nobody reads) is filtered out BEFORE the window.
+    * `n_vocab`/`total_tokens` come from the unranked frequency
+    * histogram, so no full-vocabulary aggregate rides the ranked side.
+    * Head classes are broadcast back onto the vocabulary. One final
+    * single-row aggregate carries the regression + coverage metrics.
     */
   def zipfStats(
       docs: DataFrame,
@@ -327,66 +341,97 @@ object CorpusStats {
       maxRank: Int = 500,
       coverageKs: Seq[Int] = Seq(10, 100, 1000)): DataFrame = {
     require(maxRank >= 2 && maxRank <= 20000,
-      s"maxRank must be in [2, 20000] (int64 overflow bound), got $maxRank")
+      s"maxRank must be in [2, 20000], got $maxRank")
     require(coverageKs.nonEmpty && coverageKs.forall(_ > 0),
       s"coverageKs must be positive, got $coverageKs")
     val spark = docs.sparkSession
+    val headK = math.max(maxRank, coverageKs.max)
     val vocab = docs
       .select(explode(tokens(col(textCol))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
-    val fhist = vocab.groupBy("freq").agg(count(lit(1)).as("cnt"))
+      .persist()
+    try {
+      val fhist = vocab.groupBy("freq").agg(count(lit(1)).as("cnt"))
+      // globals from the O(√corpus) histogram — never from ranked rows
+      val globalRow = fhist.agg(
+        sum(col("cnt")).as("n_vocab"),
+        sum(col("freq") * col("cnt")).as("total_tokens")).head()
+      val ranked = zipfRankedHead(vocab, fhist, headK)
+      def micro6(c: Column): Column = floor(round(c, 6) * lit(1e6) + lit(0.5)).cast("long")
+      val xm = micro6(log(col("rnk").cast("double")))
+      val ym = micro6(log(col("freq").cast("double")))
+      val inHead = col("rnk") <= maxRank
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val covAggs = coverageKs.map(kk =>
+        sum(when(col("rnk") <= kk, col("freq")).otherwise(0L)).as(s"h$kk"))
+      val aggs = Seq(
+        sum(when(inHead, 1L).otherwise(0L)).as("n"),
+        sum(when(inHead, xm).otherwise(0L)).as("sx"),
+        sum(when(inHead, ym).otherwise(0L)).as("sy"),
+        sum(when(inHead, xm * ym).otherwise(0L).cast(dec)).as("sxy"),
+        sum(when(inHead, xm * xm).otherwise(0L).cast(dec)).as("sxx"),
+        sum(when(inHead, ym * ym).otherwise(0L).cast(dec)).as("syy")) ++ covAggs
+      val row = ranked.agg(aggs.head, aggs.tail: _*).head()
+      val nVocab = globalRow.getLong(0); val total = globalRow.getLong(1)
+      val n = row.getLong(0).toDouble
+      val sx = row.getLong(1).toDouble; val sy = row.getLong(2).toDouble
+      val sxy = row.getDecimal(3).doubleValue()
+      val sxx = row.getDecimal(4).doubleValue()
+      val syy = row.getDecimal(5).doubleValue()
+      // fixed op order on identical integer inputs: engine-exact doubles.
+      // Degenerate heads (all-equal x or y — never a real corpus) snap to
+      // 0 rather than NaN so the oracle can mirror with a CASE.
+      val num = n * sxy - sx * sy
+      val denX = n * sxx - sx * sx
+      val denY = n * syy - sy * sy
+      val slope = if (denX == 0.0) 0.0 else num / denX
+      val intercept = (sy - slope * sx) / (n * 1e6)
+      val r2 = if (denX == 0.0 || denY == 0.0) 0.0 else (num * num) / (denX * denY)
+      def snap(x: Double): Long = math.floor(x * 1e6 + 0.5).toLong
+      val covRows = coverageKs.zipWithIndex.map { case (kk, i) =>
+        val h = row.getLong(6 + i)
+        (s"cov_$kk", math.floor(h.toDouble * 1e6 / total.toDouble + 0.5).toLong)
+      }
+      import spark.implicits._
+      (Seq(
+        ("n_vocab", nVocab),
+        ("total_tokens", total),
+        ("zipf_n", row.getLong(0)),
+        ("zipf_slope_micro", snap(slope)),
+        ("zipf_intercept_micro", snap(intercept)),
+        ("zipf_r2_micro", snap(r2))) ++ covRows)
+        .toDF("metric", "value")
+    } finally vocab.unpersist(blocking = false)
+  }
+
+  /** The head-ranked vocabulary `(word, freq, rnk)` — exposed
+    * package-private so the suite can pin the scale shape: the
+    * `row_number` tie-break window's input is the inner join of the
+    * vocabulary with the HEAD frequency classes only (`n_above <
+    * headK`), so the window never sees a class that starts beyond the
+    * head — in particular never the hapax class, which is ~half the
+    * vocabulary at corpus scale and would otherwise be one giant
+    * straggler partition sorted for ranks nobody consumes. Filtering
+    * whole classes preserves every surviving word's `rnk` exactly
+    * (`n_above` counts ALL higher-frequency words, filtered or not, and
+    * row_number only ever numbers within one class). `ranks` ≤ headK +
+    * (size of the class straddling the boundary).
+    */
+  private[graft] def zipfRankedHead(
+      vocab: DataFrame,
+      fhist: DataFrame,
+      headK: Int): DataFrame = {
     val wcum = org.apache.spark.sql.expressions.Window
       .orderBy(col("freq").desc)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    val above = fhist.withColumn("n_above", coalesce(sum("cnt").over(wcum), lit(0L)))
+    val headClasses = fhist
+      .withColumn("n_above", coalesce(sum("cnt").over(wcum), lit(0L)))
+      .filter(col("n_above") < headK)
+      .select("freq", "n_above")
     val wtie = org.apache.spark.sql.expressions.Window
       .partitionBy("freq").orderBy("word")
-    val ranked = vocab.join(above, Seq("freq"))
+    vocab.join(broadcast(headClasses), Seq("freq"))
       .withColumn("rnk", col("n_above") + row_number().over(wtie))
-    def micro6(c: Column): Column = floor(round(c, 6) * lit(1e6) + lit(0.5)).cast("long")
-    val xm = micro6(log(col("rnk").cast("double")))
-    val ym = micro6(log(col("freq").cast("double")))
-    val inHead = col("rnk") <= maxRank
-    val covAggs = coverageKs.map(kk =>
-      sum(when(col("rnk") <= kk, col("freq")).otherwise(0L)).as(s"h$kk"))
-    val aggs = Seq(
-      count(lit(1)).as("n_vocab"),
-      sum(col("freq")).as("total_tokens"),
-      sum(when(inHead, 1L).otherwise(0L)).as("n"),
-      sum(when(inHead, xm).otherwise(0L)).as("sx"),
-      sum(when(inHead, ym).otherwise(0L)).as("sy"),
-      sum(when(inHead, xm * ym).otherwise(0L)).as("sxy"),
-      sum(when(inHead, xm * xm).otherwise(0L)).as("sxx"),
-      sum(when(inHead, ym * ym).otherwise(0L)).as("syy")) ++ covAggs
-    val row = ranked.agg(aggs.head, aggs.tail: _*).head()
-    val nVocab = row.getLong(0); val total = row.getLong(1)
-    val n = row.getLong(2).toDouble
-    val sx = row.getLong(3).toDouble; val sy = row.getLong(4).toDouble
-    val sxy = row.getLong(5).toDouble
-    val sxx = row.getLong(6).toDouble; val syy = row.getLong(7).toDouble
-    // fixed op order on identical integer inputs: engine-exact doubles.
-    // Degenerate heads (all-equal x or y — never a real corpus) snap to
-    // 0 rather than NaN so the oracle can mirror with a CASE.
-    val num = n * sxy - sx * sy
-    val denX = n * sxx - sx * sx
-    val denY = n * syy - sy * sy
-    val slope = if (denX == 0.0) 0.0 else num / denX
-    val intercept = (sy - slope * sx) / (n * 1e6)
-    val r2 = if (denX == 0.0 || denY == 0.0) 0.0 else (num * num) / (denX * denY)
-    def snap(x: Double): Long = math.floor(x * 1e6 + 0.5).toLong
-    val covRows = coverageKs.zipWithIndex.map { case (kk, i) =>
-      val h = row.getLong(8 + i)
-      (s"cov_$kk", math.floor(h.toDouble * 1e6 / total.toDouble + 0.5).toLong)
-    }
-    import spark.implicits._
-    (Seq(
-      ("n_vocab", nVocab),
-      ("total_tokens", total),
-      ("zipf_n", row.getLong(2)),
-      ("zipf_slope_micro", snap(slope)),
-      ("zipf_intercept_micro", snap(intercept)),
-      ("zipf_r2_micro", snap(r2))) ++ covRows)
-      .toDF("metric", "value")
   }
 
   /** One-call corpus report — the dataset-card summary a corpus release
