@@ -1717,23 +1717,32 @@ object Queries {
     */
   def pJsonlRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.sources.Jsonl
-    val dir = new java.io.File(
-      System.getProperty("java.io.tmpdir"),
-      s"graft_jsonl_gate_${math.abs(sfDir.hashCode)}")
-    val docs = documents(spark, sfDir).select("doc_id", "text", "lang", "source")
-    Jsonl.writeCorpus(docs, dir.getAbsolutePath, gzip = true)
-    val (good, bad) = Jsonl.readWithQuarantine(spark, dir.getAbsolutePath, docs.schema)
-    val nBad = bad.count()
-    require(nBad == 0L, s"self-written JSONL quarantined $nBad lines")
-    val out = good.select(
-        col("doc_id"),
-        coalesce(length(col("text")).cast("long"), lit(-1L)).as("text_chars"),
-        col("lang"), col("source"))
-      .orderBy("doc_id")
-    out.persist()
-    out.count()
-    good.unpersist(blocking = false)
-    out
+    // per-invocation unique dir (r13 advice: a fixed hash-keyed dir let
+    // two concurrent runs against the same sfDir overwrite each other
+    // mid-read, tripping the quarantine require)
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl_gate_").toFile
+    try {
+      val docs = documents(spark, sfDir).select("doc_id", "text", "lang", "source")
+      Jsonl.writeCorpus(docs, dir.getAbsolutePath, codec = "gzip")
+      val qr = Jsonl.readWithQuarantine(spark, dir.getAbsolutePath, docs.schema)
+      try {
+        val nBad = qr.quarantined.count()
+        require(nBad == 0L, s"self-written JSONL quarantined $nBad lines")
+        val out = qr.good.select(
+            col("doc_id"),
+            coalesce(length(col("text")).cast("long"), lit(-1L)).as("text_chars"),
+            col("lang"), col("source"))
+          .orderBy("doc_id")
+        out.persist()
+        out.count()
+        out
+      } finally qr.release()
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir)
+    }
   }
 
   /** Heavy trigrams by sketch-then-verify ([[CorpusStats.heavyTokens]]):

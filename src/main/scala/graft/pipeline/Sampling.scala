@@ -535,7 +535,14 @@ object Sampling {
     * engine-portable (the oracle re-derives it bit for bit), and
     * streaming-safe. Caller contract: inputs non-negative and below
     * 2^bits (masked, not checked — a clipped key still z-orders, it
-    * just aliases the overflow region).
+    * just aliases the overflow region). `bits` is capped at 31: at 32,
+    * `b`'s bit 31 would land in the long's SIGN bit, so any b ≥ 2^31
+    * produced a negative key sorting before all others — inverting the
+    * z-curve (r13 advice). When composing with [[rangeShards]] keep
+    * `2*bits ≤ 52`: the percentile boundary arithmetic casts the key to
+    * double, and keys above 2^52 lose low-order bits there (the
+    * locality cost is marginal — the lost bits are the finest
+    * interleave — but boundary assignment would stop being exact).
     *
     * Composition note: the expression is 2·bits terms wide, and
     * project-collapse will happily inline it into every downstream
@@ -547,8 +554,9 @@ object Sampling {
     * the opaque alias OUT of join keys/aggregation keys (it is marked
     * nondeterministic; see Opaque's scaladoc).
     */
-  def zorderKey(a: Column, b: Column, bits: Int = 32): Column = {
-    require(bits >= 1 && bits <= 32, s"bits must be in [1, 32], got $bits")
+  def zorderKey(a: Column, b: Column, bits: Int = 16): Column = {
+    require(bits >= 1 && bits <= 31,
+      s"bits must be in [1, 31] (bit 31 of b would hit the long sign bit), got $bits")
     (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
       acc
         .bitwiseOR(shiftleft(shiftright(a.cast("long"), i).bitwiseAND(lit(1L)), 2 * i))

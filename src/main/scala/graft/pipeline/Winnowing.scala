@@ -9,7 +9,10 @@ import TextFunctions.tokens
 /** Winnowing — local document fingerprinting (Schleimer, Wilkerson &
   * Aiken, SIGMOD 2003; the MOSS algorithm): slide a `w`-wide window over
   * the document's k-gram hash stream and keep, per window, the MINIMUM
-  * hash (ties to the RIGHTMOST occurrence — the paper's robust rule);
+  * hash (ties to the RIGHTMOST occurrence — the paper's STANDARD tie
+  * rule; the paper's separate "robust winnowing" variant additionally
+  * prefers the previously selected fingerprint on ties and is stateful
+  * across windows — NOT what this, the oracle, or the tests implement);
   * the distinct selected `(position, hash)` pairs are the document's
   * fingerprint set.
   *
@@ -81,7 +84,7 @@ object Winnowing {
       s => {
         val win = slice(g, s + 1, lit(w))
         val m = array_min(win)
-        // rightmost occurrence of the window minimum (robust winnowing)
+        // rightmost occurrence of the window minimum (standard tie rule)
         val rel = aggregate(
           sequence(lit(0), size(win) - 1),
           lit(0),

@@ -18,51 +18,98 @@ import org.apache.spark.sql.types.{StringType, StructType}
   *    default) or killing the job (FAILFAST) — a crawl shard with a few
   *    truncated lines loses those LINES, not the shard;
   *  - one-line-per-row framing on write via `to_json` over the full row
-  *    struct, with optional gzip (`.jsonl.gz` shards are not
-  *    block-splittable, so production parallelism is file-level — size
-  *    shard counts to executors, the WARC discipline).
+  *    struct, with optional gzip or zstd (neither is block-splittable
+  *    from Spark's text writer, so production parallelism is file-level
+  *    — size shard counts to executors, the WARC discipline; zstd is
+  *    the modern interchange choice: ~gzip ratio at several times the
+  *    decode speed).
   *
   * Reference scope note: beyond-reference pipeline surface (SURVEY
   * §2.5); the reference library has no source/sink surface.
   */
 object Jsonl {
 
+  private val Codecs = Set("none", "gzip", "zstd")
+
+  /** Resolve a codec short name for the text datasource; `zstd` maps to
+    * the repo's pure-JVM [[ZstdJniCodec]] (Hadoop's own needs native
+    * libhadoop — Spark's text writer lists zstd as unavailable without
+    * it) and registers it for extension-based resolution on read. The
+    * registration preserves any caller-set `io.compression.codecs`
+    * (Hadoop replaces its ServiceLoader list when the key is set, so
+    * the standard text codecs are re-listed alongside ours).
+    */
+  private def resolveCodec(spark: SparkSession, codec: String): String = {
+    require(Codecs.contains(codec),
+      s"codec must be one of ${Codecs.mkString("/")}, got $codec")
+    if (codec != "zstd") codec
+    else { ensureZstdReadable(spark); classOf[ZstdJniCodec].getName }
+  }
+
+  private def ensureZstdReadable(spark: SparkSession): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val key = "io.compression.codecs"
+    val ours = classOf[ZstdJniCodec].getName
+    val cur = Option(conf.get(key)).map(_.trim).filter(_.nonEmpty)
+    if (!cur.exists(_.contains(ours))) {
+      val base = cur.getOrElse(
+        "org.apache.hadoop.io.compress.DefaultCodec," +
+          "org.apache.hadoop.io.compress.GzipCodec," +
+          "org.apache.hadoop.io.compress.BZip2Codec")
+      conf.set(key, s"$base,$ours")
+    }
+  }
+
   /** Write `df` as JSONL text files under `dir` — one JSON object per
     * line, field order = column order, null fields omitted (the JSONL
     * convention; a reader's schema restores them as nulls). Map-side
-    * only: one `to_json` projection, no shuffle.
+    * only: one `to_json` projection, no shuffle. `codec` is one of
+    * `none` / `gzip` (`.jsonl.gz` shards) / `zstd` (`.jsonl.zst`, via
+    * [[ZstdJniCodec]]).
     */
-  def writeCorpus(df: DataFrame, dir: String, gzip: Boolean = false): Unit =
+  def writeCorpus(df: DataFrame, dir: String, codec: String = "none"): Unit =
     df.select(to_json(struct(df.columns.map(col).toIndexedSeq: _*)).as("value"))
       .write.mode("overwrite")
-      .option("compression", if (gzip) "gzip" else "none")
+      .option("compression", resolveCodec(df.sparkSession, codec))
       .text(dir)
 
-  /** Read JSONL under `path` (glob ok, `.gz` transparent) with the
-    * caller's schema. Malformed lines become all-null rows here
+  /** Read JSONL under `path` (glob ok, `.gz`/`.zst` transparent) with
+    * the caller's schema. Malformed lines become all-null rows here
     * (PERMISSIVE); use [[readWithQuarantine]] when they must be kept.
     */
-  def readCorpus(spark: SparkSession, path: String, schema: StructType): DataFrame =
+  def readCorpus(spark: SparkSession, path: String, schema: StructType): DataFrame = {
+    ensureZstdReadable(spark)
     spark.read.schema(schema).json(path)
+  }
 
-  /** Read with a quarantine side-channel: returns `(good, quarantined)`
-    * where `good` has exactly `schema`'s columns (rows that parsed) and
-    * `quarantined` is `(raw)` — the verbatim text of every line that
-    * did not. The split is computed from ONE read (the corrupt-record
-    * column rides the same pass; Spark requires the frame be persisted
-    * before the corrupt column is filtered alone — the caller gets both
-    * frames already split and should unpersist `good` when done, as the
-    * two share the cached parse).
+  /** A quarantine read in flight: `good` has exactly the caller's
+    * schema columns (rows that parsed), `quarantined` is `(raw)` — the
+    * verbatim text of every line that did not. Both frames derive from
+    * ONE persisted parse (`raw`); call [[release]] once both have been
+    * consumed. (Returning the persisted frame is the r13-advice fix:
+    * the old tuple API told callers to `good.unpersist()`, which is a
+    * no-op — Dataset.unpersist only matches the exact persisted plan —
+    * so the corpus-sized cache could never actually be dropped.)
+    */
+  final case class QuarantineRead(good: DataFrame, quarantined: DataFrame, raw: DataFrame) {
+    def release(): Unit = raw.unpersist(blocking = false)
+  }
+
+  /** Read with a quarantine side-channel. The split is computed from
+    * ONE read: the corrupt-record column rides the same parse, and
+    * Spark requires the frame be persisted before the corrupt column is
+    * filtered alone — the persisted parse is exposed on the returned
+    * [[QuarantineRead]] so the caller can actually release it.
     */
   def readWithQuarantine(
       spark: SparkSession,
       path: String,
-      schema: StructType): (DataFrame, DataFrame) = {
+      schema: StructType): QuarantineRead = {
     require(!schema.fieldNames.contains("_corrupt"),
       "schema may not contain the reserved _corrupt column")
-    val withCorrupt = schema.add("_corrupt", StringType, nullable = true)
+    ensureZstdReadable(spark)
     val raw = spark.read
-      .schema(withCorrupt)
+      .schema(schema.add("_corrupt", StringType, nullable = true))
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt")
       .json(path)
@@ -70,6 +117,34 @@ object Jsonl {
     val good = raw.filter(col("_corrupt").isNull).drop("_corrupt")
     val bad = raw.filter(col("_corrupt").isNotNull)
       .select(col("_corrupt").as("raw"))
-    (good, bad)
+    QuarantineRead(good, bad, raw)
   }
+
+  /** Streaming twin of [[readWithQuarantine]]: a file-stream JSONL read
+    * carrying the `_corrupt` column, so a `foreachBatch` (or two
+    * filtered sinks) performs the same good/quarantine split per
+    * micro-batch — batch==stream parity for the last batch-only source
+    * (StreamingSuite pins it). No persist here: streaming plans cannot
+    * cache, so the caller splits with [[splitQuarantine]] INSIDE the
+    * batch where both halves share the scan.
+    */
+  def readCorpusStream(spark: SparkSession, path: String, schema: StructType): DataFrame = {
+    require(!schema.fieldNames.contains("_corrupt"),
+      "schema may not contain the reserved _corrupt column")
+    ensureZstdReadable(spark)
+    spark.readStream
+      .schema(schema.add("_corrupt", StringType, nullable = true))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .json(path)
+  }
+
+  /** Split a `_corrupt`-carrying frame (one [[readCorpusStream]]
+    * micro-batch, typically) into the same `(good, quarantined)` shapes
+    * [[readWithQuarantine]] returns. Pure projection — no persist, no
+    * shuffle.
+    */
+  def splitQuarantine(withCorrupt: DataFrame): (DataFrame, DataFrame) = (
+    withCorrupt.filter(col("_corrupt").isNull).drop("_corrupt"),
+    withCorrupt.filter(col("_corrupt").isNotNull).select(col("_corrupt").as("raw")))
 }

@@ -375,11 +375,11 @@ class DocsSuite extends SparkSpec {
     assert(pipeline.Sampling.rangeShards(z.filter(col("zkey").isNotNull), "zkey", 8)
       .select("shard_id").distinct().count() >= 2)
     val dir = java.nio.file.Files.createTempDirectory("docs-jsonl").toString + "/c"
-    graft.sources.Jsonl.writeCorpus(small, dir, gzip = true)
-    val (good, bad) = graft.sources.Jsonl.readWithQuarantine(spark, dir, small.schema)
+    graft.sources.Jsonl.writeCorpus(small, dir, codec = "gzip")
+    val qr = graft.sources.Jsonl.readWithQuarantine(spark, dir, small.schema)
     try {
-      assert(good.count() === small.count() && bad.count() === 0)
-    } finally good.unpersist(blocking = false)
+      assert(qr.good.count() === small.count() && qr.quarantined.count() === 0)
+    } finally qr.release()
     val queries = small.limit(3)
       .select(col("doc_id").as("query_id"),
         array_join(slice(pipeline.TextFunctions.tokens(col("text")), 1, 5), " ")

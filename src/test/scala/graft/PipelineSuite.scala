@@ -1021,6 +1021,16 @@ class PipelineSuite extends SparkSpec {
     // a-major sort has mean |Δb| ~ (15 jumps of 15 + in-group 1s) ≈ 1.9;
     // the z-curve stays ~1.4 and never strands one dimension
     assert(meanJumpB < 1.6, s"z-curve b-locality degraded: $meanJumpB")
+    // bits is capped at 31 (bit 31 of b would land in the long sign bit
+    // and invert the curve — r13 advice); the max key stays non-negative
+    val maxKey = Seq(((1L << 31) - 1, (1L << 31) - 1)).toDF("a", "b")
+      .select(Sampling.zorderKey(col("a"), col("b"), 31).as("z"))
+      .head().getLong(0)
+    assert(maxKey === (1L << 62) - 1 && maxKey > 0L, s"31-bit max key wrong: $maxKey")
+    val err = intercept[IllegalArgumentException] {
+      Sampling.zorderKey(col("a"), col("b"), 32)
+    }
+    assert(err.getMessage.contains("sign bit"))
   }
 
   test("hardNegatives: positives excluded, survivors re-ranked, multi-positive support") {
@@ -1083,7 +1093,7 @@ class PipelineSuite extends SparkSpec {
     assert(m(4L) === ((0L, 0L, "und", 0L)), s"got ${m(4L)}")
   }
 
-  test("JSONL source: quarantine splits malformed lines, gzip round-trips, schema restores nulls") {
+  test("JSONL source: quarantine splits malformed lines, gzip+zstd round-trip, schema restores nulls") {
     val s = spark
     import s.implicits._
     import graft.sources.Jsonl
@@ -1100,22 +1110,35 @@ class PipelineSuite extends SparkSpec {
         |{"doc_id":3,"text":"trunca
         |not json at all
         |""".stripMargin)
-    val (good, bad) = Jsonl.readWithQuarantine(s, dir, schema)
+    val qr = Jsonl.readWithQuarantine(s, dir, schema)
     try {
-      val g = good.collect().map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1)))
+      val g = qr.good.collect().map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1)))
       assert(g.toSet === Set((1L, "with \"quotes\" and\nnewline"), (2L, null)))
-      val b = bad.collect().map(_.getString(0))
+      val b = qr.quarantined.collect().map(_.getString(0))
       assert(b.length === 2 && b.exists(_.contains("trunca")) && b.contains("not json at all"))
-    } finally good.unpersist(blocking = false)
-    // gzip write -> read round trip preserves every row and escape
+      // the handle releases the ACTUAL persisted parse (r13 advice: the
+      // old good.unpersist() contract was a silent no-op and leaked one
+      // full-corpus cache per read)
+      assert(qr.raw.storageLevel.useMemory, "raw parse should be persisted")
+      qr.release()
+      assert(!qr.raw.storageLevel.useMemory, "release() must drop the cached parse")
+    } finally qr.release()
+    // gzip + zstd write -> read round trips preserve every row and escape
     val docs = Seq((1L, "tab\there"), (2L, null.asInstanceOf[String]), (3L, "plain"))
       .toDF("doc_id", "text")
-    val outDir = java.nio.file.Files.createTempDirectory("jsonl").toString + "/gz"
-    Jsonl.writeCorpus(docs, outDir, gzip = true)
-    assert(new java.io.File(outDir).listFiles().exists(_.getName.endsWith(".gz")))
-    val back = Jsonl.readCorpus(s, outDir, docs.schema)
-      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1))).toSet
-    assert(back === Set((1L, "tab\there"), (2L, null), (3L, "plain")))
+    for ((codec, ext) <- Seq("gzip" -> ".gz", "zstd" -> ".zst")) {
+      val outDir = java.nio.file.Files.createTempDirectory("jsonl").toString + "/c"
+      Jsonl.writeCorpus(docs, outDir, codec = codec)
+      assert(new java.io.File(outDir).listFiles().exists(_.getName.endsWith(ext)),
+        s"no $ext shard written for codec $codec")
+      val back = Jsonl.readCorpus(s, outDir, docs.schema)
+        .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1))).toSet
+      assert(back === Set((1L, "tab\there"), (2L, null), (3L, "plain")), s"codec $codec")
+    }
+    val badCodec = intercept[IllegalArgumentException] {
+      Jsonl.writeCorpus(docs, dir + "/nope", codec = "lz4")
+    }
+    assert(badCodec.getMessage.contains("codec"))
     // reserved column fails loud
     val e = intercept[IllegalArgumentException] {
       Jsonl.readWithQuarantine(s, dir, schema.add("_corrupt", StringType))
