@@ -133,6 +133,7 @@ object SparkEntry {
     "p_bpe_train" -> (Queries.pBpeTrain _),
     "p_bpe_pack" -> (Queries.pBpePack _),
     "p_winnow" -> (Queries.pWinnow _),
+    "p_winnow_pairs" -> (Queries.pWinnowPairs _),
     "p_zipf" -> (Queries.pZipf _),
     "p_lang_mixture" -> (Queries.pLangMixture _),
     "p_zorder" -> (Queries.pZorder _),
@@ -1775,6 +1776,56 @@ object SparkEntry {
          |  CAST(coalesce(a.pos_sum, 0) AS BIGINT) AS pos_sum
          |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+    // winnowing partial-copy pairs: the p_winnow CTE chain over the
+    // enriched corpus (boilerplate on even ids — df-guard prey; a shared
+    // 12-token passage on %37==5 — genuine copies), then ALL-PAIRS
+    // fingerprint-set intersections with the df>50 guard. Equality with
+    // the impl's inverted-index join proves the pair proposal exhaustive.
+    "p_winnow_pairs" ->
+      s"""WITH enr AS (
+         |  SELECT doc_id,
+         |    coalesce(text, '')
+         |      || CASE WHEN doc_id % 2 = 0
+         |           THEN ' subscribe to our newsletter for daily updates and offers today'
+         |           ELSE '' END
+         |      || CASE WHEN doc_id % 37 = 5
+         |           THEN ' the quick brown fox jumps over the lazy dog near the river bank'
+         |           ELSE '' END AS text
+         |  FROM documents),
+         |toksw AS (
+         |  SELECT doc_id, $TOKS AS t FROM enr WHERE len($TOKS) >= 3),
+         |gr AS (
+         |  SELECT doc_id, CAST(i AS BIGINT) AS gpos,
+         |    list_reduce(
+         |      list_prepend(CAST(2166136261 AS BIGINT),
+         |        list_transform(range(1, length(gs)+1),
+         |          c -> CAST(unicode(substr(gs, CAST(c AS INT), 1)) AS BIGINT))),
+         |      (acc, cp) -> (xor(acc, cp) * 16777619) % 4294967296) AS h
+         |  FROM (
+         |    SELECT doc_id, i,
+         |      array_to_string(t[CAST(i+1 AS INT):CAST(i+3 AS INT)], ' ') AS gs
+         |    FROM toksw, LATERAL (SELECT unnest(range(0, greatest(len(t) - 2, 0))) AS i)
+         |  )),
+         |gl AS (SELECT doc_id, count(*) AS ng FROM gr GROUP BY 1),
+         |wins AS (
+         |  SELECT doc_id, CAST(unnest(range(0, greatest(ng - 3, 1))) AS BIGINT) AS s
+         |  FROM gl WHERE ng >= 1),
+         |wm AS (
+         |  SELECT w.doc_id, w.s, min(g.h) AS mh
+         |  FROM wins w JOIN gr g
+         |    ON g.doc_id = w.doc_id AND g.gpos BETWEEN w.s AND w.s + 3
+         |  GROUP BY 1, 2),
+         |fpset AS (SELECT DISTINCT doc_id, mh AS fp FROM wm),
+         |dfreq AS (SELECT fp, count(*) AS df FROM fpset GROUP BY 1),
+         |kept AS (
+         |  SELECT f.doc_id, f.fp FROM fpset f JOIN dfreq d USING (fp)
+         |  WHERE d.df <= 50)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(count(*) AS BIGINT) AS n_shared
+         |FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2
+         |HAVING count(*) >= 2
+         |ORDER BY doc_a, doc_b""".stripMargin,
     // BPE merge candidates: vocabulary collapse, adjacent char pairs
     // weighted by word frequency, total-ordered top 30
     "p_bpe_pairs" ->

@@ -41,6 +41,13 @@ import TextFunctions.tokens
   */
 object Winnowing {
 
+  /** Default [[winnowOverlapPairs]] boilerplate guard: fingerprints in
+    * more than this many documents are dropped before the pair join
+    * unless the caller explicitly passes 0 (suite-pinned so the guard
+    * cannot silently regress to default-off).
+    */
+  val DefaultMaxDocFrequency: Long = 1000L
+
   /** The selected fingerprints, one row per distinct selection:
     * `(doc_id, pos, fp)` with `pos` the 0-based gram position and `fp`
     * the k-gram hash. Documents with fewer than `k` tokens (or null
@@ -112,7 +119,11 @@ object Winnowing {
     * self-join (the boilerplate-gram skew guard: a fingerprint in d
     * docs costs d² pair rows and carries no copy signal), the
     * fingerprint table persists across its two consumers, and the join
-    * hashes 8-byte keys.
+    * hashes 8-byte keys. The guard defaults ON at
+    * [[DefaultMaxDocFrequency]] (r13 advice: a partial-copy detector
+    * aimed at web corpora must not all-pair boilerplate by default — a
+    * shared footer fingerprint in 10⁶ docs is 10¹² pair rows); pass an
+    * explicit `0` to disable for corpora known boilerplate-free.
     */
   def winnowOverlapPairs(
       docs: DataFrame,
@@ -121,7 +132,7 @@ object Winnowing {
       k: Int,
       w: Int,
       minShared: Long = 1L,
-      maxDocFrequency: Long = 0L): DataFrame = {
+      maxDocFrequency: Long = DefaultMaxDocFrequency): DataFrame = {
     require(minShared > 0, s"minShared must be positive, got $minShared")
     val fpAll = winnowFingerprints(docs, idCol, textCol, k, w)
       .select(col("doc_id").as("id"), col("fp"))

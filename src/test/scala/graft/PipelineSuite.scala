@@ -1257,6 +1257,15 @@ class PipelineSuite extends SparkSpec {
       minShared = 1L, maxDocFrequency = 1L)
     try assert(guarded.count() === 0L)
     finally guarded.unpersist(blocking = false)
+    // the guard defaults ON (r13 advice: default-off all-pairs
+    // boilerplate at web scale) — pinned so it cannot regress to 0, and
+    // an explicit 0 still disables it: same corpus, guard off, the
+    // shared-line pair(s) the df=1 guard killed above come back
+    assert(Winnowing.DefaultMaxDocFrequency === 1000L)
+    val unguarded = Winnowing.winnowOverlapPairs(boiler, "doc_id", "text", k, w,
+      minShared = 1L, maxDocFrequency = 0L)
+    try assert(unguarded.count() >= 1L)
+    finally unguarded.unpersist(blocking = false)
     // and no cartesian anywhere in the pair plan
     val probe = Winnowing.winnowOverlapPairs(docs, "doc_id", "text", k, w)
     try {
