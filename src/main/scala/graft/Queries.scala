@@ -1672,6 +1672,60 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** The mojibake snippet the `p_fix_encoding` gate appends to %3==1
+    * docs: the CP1252-in-UTF-8 corruption of a fixture covering every
+    * repair family — 2-byte Latin-1 originals ("cafÃ©", "Ã€Ã‡Ã–ÃŸ",
+    * "Â«guillemetsÂ»"), 3-byte smart punctuation ("â€œsmartâ€"
+    * incl. the CP1252-undefined 0x9D byte as a C1 control, "â€™",
+    * "â‚¬"), and 2-byte CP1252-specials ("Å koda" for Š, "Å½iÅ¾ka" for
+    * Ž/ž) — plus an UNcorrupted decomposed " étude" tail so the
+    * downstream NFC pass has real composition work AFTER the repair
+    * (the repair→NFC chain is the ingest composition order this gate
+    * pins). [[graft.pipeline.TextFunctions.MojibakeRepairs]] round-trips
+    * the corrupted part back to the clean fixture exactly.
+    */
+  private[graft] val MojiSnippet: String =
+    " caf\u00C3\u00A9 na\u00C3\u00AFve \u00E2\u20AC\u0153smart\u00E2\u20AC" +
+      "\u009D quotes \u00E2\u20AC\u02DCtick\u00E2\u20AC\u2122 \u00E2\u20AC" +
+      "\u201C dash \u00E2\u20AC\u201D em\u00E2\u20AC\u00A6 \u00E2\u201A\u00AC5 " +
+      "\u00E2\u201E\u00A2 \u00C5\u2019uvre \u00C5\u00A0koda \u00C5\u00BDi\u00C5" +
+      "\u00BEka d\u00C3\u00A9j\u00C3\u00A0 vu \u00C3\u20AC\u00C3\u2021\u00C3" +
+      "\u2013\u00C3\u0178 \u00C2\u00ABguillemets\u00C2\u00BB \u00C2\u00BD\u00C2" +
+      "\u00BE e\u0301tude"
+
+  /** Encoding repair + NFC composition ([[TF.fixEncoding]] →
+    * [[TF.nfcNormalize]] — the ingest chain order): %3==1 docs get the
+    * [[MojiSnippet]] appended; the operator repairs the CP1252-in-UTF-8
+    * damage through the fixed 123-entry replace chain, then NFC
+    * composes what repair (deliberately) leaves decomposed. The oracle
+    * replays the ENTIRE chain — every replace literal in order (C1
+    * control bytes spliced via chr()) and DuckDB's independent
+    * nfc_normalize — pinning repair semantics, chain order, and the
+    * repair-before-NFC composition in one gate. Map-side; zero shuffle;
+    * the repaired column evaluates once behind Opaque (the zorder
+    * project-collapse lesson: a 123-replace chain must not inline into
+    * each of its three consumers).
+    */
+  def pFixEncoding(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.graft.GraftExpressions.opaque
+    val raw = when(pmod(col("doc_id"), lit(3)) === 1,
+      concat(coalesce(col("text"), lit("")), lit(MojiSnippet)))
+      .otherwise(col("text"))
+    documents(spark, sfDir)
+      .select(col("doc_id"), raw.as("raw"))
+      .select(col("doc_id"), col("raw"),
+        opaque(TF.fixEncoding(col("raw"))).as("fixed"))
+      .select(col("doc_id"), col("raw"), col("fixed"),
+        TF.nfcNormalize(col("fixed")).as("clean"))
+      .select(
+        col("doc_id"),
+        coalesce(col("clean"), lit("")).as("text_clean"),
+        coalesce(length(col("raw")), lit(-1L)).cast("long").as("raw_chars"),
+        coalesce(length(col("fixed")), lit(-1L)).cast("long").as("fixed_chars"),
+        coalesce(length(col("clean")), lit(-1L)).cast("long").as("clean_chars"))
+      .orderBy("doc_id")
+  }
+
   /** Corpus snapshot diff ([[Dedup.corpusDiff]]): two deterministic
     * snapshots of the documents table — the old one missing %7==2 docs
     * and carrying a ' v1' suffix on %5==1 docs, the new one missing

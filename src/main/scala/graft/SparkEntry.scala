@@ -116,6 +116,7 @@ object SparkEntry {
     "p_ingest_pipeline" -> (Queries.pIngestPipeline _),
     "p_corpus_diff" -> (Queries.pCorpusDiff _),
     "p_nfc_normalize" -> (Queries.pNfcNormalize _),
+    "p_fix_encoding" -> (Queries.pFixEncoding _),
     "p_dup_provenance" -> (Queries.pDupProvenance _),
     "p_sample_k_per_group" -> (Queries.pSampleKPerGroup _),
     "p_seq_pack" -> (Queries.pSeqPack _),
@@ -159,6 +160,34 @@ object SparkEntry {
 
   private val EN = "['the','and','of','to','in','is','a','that','it','for']"
   private val TOKS = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+
+  /** A DuckDB string-literal expression for `s`: printable runs as
+    * quoted literals (single quotes doubled), control characters —
+    * the C1 bytes the mojibake repair table carries — spliced via
+    * `chr(n)` so the oracle SQL stays robust to any transport that
+    * mangles raw control bytes.
+    */
+  private def sqlLit(s: String): String = {
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    val run = new StringBuilder
+    def flush(): Unit =
+      if (run.nonEmpty) { parts += "'" + run.result().replace("'", "''") + "'"; run.clear() }
+    s.foreach { c =>
+      if (c >= 0x20 && c != 0x7F && !(c >= 0x80 && c <= 0x9F)) run.append(c)
+      else { flush(); parts += s"chr(${c.toInt})" }
+    }
+    flush()
+    if (parts.isEmpty) "''" else parts.mkString(" || ")
+  }
+
+  /** The [[graft.pipeline.TextFunctions.MojibakeRepairs]] chain as
+    * nested SQL `replace` calls over `inner` — the oracle replays the
+    * exact 123-entry repair sequence the Spark operator folds.
+    */
+  private def mojiChainSql(inner: String): String =
+    graft.pipeline.TextFunctions.MojibakeRepairs.foldLeft(inner) {
+      case (acc, (moji, fixed)) => s"replace($acc, ${sqlLit(moji)}, ${sqlLit(fixed)})"
+    }
 
   // Shared DSIR estimator chain (expects `rawd`/`tgtd` CTEs with
   // (doc_id, tk) in scope): bigram features, add-one smoothing over the
@@ -2564,6 +2593,26 @@ object SparkEntry {
         |  nfc_normalize(text) AS text_nfc,
         |  CAST(length(nfc_normalize(text)) AS BIGINT) AS len_nfc
         |FROM enr ORDER BY doc_id""".stripMargin,
+    // encoding repair -> NFC (the ingest chain order): the full
+    // 123-entry CP1252-in-UTF-8 replace chain replayed literal by
+    // literal (C1 bytes via chr()), then DuckDB's independent
+    // nfc_normalize composes the deliberately-uncorrupted decomposed
+    // tail — repair semantics, chain order, AND the repair-before-NFC
+    // composition pinned in one gate
+    "p_fix_encoding" ->
+      s"""WITH raw AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 3 = 1
+         |      THEN coalesce(text, '') || ${sqlLit(Queries.MojiSnippet)}
+         |      ELSE text END AS raw
+         |  FROM documents),
+         |f AS (SELECT doc_id, raw, ${mojiChainSql("raw")} AS fixed FROM raw)
+         |SELECT doc_id,
+         |  coalesce(nfc_normalize(fixed), '') AS text_clean,
+         |  CAST(coalesce(length(raw), -1) AS BIGINT) AS raw_chars,
+         |  CAST(coalesce(length(fixed), -1) AS BIGINT) AS fixed_chars,
+         |  CAST(coalesce(length(nfc_normalize(fixed)), -1) AS BIGINT) AS clean_chars
+         |FROM f ORDER BY doc_id""".stripMargin,
     // corpus diff: full-outer classification over normalized text —
     // added/removed/changed/unchanged all present by construction
     "p_corpus_diff" ->

@@ -184,6 +184,169 @@ object TextFunctions {
       else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
     }
 
+
+  /** CP1252-in-UTF-8 mojibake repair table: `(mojibake, repaired)`
+    * pairs, longest pattern first then lexicographic — a FIXED,
+    * deterministic replace chain (the cross-engine contract; the
+    * `p_fix_encoding` oracle replays the same chain in SQL). Covers the
+    * two dominant real-corpus defects an ftfy-style pass repairs:
+    *
+    *  - Latin-1 supplement originals (U+00A0..U+00FF — all Western
+    *    accented letters and punctuation): UTF-8 is `C2/C3 xx`, so a
+    *    CP1252 mis-decode renders `Â·`/`Ã©`-style 2-char sequences;
+    *  - CP1252's own smart-punctuation row (curly quotes, dashes,
+    *    ellipsis, €, ™, Œ/œ, Š/š, Ž/ž, Ÿ, ƒ, ˆ, ˜): 2- or 3-byte UTF-8
+    *    rendering as `â€™`/`â‚¬`-style sequences, including the bytes
+    *    CP1252 leaves undefined (81/8D/8F/90/9D), which lenient
+    *    decoders (Java's windows-1252, WHATWG, ftfy's sloppy-cp1252)
+    *    pass through as C1 controls — e.g. the famous `â€\u009D` for a
+    *    closing curly quote.
+    *
+    * One repair layer per pass (doubly-encoded text repairs its outer
+    * layer; run twice to peel two — rare enough in practice that the
+    * operator stays a single deterministic chain rather than a
+    * converge-loop whose iteration count an oracle cannot replay).
+    */
+  val MojibakeRepairs: Seq[(String, String)] = Seq(
+    ("\u00E2\u201A\u00AC", "\u20AC"),
+    ("\u00E2\u201E\u00A2", "\u2122"),
+    ("\u00E2\u20AC\u009D", "\u201D"),
+    ("\u00E2\u20AC\u00A0", "\u2020"),
+    ("\u00E2\u20AC\u00A1", "\u2021"),
+    ("\u00E2\u20AC\u00A2", "\u2022"),
+    ("\u00E2\u20AC\u00A6", "\u2026"),
+    ("\u00E2\u20AC\u00B0", "\u2030"),
+    ("\u00E2\u20AC\u00B9", "\u2039"),
+    ("\u00E2\u20AC\u00BA", "\u203A"),
+    ("\u00E2\u20AC\u0153", "\u201C"),
+    ("\u00E2\u20AC\u0161", "\u201A"),
+    ("\u00E2\u20AC\u017E", "\u201E"),
+    ("\u00E2\u20AC\u02DC", "\u2018"),
+    ("\u00E2\u20AC\u201C", "\u2013"),
+    ("\u00E2\u20AC\u201D", "\u2014"),
+    ("\u00E2\u20AC\u2122", "\u2019"),
+    ("\u00C2\u00A0", "\u00A0"),
+    ("\u00C2\u00A1", "\u00A1"),
+    ("\u00C2\u00A2", "\u00A2"),
+    ("\u00C2\u00A3", "\u00A3"),
+    ("\u00C2\u00A4", "\u00A4"),
+    ("\u00C2\u00A5", "\u00A5"),
+    ("\u00C2\u00A6", "\u00A6"),
+    ("\u00C2\u00A7", "\u00A7"),
+    ("\u00C2\u00A8", "\u00A8"),
+    ("\u00C2\u00A9", "\u00A9"),
+    ("\u00C2\u00AA", "\u00AA"),
+    ("\u00C2\u00AB", "\u00AB"),
+    ("\u00C2\u00AC", "\u00AC"),
+    ("\u00C2\u00AD", "\u00AD"),
+    ("\u00C2\u00AE", "\u00AE"),
+    ("\u00C2\u00AF", "\u00AF"),
+    ("\u00C2\u00B0", "\u00B0"),
+    ("\u00C2\u00B1", "\u00B1"),
+    ("\u00C2\u00B2", "\u00B2"),
+    ("\u00C2\u00B3", "\u00B3"),
+    ("\u00C2\u00B4", "\u00B4"),
+    ("\u00C2\u00B5", "\u00B5"),
+    ("\u00C2\u00B6", "\u00B6"),
+    ("\u00C2\u00B7", "\u00B7"),
+    ("\u00C2\u00B8", "\u00B8"),
+    ("\u00C2\u00B9", "\u00B9"),
+    ("\u00C2\u00BA", "\u00BA"),
+    ("\u00C2\u00BB", "\u00BB"),
+    ("\u00C2\u00BC", "\u00BC"),
+    ("\u00C2\u00BD", "\u00BD"),
+    ("\u00C2\u00BE", "\u00BE"),
+    ("\u00C2\u00BF", "\u00BF"),
+    ("\u00C3\u0081", "\u00C1"),
+    ("\u00C3\u008D", "\u00CD"),
+    ("\u00C3\u008F", "\u00CF"),
+    ("\u00C3\u0090", "\u00D0"),
+    ("\u00C3\u009D", "\u00DD"),
+    ("\u00C3\u00A0", "\u00E0"),
+    ("\u00C3\u00A1", "\u00E1"),
+    ("\u00C3\u00A2", "\u00E2"),
+    ("\u00C3\u00A3", "\u00E3"),
+    ("\u00C3\u00A4", "\u00E4"),
+    ("\u00C3\u00A5", "\u00E5"),
+    ("\u00C3\u00A6", "\u00E6"),
+    ("\u00C3\u00A7", "\u00E7"),
+    ("\u00C3\u00A8", "\u00E8"),
+    ("\u00C3\u00A9", "\u00E9"),
+    ("\u00C3\u00AA", "\u00EA"),
+    ("\u00C3\u00AB", "\u00EB"),
+    ("\u00C3\u00AC", "\u00EC"),
+    ("\u00C3\u00AD", "\u00ED"),
+    ("\u00C3\u00AE", "\u00EE"),
+    ("\u00C3\u00AF", "\u00EF"),
+    ("\u00C3\u00B0", "\u00F0"),
+    ("\u00C3\u00B1", "\u00F1"),
+    ("\u00C3\u00B2", "\u00F2"),
+    ("\u00C3\u00B3", "\u00F3"),
+    ("\u00C3\u00B4", "\u00F4"),
+    ("\u00C3\u00B5", "\u00F5"),
+    ("\u00C3\u00B6", "\u00F6"),
+    ("\u00C3\u00B7", "\u00F7"),
+    ("\u00C3\u00B8", "\u00F8"),
+    ("\u00C3\u00B9", "\u00F9"),
+    ("\u00C3\u00BA", "\u00FA"),
+    ("\u00C3\u00BB", "\u00FB"),
+    ("\u00C3\u00BC", "\u00FC"),
+    ("\u00C3\u00BD", "\u00FD"),
+    ("\u00C3\u00BE", "\u00FE"),
+    ("\u00C3\u00BF", "\u00FF"),
+    ("\u00C3\u0152", "\u00CC"),
+    ("\u00C3\u0153", "\u00DC"),
+    ("\u00C3\u0160", "\u00CA"),
+    ("\u00C3\u0161", "\u00DA"),
+    ("\u00C3\u0178", "\u00DF"),
+    ("\u00C3\u017D", "\u00CE"),
+    ("\u00C3\u017E", "\u00DE"),
+    ("\u00C3\u0192", "\u00C3"),
+    ("\u00C3\u02C6", "\u00C8"),
+    ("\u00C3\u02DC", "\u00D8"),
+    ("\u00C3\u2013", "\u00D6"),
+    ("\u00C3\u2014", "\u00D7"),
+    ("\u00C3\u2018", "\u00D1"),
+    ("\u00C3\u2019", "\u00D2"),
+    ("\u00C3\u201A", "\u00C2"),
+    ("\u00C3\u201C", "\u00D3"),
+    ("\u00C3\u201D", "\u00D4"),
+    ("\u00C3\u201E", "\u00C4"),
+    ("\u00C3\u2020", "\u00C6"),
+    ("\u00C3\u2021", "\u00C7"),
+    ("\u00C3\u2022", "\u00D5"),
+    ("\u00C3\u2026", "\u00C5"),
+    ("\u00C3\u2030", "\u00C9"),
+    ("\u00C3\u2039", "\u00CB"),
+    ("\u00C3\u203A", "\u00DB"),
+    ("\u00C3\u20AC", "\u00C0"),
+    ("\u00C3\u2122", "\u00D9"),
+    ("\u00C5\u00A0", "\u0160"),
+    ("\u00C5\u00A1", "\u0161"),
+    ("\u00C5\u00B8", "\u0178"),
+    ("\u00C5\u00BD", "\u017D"),
+    ("\u00C5\u00BE", "\u017E"),
+    ("\u00C5\u2019", "\u0152"),
+    ("\u00C5\u201C", "\u0153"),
+    ("\u00C6\u2019", "\u0192"),
+    ("\u00CB\u0153", "\u02DC"),
+    ("\u00CB\u2020", "\u02C6"))
+
+  /** Encoding repair (mojibake fix) — the ftfy-style pass every real
+    * WET/crawl ingest runs BEFORE NFC normalization and hashing: text
+    * that went through a UTF-8 -> CP1252 mis-decode somewhere upstream
+    * ("cafÃ©", "donâ€™t", "â‚¬5") is mapped back to the intended
+    * characters by the fixed [[MojibakeRepairs]] chain. Pure Column
+    * fold of codegen'd `replace` calls — map-side, zero shuffle,
+    * streaming-safe. Sits upstream of [[nfcNormalize]] in the ingest
+    * composition: repair first, then canonical composition, then any
+    * fingerprint/dedup hashing.
+    */
+  def fixEncoding(text: Column): Column =
+    MojibakeRepairs.foldLeft(text) { case (acc, (moji, fixed)) =>
+      replace(acc, lit(moji), lit(fixed))
+    }
+
   /** zlib compression ratio `deflate(text).length / text.length` — the
     * classic redundancy signal (boilerplate, templated spam, and
     * keyword-stuffed pages compress far better than prose; Dolma/CCNet

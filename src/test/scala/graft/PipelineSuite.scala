@@ -1146,6 +1146,50 @@ class PipelineSuite extends SparkSpec {
     assert(e.getMessage.contains("_corrupt"))
   }
 
+  test("fixEncoding: mojibake round-trip, C1-control bytes, ASCII passthrough, NFC chain order") {
+    val s = spark
+    import s.implicits._
+    import graft.pipeline.TextFunctions
+    // the gate snippet minus the uncorrupted decomposed tail must
+    // repair EXACTLY to its clean source (covers 2-byte Latin-1,
+    // 3-byte smart punctuation incl. the CP1252-undefined 0x9D byte
+    // carried as a C1 control, and the C5-prefix specials)
+    val clean = " café naïve “smart” quotes ‘tick’ " +
+      "– dash — em… €5 ™ Œuvre Škoda " +
+      "Žižka déjà vu ÀÇÖß " +
+      "«guillemets» ½¾"
+    // MojiSnippet = corrupt(clean) + " e\u0301tude" (a DECOMPOSED
+    // 7-char tail, deliberately uncorrupted so the downstream NFC pass
+    // has composition work); drop it to get the corrupted fixture
+    val corrupted = Queries.MojiSnippet.substring(0, Queries.MojiSnippet.length - 7)
+    val df = Seq(
+      (1L, corrupted),
+      (2L, "plain ascii stays untouched"),
+      (3L, null.asInstanceOf[String]),
+      (4L, "don\u00E2\u20AC\u2122t \u00E2\u20AC\u0153mix\u00E2\u20AC\u009D")
+    ).toDF("id", "text")
+    val got = df.select(col("id"), TextFunctions.fixEncoding(col("text")).as("f"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(got(1L) === clean, s"round-trip failed:\n${got(1L)}\nvs\n$clean")
+    assert(got(2L) === "plain ascii stays untouched")
+    assert(got(3L) === null)
+    assert(got(4L) === "don\u2019t \u201Cmix\u201D")
+    // chain order: NFC AFTER repair composes what repair leaves
+    // decomposed (the ingest order the p_fix_encoding gate pins)
+    val tail = Seq((0L, "e\u0301tude")).toDF("id", "text")
+      .select(TextFunctions.nfcNormalize(
+        TextFunctions.fixEncoding(col("text"))).as("t"))
+      .head().getString(0)
+    assert(tail === "\u00E9tude")
+    assert(TextFunctions.MojibakeRepairs.size === 123)
+    // longest-first: no later (shorter) pattern is a prefix of an
+    // earlier pattern's remainder being skipped — the table is sorted
+    // (length desc, pattern) and every pattern is unique
+    val pats = TextFunctions.MojibakeRepairs.map(_._1)
+    assert(pats.distinct.size === pats.size)
+    assert(pats === pats.sortBy(p => (-p.length, p)))
+  }
+
   test("zipfStats: exact -1 slope on a 1/rank corpus, coverage arithmetic, tie order") {
     val s = spark
     import s.implicits._
