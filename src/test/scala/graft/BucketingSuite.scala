@@ -80,4 +80,34 @@ class BucketingSuite extends SparkSpec {
       s.sql(s"DROP TABLE IF EXISTS graft_o_bucketed_$tag")
     }
   }
+
+  test("q2_bucketed_write: the written tables join with no fact-side exchange, rows intact") {
+    val s = spark
+    val sfDir = "/root/testdata/sf0.001"
+    val tag = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    val prevAqe = s.conf.get("spark.sql.adaptive.enabled")
+    try {
+      s.conf.set("spark.sql.adaptive.enabled", "false")
+      // the bench row's own write path, end to end
+      val written = Queries.q2BucketedWrite(s, sfDir)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(written("lineitem") === Tables.lineitem(s, sfDir).count())
+      assert(written("orders") === Tables.orders(s, sfDir).count())
+      // and the tables it wrote carry the layout: joining them plans no
+      // exchange on either fact side (write -> read machine-checked as
+      // one chain, not two separate claims)
+      val j = s.table(s"graft_li_bw_$tag")
+        .join(s.table(s"graft_o_bw_$tag"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("cnt"))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(
+        !plan.contains("Exchange hashpartitioning(l_orderkey") &&
+          !plan.contains("Exchange hashpartitioning(o_orderkey"),
+        s"tables written by q2BucketedWrite still shuffle:\n$plan")
+    } finally {
+      s.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      s.sql(s"DROP TABLE IF EXISTS graft_li_bw_$tag")
+      s.sql(s"DROP TABLE IF EXISTS graft_o_bw_$tag")
+    }
+  }
 }
