@@ -1033,6 +1033,61 @@ class PipelineSuite extends SparkSpec {
     assert(err.getMessage.contains("sign bit"))
   }
 
+  test("hybridDenseTopK graded by rankMetrics: fused nDCG beats each single voice") {
+    val s = spark
+    import s.implicits._
+    import graft.pipeline.{Retrieval, Similarity}
+    // One query, two relevant docs, each visible to exactly ONE voice:
+    // doc 100 shares the query's terms (lexical finds it, dense does
+    // not — its vector is orthogonal); doc 101 is the nearest vector
+    // (dense finds it, lexical cannot — zero term overlap). Fusion must
+    // surface BOTH, so fused nDCG strictly beats either voice alone —
+    // the round's two flagship features grading each other, and a
+    // regression guard on the fusion seam.
+    val docs = Seq(
+      (100L, "alpha bravo charlie delta echo"),
+      (101L, "foxtrot golf hotel india juliet"),
+      (102L, "kilo lima mike november oscar"),
+      (103L, "papa quebec romeo sierra tango"),
+      (104L, "uniform victor whiskey xray yankee"),
+      (105L, "zulu nine eight seven six")
+    ).toDF("doc_id", "text")
+    val queries = Seq((0L, "alpha bravo charlie")).toDF("query_id", "qtext")
+    val vecCorpus = Seq(
+      (100L, Array(0.0, 1.0)),
+      (101L, Array(0.95, 0.05)),
+      (102L, Array(-1.0, 0.0)),
+      (103L, Array(0.0, -1.0)),
+      (104L, Array(-0.7, -0.7)),
+      (105L, Array(0.6, -0.8))
+    ).toDF("vec_id", "embedding")
+    val vecQueries = Seq((0L, Array(1.0, 0.0))).toDF("vec_id", "embedding")
+    val qrels = Seq((0L, 100L, 2.0), (0L, 101L, 1.0))
+      .toDF("query_id", "doc_id", "rel")
+    val k = 2
+    def ndcgAndHits(ranking: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val r = Retrieval.rankMetrics(ranking, qrels, k).head()
+      (r.getAs[Long]("ndcg_micro"), r.getAs[Long]("n_hits"))
+    }
+    val lex = Retrieval.bm25TopK(docs, "doc_id", "text", queries, "query_id", "qtext", k)
+    val (lexNdcg, lexHits) = ndcgAndHits(lex)
+    val dense = Similarity.ivfTopKSeeded(vecQueries, vecCorpus, "vec_id", "embedding",
+        k, numCentroids = 2, nprobe = 2)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("rank").cast("long").as("rnk"))
+    val (denseNdcg, denseHits) = ndcgAndHits(dense)
+    val fused = Retrieval.hybridDenseTopK(docs, "doc_id", "text",
+      queries, "query_id", "qtext", vecCorpus, "vec_id", "embedding", vecQueries,
+      k, numCentroids = 2, nprobe = 2)
+    val (fusedNdcg, fusedHits) = ndcgAndHits(fused.select("query_id", "doc_id", "rnk"))
+    fused.unpersist(blocking = false)
+    assert(lexHits === 1L, s"lexical voice should see only doc 100, hits=$lexHits")
+    assert(denseHits === 1L, s"dense voice should see only doc 101, hits=$denseHits")
+    assert(fusedHits === 2L, s"fusion should surface both relevant docs, hits=$fusedHits")
+    assert(fusedNdcg > lexNdcg && fusedNdcg > denseNdcg,
+      s"fused nDCG $fusedNdcg must beat lexical $lexNdcg and dense $denseNdcg")
+  }
+
   test("hardNegatives: positives excluded, survivors re-ranked, multi-positive support") {
     val s = spark
     import s.implicits._
