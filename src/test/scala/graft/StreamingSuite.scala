@@ -1030,4 +1030,52 @@ class StreamingSuite extends SparkSpec {
     assert(key2 === Seq((2L, "b", 0L, Some(100L), false),
       (2L, "B", 100L, Some(200L), false), (2L, "B2", 200L, None, true)))
   }
+  test("JSONL quarantine split is batch==stream (file stream, corrupt-record column)") {
+    val s = spark
+    import graft.sources.Jsonl
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val dir = java.nio.file.Files.createTempDirectory("jsonl_stream").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "shard0.jsonl"),
+      """{"doc_id":1,"text":"one"}
+        |{"doc_id":2}
+        |{"doc_id":3,"text":"trunca
+        |""".stripMargin)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "shard1.jsonl"),
+      """{"doc_id":4,"text":"four"}
+        |not json at all
+        |""".stripMargin)
+    // batch twin
+    val qr = Jsonl.readWithQuarantine(s, dir, schema)
+    val (batchGood, batchBad) =
+      try (qr.good.collect().map(_.toSeq).toSet,
+        qr.quarantined.collect().map(_.toSeq).toSet)
+      finally qr.release()
+    // stream: the same split per micro-batch via splitQuarantine inside
+    // foreachBatch (persist the batch first — filtering the corrupt
+    // column alone from a lazily-parsed JSON scan requires it, the same
+    // Spark rule the batch path persists for)
+    val goodAcc = scala.collection.mutable.Set.empty[Seq[Any]]
+    val badAcc = scala.collection.mutable.Set.empty[Seq[Any]]
+    val q = Jsonl.readCorpusStream(s, dir, schema)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.persist()
+        try {
+          val (g, b) = Jsonl.splitQuarantine(batch)
+          goodAcc ++= g.collect().map(_.toSeq)
+          badAcc ++= b.collect().map(_.toSeq)
+          ()
+        } finally { batch.unpersist(blocking = false); () }
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination(60000) finally q.stop()
+    assert(goodAcc.toSet === batchGood, "streamed good rows == batch good rows")
+    assert(badAcc.toSet === batchBad, "streamed quarantine == batch quarantine")
+    assert(badAcc.size === 2)
+  }
 }
