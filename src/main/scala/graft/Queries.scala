@@ -1760,6 +1760,25 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Map-side curriculum bucketing ([[Sampling.curriculumByCuts]]): the
+    * scale variant of `p_curriculum` — fixed ascending score cuts stand
+    * in for the approxQuantile output a 100 TB caller would precompute,
+    * and every row buckets by comparison with the LCG shuffle key
+    * attached; no window, no sort, no shuffle in the operator. The
+    * oracle re-derives the rounded quality score, the three cut
+    * comparisons, and the LCG arithmetic. Cuts are interior quantiles
+    * of the sf-family score distribution so all four buckets carry
+    * rows at every test SF.
+    */
+  def pCurriculumCuts(spark: SparkSession, sfDir: String): DataFrame = {
+    val scored = documents(spark, sfDir).select(
+      col("doc_id"),
+      TF.qualityScore(col("text"), TF.LangStopwords.head._2).as("q"))
+    Sampling.curriculumByCuts(scored, "q", "doc_id", Seq(0.4, 0.5, 0.6))
+      .select("doc_id", "bucket", "shuffle_key")
+      .orderBy("doc_id")
+  }
+
   /** WARC source/sink round trip ([[graft.sources.Warc]]): the corpus is
     * written as WARC response records (one file per partition, the
     * CommonCrawl container format), read back through the streaming

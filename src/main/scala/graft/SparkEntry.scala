@@ -108,6 +108,7 @@ object SparkEntry {
     "p_warc_roundtrip" -> (Queries.pWarcRoundtrip _),
     "p_jsonl_roundtrip" -> (Queries.pJsonlRoundtrip _),
     "p_curriculum" -> (Queries.pCurriculum _),
+    "p_curriculum_cuts" -> (Queries.pCurriculumCuts _),
     "p_embedding_quantize" -> (Queries.pEmbeddingQuantize _),
     "p_embedding_cov" -> (Queries.pEmbeddingCov _),
     "p_embedding_pca" -> (Queries.pEmbeddingPca _),
@@ -2693,6 +2694,26 @@ object SparkEntry {
          |SELECT doc_id, bucket,
          |  CAST(row_number() OVER (PARTITION BY bucket ORDER BY lcg, doc_id) - 1 AS BIGINT) AS pos_in_bucket
          |FROM b ORDER BY doc_id""".stripMargin,
+    // map-side curriculum: bucket = count of fixed ascending cuts below
+    // the rounded quality score (no window — the 100 TB shape), plus the
+    // LCG shuffle key re-derived
+    "p_curriculum_cuts" ->
+      s"""WITH s AS (
+         |  SELECT doc_id,
+         |    round(
+         |      least(len($TOKS) / 100.0, 1.0) * 0.5
+         |      + (len(list_distinct($TOKS)) * 1.0 / len($TOKS)) * 0.3
+         |      + least((len(list_filter($TOKS, t -> list_contains($EN, t))) * 1.0 / len($TOKS)) * 4.0, 1.0) * 0.2,
+         |      6) AS q
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(
+         |    (CASE WHEN q > 0.4 THEN 1 ELSE 0 END)
+         |    + (CASE WHEN q > 0.5 THEN 1 ELSE 0 END)
+         |    + (CASE WHEN q > 0.6 THEN 1 ELSE 0 END) AS BIGINT) AS bucket,
+         |  ((((doc_id % 4294967296) * 1103515245 + 12345) % 4294967296)
+         |    + 4294967296) % 4294967296 AS shuffle_key
+         |FROM s ORDER BY doc_id""".stripMargin,
     // WARC round trip: writer bytes -> streaming parser -> per-URL
     // stats; the oracle derives the same stats from the documents table
     // directly, so framing + header/body split + UTF-8 are all pinned

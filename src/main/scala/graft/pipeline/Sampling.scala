@@ -226,6 +226,36 @@ object Sampling {
       .withColumn("pos_in_bucket", (row_number().over(wb) - 1).cast("long"))
   }
 
+  /** The 100 TB curriculum shape [[curriculumOrder]]'s scaladoc
+    * promises, shipped (r14): bucket by COMPARISON against
+    * caller-precomputed ascending score cuts (from `approxQuantile` or
+    * a sample — a driver-sized Seq), entirely map-side: no window, no
+    * shuffle, no global sort anywhere in the operator. Returns the
+    * input plus `bucket` (= number of cuts strictly below the score,
+    * so `cuts.size + 1` buckets; null scores land in bucket 0 with the
+    * lowest) and `shuffle_key` (the within-bucket LCG position).
+    * Sorting or [[rangeShards]]-sharding by `(bucket, shuffle_key, id)`
+    * lays the corpus easy→hard with the same decorrelated within-bucket
+    * order [[curriculumOrder]] produces — that exact-ntile variant
+    * remains the oracle-able contract these cuts converge to as the
+    * quantile estimate tightens, and `p_curriculum_cuts` pins THIS
+    * operator's arithmetic (bucket comparisons + LCG) independently.
+    */
+  def curriculumByCuts(
+      df: DataFrame,
+      scoreCol: String,
+      idCol: String,
+      cuts: Seq[Double]): DataFrame = {
+    require(cuts.nonEmpty, "cuts must be non-empty")
+    require(cuts == cuts.sorted && cuts.distinct == cuts,
+      s"cuts must be strictly ascending, got $cuts")
+    val bucket = cuts.foldLeft(lit(0L)) { (acc, c) =>
+      acc + when(col(scoreCol) > lit(c), 1L).otherwise(0L)
+    }
+    df.withColumn("bucket", bucket)
+      .withColumn("shuffle_key", lcgBucket(col(idCol)))
+  }
+
   /** Exactly `min(k, |group|)` ids per group, deterministically
     * pseudo-uniform: rows rank by `(lcgBucket(id), id)` and the k
     * smallest win. Rate-based samplers ([[hashSample]]) only hit k IN

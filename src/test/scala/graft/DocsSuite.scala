@@ -358,6 +358,11 @@ class DocsSuite extends SparkSpec {
 
   test("pipeline-ops: copy-detection / diagnostics / layout / interchange snippets run") {
     val small = docs.limit(100)
+    // text-analysis page: the repair -> NFC ingest chain
+    val cleaned = small.select(
+      pipeline.TextFunctions.nfcNormalize(
+        pipeline.TextFunctions.fixEncoding(col("text"))).as("text"))
+    assert(cleaned.count() === small.count())
     val fps = pipeline.Winnowing.winnowFingerprints(small, "doc_id", "text", 3, 4)
     assert(fps.count() > 0)
     val pairs = pipeline.Winnowing.winnowOverlapPairs(small, "doc_id", "text", 3, 4,

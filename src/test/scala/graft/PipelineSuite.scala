@@ -1201,6 +1201,33 @@ class PipelineSuite extends SparkSpec {
     assert(e.getMessage.contains("_corrupt"))
   }
 
+  test("curriculumByCuts: comparison buckets match ntile on clean quartiles, map-side plan") {
+    val s = spark
+    import s.implicits._
+    // scores 1..16: cuts at the exact quartile boundaries make the
+    // comparison buckets equal curriculumOrder's ntile(4) buckets — the
+    // convergence contract the scaladoc states
+    val df = (1 to 16).map(i => (i.toLong, i.toDouble)).toDF("id", "score")
+    val byCuts = Sampling.curriculumByCuts(df, "score", "id", Seq(4.0, 8.0, 12.0))
+    val exact = Sampling.curriculumOrder(df, "score", "id", 4)
+    val a = byCuts.select("id", "bucket").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = exact.select("id", "bucket").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a === b)
+    // the shuffle key is the shared LCG; null scores sink to bucket 0
+    val withNull = Seq((1L, Some(5.0)), (2L, None: Option[Double])).toDF("id", "score")
+    val n = Sampling.curriculumByCuts(withNull, "score", "id", Seq(4.0))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(n(2L) === 0L)
+    // 100 TB shape: no window, no shuffle anywhere in the operator
+    val plan = byCuts.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Window"),
+      s"curriculumByCuts must stay map-side:\n$plan")
+    val err = intercept[IllegalArgumentException] {
+      Sampling.curriculumByCuts(df, "score", "id", Seq(8.0, 4.0))
+    }
+    assert(err.getMessage.contains("ascending"))
+  }
+
   test("fixEncoding: mojibake round-trip, C1-control bytes, ASCII passthrough, NFC chain order") {
     val s = spark
     import s.implicits._
