@@ -234,7 +234,7 @@ object Bench {
     // Round 14: r13's last line was the full ~10 KB per-query row and the
     // driver's tail-buffer capture truncated it mid-object ("parsed": null
     // for the third round running). The full row still goes to stdout for
-    // human eyes, but the FINAL line is now a compact (<500 byte) summary
+    // human eyes, but the FINAL line is now a compact (<1 KB) summary
     // that survives any tail capture; the per-query medians live in the
     // sidecar (and the full stdout line above the summary).
     spark.stop()

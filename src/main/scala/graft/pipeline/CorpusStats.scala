@@ -323,7 +323,7 @@ object CorpusStats {
     * Ranking does NOT globally sort or window the vocabulary: rank =
     * (# words with higher freq) + row_number within the word's own freq
     * group, where the cumulative side is a window over DISTINCT
-    * FREQUENCY VALUES (O(√corpus) rows by Zipf itself) and — the r13
+    * FREQUENCY VALUES (O(√corpus) rows by Zipf itself) and — the r14
     * hardening — the tie-break window only ever SEES words whose
     * frequency class STARTS inside the head (`n_above < max(maxRank,
     * coverageKs.max)`): a class beginning beyond the head cannot rank
