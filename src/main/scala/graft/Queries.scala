@@ -1230,7 +1230,7 @@ object Queries {
   }
 
   /** Winnowing partial-copy pairs ([[graft.pipeline.Winnowing
-    * .winnowOverlapPairs]], k=3 w=4, minShared=2, maxDocFrequency=50):
+    * .winnowOverlapPairs]], k=5 w=4, minShared=2, maxDocFrequency=50):
     * the actual copy DETECTOR over the fingerprints `p_winnow` pins.
     * Enrichment plants both behaviors: every even doc gets one shared
     * boilerplate sentence (fingerprint df ≈ half the corpus — the df
@@ -1241,10 +1241,23 @@ object Queries {
     * intersections from the `p_winnow` CTE chain plus the df filter —
     * equality proves the inverted-index pair proposal EXHAUSTIVE (the
     * `p_image_neardup` playbook, closing the r13 judge's "pair stage
-    * has no oracle" gap).
+    * has no oracle" gap). k=5 (not p_winnow's 3) is the gate's cost
+    * knob against the fixture, not operator semantics: the synthetic
+    * ~31-word vocabulary makes the average TRIGRAM document frequency
+    * sit right at the guard boundary at sf0.1 (≈50 — the p_contrastive
+    * artifact), exploding the pair join ~10×; 31⁵ possible 5-grams
+    * spread the organic df back to production shape while the planted
+    * 12-token passage (≥ w+k−1 = 8 tokens) still guarantees shared
+    * fingerprints.
     */
   def pWinnowPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    val d = documents(spark, sfDir).withColumn("text",
+    // the sf parquet fixtures are ONE row group = ONE scan task (the
+    // skewBenchSides lesson); fingerprinting is the expensive per-row
+    // stage, so spread it across the cores a real multi-file corpus
+    // would get for free
+    val spread = documents(spark, sfDir)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+    val d = spread.withColumn("text",
       concat(coalesce(col("text"), lit("")),
         when(pmod(col("doc_id"), lit(2)) === 0,
           lit(" subscribe to our newsletter for daily updates and offers today"))
@@ -1253,7 +1266,7 @@ object Queries {
           lit(" the quick brown fox jumps over the lazy dog near the river bank"))
           .otherwise(lit(""))))
     graft.pipeline.Winnowing
-      .winnowOverlapPairs(d, "doc_id", "text", 3, 4, minShared = 2L, maxDocFrequency = 50L)
+      .winnowOverlapPairs(d, "doc_id", "text", 5, 4, minShared = 2L, maxDocFrequency = 50L)
       .orderBy("doc_a", "doc_b")
   }
 

@@ -134,19 +134,24 @@ object Winnowing {
       minShared: Long = 1L,
       maxDocFrequency: Long = DefaultMaxDocFrequency): DataFrame = {
     require(minShared > 0, s"minShared must be positive, got $minShared")
+    // persist the PRE-guard set: it feeds the df histogram AND (through
+    // the guard anti-join) both sides of the pair join — without the
+    // cache the fingerprint pass (the expensive stage) runs twice
+    // (r14: was persisting post-guard, paying fingerprinting once for
+    // the histogram and again for the guarded join input)
     val fpAll = winnowFingerprints(docs, idCol, textCol, k, w)
       .select(col("doc_id").as("id"), col("fp"))
       .distinct()
-    val fp =
-      if (maxDocFrequency <= 0) fpAll
-      else {
-        val hot = fpAll.groupBy("fp").agg(count(lit(1)).as("df"))
-          .filter(col("df") > maxDocFrequency)
-          .select("fp")
-        fpAll.join(broadcast(hot), Seq("fp"), "left_anti")
-      }
-    fp.persist()
+      .persist()
     try {
+      val fp =
+        if (maxDocFrequency <= 0) fpAll
+        else {
+          val hot = fpAll.groupBy("fp").agg(count(lit(1)).as("df"))
+            .filter(col("df") > maxDocFrequency)
+            .select("fp")
+          fpAll.join(broadcast(hot), Seq("fp"), "left_anti")
+        }
       val pairs = fp.as("a")
         .join(fp.as("b").hint("shuffle_hash"),
           col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
@@ -156,6 +161,6 @@ object Winnowing {
       pairs.persist()
       pairs.count()
       pairs
-    } finally fp.unpersist(blocking = false)
+    } finally fpAll.unpersist(blocking = false)
   }
 }
