@@ -16,6 +16,15 @@ import org.apache.spark.sql.SparkSession
   * nothing leaks across repeats or queries (round-2's leaked
   * shingle/signature caches inflated every late-alphabet query 2-4x).
   *
+  * Measurement semantics (round 14): each run materializes the query's
+  * exact physical plan via `queryExecution.toRdd.count()`. The previous
+  * `df.count()` re-optimized with the count as root, letting Catalyst
+  * prune unused columns and eliminate left-join-to-keyed-aggregate
+  * subtrees entirely — p_winnow's "measurement" had optimized down to a
+  * bare doc_id scan. Numbers from r13 and earlier under-measure such
+  * queries; within-round comparisons (and the ml_* fits, whose work
+  * happens inside the query builder) are unaffected.
+  *
   * The full result (plus per-rep times and before/after loadavg) is also
   * written to `SPARK_GRAFT_BENCH_OUT` (default `bench_out.json`), because
   * the driver's stdout-tail capture truncated the medians out of the r6/r7
@@ -139,7 +148,8 @@ object Bench {
     Seq("q1_pricing_summary", "q3_running_qty_window", "ml_dummy_mean", "p_ngram_jaccard")
       .foreach { name =>
         SparkEntry.queries.get(name).foreach { fn =>
-          try fn(spark, sfDir).count() catch { case _: Throwable => }
+          try fn(spark, sfDir).queryExecution.toRdd.count()
+          catch { case _: Throwable => }
         }
       }
     spark.catalog.clearCache()
@@ -155,7 +165,15 @@ object Bench {
       overrides.foreach { case (k, v) => spark.conf.set(k, v) }
       def runOnce(): Double = {
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).count()
+        // Materialize the query's EXACT physical plan (r14): `.count()`
+        // re-optimizes with the count as the root, letting Catalyst
+        // prune every unused column and even eliminate whole
+        // join+explode subtrees — p_winnow's count() optimized to a
+        // bare doc_id scan (0.1 s) while the fingerprint stage it
+        // claims to measure costs ~15 s on the one-row-group fixture.
+        // toRdd executes the plan as the gate runs it (all columns,
+        // all operators); the row pull is the same count.
+        try fn(spark, sfDir).queryExecution.toRdd.count()
         catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: $e")

@@ -1212,7 +1212,11 @@ object Queries {
     * fewer than k tokens keep an all-zero row on both sides.
     */
   def pWinnow(spark: SparkSession, sfDir: String): DataFrame = {
+    // spread the one-row-group fixture scan (see pWinnowPairs): the
+    // per-row fingerprint stage is the cost, and a real corpus arrives
+    // in enough files to parallelize it
     val d = documents(spark, sfDir)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
     val fps = graft.pipeline.Winnowing.winnowFingerprints(d, "doc_id", "text", 3, 4)
     val agg = fps.groupBy("doc_id").agg(
       count(lit(1)).as("n_fp"),
@@ -1724,7 +1728,10 @@ object Queries {
     val raw = when(pmod(col("doc_id"), lit(3)) === 1,
       concat(coalesce(col("text"), lit("")), lit(MojiSnippet)))
       .otherwise(col("text"))
+    // spread the one-row-group fixture scan (the pWinnowPairs lesson):
+    // the 123-replace repair chain is the per-row cost
     documents(spark, sfDir)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), raw.as("raw"))
       .select(col("doc_id"), col("raw"),
         opaque(TF.fixEncoding(col("raw"))).as("fixed"))

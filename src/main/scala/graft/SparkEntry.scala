@@ -1774,8 +1774,8 @@ object SparkEntry {
          |      (acc, cp) -> (xor(acc, cp) * 16777619) % 4294967296) AS h
          |  FROM (
          |    SELECT doc_id, i,
-         |      array_to_string(t[CAST(i+1 AS INT):CAST(i+5 AS INT)], ' ') AS gs
-         |    FROM toksw, LATERAL (SELECT unnest(range(0, greatest(len(t) - 4, 0))) AS i)
+         |      array_to_string(t[CAST(i+1 AS INT):CAST(i+3 AS INT)], ' ') AS gs
+         |    FROM toksw, LATERAL (SELECT unnest(range(0, greatest(len(t) - 2, 0))) AS i)
          |  )),
          |gl AS (SELECT doc_id, count(*) AS ng FROM gr GROUP BY 1),
          |wins AS (
