@@ -1010,7 +1010,12 @@ object Queries {
     * rule in SQL. Null-text docs keep a 0/0 row on both sides.
     */
   def pNovelty(spark: SparkSession, sfDir: String): DataFrame =
-    CorpusStats.noveltyScore(documents(spark, sfDir), "doc_id", "text", 3)
+    // spread the one-row-group fixture scan (the pWinnowPairs lesson):
+    // shingling is the per-row cost and computes once per consumer
+    CorpusStats.noveltyScore(
+      documents(spark, sfDir)
+        .repartition(spark.sparkContext.defaultParallelism, col("doc_id")),
+      "doc_id", "text", 3)
       .select(col("id").as("doc_id"), col("n_grams"), col("n_novel"))
       .orderBy("doc_id")
 
@@ -1025,6 +1030,7 @@ object Queries {
     */
   def pNoveltyIncr(spark: SparkSession, sfDir: String): DataFrame = {
     val d = documents(spark, sfDir)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
     val artifact = CorpusStats.shingleFirstOccurrence(
       d.filter(col("doc_id") < 250), "doc_id", "text", 3)
     CorpusStats.noveltyScoreIncremental(
@@ -2072,6 +2078,7 @@ object Queries {
     */
   private def dsirWeights(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = documents(spark, sfDir)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
     val target = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
     val raw = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
     graft.pipeline.ImportanceSampling

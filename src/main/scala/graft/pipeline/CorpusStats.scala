@@ -668,15 +668,31 @@ object CorpusStats {
       batchFirsts.join(artifact.select("s"), Seq("s"), "left_anti"))
   }
 
+  /** Novelty shingle identity = the 64-bit `shingle_hashes` key (r14).
+    * The string-shingle form (`TextFunctions.shingles`) paid the
+    * interpreted-HOF trap — the lambda re-evaluated the token split per
+    * array element, ~27 ms/doc at sf0.1 — while the dedup stack's
+    * codegen one-pass expression is ~100× cheaper and 8 bytes/key on
+    * the wire. Novelty only consumes shingle IDENTITY (distinct count
+    * per doc, corpus-wide min-id per shingle), so the hash swap leaves
+    * every count bit-identical short of a 64-bit collision — the same
+    * accepted risk as the MinHash/Jaccard pipelines, and why the
+    * string-replaying SQL oracles still pin these gates unchanged.
+    * Distinctness (`array_distinct` semantics) and the short-doc
+    * whole-sequence fallback are built into the expression.
+    */
   private def shingleBase(
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      n: Int): DataFrame =
+      n: Int): DataFrame = {
+    import org.apache.spark.sql.graft.ShingleHashesFn.shingle_hashes
     docs.select(
       col(idCol).as("id"),
-      when(col(textCol).isNotNull, TextFunctions.shingles(col(textCol), n))
+      when(col(textCol).isNotNull,
+        shingle_hashes(TextFunctions.tokens(col(textCol)), n))
         .as("arr"))
+  }
 
   private def explodeShingles(base: DataFrame): DataFrame =
     base.select(col("id"), explode(col("arr")).as("s"))

@@ -82,17 +82,22 @@ private[spark] final class WeightedQuantileBuffer(
     * over raw pairs, centroid-resolution once compressed.
     */
   def quantile(q: Double): Any = {
-    val data: Seq[(Double, Double)] =
-      if (isExact) pairs.toSeq
+    // ARRAY, not Seq: ArrayBuffer.toSeq materializes a List, and the
+    // positional scan below made every sorted(i) an O(i) node walk —
+    // O(n²) per eval, 83 s for a 240k-pair group (r14, surfaced the
+    // moment the bench stopped letting Catalyst prune the aggregate)
+    val sorted: Array[(Double, Double)] =
+      if (isExact) pairs.toArray.sortBy(_._1)
       else {
         if (pairs.nonEmpty) compress()
-        centroids.toSeq
+        centroids // pre-sorted
       }
-    if (data.isEmpty) return null
-    val sorted = if (isExact) data.sortBy(_._1) else data // centroids pre-sorted
-    val total = sorted.iterator.map(_._2).sum
-    var cum = 0.0
+    if (sorted.isEmpty) return null
+    var total = 0.0
     var i = 0
+    while (i < sorted.length) { total += sorted(i)._2; i += 1 }
+    var cum = 0.0
+    i = 0
     while (i < sorted.length) {
       cum += sorted(i)._2
       if (cum >= q * total) return sorted(i)._1

@@ -714,10 +714,10 @@ class CorpusOpsSuite extends SparkSpec {
     // day-over-day: extended artifact == a from-scratch rebuild
     val extended = CorpusStats
       .extendFirstOccurrence(artifact, batch, "doc_id", "text", 3)
-      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val rebuilt = CorpusStats
       .shingleFirstOccurrence(corpus.unionByName(batch), "doc_id", "text", 3)
-      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(extended === rebuilt)
   }
 
