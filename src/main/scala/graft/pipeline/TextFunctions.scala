@@ -113,8 +113,16 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     org.apache.spark.sql.graft.GraftExpressions.fnv1aFingerprint(text)
 
-  /** Word n-gram shingles (distinct), the unit set for Jaccard/MinHash.
-    * Pure expression: transform over an index sequence.
+  /** DISTINCT n-gram shingle STRINGS of `text`. PERF WARNING (r14):
+    * the transform lambda's `element_at(toks, …)` re-evaluates the
+    * regex split per array element — the interpreted-HOF trap, ~27
+    * ms/doc measured at sf0.1 — because a single-Column API has no way
+    * to let-bind the token array. Production pipelines should use the
+    * codegen `shingle_hashes` expression (8-byte keys, one pass — the
+    * dedup/novelty stacks all do) or materialize `tokens(text)` in its
+    * own projection first and build grams from the attribute (the
+    * [[Winnowing.winnowFingerprints]] shape). Kept for string-shingle
+    * callers where identity must stay human-readable.
     */
   def shingles(text: Column, n: Int): Column = {
     val toks = tokens(text)

@@ -75,7 +75,13 @@ object Winnowing {
       w: Int): DataFrame = {
     require(k > 0, s"k (gram width) must be positive, got $k")
     require(w > 0, s"w (window width) must be positive, got $w")
-    val toks = tokens(col(textCol))
+    // the token array materializes in its OWN projection (behind Opaque)
+    // before the gram lambda touches it: a lambda's element_at over the
+    // raw `tokens(text)` EXPRESSION re-evaluates the regex split per
+    // element — k x grams splits per document, the interpreted-HOF trap
+    // that cost novelty ~27 ms/doc (r14). As an attribute, each
+    // element_at is an O(1) array access and the split runs once per row.
+    val toks = col("__winnow_toks")
     val gramHashes = transform(
       sequence(lit(0), size(toks) - k),
       i => codePointFnv32(
@@ -99,7 +105,9 @@ object Winnowing {
         struct((s + rel).cast("long").as("pos"), m.as("fp"))
       })
     docs
-      .select(col(idCol).as("doc_id"), opaque(gramArr).as("g"))
+      .select(col(idCol).as("doc_id"),
+        opaque(tokens(col(textCol))).as("__winnow_toks"))
+      .select(col("doc_id"), opaque(gramArr).as("g"))
       .select(col("doc_id"),
         explode(array_distinct(when(size(g) >= 1, sel)
           .otherwise(array().cast("array<struct<pos:bigint,fp:bigint>>")))).as("s"))
