@@ -12,6 +12,16 @@ libraryDependencies ++= Seq(
 Test / fork := true
 Test / parallelExecution := false
 run / fork := true
+// The driver parses the LAST stdout line of `sbt "runMain graft.Bench"`
+// as JSON. sbt's default logger wraps forked-run output in "[info] "
+// and appends a "[success] Total time: ..." line after it — so the
+// literal last line was never JSON (BENCH_r11..r14 all read
+// parsed:null). StdoutOutput routes the forked JVM's stdout straight
+// through (no log decoration); showSuccess:=false drops the trailing
+// [success] line.
+Compile / run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys ++= Set(showSuccess)
 scalacOptions ++= Seq("-language:existentials", "-deprecation")
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
