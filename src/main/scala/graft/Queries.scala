@@ -1661,6 +1661,25 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Learned language-ID scoring dataflow ([[LangIdModel
+    * .scoreWithTable]]): 4-class hashed char-trigram multinomial scorer
+    * over LCG synthetic weights (256 buckets) — canonical token string,
+    * codepoint-FNV gram hashing, the exact-integer
+    * halfAway(wm·cnt/n_grams) per-class term arithmetic, per-class
+    * z_micro, and the declared-order argmax tie rule, ALL re-derived by
+    * the oracle in BIGINT SQL. Training is suite-pinned by accuracy
+    * bars (treeAggregate float sums aren't bit-stable — the tree-learner
+    * discipline); this gate pins the SERVING dataflow end to end.
+    */
+  def pLangidModel(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.pipeline.LangIdModel
+    val langs = TF.LangStopwords.map(_._1)
+    val (w, b) = LangIdModel.lcgTables(spark, langs, 256)
+    LangIdModel.scoreWithTable(
+        documents(spark, sfDir), "doc_id", "text", w, b, n = 3, numBuckets = 256)
+      .orderBy("doc_id", "lang")
+  }
+
   /** Corpus report ([[CorpusStats.corpusReport]]): the dataset-card
     * summary in long format. Every ingredient (token counts, exact-dup
     * normalization, quality score, langId) is individually gated; this
@@ -1707,26 +1726,57 @@ object Queries {
     * pins). [[graft.pipeline.TextFunctions.MojibakeRepairs]] round-trips
     * the corrupted part back to the clean fixture exactly.
     */
-  private[graft] val MojiSnippet: String =
+  private[graft] val MojiCorruptPart: String =
     " caf\u00C3\u00A9 na\u00C3\u00AFve \u00E2\u20AC\u0153smart\u00E2\u20AC" +
       "\u009D quotes \u00E2\u20AC\u02DCtick\u00E2\u20AC\u2122 \u00E2\u20AC" +
       "\u201C dash \u00E2\u20AC\u201D em\u00E2\u20AC\u00A6 \u00E2\u201A\u00AC5 " +
       "\u00E2\u201E\u00A2 \u00C5\u2019uvre \u00C5\u00A0koda \u00C5\u00BDi\u00C5" +
       "\u00BEka d\u00C3\u00A9j\u00C3\u00A0 vu \u00C3\u20AC\u00C3\u2021\u00C3" +
       "\u2013\u00C3\u0178 \u00C2\u00ABguillemets\u00C2\u00BB \u00C2\u00BD\u00C2" +
-      "\u00BE e\u0301tude"
+      "\u00BE"
+
+  private[graft] val MojiSnippet: String = MojiCorruptPart + " e\u0301tude"
+
+  /** CP1252-in-UTF-8 corruption (lenient/WHATWG convention: the five
+    * CP1252-undefined bytes pass through as C1 controls) \u2014 used to
+    * derive the DOUBLY-encoded gate fixture from the singly-encoded one
+    * so the two stay in exact lockstep by construction.
+    */
+  private def cp1252Corrupt(s: String): String = {
+    val specials = Map(
+      0x80 -> '\u20AC', 0x82 -> '\u201A', 0x83 -> '\u0192', 0x84 -> '\u201E',
+      0x85 -> '\u2026', 0x86 -> '\u2020', 0x87 -> '\u2021', 0x88 -> '\u02C6',
+      0x89 -> '\u2030', 0x8A -> '\u0160', 0x8B -> '\u2039', 0x8C -> '\u0152',
+      0x8E -> '\u017D', 0x91 -> '\u2018', 0x92 -> '\u2019', 0x93 -> '\u201C',
+      0x94 -> '\u201D', 0x95 -> '\u2022', 0x96 -> '\u2013', 0x97 -> '\u2014',
+      0x98 -> '\u02DC', 0x99 -> '\u2122', 0x9A -> '\u0161', 0x9B -> '\u203A',
+      0x9C -> '\u0153', 0x9E -> '\u017E', 0x9F -> '\u0178')
+    s.getBytes(java.nio.charset.StandardCharsets.UTF_8).map { b =>
+      val u = b & 0xFF
+      if (u < 0x80) u.toChar else specials.getOrElse(u, u.toChar)
+    }.mkString
+  }
+
+  /** The doubly-mis-decoded twin of [[MojiSnippet]] for the
+    * `p_fix_encoding2x` gate: the corrupted part run through ONE more
+    * CP1252-in-UTF-8 round ("caf\u00C3\u00A9" \u2192 "caf\u00C3\u0192\u00C2\u00A9"), the decomposed NFC
+    * tail still appended clean (a combining mark's corruption is not a
+    * CP1252 repair \u2014 layer depth only applies to the mojibake part).
+    */
+  private[graft] val MojiSnippet2x: String =
+    cp1252Corrupt(MojiCorruptPart) + " e\u0301tude"
 
   /** Encoding repair + NFC composition ([[TF.fixEncoding]] →
     * [[TF.nfcNormalize]] — the ingest chain order): %3==1 docs get the
     * [[MojiSnippet]] appended; the operator repairs the CP1252-in-UTF-8
-    * damage through the fixed 123-entry replace chain, then NFC
+    * damage through the fixed 128-entry replace chain, then NFC
     * composes what repair (deliberately) leaves decomposed. The oracle
     * replays the ENTIRE chain — every replace literal in order (C1
     * control bytes spliced via chr()) and DuckDB's independent
     * nfc_normalize — pinning repair semantics, chain order, and the
     * repair-before-NFC composition in one gate. Map-side; zero shuffle;
     * the repaired column evaluates once behind Opaque (the zorder
-    * project-collapse lesson: a 123-replace chain must not inline into
+    * project-collapse lesson: a 128-replace chain must not inline into
     * each of its three consumers).
     */
   def pFixEncoding(spark: SparkSession, sfDir: String): DataFrame = {
@@ -1735,7 +1785,7 @@ object Queries {
       concat(coalesce(col("text"), lit("")), lit(MojiSnippet)))
       .otherwise(col("text"))
     // spread the one-row-group fixture scan (the pWinnowPairs lesson):
-    // the 123-replace repair chain is the per-row cost
+    // the 128-replace repair chain is the per-row cost
     documents(spark, sfDir)
       .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), raw.as("raw"))
@@ -1749,6 +1799,36 @@ object Queries {
         coalesce(length(col("raw")), lit(-1L)).cast("long").as("raw_chars"),
         coalesce(length(col("fixed")), lit(-1L)).cast("long").as("fixed_chars"),
         coalesce(length(col("clean")), lit(-1L)).cast("long").as("clean_chars"))
+      .orderBy("doc_id")
+  }
+
+  /** Two-layer encoding repair ([[TF.fixEncoding2x]] →
+    * [[TF.nfcNormalize]]): %3==1 docs get the DOUBLY-encoded
+    * [[MojiSnippet2x]] ("cafÃƒÂ©"-class damage — two CP1252 round
+    * trips), %3==2 docs the singly-encoded [[MojiSnippet]] — so one
+    * gate pins BOTH that two passes peel two layers AND that the
+    * second pass is a no-op on single-layer text (the safe-default
+    * claim). The oracle replays the entire 128-replace chain TWICE,
+    * then DuckDB's independent nfc_normalize. Map-side, zero shuffle;
+    * the 256-replace fold evaluates once behind Opaque.
+    */
+  def pFixEncoding2x(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.graft.GraftExpressions.opaque
+    val raw = when(pmod(col("doc_id"), lit(3)) === 1,
+      concat(coalesce(col("text"), lit("")), lit(MojiSnippet2x)))
+      .when(pmod(col("doc_id"), lit(3)) === 2,
+        concat(coalesce(col("text"), lit("")), lit(MojiSnippet)))
+      .otherwise(col("text"))
+    documents(spark, sfDir)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), raw.as("raw"))
+      .select(col("doc_id"), col("raw"),
+        opaque(TF.fixEncoding2x(col("raw"))).as("fixed"))
+      .select(
+        col("doc_id"),
+        coalesce(TF.nfcNormalize(col("fixed")), lit("")).as("text_clean"),
+        coalesce(length(col("raw")), lit(-1L)).cast("long").as("raw_chars"),
+        coalesce(length(col("fixed")), lit(-1L)).cast("long").as("fixed_chars"))
       .orderBy("doc_id")
   }
 
@@ -1816,21 +1896,41 @@ object Queries {
     */
   def pWarcRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.sources.Warc
-    val dir = new java.io.File(
-      System.getProperty("java.io.tmpdir"),
-      s"graft_warc_gate_${math.abs(sfDir.hashCode)}")
-    if (dir.exists()) dir.listFiles().foreach(_.delete())
-    val docs = documents(spark, sfDir).select(
-      concat(lit("https://"), col("source"), lit(".example.com/doc/"), col("doc_id")).as("url"),
-      col("text"))
-    Warc.writeCorpus(docs, "url", "text", dir.getAbsolutePath)
-    Warc.readWarc(spark, dir.getAbsolutePath + "/*.warc")
-      .select(
-        col("url"),
-        length(Warc.httpBody(col("payload"))).cast("long").as("body_bytes"),
-        size(TF.tokens(decode(Warc.httpBody(col("payload")), "UTF-8")))
-          .cast("long").as("n_tokens"))
-      .orderBy("url")
+    // per-invocation unique dir (the fixed hash-keyed dir raced under
+    // two concurrent runs against the same sfDir, and
+    // math.abs(Int.MinValue) is negative), deleted before return — the
+    // returned frame is localized so no lineage points at the dir.
+    val dir = java.nio.file.Files.createTempDirectory("graft_warc_gate_").toFile
+    try {
+      val docs = documents(spark, sfDir).select(
+        concat(lit("https://"), col("source"), lit(".example.com/doc/"), col("doc_id")).as("url"),
+        col("text"))
+      Warc.writeCorpus(docs, "url", "text", dir.getAbsolutePath)
+      localized(spark, Warc.readWarc(spark, dir.getAbsolutePath + "/*.warc")
+        .select(
+          col("url"),
+          length(Warc.httpBody(col("payload"))).cast("long").as("body_bytes"),
+          size(TF.tokens(decode(Warc.httpBody(col("payload")), "UTF-8")))
+            .cast("long").as("n_tokens"))
+        .orderBy("url"))
+    } finally rmTree(dir)
+  }
+
+  /** Collect a SMALL gate result to driver-local rows and re-create the
+    * frame from them, severing all lineage to temp files the gate is
+    * about to delete. A persisted frame is NOT enough: cached-block
+    * loss (executor failure, cache clear) silently recomputes against
+    * the deleted files and dies with FileNotFoundException. Gate
+    * results are a few hundred rows of scalar stats — bounded by
+    * construction.
+    */
+  private def localized(spark: SparkSession, df: DataFrame): DataFrame = {
+    val rows = java.util.Arrays.asList(df.collect(): _*)
+    spark.createDataFrame(rows, df.schema)
+  }
+
+  private def rmTree(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(); ()
   }
 
   /** JSONL source/sink round trip ([[graft.sources.Jsonl]]): the corpus
@@ -1855,21 +1955,16 @@ object Queries {
       try {
         val nBad = qr.quarantined.count()
         require(nBad == 0L, s"self-written JSONL quarantined $nBad lines")
-        val out = qr.good.select(
+        // localized, not persisted: a cached frame's lineage still
+        // points at the temp dir the finally below deletes, and any
+        // cached-block loss would recompute against deleted files.
+        localized(spark, qr.good.select(
             col("doc_id"),
             coalesce(length(col("text")).cast("long"), lit(-1L)).as("text_chars"),
             col("lang"), col("source"))
-          .orderBy("doc_id")
-        out.persist()
-        out.count()
-        out
+          .orderBy("doc_id"))
       } finally qr.release()
-    } finally {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-      }
-      rm(dir)
-    }
+    } finally rmTree(dir)
   }
 
   /** Heavy trigrams by sketch-then-verify ([[CorpusStats.heavyTokens]]):

@@ -113,11 +113,13 @@ object SparkEntry {
     "p_embedding_cov" -> (Queries.pEmbeddingCov _),
     "p_embedding_pca" -> (Queries.pEmbeddingPca _),
     "p_quality_classifier" -> (Queries.pQualityClassifier _),
+    "p_langid_model" -> (Queries.pLangidModel _),
     "p_corpus_report" -> (Queries.pCorpusReport _),
     "p_ingest_pipeline" -> (Queries.pIngestPipeline _),
     "p_corpus_diff" -> (Queries.pCorpusDiff _),
     "p_nfc_normalize" -> (Queries.pNfcNormalize _),
     "p_fix_encoding" -> (Queries.pFixEncoding _),
+    "p_fix_encoding2x" -> (Queries.pFixEncoding2x _),
     "p_dup_provenance" -> (Queries.pDupProvenance _),
     "p_sample_k_per_group" -> (Queries.pSampleKPerGroup _),
     "p_seq_pack" -> (Queries.pSeqPack _),
@@ -182,13 +184,29 @@ object SparkEntry {
   }
 
   /** The [[graft.pipeline.TextFunctions.MojibakeRepairs]] chain as
-    * nested SQL `replace` calls over `inner` — the oracle replays the
-    * exact 123-entry repair sequence the Spark operator folds.
+    * staged SQL CTEs — the oracle replays the exact 128-entry repair
+    * sequence the Spark operator folds, `passes` times over. Staged
+    * because DuckDB's expression binder recurses at most 128 deep: the
+    * 128-replace chain (let alone the 256 of the 2x pass) cannot nest
+    * as ONE expression, so each CTE stage folds up to 64 replaces and
+    * chains to the next. Expects an upstream CTE `raw(doc_id, raw)`;
+    * emits `<prefix>1..<prefix>k` carrying `(doc_id, raw, t)` where the
+    * last stage's `t` is the fully repaired text. Returns
+    * `(cteClauses, lastCteName)`.
     */
-  private def mojiChainSql(inner: String): String =
-    graft.pipeline.TextFunctions.MojibakeRepairs.foldLeft(inner) {
-      case (acc, (moji, fixed)) => s"replace($acc, ${sqlLit(moji)}, ${sqlLit(fixed)})"
+  private def mojiChainCtes(prefix: String, passes: Int): (String, String) = {
+    val chunks = Seq.fill(passes)(
+      graft.pipeline.TextFunctions.MojibakeRepairs.grouped(64).toSeq).flatten
+    val clauses = chunks.zipWithIndex.map { case (chunk, i) =>
+      val src = if (i == 0) "raw" else s"$prefix$i"
+      val inner = if (i == 0) "raw" else "t"
+      val expr = chunk.foldLeft(inner) { case (acc, (moji, fixed)) =>
+        s"replace($acc, ${sqlLit(moji)}, ${sqlLit(fixed)})"
+      }
+      s"$prefix${i + 1} AS (SELECT doc_id, raw, $expr AS t FROM $src)"
     }
+    (clauses.mkString(",\n"), s"$prefix${chunks.size}")
+  }
 
   // Shared DSIR estimator chain (expects `rawd`/`tgtd` CTEs with
   // (doc_id, tk) in scope): bigram features, add-one smoothing over the
@@ -2525,6 +2543,67 @@ object SparkEntry {
         |    + exp(-(CAST(z_micro AS DOUBLE) / CAST(1000000 AS DOUBLE)))), 6)
         |    AS prob
         |FROM zz ORDER BY doc_id""".stripMargin,
+    // learned language-ID scoring dataflow: canonical token string ->
+    // char trigrams (short-text whole-string fallback) -> codepoint-FNV
+    // fold -> 256 buckets -> per-(bucket, class) LCG weights as integer
+    // micros -> exact-integer halfAway terms -> per-class z_micro ->
+    // declared-order argmax tie rule. Zero transcendentals: the winner
+    // is integer-exact.
+    "p_langid_model" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    array_to_string(regexp_split_to_array(lower(trim(text)), '\s+'), ' ') AS s
+        |  FROM documents WHERE text IS NOT NULL),
+        |g AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(s) <= 3 THEN [s]
+        |         ELSE list_transform(range(1, length(s) - 1),
+        |                i -> substr(s, CAST(i AS INT), 3)) END AS grams
+        |  FROM t),
+        |gr AS (
+        |  SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams,
+        |    unnest(grams) AS gram
+        |  FROM g),
+        |h AS (
+        |  SELECT doc_id, n_grams,
+        |    list_reduce(
+        |      list_prepend(CAST(2166136261 AS BIGINT),
+        |        list_transform(range(1, length(gram)+1),
+        |          c -> CAST(unicode(substr(gram, CAST(c AS INT), 1)) AS BIGINT))),
+        |      (acc, cp) -> (xor(acc, cp) * 16777619) % 4294967296) % 256 AS bucket
+        |  FROM gr),
+        |cnt AS (SELECT doc_id, n_grams, bucket, count(*) AS c FROM h GROUP BY 1, 2, 3),
+        |wt AS (
+        |  SELECT CAST(b AS BIGINT) AS bucket, CAST(k AS BIGINT) AS idx,
+        |    CAST(round(round(CAST(((b * 4 + k) * 1103515245 + 12345) % 4294967296 AS DOUBLE)
+        |        / CAST(4294967296 AS DOUBLE) * CAST(0.2 AS DOUBLE)
+        |      - CAST(0.1 AS DOUBLE), 6) * 1000000, 0) AS BIGINT) AS wm
+        |  FROM (SELECT unnest(range(0, 256)) AS b), (SELECT unnest(range(0, 4)) AS k)),
+        |bt AS (
+        |  SELECT CAST(k AS BIGINT) AS idx,
+        |    CAST(round(round(CAST(((1024 + k) * 1103515245 + 12345) % 4294967296 AS DOUBLE)
+        |        / CAST(4294967296 AS DOUBLE) * CAST(0.02 AS DOUBLE)
+        |      - CAST(0.01 AS DOUBLE), 6) * 1000000, 0) AS BIGINT) AS bm
+        |  FROM (SELECT unnest(range(0, 4)) AS k)),
+        |terms AS (
+        |  SELECT doc_id, n_grams, idx,
+        |    CAST(sign(wm * c) AS BIGINT)
+        |      * ((2 * abs(wm * c) + n_grams) // (2 * n_grams)) AS term_micro
+        |  FROM cnt JOIN wt USING (bucket)),
+        |zz AS (
+        |  SELECT doc_id, n_grams, idx,
+        |    CAST(bm + sum(term_micro) AS BIGINT) AS z_micro
+        |  FROM terms JOIN bt USING (idx)
+        |  GROUP BY doc_id, n_grams, idx, bm),
+        |best AS (
+        |  SELECT doc_id, first(idx ORDER BY z_micro DESC, idx ASC) AS bidx
+        |  FROM zz GROUP BY doc_id)
+        |SELECT zz.doc_id, zz.n_grams,
+        |  CASE zz.idx WHEN 0 THEN 'en' WHEN 1 THEN 'de' WHEN 2 THEN 'fr' ELSE 'es' END AS lang,
+        |  zz.z_micro,
+        |  zz.idx = best.bidx AS is_best
+        |FROM zz JOIN best USING (doc_id)
+        |ORDER BY doc_id, lang""".stripMargin,
     // composed crawl-ingest chain: the p_url_dedup canonicalization CTE
     // feeding min-id survivors, the p_gopher_filter integer rules (no
     // enrichment — organic violations only), one shared tokenizer
@@ -2595,7 +2674,7 @@ object SparkEntry {
         |  CAST(length(nfc_normalize(text)) AS BIGINT) AS len_nfc
         |FROM enr ORDER BY doc_id""".stripMargin,
     // encoding repair -> NFC (the ingest chain order): the full
-    // 123-entry CP1252-in-UTF-8 replace chain replayed literal by
+    // 128-entry CP1252-in-UTF-8 replace chain replayed literal by
     // literal (C1 bytes via chr()), then DuckDB's independent
     // nfc_normalize composes the deliberately-uncorrupted decomposed
     // tail — repair semantics, chain order, AND the repair-before-NFC
@@ -2607,12 +2686,33 @@ object SparkEntry {
          |      THEN coalesce(text, '') || ${sqlLit(Queries.MojiSnippet)}
          |      ELSE text END AS raw
          |  FROM documents),
-         |f AS (SELECT doc_id, raw, ${mojiChainSql("raw")} AS fixed FROM raw)
+         |${mojiChainCtes("m", passes = 1)._1},
+         |f AS (SELECT doc_id, raw, t AS fixed FROM ${mojiChainCtes("m", passes = 1)._2})
          |SELECT doc_id,
          |  coalesce(nfc_normalize(fixed), '') AS text_clean,
          |  CAST(coalesce(length(raw), -1) AS BIGINT) AS raw_chars,
          |  CAST(coalesce(length(fixed), -1) AS BIGINT) AS fixed_chars,
          |  CAST(coalesce(length(nfc_normalize(fixed)), -1) AS BIGINT) AS clean_chars
+         |FROM f ORDER BY doc_id""".stripMargin,
+    // two-layer encoding repair: the SAME 128-replace chain replayed
+    // TWICE over a corpus carrying doubly-encoded (%3==1), singly-
+    // encoded (%3==2), and clean docs — peeling depth AND single-layer
+    // idempotence pinned by one oracle
+    "p_fix_encoding2x" ->
+      s"""WITH raw AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 3 = 1
+         |      THEN coalesce(text, '') || ${sqlLit(Queries.MojiSnippet2x)}
+         |    WHEN doc_id % 3 = 2
+         |      THEN coalesce(text, '') || ${sqlLit(Queries.MojiSnippet)}
+         |      ELSE text END AS raw
+         |  FROM documents),
+         |${mojiChainCtes("m", passes = 2)._1},
+         |f AS (SELECT doc_id, raw, t AS fixed FROM ${mojiChainCtes("m", passes = 2)._2})
+         |SELECT doc_id,
+         |  coalesce(nfc_normalize(fixed), '') AS text_clean,
+         |  CAST(coalesce(length(raw), -1) AS BIGINT) AS raw_chars,
+         |  CAST(coalesce(length(fixed), -1) AS BIGINT) AS fixed_chars
          |FROM f ORDER BY doc_id""".stripMargin,
     // corpus diff: full-outer classification over normalized text —
     // added/removed/changed/unchanged all present by construction

@@ -639,6 +639,7 @@ object CorpusStats {
       idCol: String,
       textCol: String,
       n: Int): DataFrame = {
+    requireHashArtifact(artifact)
     val base = shingleBase(batch, idCol, textCol, n)
     val batchFirsts = explodeShingles(base)
       .groupBy("s").agg(min(col("id")).as("batch_first"))
@@ -662,6 +663,7 @@ object CorpusStats {
       idCol: String,
       textCol: String,
       n: Int): DataFrame = {
+    requireHashArtifact(artifact)
     val batchFirsts = explodeShingles(shingleBase(batch, idCol, textCol, n))
       .groupBy("s").agg(min(col("id")).as("first_id"))
     artifact.unionByName(
@@ -681,6 +683,22 @@ object CorpusStats {
     * Distinctness (`array_distinct` semantics) and the short-doc
     * whole-sequence fallback are built into the expression.
     */
+  /** Fail fast on a pre-r14 STRING-shingle [[shingleFirstOccurrence]]
+    * artifact: since the r14 hash swap the persisted `s` column is a
+    * 64-bit long, and feeding an old string artifact would silently
+    * type-coerce on the join/anti-join and treat EVERY stored shingle
+    * as unseen — the incremental novelty/extension would be quietly
+    * wrong instead of loudly incompatible.
+    */
+  private def requireHashArtifact(artifact: DataFrame): Unit = {
+    val sType = artifact.schema.apply("s").dataType
+    require(sType == org.apache.spark.sql.types.LongType,
+      s"shingleFirstOccurrence artifact column `s` must be LONG (64-bit " +
+        s"shingle hash, format since the hash-identity change), got $sType — " +
+        "a string-shingle artifact predates the format change; rebuild it " +
+        "with shingleFirstOccurrence on the current version")
+  }
+
   private def shingleBase(
       docs: DataFrame,
       idCol: String,

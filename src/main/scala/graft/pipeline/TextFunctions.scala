@@ -210,10 +210,15 @@ object TextFunctions {
     *    pass through as C1 controls — e.g. the famous `â€\u009D` for a
     *    closing curly quote.
     *
-    * One repair layer per pass (doubly-encoded text repairs its outer
-    * layer; run twice to peel two — rare enough in practice that the
-    * operator stays a single deterministic chain rather than a
-    * converge-loop whose iteration count an oracle cannot replay).
+    * One repair layer per pass — doubly-encoded text ("cafÃƒÂ©") peels
+    * its outer layer here and the rest on a second application:
+    * [[fixEncoding2x]] folds the chain twice for exactly that case. A
+    * converge-loop is deliberately NOT offered — its iteration count is
+    * data-dependent and an oracle cannot replay it. The five
+    * `Â`+C1-control entries (C2 81/8D/8F/90/9D) are what makes the
+    * second pass complete: double-encoding a CP1252-UNDEFINED byte's
+    * control-char rendering produces `Â`+control, which no other row
+    * covers (128 entries total).
     */
   val MojibakeRepairs: Seq[(String, String)] = Seq(
     ("\u00E2\u201A\u00AC", "\u20AC"),
@@ -233,6 +238,11 @@ object TextFunctions {
     ("\u00E2\u20AC\u201C", "\u2013"),
     ("\u00E2\u20AC\u201D", "\u2014"),
     ("\u00E2\u20AC\u2122", "\u2019"),
+    ("\u00C2\u0081", "\u0081"),
+    ("\u00C2\u008D", "\u008D"),
+    ("\u00C2\u008F", "\u008F"),
+    ("\u00C2\u0090", "\u0090"),
+    ("\u00C2\u009D", "\u009D"),
     ("\u00C2\u00A0", "\u00A0"),
     ("\u00C2\u00A1", "\u00A1"),
     ("\u00C2\u00A2", "\u00A2"),
@@ -354,6 +364,28 @@ object TextFunctions {
     MojibakeRepairs.foldLeft(text) { case (acc, (moji, fixed)) =>
       replace(acc, lit(moji), lit(fixed))
     }
+
+  /** Two-layer encoding repair: [[fixEncoding]] applied twice, for
+    * doubly-mis-decoded text ("cafÃƒÂ©" → "cafÃ©" → "café") — common in
+    * old crawls where a CP1252 round trip happened at both the origin
+    * and the archiver. Still a FIXED deterministic chain (the oracle
+    * replays the 128 replaces twice); on singly-corrupted or clean text
+    * the second pass is a no-op, so 2x is safe as the default ingest
+    * choice when layer depth is unknown (property-pinned at 50k random
+    * strings in MojibakePropertiesSuite).
+    *
+    * Adjacency caveat (both variants — the price of replace-chain
+    * semantics): when CLEAN text already contains a character that is
+    * the PREFIX of a repair pattern immediately followed by mojibake,
+    * an early repair's output can complete a later pattern within the
+    * same pass — e.g. a literal `Ã` directly before corrupted `â€“`
+    * becomes `Ã` + repaired `–`, which the `Ã–` row then rewrites to
+    * `Ö`. Mixed clean-mojibake ADJACENCY is inherently ambiguous byte
+    * evidence (ftfy faces the same call); the chain resolves it
+    * deterministically in chain order, and the oracle replays exactly
+    * that resolution.
+    */
+  def fixEncoding2x(text: Column): Column = fixEncoding(fixEncoding(text))
 
   /** zlib compression ratio `deflate(text).length / text.length` — the
     * classic redundancy signal (boilerplate, templated spam, and

@@ -52,11 +52,19 @@ object Jsonl {
     val ours = classOf[ZstdJniCodec].getName
     val cur = Option(conf.get(key)).map(_.trim).filter(_.nonEmpty)
     if (!cur.exists(_.contains(ours))) {
-      val base = cur.getOrElse(
-        "org.apache.hadoop.io.compress.DefaultCodec," +
-          "org.apache.hadoop.io.compress.GzipCodec," +
-          "org.apache.hadoop.io.compress.BZip2Codec")
-      conf.set(key, s"$base,$ours")
+      // Append to the EFFECTIVE codec list — whatever
+      // CompressionCodecFactory resolves right now (the ServiceLoader
+      // discovery when the key is unset, or the caller's own list) —
+      // never a hardcoded base: overwriting the key with a fixed trio
+      // silently broke extension resolution for every other discovered
+      // codec (.snappy, .lz4, cluster-installed) session-wide after the
+      // first zstd call. Ours goes LAST so it wins the ".zst" extension
+      // slot over Hadoop's native-lib ZStandardCodec (the factory keys
+      // by extension; later registrations overwrite earlier ones).
+      import scala.jdk.CollectionConverters._
+      val effective = org.apache.hadoop.io.compress.CompressionCodecFactory
+        .getCodecClasses(conf).asScala.map(_.getName).filterNot(_ == ours)
+      conf.set(key, (effective :+ ours).mkString(","))
     }
   }
 

@@ -60,15 +60,23 @@ object ZstdJniCodec {
 
   private final class ZstdCompressionOutputStream(raw: OutputStream)
       extends CompressionOutputStream(raw) {
+    // closeFrameOnFlush is construction-time-only in zstd-jni (changing
+    // it after the first write throws IllegalStateException), and it is
+    // the only way finish() can write the frame epilogue WITHOUT
+    // closing the raw stream — the Hadoop contract: a component may
+    // finish() and then close the raw stream itself, and the payload
+    // must be complete (the old flush-only finish() left a truncated
+    // frame that ZstdInputStream rejects with "Truncated source").
+    // Cost: every flush() ends the current frame and the next write
+    // starts a new one — concatenated frames decode transparently, and
+    // Spark's text writer only flushes at task end, so shards stay
+    // single-frame in practice.
     private val zout = new ZstdOutputStream(raw)
+    zout.setCloseFrameOnFlush(true)
     override def write(b: Int): Unit = zout.write(b)
     override def write(b: Array[Byte], off: Int, len: Int): Unit =
       zout.write(b, off, len)
     override def flush(): Unit = zout.flush()
-    // finish() must end the zstd frame without closing the raw stream;
-    // zstd-jni only writes the frame epilogue on close(), so buffer the
-    // distinction: close() (the path Spark's writer takes) closes the
-    // frame AND the file in one call.
     override def finish(): Unit = zout.flush()
     override def resetState(): Unit = ()
     override def close(): Unit = zout.close()

@@ -80,4 +80,32 @@ class MojibakePropertiesSuite extends AnyFunSuite {
       assert(corrupt(f) === m, s"$f does not corrupt back to its own pattern")
     }
   }
+
+  test("two passes peel two encoding layers; the second pass is a no-op on one layer") {
+    // the canonical doubly-encoded shape: café -> cafÃ© -> cafÃƒÂ©
+    val cafe = "café"
+    val twice = corrupt(corrupt(cafe))
+    assert(twice === "cafÃƒÂ©") // cafÃƒÂ©
+    assert(repair(repair(twice)) === cafe)
+    assert(repair(twice) !== cafe, "one pass must NOT fully repair two layers")
+    // C1-control case — the five CP1252-undefined bytes: a closing curly
+    // quote's second corruption goes through Â + C1 control, covered
+    // only by the C2+control rows added with fixEncoding2x
+    val quote = "”"
+    assert(repair(repair(corrupt(corrupt(quote)))) === quote)
+    var trials = 0
+    while (trials < 20000) {
+      val n = rng.nextInt(13)
+      val s = Array.fill(n)(alphabet(rng.nextInt(alphabet.length))).mkString
+      if (cleanOf(s)) {
+        trials += 1
+        val c2 = corrupt(corrupt(s))
+        assert(repair(repair(c2)) === s, s"2x round-trip failed for ${s.map(_.toInt)}")
+        // idempotence on single-layer input: pass 2 after a full repair
+        // changes nothing (the fixEncoding2x safe-default claim)
+        assert(repair(repair(corrupt(s))) === s,
+          s"second pass not a no-op on one layer for ${s.map(_.toInt)}")
+      }
+    }
+  }
 }

@@ -1263,7 +1263,7 @@ class PipelineSuite extends SparkSpec {
         TextFunctions.fixEncoding(col("text"))).as("t"))
       .head().getString(0)
     assert(tail === "\u00E9tude")
-    assert(TextFunctions.MojibakeRepairs.size === 123)
+    assert(TextFunctions.MojibakeRepairs.size === 128)
     // longest-first: no later (shorter) pattern is a prefix of an
     // earlier pattern's remainder being skipped — the table is sorted
     // (length desc, pattern) and every pattern is unique
