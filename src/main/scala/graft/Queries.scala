@@ -516,6 +516,53 @@ object Queries {
       .orderBy("c_custkey")
   }
 
+  /** Tier-2 PII redaction ([[TF.redactPii2]]): per-customer derived
+    * credit cards (15 body digits from custkey arithmetic + the Luhn
+    * check digit, plus a check+1 INVALID twin that must survive), IBANs
+    * (18-digit BBAN + ISO 7064 mod-97 check digits, plus an invalid
+    * twin), an SSN, and a tier-1 email — so one gate pins the checksum
+    * VALIDATORS (valid redacts, invalid stays), the fixture check-digit
+    * construction, and the tier-1 chain composition. The oracle
+    * re-derives every digit, both check digits, the candidate
+    * extraction, and the Luhn/mod-97 folds in integer SQL. Map-side,
+    * zero shuffle; the fixture text materializes once behind Opaque.
+    */
+  def pPiiRedaction2(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.graft.GraftExpressions.opaque
+    val k = col("c_custkey")
+    val body = (1 to 15).map(i => pmod(k * (i + 2), lit(10)))
+    val luhnSum = body.zipWithIndex.map { case (d, idx) =>
+      // left position i = idx+1; fromRight = 17-i even <=> i odd
+      if ((idx + 1) % 2 == 1) d * 2 - when(d >= 5, lit(9)).otherwise(lit(0))
+      else d
+    }.reduce(_ + _)
+    val check = pmod(lit(10) - pmod(luhnSum, lit(10)), lit(10))
+    val digits16 = body :+ check
+    val digits16Bad = body :+ pmod(check + 1, lit(10))
+    def grouped(ds: Seq[org.apache.spark.sql.Column]): org.apache.spark.sql.Column = concat_ws("-",
+      ds.grouped(4).map(g => concat(g.map(_.cast("string")): _*)).toSeq: _*)
+    val bban = (1 to 18).map(i => pmod(k * (i + 3) + 7, lit(10)))
+    // mod-97 of BBAN ++ "DE00" (D=13, E=14 -> digits 1,3,1,4,0,0)
+    val rem = (bban ++ Seq(1, 3, 1, 4, 0, 0).map(lit(_)))
+      .foldLeft(lit(0L)) { (acc, d) => pmod(acc * 10 + d, lit(97L)) }
+    val ibCheck = lit(98L) - rem
+    val bbanStr = concat(bban.map(_.cast("string")): _*)
+    def iban(chk: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      concat(lit("DE"), lpad(chk.cast("string"), 2, "0"), bbanStr)
+    val ssn = concat_ws("-",
+      (pmod(k, lit(900)) + 100).cast("string"),
+      (pmod(k, lit(90)) + 10).cast("string"),
+      (pmod(k, lit(9000)) + 1000).cast("string"))
+    val text = concat_ws(" ",
+      lit("acct"), grouped(digits16), lit("alt"), grouped(digits16Bad),
+      lit("iban"), iban(ibCheck), lit("old"), iban(ibCheck + 1),
+      lit("ssn"), ssn, lit("mail"), lit("ops@example.com"), col("c_mktsegment"))
+    customer(spark, sfDir)
+      .select(k, opaque(text).as("text"))
+      .select(col("c_custkey"), TF.redactPii2(col("text")).as("redacted"))
+      .orderBy("c_custkey")
+  }
+
   /** Top-5 TF-IDF terms per language ([[CorpusStats.tfidfTopTerms]]):
     * corpus-sized work collapses at the first map-side partial agg; df
     * join and top-k window run on vocabulary-sized data.
@@ -556,6 +603,31 @@ object Queries {
     Decontaminate
       .nearDupContaminationReport(train, "doc_id", "text", evalDocs,
         "eval_id", "text")
+      .orderBy("doc_id")
+  }
+
+  /** Semantic decontamination ([[Decontaminate
+    * .semanticContaminationReport]]): corpus = the embeddings table,
+    * eval = scaled copies (x1.1, identical direction) of every %25==0
+    * vector under fresh ids — guaranteed cosine-1.0 leaks whose LSH
+    * recall is exactly 1 (same signs under every hyperplane), the
+    * verified-LSH gate convention of `p_embedding_dedup_lsh`. The
+    * oracle is the EXACT cross-corpus cosine scan: every corpus x eval
+    * pair's dot product, 6dp snap, >= threshold, per-doc count + max,
+    * left join back to the full corpus. Organic cross pairs sit far
+    * below the 0.95 threshold at every test SF, so banding recall is 1
+    * on the whole report, not just the plants.
+    */
+  def pDecontaminateSemantic(spark: SparkSession, sfDir: String): DataFrame = {
+    val corpus = embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val evalSide = corpus.filter(col("vec_id") % 25 === 0)
+      .select(
+        (col("vec_id") + 1000000).as("eval_id"),
+        transform(col("embedding"), x => x * lit(1.1)).as("embedding"))
+    Decontaminate.semanticContaminationReport(
+        corpus, "vec_id", "embedding", evalSide, "eval_id", "embedding",
+        threshold = 0.95, dim = 64)
       .orderBy("doc_id")
   }
 

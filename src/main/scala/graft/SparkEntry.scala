@@ -143,6 +143,7 @@ object SparkEntry {
     "p_zorder" -> (Queries.pZorder _),
     "p_ngram_repetition" -> (Queries.pNgramRepetition _),
     "p_pii_redaction" -> (Queries.pPiiRedaction _),
+    "p_pii_redaction2" -> (Queries.pPiiRedaction2 _),
     "p_tfidf_top_terms" -> (Queries.pTfidfTopTerms _),
     "p_bm25" -> (Queries.pBm25 _),
     "p_bm25_indexed" -> (Queries.pBm25Indexed _),
@@ -156,6 +157,7 @@ object SparkEntry {
     "p_lm_score" -> (Queries.pLmScore _),
     "p_decontaminate" -> (Queries.pDecontaminate _),
     "p_decontaminate_neardup" -> (Queries.pNearDupDecontam _),
+    "p_decontaminate_semantic" -> (Queries.pDecontaminateSemantic _),
     "p_decontaminate_bcast" -> (Queries.pDecontaminateBcast _),
     "p_decontaminate_bloom" -> (Queries.pDecontaminateBloom _),
     "p_quality_filter" -> (Queries.pQualityFilter _)
@@ -181,6 +183,88 @@ object SparkEntry {
     }
     flush()
     if (parts.isEmpty) "''" else parts.mkString(" || ")
+  }
+
+  /** The `p_pii_redaction2` oracle, generated: the fixture's 15 CC body
+    * digits / Luhn check digit / 18 BBAN digits / mod-97 IBAN check
+    * digits re-derived in integer SQL, then the tier-1 regex chain, the
+    * SSN replace, and the checksum-VALIDATED candidate replacement
+    * (regexp_extract_all → list_filter with the Luhn / mod-97 folds →
+    * list_reduce literal replace) replayed over the same text.
+    */
+  private val piiRedaction2Sql: String = {
+    def d(i: Int) = s"CAST(c_custkey * ${i + 2} % 10 AS BIGINT)"
+    val luhnSum = (1 to 15).map { i =>
+      if (i % 2 == 1) s"(2 * ${d(i)} - CASE WHEN ${d(i)} >= 5 THEN 9 ELSE 0 END)"
+      else d(i)
+    }.mkString(" + ")
+    def grp(is: Seq[String]) = is.map(e => s"CAST($e AS VARCHAR)").mkString(" || ")
+    val g1 = grp((1 to 4).map(d)); val g2 = grp((5 to 8).map(d))
+    val g3 = grp((9 to 12).map(d))
+    val g4 = grp((13 to 15).map(d) :+ "chk")
+    val g4bad = grp((13 to 15).map(d) :+ "((chk + 1) % 10)")
+    def b(i: Int) = s"CAST((c_custkey * ${i + 3} + 7) % 10 AS BIGINT)"
+    val rem = ((1 to 18).map(b) ++ Seq("1", "3", "1", "4", "0", "0"))
+      .foldLeft("CAST(0 AS BIGINT)") { (acc, dd) => s"(($acc) * 10 + $dd) % 97" }
+    val bbanStr = grp((1 to 18).map(b))
+    // 16-digit candidates: digit at i (1-based), doubled when i odd
+    val luhnDigit =
+      "(unicode(substr(regexp_replace(c, '[^0-9]', '', 'g'), CAST(i AS INT), 1)) - 48)"
+    val luhnLambda =
+      s"""c -> list_sum(list_transform(range(1, 17),
+         |      i -> CASE WHEN i % 2 = 1
+         |        THEN 2 * $luhnDigit - CASE WHEN $luhnDigit >= 5 THEN 9 ELSE 0 END
+         |        ELSE $luhnDigit END)) % 10 = 0""".stripMargin
+    val ibanRearr = "substr(c, 5) || substr(c, 1, 4)"
+    val ibanLambda =
+      s"""c -> list_reduce(
+         |  list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(range(1, length(c) + 1),
+         |      i -> CAST(unicode(substr($ibanRearr, CAST(i AS INT), 1)) AS BIGINT))),
+         |  (acc, ch) -> CASE WHEN ch BETWEEN 48 AND 57
+         |    THEN (acc * 10 + ch - 48) % 97
+         |    ELSE (acc * 100 + ch - 55) % 97 END) = 1""".stripMargin
+    s"""WITH f AS (
+       |  SELECT c_custkey, c_mktsegment,
+       |    (10 - ($luhnSum) % 10) % 10 AS chk,
+       |    98 - ($rem) AS ibchk
+       |  FROM customer),
+       |built AS (
+       |  SELECT c_custkey,
+       |    'acct ' || $g1 || '-' || $g2 || '-' || $g3 || '-' || $g4
+       |      || ' alt ' || $g1 || '-' || $g2 || '-' || $g3 || '-' || $g4bad
+       |      || ' iban DE' || lpad(CAST(ibchk AS VARCHAR), 2, '0') || $bbanStr
+       |      || ' old DE' || lpad(CAST(ibchk + 1 AS VARCHAR), 2, '0') || $bbanStr
+       |      || ' ssn ' || CAST(c_custkey % 900 + 100 AS VARCHAR)
+       |      || '-' || CAST(c_custkey % 90 + 10 AS VARCHAR)
+       |      || '-' || CAST(c_custkey % 9000 + 1000 AS VARCHAR)
+       |      || ' mail ops@example.com ' || c_mktsegment AS text
+       |  FROM f),
+       |r1 AS (
+       |  SELECT c_custkey,
+       |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+       |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+       |      '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
+       |      '\\b\\d{2,4}[-. ]\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b', '<PHONE>', 'g'),
+       |      '\\b\\d{3}-\\d{2}-\\d{4}\\b', '<SSN>', 'g') AS t
+       |  FROM built),
+       |cc AS (
+       |  SELECT c_custkey,
+       |    list_reduce(
+       |      list_prepend(t, list_filter(
+       |        regexp_extract_all(t, '\\b\\d{4}[- ]\\d{4}[- ]\\d{4}[- ]\\d{4}\\b|\\b\\d{16}\\b'),
+       |        $luhnLambda)),
+       |      (acc, c) -> replace(acc, c, '<CC>')) AS t
+       |  FROM r1),
+       |ib AS (
+       |  SELECT c_custkey,
+       |    list_reduce(
+       |      list_prepend(t, list_filter(
+       |        regexp_extract_all(t, '\\b[A-Z]{2}\\d{2}[A-Z0-9]{11,30}\\b'),
+       |        $ibanLambda)),
+       |      (acc, c) -> replace(acc, c, '<IBAN>')) AS t
+       |  FROM cc)
+       |SELECT c_custkey, t AS redacted FROM ib ORDER BY c_custkey""".stripMargin
   }
 
   /** The [[graft.pipeline.TextFunctions.MojibakeRepairs]] chain as
@@ -3165,6 +3249,10 @@ object SparkEntry {
         |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
         |    '\b\d{2,4}[-. ]\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g') AS redacted
         |FROM t ORDER BY c_custkey""".stripMargin,
+    // tier-2 PII: fixture check digits (Luhn + ISO 7064 mod-97) AND the
+    // candidate-extraction + checksum-validated replacement replayed —
+    // valid cards/IBANs redact, the check+1 twins must survive
+    "p_pii_redaction2" -> piiRedaction2Sql,
     "p_tfidf_top_terms" ->
       """WITH toks AS (
         |  SELECT lang AS grp, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
@@ -3306,6 +3394,30 @@ object SparkEntry {
     // which holds for this corpus's planted dup structure). String
     // shingles here vs 64-bit shingle hashes there — agreement also
     // pins the hash path collision-free on this corpus.
+    // semantic decontamination: EXACT cross-corpus cosine oracle — every
+    // corpus x eval dot product (eval = x1.1-scaled %25 vectors under
+    // +1000000 ids), 6dp snap, threshold, per-doc count + max, left
+    // join to the full corpus (clean docs: 0 matches, null max)
+    "p_decontaminate_semantic" ->
+      """WITH corpus AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |ev AS (
+        |  SELECT vec_id + 1000000 AS eval_id,
+        |    list_transform(embedding::DOUBLE[], x -> x * 1.1) AS ev
+        |  FROM embeddings WHERE vec_id % 25 = 0),
+        |p AS (
+        |  SELECT c.vec_id AS doc_id, e.eval_id,
+        |    round(list_dot_product(c.v, e.ev) /
+        |      (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(e.ev, e.ev))), 6) AS cos
+        |  FROM corpus c, ev e),
+        |hits AS (
+        |  SELECT doc_id, count(*) AS n_eval_matches, max(cos) AS max_cos
+        |  FROM p WHERE cos >= 0.95 GROUP BY doc_id)
+        |SELECT c.vec_id AS doc_id,
+        |  coalesce(h.n_eval_matches, 0) AS n_eval_matches,
+        |  h.max_cos
+        |FROM corpus c LEFT JOIN hits h ON c.vec_id = h.doc_id
+        |ORDER BY doc_id""".stripMargin,
     "p_decontaminate_neardup" ->
       """WITH toks AS (
         |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t

@@ -328,6 +328,96 @@ object Decontaminate {
     out
   }
 
+  /** Semantic (embedding-level) decontamination — the FOURTH
+    * decontamination plan, after exact n-gram, Bloom, and MinHash
+    * near-dup: eval-set COSINE near-dups catch translated or heavily
+    * paraphrased leakage that shares almost no surface n-grams. Same
+    * report contract as [[nearDupContaminationReport]]:
+    * `(doc_id, n_eval_matches, max_cos)` for EVERY corpus doc
+    * (`n_eval_matches = 0`, null `max_cos` for clean ones).
+    *
+    * Plan shape (the 100 TB path): corpus and eval embeddings bucket
+    * under the SAME seeded random hyperplanes
+    * ([[Dedup.embeddingDupPairsLsh]]'s machinery); the banded eval side
+    * — thousands of rows against a corpus of billions — BROADCASTS, so
+    * candidate proposal is a map-side join. Cosines evaluate per
+    * candidate instance (a pair seen in several tables recomputes a
+    * cheap dot product rather than shuffling 64-dim vectors to a
+    * distinct), then one slim `(id, eval_id, cos)` collapse and one
+    * per-doc aggregate. Recall follows the LSH S-curve like every
+    * banded path here; exact copies and scaled copies (identical
+    * direction) bucket together with probability 1.
+    */
+  def semanticContaminationReport(
+      docs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      evalDocs: DataFrame,
+      evalIdCol: String,
+      evalVecCol: String,
+      threshold: Double,
+      dim: Int,
+      planes: Int = 12,
+      tables: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold=$threshold must be in (0, 1]")
+    require(dim > 0 && planes > 0 && tables > 0,
+      s"bad LSH shape: dim=$dim planes=$planes tables=$tables")
+    val rng = new scala.util.Random(seed)
+    val hyperplanes: Array[Array[Array[Double]]] =
+      Array.fill(tables, planes, dim)(rng.nextGaussian())
+    def banded(df: DataFrame, id: String, vec: String, outId: String) =
+      df.select(col(id).as(outId), col(vec).cast("array<double>").as("v"))
+        .select(col(outId), col("v"),
+          explode(array((0 until tables).map(t =>
+            struct(lit(t).as("t"),
+              org.apache.spark.sql.graft.GraftExpressions
+                .lshBucket(col("v"), hyperplanes(t)).as("bucket"))): _*)).as("bb"))
+        .select(col(outId), col("v"), col("bb.t").as("t"), col("bb.bucket").as("bucket"))
+    val cB = banded(docs, idCol, vecCol, "id")
+    val eB = banded(evalDocs, evalIdCol, evalVecCol, "eval_id")
+      .select(col("eval_id"), col("v").as("ev"), col("t"), col("bucket"))
+    val verified = cB
+      .join(broadcast(eB), Seq("t", "bucket"))
+      .select(col("id"), col("eval_id"),
+        round(Dedup.cosine(col("v"), col("ev")), 6).as("cos"))
+      .groupBy("id", "eval_id")
+      .agg(max(col("cos")).as("cos"))
+      .filter(col("cos") >= threshold)
+    val perDoc = verified
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_eval_matches"), max(col("cos")).as("max_cos"))
+    docs
+      .select(col(idCol).as("doc_id"))
+      .join(perDoc.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_eval_matches"), lit(0L)).as("n_eval_matches"),
+        col("max_cos"))
+  }
+
+  /** Drop every training doc the semantic report flags: the
+    * corpus-minus-flagged complement of [[semanticContaminationReport]].
+    */
+  def decontaminatedCorpusSemantic(
+      docs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      evalDocs: DataFrame,
+      evalIdCol: String,
+      evalVecCol: String,
+      threshold: Double,
+      dim: Int,
+      planes: Int = 12,
+      tables: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    val flagged = semanticContaminationReport(docs, idCol, vecCol, evalDocs,
+        evalIdCol, evalVecCol, threshold, dim, planes, tables, seed)
+      .filter(col("n_eval_matches") > 0)
+      .select(col("doc_id"))
+    docs.join(flagged, docs(idCol) === flagged("doc_id"), "left_anti")
+  }
+
   /** Drop every training doc the near-dup report flags: the
     * corpus-minus-flagged complement of [[nearDupContaminationReport]].
     */

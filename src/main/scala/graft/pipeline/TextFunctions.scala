@@ -177,6 +177,89 @@ object TextFunctions {
     regexp_replace(noIp, PhonePattern, "<PHONE>")
   }
 
+  /** US Social Security numbers, dashed form (3-2-4). Cannot fire
+    * inside phone/credit-card shapes: their group widths differ and
+    * digit runs carry no internal word boundary.
+    */
+  val SsnPattern: String = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+
+  /** 16-digit payment-card CANDIDATES — 4-4-4-4 groups (dash or space;
+    * no backreference tying the separators, RE2 forbids them) or one
+    * contiguous run. Candidates are only redacted when the Luhn check
+    * passes ([[luhnValid]]) — pattern alone would eat random 16-digit
+    * ids, the validator keeps the false-positive rate at 1-in-10.
+    */
+  val CreditCardPattern: String =
+    "\\b\\d{4}[- ]\\d{4}[- ]\\d{4}[- ]\\d{4}\\b|\\b\\d{16}\\b"
+
+  /** IBAN candidates, compact (unspaced) form: country alpha-2, two
+    * check digits, 11-30 alphanumeric BBAN. Redacted only when the
+    * ISO 7064 mod-97 residue is 1 ([[ibanValid]]).
+    */
+  val IbanPattern: String = "\\b[A-Z]{2}\\d{2}[A-Z0-9]{11,30}\\b"
+
+  /** Luhn checksum over a candidate's digits (separators stripped):
+    * from the RIGHT, every second digit doubles (minus 9 when > 9);
+    * valid iff the sum ≡ 0 (mod 10). Pure Column fold — ascii
+    * arithmetic over a bounded candidate string, the same fold the
+    * oracle replays with `list_sum`/`list_transform`.
+    */
+  def luhnValid(cand: Column): Column = {
+    val ds = regexp_replace(cand, "[^0-9]", "")
+    val n = length(ds)
+    val total = aggregate(
+      sequence(lit(1), n),
+      lit(0),
+      (acc, i) => {
+        val d = ascii(ds.substr(i, lit(1))) - lit(48)
+        val doubled = d * 2 - when(d >= 5, lit(9)).otherwise(lit(0))
+        acc + when(pmod(n - i + 1, lit(2)) === 0, doubled).otherwise(d)
+      })
+    pmod(total, lit(10)) === 0
+  }
+
+  /** ISO 7064 mod-97 IBAN check: move the first four chars to the end,
+    * then stream left to right — digits fold `acc·10 + d`, letters
+    * (A=10..Z=35) fold `acc·100 + v` — reducing mod 97 each step so
+    * the accumulator never leaves integer range; valid iff the residue
+    * is 1. Same bounded Column fold shape as [[luhnValid]].
+    */
+  def ibanValid(cand: Column): Column = {
+    val r = concat(cand.substr(lit(5), length(cand) - 4), cand.substr(lit(1), lit(4)))
+    val res = aggregate(
+      sequence(lit(1), length(r)),
+      lit(0L),
+      (acc, i) => {
+        val ch = ascii(r.substr(i, lit(1)))
+        when(ch.between(48, 57), pmod(acc * 10 + (ch - lit(48)), lit(97L)))
+          .otherwise(pmod(acc * 100 + (ch - lit(55)), lit(97L)))
+      })
+    res === 1L
+  }
+
+  /** Tier-2 PII redaction: the [[redactPii]] chain (email / IPv4 /
+    * phone), then SSNs, then Luhn-VALIDATED credit cards, then
+    * mod-97-VALIDATED IBANs. The validated classes extract candidates
+    * (`regexp_extract_all`), keep the ones whose checksum passes, and
+    * literal-replace each — a failed checksum leaves the text
+    * untouched, which is the point: a 16-digit order id or a mistyped
+    * IBAN is data, not PII. Map-side, zero shuffle; per-row cost is
+    * one regex scan per pattern plus a bounded fold per candidate.
+    * Spaced IBANs (`DE89 3704 ...`) are out of scope for the compact
+    * pattern — normalize upstream if a corpus carries them.
+    */
+  def redactPii2(text: Column): Column = {
+    val base = regexp_replace(redactPii(text), SsnPattern, "<SSN>")
+    val ccDone = aggregate(
+      filter(regexp_extract_all(base, lit(CreditCardPattern), lit(0)), luhnValid(_)),
+      base,
+      (acc, c) => replace(acc, c, lit("<CC>")))
+    aggregate(
+      filter(regexp_extract_all(ccDone, lit(IbanPattern), lit(0)), ibanValid(_)),
+      ccDone,
+      (acc, c) => replace(acc, c, lit("<IBAN>")))
+  }
+
   /** Unicode NFC normalization — the canonical-composition pass a
     * multilingual ingest runs BEFORE any hashing/dedup (the same "café"
     * arrives precomposed U+00E9 from one crawler and decomposed

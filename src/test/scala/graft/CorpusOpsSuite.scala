@@ -76,6 +76,35 @@ class CorpusOpsSuite extends SparkSpec {
     out.foreach(r => assert(r.getString(0) === r.getString(1)))
   }
 
+  test("PII tier 2: SSN, Luhn-validated cards, mod-97-validated IBANs") {
+    val s = spark
+    import s.implicits._
+    val cases = Seq(
+      // SSN shape redacts; 3-2-4 inside other digit shapes does not fire
+      ("ssn 123-45-6789 here", "ssn <SSN> here"),
+      // the canonical Luhn-valid test PAN, grouped and contiguous
+      ("pay 4111-1111-1111-1111 now", "pay <CC> now"),
+      ("pay 4111 1111 1111 1111 now", "pay <CC> now"),
+      ("pan 4111111111111111 ok", "pan <CC> ok"),
+      // same digits, last one bumped: Luhn fails -> candidate KEPT
+      ("pay 4111-1111-1111-1112 now", "pay 4111-1111-1111-1112 now"),
+      ("id 1234567890123456 stays", "id 1234567890123456 stays"),
+      // the canonical example IBAN (valid) and a one-digit mutation
+      ("iban DE89370400440532013000 ok", "iban <IBAN> ok"),
+      ("iban DE89370400440532013001 bad stays",
+       "iban DE89370400440532013001 bad stays"),
+      // tier-1 classes still redact through the tier-2 chain
+      ("mail a@b.co ip 8.8.8.8 tel 10-200-300-4000 ssn 987-65-4320",
+       "mail <EMAIL> ip <IP> tel <PHONE> ssn <SSN>"),
+      // two valid cards in one doc: both literal-replaced
+      ("cards 4111111111111111 and 5500-0000-0000-0004 both",
+       "cards <CC> and <CC> both"))
+    val out = cases.toDF("text", "expected")
+      .select(TF.redactPii2(col("text")).as("got"), col("expected"))
+      .collect()
+    out.foreach(r => assert(r.getString(0) === r.getString(1)))
+  }
+
   // ------------------------------------------------------------------ tfidf
 
   test("tfidf top terms: hand-computed two-group fixture") {

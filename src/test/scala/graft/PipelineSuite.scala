@@ -1895,6 +1895,48 @@ class PipelineSuite extends SparkSpec {
     assert(kept === Set(2L, 4L))
   }
 
+  test("semantic decontamination flags cosine leaks; eval side broadcasts") {
+    val s = spark
+    import s.implicits._
+    import graft.pipeline.Decontaminate
+    val rng = new scala.util.Random(11)
+    val dim = 16
+    def vec() = Seq.fill(dim)(rng.nextGaussian())
+    val base = (1L to 12L).map(i => (i, vec()))
+    val train = base.toDF("doc_id", "v")
+    // eval: scaled copies of docs 3 and 7 (cos = 1.0 — the translated/
+    // paraphrased-leak stand-in) plus one unrelated probe
+    val evalDocs = Seq(
+      (900L, base(2)._2.map(_ * 1.1)),
+      (901L, base(6)._2.map(_ * 0.7)),
+      (902L, vec()))
+      .toDF("eval_id", "v")
+    val report = Decontaminate.semanticContaminationReport(
+      train, "doc_id", "v", evalDocs, "eval_id", "v",
+      threshold = 0.95, dim = dim)
+    val rows = report.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))).toMap
+    // report contract: every corpus doc keeps a row; exactly the two
+    // planted leaks flag with max_cos 1.0
+    assert(rows.keySet === (1L to 12L).toSet)
+    assert(rows(3L)._1 === 1L && rows(3L)._2.get === 1.0)
+    assert(rows(7L)._1 === 1L && rows(7L)._2.get === 1.0)
+    (1L to 12L).filterNot(Set(3L, 7L)).foreach { i =>
+      assert(rows(i) === ((0L, None)), s"doc $i wrongly flagged: ${rows(i)}")
+    }
+    // the complement drops exactly the flagged docs
+    val kept = Decontaminate.decontaminatedCorpusSemantic(
+      train, "doc_id", "v", evalDocs, "eval_id", "v",
+      threshold = 0.95, dim = dim)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === (1L to 12L).toSet -- Set(3L, 7L))
+    // plan: the eval side rides broadcast joins only — the corpus is
+    // never shuffled for candidate proposal
+    val plan = report.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"eval side not broadcast:\n$plan")
+  }
+
   test("temperature mix: scalar-twin rates, budget tracking, alpha=1, maxRate cap") {
     val s = spark
     import s.implicits._
