@@ -516,6 +516,48 @@ object Queries {
       .orderBy("c_custkey")
   }
 
+  /** Main-content extraction ([[TF.blockFeatures]] /
+    * [[TF.mainContentFromBlocks]]): every doc is wrapped as a page with
+    * a link-only nav div, the real text as an article paragraph (plus a
+    * stopword-rich tail so prose density is unambiguous), a link list,
+    * a too-short note, and a stopword-free copyright footer — one block
+    * per failure mode. The oracle re-derives the raw block split, per-
+    * block tag strip, anchor-char sums, word/stopword counts, all three
+    * cross-multiplied integer verdicts (stopword bar tuned to 1/10 —
+    * the synthetic word-salad prose carries few function words), AND
+    * the per-doc joined main text. Map-side, zero shuffle; blocks materialize once behind
+    * Opaque and both the exploded rows and the joined text read the
+    * same attribute.
+    */
+  def pMainContent(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.graft.GraftExpressions.opaque
+    val html = concat(
+      lit("<div><a href=\"/\">Home</a> <a href=\"/about\">About pages</a>" +
+        " <a href=\"/contact\">Contact</a></div><p>"),
+      coalesce(col("text"), lit("")),
+      lit(" the data is a good run and it is the best of all for it" +
+        "</p><ul><li><a href=\"/1\">first link here</a></li>" +
+        "<li><a href=\"/2\">second link</a></li></ul>" +
+        "<p>short note</p>" +
+        "<div>Copyright 2099 Example Corp rights reserved</div>"))
+    documents(spark, sfDir)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), opaque(html).as("html"))
+      .select(col("doc_id"),
+        opaque(TF.blockFeatures(col("html"), TF.LangStopwords.head._2)).as("blocks"))
+      .select(col("doc_id"),
+        TF.mainContentFromBlocks(col("blocks"), 5, stopNum = 1, stopDen = 10)
+          .as("text_main"),
+        explode(col("blocks")).as("b"))
+      .select(
+        col("doc_id"), col("b.idx").as("idx"),
+        col("b.n_words").as("n_words"), col("b.n_stop").as("n_stop"),
+        col("b.link_chars").as("link_chars"), col("b.text_chars").as("text_chars"),
+        TF.blockIsGood(col("b"), 5, stopNum = 1, stopDen = 10).as("good"),
+        col("text_main"))
+      .orderBy("doc_id", "idx")
+  }
+
   /** Tier-2 PII redaction ([[TF.redactPii2]]): per-customer derived
     * credit cards (15 body digits from custkey arithmetic + the Luhn
     * check digit, plus a check+1 INVALID twin that must survive), IBANs
@@ -3627,6 +3669,53 @@ object Queries {
       "ml_gbm_regressor" -> fitLoopNoAqe)
   }
 
+  /** The hybrid gates' shared query set (every 50th doc, first 5
+    * tokens). */
+  private def hybridBenchQueries(spark: SparkSession, sfDir: String): DataFrame =
+    documents(spark, sfDir).filter(pmod(col("doc_id"), lit(50)) === 0)
+      .select(col("doc_id").as("query_id"),
+        array_join(slice(TF.tokens(col("text")), 1, 5), " ").as("qtext"))
+
+  private val hybridIdxCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Retrieval.Bm25Index]()
+
+  private def buildHybridIndex(spark: SparkSession, sfDir: String): Retrieval.Bm25Index = {
+    val queries = hybridBenchQueries(spark, sfDir)
+    val qtok = queries
+      .select(explode(array_distinct(TF.tokens(col("qtext")))).as("token"))
+      .distinct()
+    Retrieval.buildPrunedIndex(documents(spark, sfDir), "doc_id", "text", qtok)
+  }
+
+  /** Bench row: the hybrid index BUILD alone — the tokenized corpus
+    * pass, query-vocab prune, and driver collect that `p_hybrid_broadcast`
+    * prices together with serving (it became the catalog's slowest row
+    * once the bench stopped letting Catalyst prune it). Built fresh
+    * every rep; the result frame is the index's summary scalars.
+    */
+  def qHybridIndexBuild(spark: SparkSession, sfDir: String): DataFrame = {
+    val idx = buildHybridIndex(spark, sfDir)
+    hybridIdxCache.put(sfDir, idx)
+    import spark.implicits._
+    Seq((idx.postings.size.toLong, idx.nDocs, idx.totalTokens))
+      .toDF("n_index_tokens", "n_docs", "total_tokens")
+  }
+
+  /** Bench row: the hybrid SERVING path alone — map-side scoring
+    * against a memoized prebuilt index (the driver-side Map survives
+    * Bench's per-rep `clearCache`, exactly like a deployed scorer holds
+    * its broadcast index across queries). First call builds (absorbed
+    * by Bench's warmup rep); measured reps pay only the zero-shuffle
+    * per-query scorer.
+    */
+  def qHybridServe(spark: SparkSession, sfDir: String): DataFrame = {
+    val idx = hybridIdxCache.computeIfAbsent(sfDir,
+      (_: String) => buildHybridIndex(spark, sfDir))
+    Retrieval.hybridWithIndex(
+        hybridBenchQueries(spark, sfDir), "query_id", "qtext", idx, 10)
+      .orderBy("query_id", "rnk")
+  }
+
   /** Bench-only heavy queries (timed by graft.Bench alongside
     * SparkEntry.queries; NOT part of the correctness gate).
     */
@@ -3645,5 +3734,9 @@ object Queries {
     "q2_join_shuffled" -> (q2JoinShuffled _),
     "q2_bucketed_write" -> (q2BucketedWrite _),
     "q11_skew_salted" -> (q11SkewSalted _),
-    "q11_skew_plain" -> (q11SkewPlain _))
+    "q11_skew_plain" -> (q11SkewPlain _),
+    // the p_hybrid_broadcast economics, split (the q2_bucketed_write
+    // pattern): one-time index build vs the map-side serving path
+    "q_hybrid_index_build" -> (qHybridIndexBuild _),
+    "q_hybrid_serve" -> (qHybridServe _))
 }

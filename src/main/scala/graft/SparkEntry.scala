@@ -144,6 +144,7 @@ object SparkEntry {
     "p_ngram_repetition" -> (Queries.pNgramRepetition _),
     "p_pii_redaction" -> (Queries.pPiiRedaction _),
     "p_pii_redaction2" -> (Queries.pPiiRedaction2 _),
+    "p_main_content" -> (Queries.pMainContent _),
     "p_tfidf_top_terms" -> (Queries.pTfidfTopTerms _),
     "p_bm25" -> (Queries.pBm25 _),
     "p_bm25_indexed" -> (Queries.pBm25Indexed _),
@@ -3253,6 +3254,58 @@ object SparkEntry {
     // candidate-extraction + checksum-validated replacement replayed —
     // valid cards/IBANs redact, the check+1 twins must survive
     "p_pii_redaction2" -> piiRedaction2Sql,
+    // main-content extraction: raw block split, per-block tag strip,
+    // anchor-char sums, word/stopword counts, the three cross-multiplied
+    // integer verdicts, and the per-doc good-block join — all re-derived
+    "p_main_content" ->
+      s"""WITH h AS (
+         |  SELECT doc_id,
+         |    '<div><a href="/">Home</a> <a href="/about">About pages</a>'
+         |      || ' <a href="/contact">Contact</a></div><p>'
+         |      || coalesce(text, '')
+         |      || ' the data is a good run and it is the best of all for it'
+         |      || '</p><ul><li><a href="/1">first link here</a></li>'
+         |      || '<li><a href="/2">second link</a></li></ul>'
+         |      || '<p>short note</p>'
+         |      || '<div>Copyright 2099 Example Corp rights reserved</div>' AS html
+         |  FROM documents),
+         |b AS (
+         |  SELECT doc_id,
+         |    regexp_split_to_array(html,
+         |      '(?i)</?(?:p|div|h[1-6]|li|ul|ol|dl|dt|dd|table|thead|tbody|tr|td|th|br|hr|section|article|aside|header|footer|nav|blockquote|pre|form)\\b[^>]*>') AS bl
+         |  FROM h),
+         |e AS (
+         |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS idx, bl[CAST(i AS INT)] AS blk
+         |  FROM b, LATERAL (SELECT unnest(range(1, len(bl) + 1)) AS i)),
+         |f AS (
+         |  SELECT doc_id, idx,
+         |    trim(regexp_replace(regexp_replace(blk, '<[^>]+>', ' ', 'g'),
+         |      '\\s+', ' ', 'g')) AS txt,
+         |    CAST(coalesce(list_sum(list_transform(
+         |      regexp_extract_all(blk, '(?i)<a\\b[^>]*>([^<]*)</a>', 1),
+         |      x -> length(x))), 0) AS BIGINT) AS link_chars
+         |  FROM e),
+         |g AS (
+         |  SELECT doc_id, idx, txt, link_chars,
+         |    CAST(len(list_filter(string_split(lower(txt), ' '),
+         |      t -> length(t) > 0)) AS BIGINT) AS n_words,
+         |    CAST(len(list_filter(string_split(lower(txt), ' '),
+         |      t -> list_contains($EN, t))) AS BIGINT) AS n_stop,
+         |    CAST(length(txt) AS BIGINT) AS text_chars
+         |  FROM f WHERE length(txt) > 0),
+         |v AS (
+         |  SELECT doc_id, idx, txt, n_words, n_stop, link_chars, text_chars,
+         |    (n_words >= 5 AND link_chars * 3 <= text_chars
+         |      AND n_stop * 10 >= n_words * 1) AS good
+         |  FROM g),
+         |mc AS (
+         |  SELECT doc_id,
+         |    coalesce(string_agg(txt, chr(10) ORDER BY idx) FILTER (WHERE good), '') AS text_main
+         |  FROM v GROUP BY doc_id)
+         |SELECT v.doc_id, v.idx, v.n_words, v.n_stop, v.link_chars,
+         |  v.text_chars, v.good, mc.text_main
+         |FROM v JOIN mc USING (doc_id)
+         |ORDER BY doc_id, idx""".stripMargin,
     "p_tfidf_top_terms" ->
       """WITH toks AS (
         |  SELECT lang AS grp, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token

@@ -588,6 +588,103 @@ object TextFunctions {
     trim(regexp_replace(e6, "\\s+", " "))
   }
 
+  /** Block-level tag boundaries for [[blockFeatures]] — the tags that
+    * end a text flow (jusText/trafilatura's segmentation grain). Both
+    * opening and closing forms split; attributes are consumed.
+    */
+  val BlockTagPattern: String =
+    "(?i)</?(?:p|div|h[1-6]|li|ul|ol|dl|dt|dd|table|thead|tbody|tr|td|th|" +
+      "br|hr|section|article|aside|header|footer|nav|blockquote|pre|form)\\b[^>]*>"
+
+  /** Anchor text (group 1). Tag-free inner text only — a nested-markup
+    * anchor (`<a><b>x</b></a>`) contributes 0 link chars; acceptable
+    * under-count for a density SIGNAL, and the price of staying
+    * RE2-compatible (no lazy cross-tag match needed).
+    */
+  val AnchorPattern: String = "(?i)<a\\b[^>]*>([^<]*)</a>"
+
+  /** Per-block main-content features — the jusText shape: split raw
+    * HTML at block-tag boundaries, and for each non-empty block report
+    * `(idx, txt, n_words, n_stop, link_chars, text_chars)` where `idx`
+    * is the 0-based RAW split position (stable even as empty blocks
+    * drop), `txt` the tag-stripped whitespace-collapsed text, and
+    * `link_chars` the anchor-text volume. All counts integer, so every
+    * downstream verdict is a cross-multiplied integer rule the oracle
+    * re-derives exactly. One pass, zero shuffle; lambdas over the raw
+    * split array (materialize the input behind Opaque when consuming
+    * several columns from it).
+    */
+  def blockFeatures(html: Column, stopwords: Seq[String]): Column = {
+    val sw = array(stopwords.map(lit): _*)
+    filter(
+      transform(split(html, BlockTagPattern), (b, i) => {
+        val linkChars = aggregate(
+          regexp_extract_all(b, lit(AnchorPattern), lit(1)),
+          lit(0), (acc, a) => acc + length(a))
+        val txt = trim(regexp_replace(
+          regexp_replace(b, "<[^>]+>", " "), "\\s+", " "))
+        val toks = filter(split(lower(txt), " "), t => length(t) > 0)
+        struct(
+          i.cast("long").as("idx"),
+          txt.as("txt"),
+          size(toks).cast("long").as("n_words"),
+          size(filter(toks, t => array_contains(sw, t))).cast("long").as("n_stop"),
+          linkChars.cast("long").as("link_chars"),
+          length(txt).cast("long").as("text_chars"))
+      }),
+      blk => blk.getField("text_chars") > 0)
+  }
+
+  /** The jusText-style block verdict, integer cross-multiplied (the
+    * [[gopherFlags]] discipline — no float thresholds an engine could
+    * round differently): a block is main content iff it has at least
+    * `minWords` words, link density ≤ 1/3 (`3·link_chars ≤
+    * text_chars`), and stopword density ≥ stopNum/stopDen (default
+    * 3/10, jusText's prose bar; tune per language/corpus — a short
+    * function-word list or terse domain prose wants a lower bar) —
+    * link-heavy nav, short fragments, and function-word-free chrome
+    * (copyright lines, breadcrumbs) all fail.
+    */
+  def blockIsGood(
+      blk: Column,
+      minWords: Int,
+      stopNum: Int = 3,
+      stopDen: Int = 10): Column =
+    blk.getField("n_words") >= minWords &&
+      blk.getField("link_chars") * 3 <= blk.getField("text_chars") &&
+      blk.getField("n_stop") * stopDen >= blk.getField("n_words") * stopNum
+
+  /** Good blocks' text joined by newlines, from a MATERIALIZED
+    * [[blockFeatures]] attribute (pass the column, not the expression —
+    * the interpreted-HOF discipline). Empty string when nothing
+    * qualifies.
+    */
+  def mainContentFromBlocks(
+      blocks: Column,
+      minWords: Int = 5,
+      stopNum: Int = 3,
+      stopDen: Int = 10): Column =
+    array_join(
+      transform(filter(blocks, blockIsGood(_, minWords, stopNum, stopDen)),
+        _.getField("txt")),
+      "\n")
+
+  /** Main-content extraction (the trafilatura/jusText stage between
+    * [[htmlToText]]'s tag stripping and the corpus-frequency
+    * boilerplate pass): block segmentation + per-block link/stopword
+    * density rules keep article prose and drop nav chrome ON A SINGLE
+    * PAGE — no corpus statistics needed. Composes upstream of
+    * `Dedup.removeBoilerplate` (which then kills the CROSS-page
+    * repeated lines this per-page stage cannot see).
+    */
+  def mainContent(
+      html: Column,
+      stopwords: Seq[String],
+      minWords: Int = 5,
+      stopNum: Int = 3,
+      stopDen: Int = 10): Column =
+    mainContentFromBlocks(blockFeatures(html, stopwords), minWords, stopNum, stopDen)
+
   /** Lowercased host of a URL (`""` when the URL has no
     * `scheme://authority` prefix — both Spark and DuckDB return the
     * empty string for a non-matching `regexp_extract`, so the sentinel

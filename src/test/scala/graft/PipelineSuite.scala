@@ -1895,6 +1895,53 @@ class PipelineSuite extends SparkSpec {
     assert(kept === Set(2L, 4L))
   }
 
+  test("main content: jusText rules keep prose, drop nav/short/chrome; composes with boilerplate pass") {
+    val s = spark
+    import s.implicits._
+    import graft.pipeline.{Dedup, TextFunctions}
+    val en = TextFunctions.LangStopwords.head._2
+    val prose = "it is a fact that the data for the run is in the best of shape and it is good"
+    val page = (id: Long, extra: String) =>
+      (id, "<nav><a href=\"/\">Home</a> <a href=\"/a\">About us</a></nav>" +
+        s"<p>$prose $extra</p>" +
+        "<ul><li><a href=\"/1\">first link</a></li><li><a href=\"/2\">second link</a></li></ul>" +
+        "<p>tiny</p>" +
+        "<footer>Copyright 2099 Example Corp rights reserved</footer>")
+    val docs = Seq(page(1L, "alpha"), page(2L, "beta"), page(3L, "gamma"))
+      .toDF("doc_id", "html")
+    // defaults (5 words, stop >= 3/10): only the prose paragraph survives
+    val out = docs.select(col("doc_id"),
+        TextFunctions.mainContent(col("html"), en).as("main"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) === s"$prose alpha")
+    assert(out(2L) === s"$prose beta")
+    // per-block features: idx stable, nav is link-dense, footer stopword-free
+    val blocks = docs.filter(col("doc_id") === 1)
+      .select(explode(TextFunctions.blockFeatures(col("html"), en)).as("b"))
+      .select("b.idx", "b.n_words", "b.n_stop", "b.link_chars", "b.text_chars")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val nav = blocks.head
+    assert(nav._4 * 3 > nav._5, s"nav should be link-dense: $nav")
+    val footer = blocks.last
+    assert(footer._3 === 0L, s"footer should carry no stopwords: $footer")
+    // composition: the per-page stage cannot see CROSS-page repetition —
+    // a disclaimer line repeated in every page's prose block survives
+    // mainContent and falls to the corpus-frequency boilerplate pass
+    val disclaimer = "the content of it is for the use of all and it is not advice"
+    val docs2 = Seq(
+      (1L, s"<p>$prose alpha</p><p>$disclaimer</p>"),
+      (2L, s"<p>$prose beta</p><p>$disclaimer</p>"),
+      (3L, s"<p>$prose gamma</p><p>$disclaimer</p>"))
+      .toDF("doc_id", "html")
+    val extracted = docs2.select(col("doc_id"),
+      TextFunctions.mainContent(col("html"), en).as("text"))
+    assert(extracted.filter(col("text").contains(disclaimer)).count() === 3L)
+    val keys = Dedup.boilerplateLineSet(extracted, "doc_id", "text", minDocs = 3)
+    val cleaned = Dedup.removeBoilerplate(extracted, "text", keys)
+    assert(cleaned.filter(col("text").contains(disclaimer)).count() === 0L)
+    assert(cleaned.filter(col("text").contains(prose)).count() === 3L)
+  }
+
   test("semantic decontamination flags cosine leaks; eval side broadcasts") {
     val s = spark
     import s.implicits._
