@@ -639,8 +639,19 @@ object Retrieval {
     * domain-scoped index; a web-scale posting table belongs on the
     * distributed [[bm25FromPostings]] path).
     */
+  /** One token's postings as parallel PRIMITIVE arrays — the boxed
+    * `Array[(Long, Long, Long)]` form cost ~3 objects per posting row,
+    * which dominated BOTH the serve scorer's per-query loop and the
+    * index broadcast's serialization (a common token posts in most
+    * docs, so posting rows ≈ query-vocab × corpus size).
+    */
+  final case class PostingList(
+      docIds: Array[Long], tfs: Array[Long], dls: Array[Long]) {
+    def length: Int = docIds.length
+  }
+
   case class Bm25Index(
-      postings: Map[String, Array[(Long, Long, Long)]],
+      postings: Map[String, PostingList],
       nDocs: Long,
       totalTokens: Long)
 
@@ -667,7 +678,10 @@ object Retrieval {
       val grouped = cached.select("token", "doc_id", "tf", "dl").collect()
         .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
         .groupBy(_._1)
-        .map { case (t, rows) => t -> rows.map(_._2) }
+        .map { case (t, rows) =>
+          val rs = rows.map(_._2)
+          t -> PostingList(rs.map(_._1), rs.map(_._2), rs.map(_._3))
+        }
       Bm25Index(grouped, nDocs, totalTokens)
     } finally cached.unpersist(blocking = false)
   }
@@ -814,13 +828,17 @@ object Retrieval {
           micro6(r6(idf * tfNorm))
         }
         val snapCache = new scala.collection.mutable.LongMap[Long]()
-        posts.foreach { case (docId, tf, dl) =>
+        var i = 0
+        val n = posts.length
+        while (i < n) {
+          val docId = posts.docIds(i); val tf = posts.tfs(i); val dl = posts.dls(i)
           val m =
             if (tf < (1L << 31) && dl < (1L << 32))
               snapCache.getOrElseUpdate((tf << 32) | dl, termMicro(tf, dl))
             else termMicro(tf, dl)
           acc(docId) = acc.getOrElse(docId, 0L) + m
           if (overlap != null) overlap(docId) = overlap.getOrElse(docId, 0L) + 1L
+          i += 1
         }
       }
     }
@@ -833,10 +851,45 @@ object Retrieval {
     */
   private def rankMicro(
       acc: scala.collection.mutable.LongMap[Long], k: Int): Array[(Long, Double)] =
-    acc.toArray
-      .map { case (docId, m) => (docId, m / 1e6) }
-      .sortBy { case (docId, s) => (-s, docId) }
-      .take(k)
+    topKByValueDesc(acc, k).map { case (docId, m) => (docId, m / 1e6) }
+
+  /** Top-k entries of a long→long accumulator by (value desc, key asc),
+    * by BOUNDED INSERTION — never a full sort. The accumulator holds
+    * one entry per candidate doc (most of the corpus for a
+    * common-token query), and sorting it per query per voice was the
+    * serve scorer's dominant cost (sortBy allocates a boxed tuple key
+    * per element and compares through Ordering.Tuple2 — measured 0.52 s
+    * of a 0.75 s batch at sf0.1 vs 0.22 s for the whole BM25
+    * accumulate). Micro-unit longs order exactly like their /1e6
+    * doubles at these magnitudes (< 2⁵³), so the comparison is pure
+    * primitive arithmetic.
+    */
+  private def topKByValueDesc(
+      acc: scala.collection.mutable.LongMap[Long], k: Int): Array[(Long, Long)] = {
+    val kk = math.min(k, acc.size)
+    if (kk <= 0) return Array.empty
+    val keys = new Array[Long](kk)
+    val vals = new Array[Long](kk)
+    var n = 0
+    @inline def better(v1: Long, k1: Long, v2: Long, k2: Long): Boolean =
+      v1 > v2 || (v1 == v2 && k1 < k2)
+    acc.foreach { case (key, v) =>
+      if (n < kk) {
+        var i = n
+        while (i > 0 && better(v, key, vals(i - 1), keys(i - 1))) {
+          vals(i) = vals(i - 1); keys(i) = keys(i - 1); i -= 1
+        }
+        vals(i) = v; keys(i) = key; n += 1
+      } else if (better(v, key, vals(kk - 1), keys(kk - 1))) {
+        var i = kk - 1
+        while (i > 0 && better(v, key, vals(i - 1), keys(i - 1))) {
+          vals(i) = vals(i - 1); keys(i) = keys(i - 1); i -= 1
+        }
+        vals(i) = v; keys(i) = key
+      }
+    }
+    Array.tabulate(n)(i => (keys(i), vals(i)))
+  }
 
   /** Map-side-only HYBRID scoring against a collected index: BM25 top-k
     * and term-overlap top-k computed per query row, fused by the exact
@@ -863,14 +916,39 @@ object Retrieval {
     require(ws.size == 2, s"hybrid has 2 voices (bm25, overlap), got ${ws.size} weights")
     require(ws.forall(_ >= 0.0), s"weights must be non-negative, got $ws")
     require(ws.exists(_ != 0.0), "hybridWithIndex: every voice has weight 0")
-    val bc = queries.sparkSession.sparkContext.broadcast(index)
+    hybridWithBroadcastIndex(queries, queryIdCol, queryTextCol,
+      queries.sparkSession.sparkContext.broadcast(index), k, k1, b, rrfK, weights)
+  }
+
+  /** [[hybridWithIndex]] against an ALREADY-broadcast index — the
+    * deployed-scorer shape: a serving loop broadcasts the (often
+    * hundreds-of-MB serialized) index ONCE and scores every query batch
+    * against the same handle; re-broadcasting per batch is pure
+    * serialization overhead (measured ~2 s/rep at sf0.1 on the bench's
+    * serve row).
+    */
+  def hybridWithBroadcastIndex(
+      queries: DataFrame,
+      queryIdCol: String,
+      queryTextCol: String,
+      bc: org.apache.spark.broadcast.Broadcast[Bm25Index],
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      rrfK: Int = 60,
+      weights: Seq[Double] = Nil): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(rrfK >= 0, s"rrfK must be non-negative, got $rrfK")
+    val ws = if (weights.isEmpty) Seq(1.0, 1.0) else weights
+    require(ws.size == 2, s"hybrid has 2 voices (bm25, overlap), got ${ws.size} weights")
+    require(ws.forall(_ >= 0.0), s"weights must be non-negative, got $ws")
+    require(ws.exists(_ != 0.0), "hybridWithBroadcastIndex: every voice has weight 0")
     val score = udf { (qtext: String) =>
       val ovAcc = new scala.collection.mutable.LongMap[Long]()
       val bmAcc = bm25Accumulate(bc.value, tokensTwin(qtext), k1, b, ovAcc)
       // rank each voice exactly as its distributed twin does, then fuse
       val bmRanked = rankMicro(bmAcc, k)
-      val ovRanked = ovAcc.toArray
-        .sortBy { case (d, ov) => (-ov, d) }.take(k)
+      val ovRanked = topKByValueDesc(ovAcc, k)
       val fuse = new scala.collection.mutable.LongMap[Long]()
       def contribute(rankedIds: Array[Long], w: Double): Unit =
         if (w != 0.0) rankedIds.iterator.zipWithIndex.foreach { case (d, pos) =>

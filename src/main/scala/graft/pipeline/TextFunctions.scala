@@ -204,19 +204,21 @@ object TextFunctions {
     * arithmetic over a bounded candidate string, the same fold the
     * oracle replays with `list_sum`/`list_transform`.
     */
-  def luhnValid(cand: Column): Column = {
-    val ds = regexp_replace(cand, "[^0-9]", "")
-    val n = length(ds)
-    val total = aggregate(
-      sequence(lit(1), n),
-      lit(0),
-      (acc, i) => {
-        val d = ascii(ds.substr(i, lit(1))) - lit(48)
-        val doubled = d * 2 - when(d >= 5, lit(9)).otherwise(lit(0))
-        acc + when(pmod(n - i + 1, lit(2)) === 0, doubled).otherwise(d)
-      })
-    pmod(total, lit(10)) === 0
-  }
+  def luhnValid(cand: Column): Column =
+    // digits let-bound: inlining `ds` into the fold body re-runs the
+    // regexp_replace once PER DIGIT (16x per candidate)
+    letBound(regexp_replace(cand, "[^0-9]", ""), ds => {
+      val n = length(ds)
+      val total = aggregate(
+        sequence(lit(1), n),
+        lit(0),
+        (acc, i) => {
+          val d = ascii(ds.substr(i, lit(1))) - lit(48)
+          val doubled = d * 2 - when(d >= 5, lit(9)).otherwise(lit(0))
+          acc + when(pmod(n - i + 1, lit(2)) === 0, doubled).otherwise(d)
+        })
+      pmod(total, lit(10)) === 0
+    })
 
   /** ISO 7064 mod-97 IBAN check: move the first four chars to the end,
     * then stream left to right — digits fold `acc·10 + d`, letters
@@ -224,18 +226,22 @@ object TextFunctions {
     * the accumulator never leaves integer range; valid iff the residue
     * is 1. Same bounded Column fold shape as [[luhnValid]].
     */
-  def ibanValid(cand: Column): Column = {
-    val r = concat(cand.substr(lit(5), length(cand) - 4), cand.substr(lit(1), lit(4)))
-    val res = aggregate(
-      sequence(lit(1), length(r)),
-      lit(0L),
-      (acc, i) => {
-        val ch = ascii(r.substr(i, lit(1)))
-        when(ch.between(48, 57), pmod(acc * 10 + (ch - lit(48)), lit(97L)))
-          .otherwise(pmod(acc * 100 + (ch - lit(55)), lit(97L)))
+  def ibanValid(cand: Column): Column =
+    // rearranged string let-bound: inlined, the concat+substr rebuild
+    // would re-run once per character of the fold
+    letBound(
+      concat(cand.substr(lit(5), length(cand) - 4), cand.substr(lit(1), lit(4))),
+      r => {
+        val res = aggregate(
+          sequence(lit(1), length(r)),
+          lit(0L),
+          (acc, i) => {
+            val ch = ascii(r.substr(i, lit(1)))
+            when(ch.between(48, 57), pmod(acc * 10 + (ch - lit(48)), lit(97L)))
+              .otherwise(pmod(acc * 100 + (ch - lit(55)), lit(97L)))
+          })
+        res === 1L
       })
-    res === 1L
-  }
 
   /** Tier-2 PII redaction: the [[redactPii]] chain (email / IPv4 /
     * phone), then SSNs, then Luhn-VALIDATED credit cards, then
@@ -248,17 +254,27 @@ object TextFunctions {
     * Spaced IBANs (`DE89 3704 ...`) are out of scope for the compact
     * pattern — normalize upstream if a corpus carries them.
     */
-  def redactPii2(text: Column): Column = {
-    val base = regexp_replace(redactPii(text), SsnPattern, "<SSN>")
-    val ccDone = aggregate(
-      filter(regexp_extract_all(base, lit(CreditCardPattern), lit(0)), luhnValid(_)),
-      base,
-      (acc, c) => replace(acc, c, lit("<CC>")))
-    aggregate(
-      filter(regexp_extract_all(ccDone, lit(IbanPattern), lit(0)), ibanValid(_)),
-      ccDone,
-      (acc, c) => replace(acc, c, lit("<IBAN>")))
-  }
+  /** Let-bind `value` as a lambda variable so `f`'s body can reference
+    * it twice without inlining (and re-evaluating) the whole upstream
+    * expression tree per reference — a single-Column API has no other
+    * let form. Measured on redactPii2: the naive tree inlined the
+    * regex chain 4x (12.6 s -> ~3 s at sf0.1).
+    */
+  private def letBound(value: Column, f: Column => Column): Column =
+    element_at(transform(array(value), f), 1)
+
+  def redactPii2(text: Column): Column =
+    letBound(regexp_replace(redactPii(text), SsnPattern, "<SSN>"), base =>
+      letBound(
+        aggregate(
+          filter(regexp_extract_all(base, lit(CreditCardPattern), lit(0)), luhnValid(_)),
+          base,
+          (acc, c) => replace(acc, c, lit("<CC>"))),
+        ccDone =>
+          aggregate(
+            filter(regexp_extract_all(ccDone, lit(IbanPattern), lit(0)), ibanValid(_)),
+            ccDone,
+            (acc, c) => replace(acc, c, lit("<IBAN>")))))
 
   /** Unicode NFC normalization — the canonical-composition pass a
     * multilingual ingest runs BEFORE any hashing/dedup (the same "café"

@@ -1499,8 +1499,10 @@ class PipelineSuite extends SparkSpec {
       Retrieval.prunedPostings(docs, "doc_id", "text", qtok), n, tot)
     assert(onePass.nDocs === twoPass.nDocs)
     assert(onePass.totalTokens === twoPass.totalTokens)
-    assert(onePass.postings.view.mapValues(_.toSeq).toMap ===
-      twoPass.postings.view.mapValues(_.toSeq).toMap)
+    def flat(p: graft.pipeline.Retrieval.PostingList) =
+      (p.docIds.toSeq, p.tfs.toSeq, p.dls.toSeq)
+    assert(onePass.postings.view.mapValues(flat).toMap ===
+      twoPass.postings.view.mapValues(flat).toMap)
     // plan shape: the posting build reads the PERSISTED tokens projection
     // (tokenize runs once, at cache materialization) instead of
     // re-deriving the split
