@@ -344,6 +344,48 @@ object LangIdModel {
     } finally { feats.unpersist(blocking = false); () }
   }
 
+  /** Paragraph-level language mixture through the LEARNED scorer —
+    * [[TextFunctions.langMixture]]'s exact output contract
+    * `(doc_id, n_paras, n_langs, major_lang, major_frac_micro)` with
+    * each paragraph language-ID'd by [[scoreWithModel]]'s
+    * exact-integer argmax instead of the 4-language stopword vote:
+    * same blank-paragraph filter, same majority rule (count desc, lang
+    * asc), same exact micro share, docs with no non-blank paragraphs
+    * report `(0, 0, "und", 0)`. One map-side scoring pass over
+    * exploded paragraphs + the two small aggregates — the mixture adds
+    * no shuffle beyond langMixture's own.
+    */
+  def langMixture(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      model: Model,
+      sep: String = "\n\n"): DataFrame = {
+    require(sep.nonEmpty, "sep must be non-empty")
+    val paras = docs
+      .select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), java.util.regex.Pattern.quote(sep))).as("para"))
+      .filter(regexp_replace(col("para"), "\\s+", "") =!= "")
+    val scored = scoreWithModel(paras, "doc_id", "para", model)
+      .select(col("doc_id"), col("lang").as("plang"))
+    val counts = scored.groupBy("doc_id", "plang").agg(count(lit(1)).as("c"))
+    val perDoc = counts.groupBy("doc_id").agg(
+      sum("c").as("n_paras"),
+      count(lit(1)).as("n_langs"),
+      min(struct((-col("c")).as("nc"), col("plang").as("l"))).as("m"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_paras"), lit(0L)).as("n_paras"),
+        coalesce(col("n_langs"), lit(0L)).as("n_langs"),
+        coalesce(col("m.l"), lit("und")).as("major_lang"),
+        coalesce(
+          floor((-col("m.nc")).cast("double") * lit(1e6) /
+            col("n_paras").cast("double") + lit(0.5)).cast("long"),
+          lit(0L)).as("major_frac_micro"))
+  }
+
   /** Persist as the parquet weight-table artifact convention: `(lang,
     * idx, bucket, w)` rows for buckets 0..B−1 plus one `bucket = −1`
     * row per class carrying the bias, plus gram width as a `lang =

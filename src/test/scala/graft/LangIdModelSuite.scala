@@ -106,6 +106,25 @@ class LangIdModelSuite extends SparkSpec {
       s"weight/bias tables not both broadcast:\n$tplan")
   }
 
+  test("langMixture via the model: majority rule, micro share, empty-doc contract") {
+    val s = spark; import s.implicits._
+    val en = Seq.fill(10)("the and of that with").mkString(" ")
+    val de = Seq.fill(10)("der und das nicht mit").mkString(" ")
+    val docs = Seq(
+      (1L, s"$en\n\n$en\n\n$de"),           // 2/3 en
+      (2L, s"$de\n\n  \n\n$de"),            // blank para filtered, all de
+      (3L, "\n\n \n\n"),                    // no non-blank paras
+      (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = LangIdModel.langMixture(docs, "doc_id", "text", model)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4)))).toMap
+    assert(out(1L) === ((3L, 2L, "en", 666667L)))
+    assert(out(2L) === ((2L, 1L, "de", 1000000L)))
+    assert(out(3L) === ((0L, 0L, "und", 0L)))
+    assert(out(4L) === ((0L, 0L, "und", 0L)))
+  }
+
   test("short and empty texts take the whole-string gram fallback; nulls emit no row") {
     val s = spark; import s.implicits._
     val docs = Seq(
