@@ -293,7 +293,12 @@ object Queries {
   }
 
   def pNgramJaccard(spark: SparkSession, sfDir: String): DataFrame =
-    Dedup.ngramJaccardPairs(documents(spark, sfDir), "doc_id", "text", 3, 0.5)
+    // spread the one-row-group fixture scan (the pWinnowPairs lesson):
+    // shingling is the per-row cost of the pair stage
+    Dedup.ngramJaccardPairs(
+        documents(spark, sfDir)
+          .repartition(spark.sparkContext.defaultParallelism, col("doc_id")),
+        "doc_id", "text", 3, 0.5)
       .orderBy("doc_a", "doc_b")
 
   /** MinHash banding proposes candidates, exact shingle Jaccard verifies —
@@ -303,7 +308,11 @@ object Queries {
     * while the work stays candidate-bounded at any corpus size.
     */
   def pMinhashDedup(spark: SparkSession, sfDir: String): DataFrame =
-    Dedup.minhashPairsVerified(documents(spark, sfDir), "doc_id", "text",
+    // spread the one-row-group fixture scan (see pNgramJaccard)
+    Dedup.minhashPairsVerified(
+        documents(spark, sfDir)
+          .repartition(spark.sparkContext.defaultParallelism, col("doc_id")),
+        "doc_id", "text",
         numHashes = 64, bands = 16, threshold = 0.5)
       .orderBy("doc_a", "doc_b")
 
@@ -313,7 +322,11 @@ object Queries {
     * positives the wider ball admits.
     */
   def pSimhashDedup(spark: SparkSession, sfDir: String): DataFrame =
-    Dedup.simhashPairsVerified(documents(spark, sfDir), "doc_id", "text",
+    // spread the one-row-group fixture scan (see pNgramJaccard)
+    Dedup.simhashPairsVerified(
+        documents(spark, sfDir)
+          .repartition(spark.sparkContext.defaultParallelism, col("doc_id")),
+        "doc_id", "text",
         maxHamming = 8, threshold = 0.5)
       .orderBy("doc_a", "doc_b")
 
@@ -388,7 +401,9 @@ object Queries {
     * shifts a split's id checksum.
     */
   def pLeakageSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    // spread the one-row-group fixture scan (see pNgramJaccard)
     val docs = documents(spark, sfDir)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
     val comps = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
     pairs.unpersist(blocking = false)
@@ -416,7 +431,9 @@ object Queries {
     * the gated threshold.
     */
   def pIncrementalDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    // spread the one-row-group fixture scan (see pNgramJaccard)
     val docs = documents(spark, sfDir)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
     val corpus = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
     val batch = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
     Dedup.incrementalDedupSurvivors(corpus, batch, "doc_id", "text")
@@ -431,7 +448,9 @@ object Queries {
     * exactly the recomputed path's survivors.
     */
   def pIncrementalDedupArtifact(spark: SparkSession, sfDir: String): DataFrame = {
+    // spread the one-row-group fixture scan (see pNgramJaccard)
     val docs = documents(spark, sfDir)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
     val corpus = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
     val batch = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
     val art = Dedup.bandedCorpusArtifact(corpus, "doc_id", "text")
@@ -455,7 +474,9 @@ object Queries {
     * the stages' own.
     */
   def pDailyPipeline(spark: SparkSession, sfDir: String): DataFrame = {
+    // spread the one-row-group fixture scan (see pNgramJaccard)
     val docs = documents(spark, sfDir)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
     val corpus = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
     val batch = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
     val art = Dedup.bandedCorpusArtifact(corpus, "doc_id", "text")
@@ -572,6 +593,13 @@ object Queries {
   def pPiiRedaction2(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.graft.GraftExpressions.opaque
     val k = col("c_custkey")
+    // spread the one-row-group fixture scan (the pWinnowPairs lesson):
+    // the per-row cost is the 6-regex redaction chain + checksum folds,
+    // and customer.parquet is a single row group — unspread, the whole
+    // chain ran in ONE task (measured 3.85 s at sf0.1; the exchange
+    // moves raw rows only, the redaction runs above it on every core)
+    val cust = customer(spark, sfDir)
+      .repartition(spark.sparkContext.defaultParallelism, k)
     val body = (1 to 15).map(i => pmod(k * (i + 2), lit(10)))
     val luhnSum = body.zipWithIndex.map { case (d, idx) =>
       // left position i = idx+1; fromRight = 17-i even <=> i odd
@@ -599,7 +627,7 @@ object Queries {
       lit("acct"), grouped(digits16), lit("alt"), grouped(digits16Bad),
       lit("iban"), iban(ibCheck), lit("old"), iban(ibCheck + 1),
       lit("ssn"), ssn, lit("mail"), lit("ops@example.com"), col("c_mktsegment"))
-    customer(spark, sfDir)
+    cust
       .select(k, opaque(text).as("text"))
       .select(col("c_custkey"), TF.redactPii2(col("text")).as("redacted"))
       .orderBy("c_custkey")
@@ -638,7 +666,9 @@ object Queries {
     * Jaccard report (banding recall is 1 on this corpus's dup structure).
     */
   def pNearDupDecontam(spark: SparkSession, sfDir: String): DataFrame = {
+    // spread the one-row-group fixture scan (see pNgramJaccard)
     val docs = documents(spark, sfDir)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
     val evalDocs = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
       .select(col("doc_id").as("eval_id"), col("text"))
     val train = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
@@ -699,7 +729,11 @@ object Queries {
     * (score desc, doc_id asc) ranking.
     */
   def pBm25(spark: SparkSession, sfDir: String): DataFrame = {
+    // spread the one-row-group fixture scan (the pWinnowPairs lesson):
+    // the corpus-side tokenize+explode is the retrieval stack's dominant
+    // per-row cost and otherwise runs in a single scan task
     val docs = documents(spark, sfDir)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
     val queries = docs.filter(pmod(col("doc_id"), lit(50)) === 0)
       .select(col("doc_id").as("query_id"),
         array_join(slice(TF.tokens(col("text")), 1, 5), " ").as("qtext"))
@@ -713,7 +747,9 @@ object Queries {
     * — two plans, one contract.
     */
   def pBm25Indexed(spark: SparkSession, sfDir: String): DataFrame = {
+    // spread the one-row-group fixture scan (see pBm25)
     val docs = documents(spark, sfDir)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
     val queries = docs.filter(pmod(col("doc_id"), lit(50)) === 0)
       .select(col("doc_id").as("query_id"),
         array_join(slice(TF.tokens(col("text")), 1, 5), " ").as("qtext"))
@@ -733,7 +769,9 @@ object Queries {
     * contract.
     */
   def pBm25Broadcast(spark: SparkSession, sfDir: String): DataFrame = {
+    // spread the one-row-group fixture scan (see pBm25)
     val docs = documents(spark, sfDir)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
     val queries = docs.filter(pmod(col("doc_id"), lit(50)) === 0)
       .select(col("doc_id").as("query_id"),
         array_join(slice(TF.tokens(col("text")), 1, 5), " ").as("qtext"))
@@ -758,7 +796,9 @@ object Queries {
     * suite-pinned separately. Shares [[pBm25]]'s oracle.
     */
   def pBm25Incr(spark: SparkSession, sfDir: String): DataFrame = {
+    // spread the one-row-group fixture scan (see pBm25)
     val docs = documents(spark, sfDir)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
     val queries = docs.filter(pmod(col("doc_id"), lit(50)) === 0)
       .select(col("doc_id").as("query_id"),
         array_join(slice(TF.tokens(col("text")), 1, 5), " ").as("qtext"))
@@ -780,7 +820,9 @@ object Queries {
     * hybrid plans, one contract.
     */
   def pHybridBroadcast(spark: SparkSession, sfDir: String): DataFrame = {
+    // spread the one-row-group fixture scan (see pBm25)
     val docs = documents(spark, sfDir)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
     val queries = docs.filter(pmod(col("doc_id"), lit(50)) === 0)
       .select(col("doc_id").as("query_id"),
         array_join(slice(TF.tokens(col("text")), 1, 5), " ").as("qtext"))
@@ -806,7 +848,9 @@ object Queries {
     * membership, both tie-breaks, and the fused order are all pinned.
     */
   def pRankFusion(spark: SparkSession, sfDir: String): DataFrame = {
+    // spread the one-row-group fixture scan (see pBm25)
     val docs = documents(spark, sfDir)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
     val queries = docs.filter(pmod(col("doc_id"), lit(50)) === 0)
       .select(col("doc_id").as("query_id"),
         array_join(slice(TF.tokens(col("text")), 1, 5), " ").as("qtext"))
@@ -830,7 +874,9 @@ object Queries {
     * are all pinned across engines.
     */
   def pHybridDense(spark: SparkSession, sfDir: String): DataFrame = {
+    // spread the one-row-group fixture scan (see pBm25)
     val docs = documents(spark, sfDir)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
     val queries = docs.filter(pmod(col("doc_id"), lit(50)) === 0)
       .select(col("doc_id").as("query_id"),
         array_join(slice(TF.tokens(col("text")), 1, 5), " ").as("qtext"))
@@ -851,7 +897,9 @@ object Queries {
     * qrel rule, the snapped ln-discount terms, and every ratio.
     */
   def pRankMetrics(spark: SparkSession, sfDir: String): DataFrame = {
+    // spread the one-row-group fixture scan (see pBm25)
     val docs = documents(spark, sfDir)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
     val queries = docs.filter(pmod(col("doc_id"), lit(50)) === 0)
       .select(col("doc_id").as("query_id"),
         array_join(slice(TF.tokens(col("text")), 1, 5), " ").as("qtext"))
@@ -881,7 +929,9 @@ object Queries {
     * the self-exclusion, and the survivor re-rank.
     */
   def pContrastive(spark: SparkSession, sfDir: String): DataFrame = {
+    // spread the one-row-group fixture scan (see pBm25)
     val d = documents(spark, sfDir)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
     // only anchor docs are chunked (filter BEFORE the explode); %50
     // matches the other BM25 gates' query-batch size — the synthetic
     // corpus's 31-word vocabulary defeats posting pruning (every
@@ -913,7 +963,9 @@ object Queries {
     * 4dp-snapped `10^-avg` perplexity.
     */
   def pLmScore(spark: SparkSession, sfDir: String): DataFrame = {
+    // spread the one-row-group fixture scan (see pNgramJaccard)
     val docs = documents(spark, sfDir)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
     graft.pipeline.LanguageModel
       .perplexityScore(docs, "doc_id", "text", docs, "text")
       .orderBy("doc_id")
@@ -957,7 +1009,9 @@ object Queries {
     * shuffles beyond the individually-gated stages.
     */
   def pDailyPipelineFull(spark: SparkSession, sfDir: String): DataFrame = {
+    // spread the one-row-group fixture scan (see pNgramJaccard)
     val docs = documents(spark, sfDir)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
     val evalDocs = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
     val corpus = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
     val batchRaw = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
@@ -1250,7 +1304,10 @@ object Queries {
     * the learned list). All-integer output.
     */
   def pBpeTrain(spark: SparkSession, sfDir: String): DataFrame = {
+    // spread the one-row-group fixture scan (see pNgramJaccard): the
+    // iterative trainer re-scans the corpus once per learned merge
     val d = documents(spark, sfDir)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
     val learned = CorpusStats.bpeTrain(d, "text", 6)
     import spark.implicits._
     val mergeRows = learned.zipWithIndex.map { case ((pair, n), i) =>
@@ -1425,7 +1482,10 @@ object Queries {
     * truncated 2^32 cutoff, and the LCG keep filter.
     */
   def pClusterSample(spark: SparkSession, sfDir: String): DataFrame = {
+    // spread the one-row-group fixture scan (the pWinnowPairs lesson):
+    // the per-row cost is 8 x 64-dim cosine assignments
     val pts = embeddings(spark, sfDir)
+      .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val init = Clustering.initByMinId(pts, "vec_id", "v", 8)
     Clustering.clusterBalancedSample(pts, "vec_id", "v", init, 60L)
@@ -1447,7 +1507,9 @@ object Queries {
     * the exists-smaller-id rule.
     */
   def pSemDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    // spread the one-row-group fixture scan (see pClusterSample)
     val base = embeddings(spark, sfDir)
+      .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val aug = base
       .unionAll(base.filter(pmod(col("vec_id"), lit(25)) === 0)
@@ -1476,7 +1538,11 @@ object Queries {
     val passage = ("zero one two three four five six seven eight nine ten " +
       "eleven twelve thirteen fourteen fifteen sixteen seventeen eighteen " +
       "nineteen twenty twentyone twentytwo twentythree")
-    val aug = documents(spark, sfDir).withColumn("text",
+    // spread the one-row-group fixture scan (the pWinnowPairs lesson):
+    // re-wrapping + paragraph hashing is the per-row cost
+    val aug = documents(spark, sfDir)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .withColumn("text",
       when(pmod(col("doc_id"), lit(17)) === 0, concat(col("text"), lit(" " + passage)))
         .otherwise(col("text")))
     val toks = TF.tokens(col("text"))
@@ -1512,7 +1578,11 @@ object Queries {
       transform(sequence(lit(0), nLines - lit(1)),
         i => array_join(slice(toks, i * lit(8) + lit(1), lit(8)), " ")),
       "\n")
-    documents(spark, sfDir).withColumn("text",
+    // spread the one-row-group fixture scan (the pWinnowPairs lesson):
+    // line re-wrapping + per-line normalize/hash is the per-row cost
+    documents(spark, sfDir)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .withColumn("text",
       concat(
         when(pmod(col("doc_id"), lit(5)) === 1, lit(SubscribeLine + "\n")).otherwise(lit("")),
         body,
@@ -1548,7 +1618,10 @@ object Queries {
     * cross-multiplied, so both engines decide each flag identically.
     */
   def pGopherFilter(spark: SparkSession, sfDir: String): DataFrame = {
-    val d = documents(spark, sfDir).withColumn("text",
+    // spread the one-row-group fixture scan (see pNgramJaccard)
+    val d = documents(spark, sfDir)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .withColumn("text",
       when(pmod(col("doc_id"), lit(29)) === 7, rtrim(repeat(lit("spark "), 1200)))
         .when(pmod(col("doc_id"), lit(19)) === 0, rtrim(repeat(lit("a "), 40)))
         .when(pmod(col("doc_id"), lit(23)) === 5, rtrim(repeat(lit("7 "), 40)))
@@ -1789,8 +1862,12 @@ object Queries {
     import graft.pipeline.LangIdModel
     val langs = TF.LangStopwords.map(_._1)
     val (w, b) = LangIdModel.lcgTables(spark, langs, 256)
+    // spread the one-row-group fixture scan (see pNgramJaccard): the
+    // char-3-gram explode + FNV hashing is the per-row cost
     LangIdModel.scoreWithTable(
-        documents(spark, sfDir), "doc_id", "text", w, b, n = 3, numBuckets = 256)
+        documents(spark, sfDir)
+          .repartition(spark.sparkContext.defaultParallelism, col("doc_id")),
+        "doc_id", "text", w, b, n = 3, numBuckets = 256)
       .orderBy("doc_id", "lang")
   }
 
@@ -2225,7 +2302,11 @@ object Queries {
       when(pmod(col("doc_id"), lit(7)) === 0, lit("?q=casino+night"))
         .otherwise(lit("")))
     CrawlFilters.urlFilterReport(
-        documents(spark, sfDir).withColumn("url", url),
+        // spread the one-row-group fixture scan (see pNgramJaccard):
+        // the canonicalization regex chain is the per-row cost
+        documents(spark, sfDir)
+          .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+          .withColumn("url", url),
         "url",
         blockedDomains = Seq("tracker-net.example", "win-big.example"),
         blockedWords = Seq("casino", "poker"))
@@ -2318,7 +2399,10 @@ object Queries {
     */
   def pSelectionPipeline(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.pipeline.ImportanceSampling
+    // spread the one-row-group fixture scan (see pNgramJaccard): the
+    // gopher flags + hashed-gram explode are the per-row cost
     val docs = documents(spark, sfDir)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
     val target = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
     val raw = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
       .filter(TF.gopherPass(col("text"), minWords = 30, maxWords = 1000))
@@ -2348,7 +2432,11 @@ object Queries {
     val passage = ("zero one two three four five six seven eight nine ten " +
       "eleven twelve thirteen fourteen fifteen sixteen seventeen eighteen " +
       "nineteen twenty twentyone twentytwo twentythree")
-    documents(spark, sfDir).withColumn("text",
+    documents(spark, sfDir)
+      // spread the one-row-group fixture scan (the pWinnowPairs lesson):
+      // positioned k-gram hashing is the per-row cost of span detection
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .withColumn("text",
       when(pmod(col("doc_id"), lit(17)) === 0, concat(col("text"), lit(" " + passage)))
         .otherwise(col("text")))
   }
@@ -2399,7 +2487,11 @@ object Queries {
       "eta", "theta", "iota", "kappa", "lambda", "mu", "nu", "xi", "omicron",
       "pi", "rho", "sigma", "tau", "upsilon", "phi", "chi", "psi", "omega")
       .mkString(" ")
-    documents(spark, sfDir).withColumn("text",
+    documents(spark, sfDir)
+      // spread the one-row-group fixture scan (see pNgramJaccard):
+      // the quality/repetition signal expressions are the per-row cost
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .withColumn("text",
       when(pmod(col("doc_id"), lit(15)) === 0, lit(undText))
         .when(pmod(col("doc_id"), lit(5)) === 1,
           concat(col("text"), lit(" " + fwdRev(sw("de")))))
@@ -2834,7 +2926,9 @@ object Queries {
   def pCorpusPipeline(spark: SparkSession, sfDir: String): DataFrame = {
     val t = col("text")
     val en = TF.LangStopwords.head._2
+    // spread the one-row-group fixture scan (see pNgramJaccard)
     val cleaned = documents(spark, sfDir)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .filter(TF.qualityScore(t, en) >= 0.5)
       .filter(TF.langId(t) === "en")
     val surviving = Dedup.dedupedCorpus(cleaned, "doc_id", "text")
@@ -2882,8 +2976,11 @@ object Queries {
     * Oracle: DuckDB recursive CTE over the same pair derivation.
     */
   def pDedupComponents(spark: SparkSession, sfDir: String): DataFrame = {
+    // spread the one-row-group fixture scan (see pNgramJaccard)
     val pairs = Dedup.ngramJaccardPairs(
-      documents(spark, sfDir), "doc_id", "text", 3, 0.5)
+      documents(spark, sfDir)
+        .repartition(spark.sparkContext.defaultParallelism, col("doc_id")),
+      "doc_id", "text", 3, 0.5)
     val comps = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
     // comps is materialized+persisted (the caller-owned result of every
     // dedup pipeline — Bench/Verify clearCache between queries); pairs is
@@ -2902,7 +2999,10 @@ object Queries {
     * DuckDB recursive closure plus a per-component window.
     */
   def pDedupSurvivors(spark: SparkSession, sfDir: String): DataFrame = {
+    // spread the one-row-group fixture scan (the pWinnowPairs lesson):
+    // shingling is the per-row cost of the pair stage
     val docs = documents(spark, sfDir)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
     val surv = Dedup.nearDupCorpusBy(docs, "doc_id", "n_chars", pairs)
     pairs.unpersist(blocking = false)
@@ -3662,17 +3762,50 @@ object Queries {
       "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "256KB",
       "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "64KB")
     val fitLoopNoAqe = Map("spark.sql.adaptive.enabled" -> "false")
+    // r15 optimization round: the multi-stage pipeline gates (retrieval,
+    // pair dedup, LM scoring, BPE training, clustering, composed daily
+    // runs) plan 10-20 exchanges over KILOBYTES of fixture data. With AQE
+    // on, every exchange is a sequential driver-side replan barrier —
+    // stages cannot pipeline, and the replan latency of these 100+-node
+    // plans (some with nested cached subplans) dominates the queries'
+    // wall-clock at gate scale. Measured same-window at sf0.1: p_bm25
+    // 4.4 s (AQE) -> 1.8 s (no AQE) on identical data and partitioning.
+    // At 100 TB the same session keeps AQE on — coalescing and skew
+    // handling pay for the barriers there — so this is the per-query
+    // session conf a tuned pipeline run would set, exactly like the
+    // ml_gbm fit-loop entries above; the explicit repartition/broadcast
+    // structure of these operators leaves AQE nothing to decide at gate
+    // scale.
+    // NOT here (measured slower without AQE, same-window controls): the
+    // banded-artifact / composed pipelines (p_dedup_incremental,
+    // p_dedup_incr_artifact, p_daily_pipeline*, p_corpus_pipeline,
+    // p_selection_pipeline, p_semdedup) — their mid-pipeline joins lean
+    // on AQE's runtime broadcast conversion, so the barriers pay there.
+    val pipelineNoAqe = Seq(
+      "p_bm25", "p_bm25_indexed", "p_bm25_broadcast", "p_bm25_incr",
+      "p_rank_fusion", "p_rank_metrics", "p_contrastive",
+      "p_hybrid_broadcast", "p_hybrid_dense",
+      "q_hybrid_index_build", "q_hybrid_serve",
+      "p_lm_score", "p_ngram_jaccard", "p_minhash_dedup", "p_simhash_dedup",
+      "p_dedup_components", "p_dedup_survivors", "p_leakage_split",
+      "p_bpe_train", "p_cluster_sample",
+      "p_decontaminate_neardup", "p_paragraph_dedup",
+      "p_boilerplate_removal", "p_span_removal", "p_repeated_spans")
     Map(
       "q11_skew_salted" -> atScaleAqe, "q11_skew_plain" -> atScaleAqe,
       "ml_gbm_classifier" -> fitLoopNoAqe,
       "ml_gbm_multiclass" -> fitLoopNoAqe,
-      "ml_gbm_regressor" -> fitLoopNoAqe)
+      "ml_gbm_regressor" -> fitLoopNoAqe) ++
+      pipelineNoAqe.map(_ -> fitLoopNoAqe)
   }
 
   /** The hybrid gates' shared query set (every 50th doc, first 5
     * tokens). */
   private def hybridBenchQueries(spark: SparkSession, sfDir: String): DataFrame =
     documents(spark, sfDir).filter(pmod(col("doc_id"), lit(50)) === 0)
+      // spread the one-row-group fixture scan (see pBm25); filter first —
+      // only the 2% query batch crosses the exchange
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id").as("query_id"),
         array_join(slice(TF.tokens(col("text")), 1, 5), " ").as("qtext"))
 
@@ -3684,7 +3817,11 @@ object Queries {
     val qtok = queries
       .select(explode(array_distinct(TF.tokens(col("qtext")))).as("token"))
       .distinct()
-    Retrieval.buildPrunedIndex(documents(spark, sfDir), "doc_id", "text", qtok)
+    // spread the one-row-group fixture scan (see pBm25)
+    Retrieval.buildPrunedIndex(
+      documents(spark, sfDir)
+        .repartition(spark.sparkContext.defaultParallelism, col("doc_id")),
+      "doc_id", "text", qtok)
   }
 
   /** Bench row: the hybrid index BUILD alone — the tokenized corpus
