@@ -297,7 +297,7 @@ object Queries {
     // shingling is the per-row cost of the pair stage
     Dedup.ngramJaccardPairs(
         documents(spark, sfDir)
-          .repartition(spark.sparkContext.defaultParallelism, col("doc_id")),
+          .spreadScan(col("doc_id")),
         "doc_id", "text", 3, 0.5)
       .orderBy("doc_a", "doc_b")
 
@@ -311,7 +311,7 @@ object Queries {
     // spread the one-row-group fixture scan (see pNgramJaccard)
     Dedup.minhashPairsVerified(
         documents(spark, sfDir)
-          .repartition(spark.sparkContext.defaultParallelism, col("doc_id")),
+          .spreadScan(col("doc_id")),
         "doc_id", "text",
         numHashes = 64, bands = 16, threshold = 0.5)
       .orderBy("doc_a", "doc_b")
@@ -325,7 +325,7 @@ object Queries {
     // spread the one-row-group fixture scan (see pNgramJaccard)
     Dedup.simhashPairsVerified(
         documents(spark, sfDir)
-          .repartition(spark.sparkContext.defaultParallelism, col("doc_id")),
+          .spreadScan(col("doc_id")),
         "doc_id", "text",
         maxHamming = 8, threshold = 0.5)
       .orderBy("doc_a", "doc_b")
@@ -403,7 +403,7 @@ object Queries {
   def pLeakageSplit(spark: SparkSession, sfDir: String): DataFrame = {
     // spread the one-row-group fixture scan (see pNgramJaccard)
     val docs = documents(spark, sfDir)
-      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .spreadScan(col("doc_id"))
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
     val comps = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
     pairs.unpersist(blocking = false)
@@ -433,7 +433,7 @@ object Queries {
   def pIncrementalDedup(spark: SparkSession, sfDir: String): DataFrame = {
     // spread the one-row-group fixture scan (see pNgramJaccard)
     val docs = documents(spark, sfDir)
-      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .spreadScan(col("doc_id"))
     val corpus = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
     val batch = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
     Dedup.incrementalDedupSurvivors(corpus, batch, "doc_id", "text")
@@ -450,7 +450,7 @@ object Queries {
   def pIncrementalDedupArtifact(spark: SparkSession, sfDir: String): DataFrame = {
     // spread the one-row-group fixture scan (see pNgramJaccard)
     val docs = documents(spark, sfDir)
-      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .spreadScan(col("doc_id"))
     val corpus = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
     val batch = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
     val art = Dedup.bandedCorpusArtifact(corpus, "doc_id", "text")
@@ -476,7 +476,7 @@ object Queries {
   def pDailyPipeline(spark: SparkSession, sfDir: String): DataFrame = {
     // spread the one-row-group fixture scan (see pNgramJaccard)
     val docs = documents(spark, sfDir)
-      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .spreadScan(col("doc_id"))
     val corpus = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
     val batch = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
     val art = Dedup.bandedCorpusArtifact(corpus, "doc_id", "text")
@@ -562,7 +562,7 @@ object Queries {
         "<p>short note</p>" +
         "<div>Copyright 2099 Example Corp rights reserved</div>"))
     documents(spark, sfDir)
-      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .spreadScan(col("doc_id"))
       .select(col("doc_id"), opaque(html).as("html"))
       .select(col("doc_id"),
         opaque(TF.blockFeatures(col("html"), TF.LangStopwords.head._2)).as("blocks"))
@@ -599,7 +599,7 @@ object Queries {
     // chain ran in ONE task (measured 3.85 s at sf0.1; the exchange
     // moves raw rows only, the redaction runs above it on every core)
     val cust = customer(spark, sfDir)
-      .repartition(spark.sparkContext.defaultParallelism, k)
+      .spreadScan(k)
     val body = (1 to 15).map(i => pmod(k * (i + 2), lit(10)))
     val luhnSum = body.zipWithIndex.map { case (d, idx) =>
       // left position i = idx+1; fromRight = 17-i even <=> i odd
@@ -668,7 +668,7 @@ object Queries {
   def pNearDupDecontam(spark: SparkSession, sfDir: String): DataFrame = {
     // spread the one-row-group fixture scan (see pNgramJaccard)
     val docs = documents(spark, sfDir)
-      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .spreadScan(col("doc_id"))
     val evalDocs = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
       .select(col("doc_id").as("eval_id"), col("text"))
     val train = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
@@ -733,7 +733,7 @@ object Queries {
     // the corpus-side tokenize+explode is the retrieval stack's dominant
     // per-row cost and otherwise runs in a single scan task
     val docs = documents(spark, sfDir)
-      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .spreadScan(col("doc_id"))
     val queries = docs.filter(pmod(col("doc_id"), lit(50)) === 0)
       .select(col("doc_id").as("query_id"),
         array_join(slice(TF.tokens(col("text")), 1, 5), " ").as("qtext"))
@@ -749,7 +749,7 @@ object Queries {
   def pBm25Indexed(spark: SparkSession, sfDir: String): DataFrame = {
     // spread the one-row-group fixture scan (see pBm25)
     val docs = documents(spark, sfDir)
-      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .spreadScan(col("doc_id"))
     val queries = docs.filter(pmod(col("doc_id"), lit(50)) === 0)
       .select(col("doc_id").as("query_id"),
         array_join(slice(TF.tokens(col("text")), 1, 5), " ").as("qtext"))
@@ -771,7 +771,7 @@ object Queries {
   def pBm25Broadcast(spark: SparkSession, sfDir: String): DataFrame = {
     // spread the one-row-group fixture scan (see pBm25)
     val docs = documents(spark, sfDir)
-      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .spreadScan(col("doc_id"))
     val queries = docs.filter(pmod(col("doc_id"), lit(50)) === 0)
       .select(col("doc_id").as("query_id"),
         array_join(slice(TF.tokens(col("text")), 1, 5), " ").as("qtext"))
@@ -798,7 +798,7 @@ object Queries {
   def pBm25Incr(spark: SparkSession, sfDir: String): DataFrame = {
     // spread the one-row-group fixture scan (see pBm25)
     val docs = documents(spark, sfDir)
-      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .spreadScan(col("doc_id"))
     val queries = docs.filter(pmod(col("doc_id"), lit(50)) === 0)
       .select(col("doc_id").as("query_id"),
         array_join(slice(TF.tokens(col("text")), 1, 5), " ").as("qtext"))
@@ -822,7 +822,7 @@ object Queries {
   def pHybridBroadcast(spark: SparkSession, sfDir: String): DataFrame = {
     // spread the one-row-group fixture scan (see pBm25)
     val docs = documents(spark, sfDir)
-      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .spreadScan(col("doc_id"))
     val queries = docs.filter(pmod(col("doc_id"), lit(50)) === 0)
       .select(col("doc_id").as("query_id"),
         array_join(slice(TF.tokens(col("text")), 1, 5), " ").as("qtext"))
@@ -850,7 +850,7 @@ object Queries {
   def pRankFusion(spark: SparkSession, sfDir: String): DataFrame = {
     // spread the one-row-group fixture scan (see pBm25)
     val docs = documents(spark, sfDir)
-      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .spreadScan(col("doc_id"))
     val queries = docs.filter(pmod(col("doc_id"), lit(50)) === 0)
       .select(col("doc_id").as("query_id"),
         array_join(slice(TF.tokens(col("text")), 1, 5), " ").as("qtext"))
@@ -876,7 +876,7 @@ object Queries {
   def pHybridDense(spark: SparkSession, sfDir: String): DataFrame = {
     // spread the one-row-group fixture scan (see pBm25)
     val docs = documents(spark, sfDir)
-      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .spreadScan(col("doc_id"))
     val queries = docs.filter(pmod(col("doc_id"), lit(50)) === 0)
       .select(col("doc_id").as("query_id"),
         array_join(slice(TF.tokens(col("text")), 1, 5), " ").as("qtext"))
@@ -899,7 +899,7 @@ object Queries {
   def pRankMetrics(spark: SparkSession, sfDir: String): DataFrame = {
     // spread the one-row-group fixture scan (see pBm25)
     val docs = documents(spark, sfDir)
-      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .spreadScan(col("doc_id"))
     val queries = docs.filter(pmod(col("doc_id"), lit(50)) === 0)
       .select(col("doc_id").as("query_id"),
         array_join(slice(TF.tokens(col("text")), 1, 5), " ").as("qtext"))
@@ -931,7 +931,7 @@ object Queries {
   def pContrastive(spark: SparkSession, sfDir: String): DataFrame = {
     // spread the one-row-group fixture scan (see pBm25)
     val d = documents(spark, sfDir)
-      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .spreadScan(col("doc_id"))
     // only anchor docs are chunked (filter BEFORE the explode); %50
     // matches the other BM25 gates' query-batch size — the synthetic
     // corpus's 31-word vocabulary defeats posting pruning (every
@@ -965,7 +965,7 @@ object Queries {
   def pLmScore(spark: SparkSession, sfDir: String): DataFrame = {
     // spread the one-row-group fixture scan (see pNgramJaccard)
     val docs = documents(spark, sfDir)
-      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .spreadScan(col("doc_id"))
     graft.pipeline.LanguageModel
       .perplexityScore(docs, "doc_id", "text", docs, "text")
       .orderBy("doc_id")
@@ -1011,7 +1011,7 @@ object Queries {
   def pDailyPipelineFull(spark: SparkSession, sfDir: String): DataFrame = {
     // spread the one-row-group fixture scan (see pNgramJaccard)
     val docs = documents(spark, sfDir)
-      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .spreadScan(col("doc_id"))
     val evalDocs = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
     val corpus = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
     val batchRaw = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
@@ -1182,7 +1182,7 @@ object Queries {
     // shingling is the per-row cost and computes once per consumer
     CorpusStats.noveltyScore(
       documents(spark, sfDir)
-        .repartition(spark.sparkContext.defaultParallelism, col("doc_id")),
+        .spreadScan(col("doc_id")),
       "doc_id", "text", 3)
       .select(col("id").as("doc_id"), col("n_grams"), col("n_novel"))
       .orderBy("doc_id")
@@ -1198,7 +1198,7 @@ object Queries {
     */
   def pNoveltyIncr(spark: SparkSession, sfDir: String): DataFrame = {
     val d = documents(spark, sfDir)
-      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .spreadScan(col("doc_id"))
     val artifact = CorpusStats.shingleFirstOccurrence(
       d.filter(col("doc_id") < 250), "doc_id", "text", 3)
     CorpusStats.noveltyScoreIncremental(
@@ -1307,7 +1307,7 @@ object Queries {
     // spread the one-row-group fixture scan (see pNgramJaccard): the
     // iterative trainer re-scans the corpus once per learned merge
     val d = documents(spark, sfDir)
-      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .spreadScan(col("doc_id"))
     val learned = CorpusStats.bpeTrain(d, "text", 6)
     import spark.implicits._
     val mergeRows = learned.zipWithIndex.map { case ((pair, n), i) =>
@@ -1393,7 +1393,7 @@ object Queries {
     // per-row fingerprint stage is the cost, and a real corpus arrives
     // in enough files to parallelize it
     val d = documents(spark, sfDir)
-      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .spreadScan(col("doc_id"))
     val fps = graft.pipeline.Winnowing.winnowFingerprints(d, "doc_id", "text", 3, 4)
     val agg = fps.groupBy("doc_id").agg(
       count(lit(1)).as("n_fp"),
@@ -1437,7 +1437,7 @@ object Queries {
     // stage, so spread it across the cores a real multi-file corpus
     // would get for free
     val spread = documents(spark, sfDir)
-      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .spreadScan(col("doc_id"))
     val d = spread.withColumn("text",
       concat(coalesce(col("text"), lit("")),
         when(pmod(col("doc_id"), lit(2)) === 0,
@@ -1485,7 +1485,7 @@ object Queries {
     // spread the one-row-group fixture scan (the pWinnowPairs lesson):
     // the per-row cost is 8 x 64-dim cosine assignments
     val pts = embeddings(spark, sfDir)
-      .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
+      .spreadScan(col("vec_id"))
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val init = Clustering.initByMinId(pts, "vec_id", "v", 8)
     Clustering.clusterBalancedSample(pts, "vec_id", "v", init, 60L)
@@ -1509,7 +1509,7 @@ object Queries {
   def pSemDedup(spark: SparkSession, sfDir: String): DataFrame = {
     // spread the one-row-group fixture scan (see pClusterSample)
     val base = embeddings(spark, sfDir)
-      .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
+      .spreadScan(col("vec_id"))
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val aug = base
       .unionAll(base.filter(pmod(col("vec_id"), lit(25)) === 0)
@@ -1541,7 +1541,7 @@ object Queries {
     // spread the one-row-group fixture scan (the pWinnowPairs lesson):
     // re-wrapping + paragraph hashing is the per-row cost
     val aug = documents(spark, sfDir)
-      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .spreadScan(col("doc_id"))
       .withColumn("text",
       when(pmod(col("doc_id"), lit(17)) === 0, concat(col("text"), lit(" " + passage)))
         .otherwise(col("text")))
@@ -1581,7 +1581,7 @@ object Queries {
     // spread the one-row-group fixture scan (the pWinnowPairs lesson):
     // line re-wrapping + per-line normalize/hash is the per-row cost
     documents(spark, sfDir)
-      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .spreadScan(col("doc_id"))
       .withColumn("text",
       concat(
         when(pmod(col("doc_id"), lit(5)) === 1, lit(SubscribeLine + "\n")).otherwise(lit("")),
@@ -1620,7 +1620,7 @@ object Queries {
   def pGopherFilter(spark: SparkSession, sfDir: String): DataFrame = {
     // spread the one-row-group fixture scan (see pNgramJaccard)
     val d = documents(spark, sfDir)
-      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .spreadScan(col("doc_id"))
       .withColumn("text",
       when(pmod(col("doc_id"), lit(29)) === 7, rtrim(repeat(lit("spark "), 1200)))
         .when(pmod(col("doc_id"), lit(19)) === 0, rtrim(repeat(lit("a "), 40)))
@@ -1866,7 +1866,7 @@ object Queries {
     // char-3-gram explode + FNV hashing is the per-row cost
     LangIdModel.scoreWithTable(
         documents(spark, sfDir)
-          .repartition(spark.sparkContext.defaultParallelism, col("doc_id")),
+          .spreadScan(col("doc_id")),
         "doc_id", "text", w, b, n = 3, numBuckets = 256)
       .orderBy("doc_id", "lang")
   }
@@ -1978,7 +1978,7 @@ object Queries {
     // spread the one-row-group fixture scan (the pWinnowPairs lesson):
     // the 128-replace repair chain is the per-row cost
     documents(spark, sfDir)
-      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .spreadScan(col("doc_id"))
       .select(col("doc_id"), raw.as("raw"))
       .select(col("doc_id"), col("raw"),
         opaque(TF.fixEncoding(col("raw"))).as("fixed"))
@@ -2011,7 +2011,7 @@ object Queries {
         concat(coalesce(col("text"), lit("")), lit(MojiSnippet)))
       .otherwise(col("text"))
     documents(spark, sfDir)
-      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .spreadScan(col("doc_id"))
       .select(col("doc_id"), raw.as("raw"))
       .select(col("doc_id"), col("raw"),
         opaque(TF.fixEncoding2x(col("raw"))).as("fixed"))
@@ -2305,7 +2305,7 @@ object Queries {
         // spread the one-row-group fixture scan (see pNgramJaccard):
         // the canonicalization regex chain is the per-row cost
         documents(spark, sfDir)
-          .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+          .spreadScan(col("doc_id"))
           .withColumn("url", url),
         "url",
         blockedDomains = Seq("tracker-net.example", "win-big.example"),
@@ -2368,7 +2368,7 @@ object Queries {
     */
   private def dsirWeights(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = documents(spark, sfDir)
-      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .spreadScan(col("doc_id"))
     val target = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
     val raw = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
     graft.pipeline.ImportanceSampling
@@ -2402,7 +2402,7 @@ object Queries {
     // spread the one-row-group fixture scan (see pNgramJaccard): the
     // gopher flags + hashed-gram explode are the per-row cost
     val docs = documents(spark, sfDir)
-      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .spreadScan(col("doc_id"))
     val target = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
     val raw = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
       .filter(TF.gopherPass(col("text"), minWords = 30, maxWords = 1000))
@@ -2435,7 +2435,7 @@ object Queries {
     documents(spark, sfDir)
       // spread the one-row-group fixture scan (the pWinnowPairs lesson):
       // positioned k-gram hashing is the per-row cost of span detection
-      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .spreadScan(col("doc_id"))
       .withColumn("text",
       when(pmod(col("doc_id"), lit(17)) === 0, concat(col("text"), lit(" " + passage)))
         .otherwise(col("text")))
@@ -2490,7 +2490,7 @@ object Queries {
     documents(spark, sfDir)
       // spread the one-row-group fixture scan (see pNgramJaccard):
       // the quality/repetition signal expressions are the per-row cost
-      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .spreadScan(col("doc_id"))
       .withColumn("text",
       when(pmod(col("doc_id"), lit(15)) === 0, lit(undText))
         .when(pmod(col("doc_id"), lit(5)) === 1,
@@ -2928,7 +2928,7 @@ object Queries {
     val en = TF.LangStopwords.head._2
     // spread the one-row-group fixture scan (see pNgramJaccard)
     val cleaned = documents(spark, sfDir)
-      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .spreadScan(col("doc_id"))
       .filter(TF.qualityScore(t, en) >= 0.5)
       .filter(TF.langId(t) === "en")
     val surviving = Dedup.dedupedCorpus(cleaned, "doc_id", "text")
@@ -2979,7 +2979,7 @@ object Queries {
     // spread the one-row-group fixture scan (see pNgramJaccard)
     val pairs = Dedup.ngramJaccardPairs(
       documents(spark, sfDir)
-        .repartition(spark.sparkContext.defaultParallelism, col("doc_id")),
+        .spreadScan(col("doc_id")),
       "doc_id", "text", 3, 0.5)
     val comps = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
     // comps is materialized+persisted (the caller-owned result of every
@@ -3002,7 +3002,7 @@ object Queries {
     // spread the one-row-group fixture scan (the pWinnowPairs lesson):
     // shingling is the per-row cost of the pair stage
     val docs = documents(spark, sfDir)
-      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .spreadScan(col("doc_id"))
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
     val surv = Dedup.nearDupCorpusBy(docs, "doc_id", "n_chars", pairs)
     pairs.unpersist(blocking = false)
@@ -3056,13 +3056,37 @@ object Queries {
     * property explicitly with one narrow-column round-robin shuffle, paid
     * once per fit (the estimators cache immediately downstream).
     */
-  private def spread(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+  private def spread(df: DataFrame): DataFrame = {
+    val want = df.sparkSession.sparkContext.defaultParallelism
+    // conditional (r16): a real corpus already arrives in >= parallelism
+    // splits — the exchange exists only to repair the fixture's
+    // one-row-group layout, so skip it when the scan is already wide
+    // (rdd.getNumPartitions is planning-only, no job)
+    if (df.rdd.getNumPartitions >= want) df else df.repartition(want)
+  }
+
+  /** Keyed twin of [[spread]] for the declared text gates (r15's
+    * "spread the one-row-group fixture scan" idiom, made conditional —
+    * r15 VERDICT item 5): hash-repartition `df` on `key` to
+    * defaultParallelism ONLY when the incoming plan has fewer
+    * partitions. At 100 TB the scan is already thousands of splits and
+    * this is the identity — the unconditional form would shuffle the
+    * raw corpus for zero benefit. Keyed on the id column so the
+    * determinism sweep's partition-independence holds (see
+    * PartitionIndependenceSuite).
+    */
+  private implicit class SpreadOps(df: DataFrame) {
+    def spreadScan(key: org.apache.spark.sql.Column): DataFrame = {
+      val want = df.sparkSession.sparkContext.defaultParallelism
+      if (df.rdd.getNumPartitions >= want) df else df.repartition(want, key)
+    }
+  }
 
   /** lineitem lowered to (label, features) instances — the canonical input
     * shape of every estimator (FIXTURES.md §1).
     */
-  def regressionInstances(spark: SparkSession, sfDir: String): DataFrame = {
+  def regressionInstances(
+      spark: SparkSession, sfDir: String, spreadInput: Boolean = false): DataFrame = {
     val li = lineitem(spark, sfDir)
       .select(
         col("l_extendedprice").as("label"),
@@ -3071,7 +3095,7 @@ object Queries {
     new VectorAssembler()
       .setInputCols(Array("l_quantity", "l_discount", "l_tax"))
       .setOutputCol("features")
-      .transform(li)
+      .transform(if (spreadInput) spread(li) else li)
   }
 
   def classificationInstances(
@@ -3355,7 +3379,8 @@ object Queries {
   }
 
   /** 3-class instances (return-flag) for the K-dimensional GBM path. */
-  def multiclassInstances(spark: SparkSession, sfDir: String): DataFrame = {
+  def multiclassInstances(
+      spark: SparkSession, sfDir: String, spreadInput: Boolean = false): DataFrame = {
     val li = lineitem(spark, sfDir)
       .select(
         when(col("l_returnflag") === "A", 0.0)
@@ -3365,7 +3390,7 @@ object Queries {
     new VectorAssembler()
       .setInputCols(Array("l_quantity", "l_discount", "l_tax", "l_extendedprice"))
       .setOutputCol("features")
-      .transform(li)
+      .transform(if (spreadInput) spread(li) else li)
   }
 
   /** K-dimensional GBM(logloss) over Dummy(mean): log-prior init + per-class
@@ -3424,7 +3449,10 @@ object Queries {
     * suites (ReferenceDataSuite / GBMSuite / StackingBoostingSuite).
     */
   def baggingRegressionDt(spark: SparkSession, sfDir: String): DataFrame = {
-    val df = regressionInstances(spark, sfDir)
+    // spreadInput: see gbmRegressionDt; the bootstrap draws are
+    // partition-seeded, so the 5 trees differ from the unspread run —
+    // bench-only row, output re-checked in OPTIMIZATION_r16.md
+    val df = regressionInstances(spark, sfDir, spreadInput = true)
     val model = new BaggingRegressor()
       .setBaseLearner(new DecisionTreeRegressor().setMaxDepth(5).setSeed(42))
       .setNumBaseLearners(5)
@@ -3440,7 +3468,8 @@ object Queries {
   }
 
   def baggingClassificationDt(spark: SparkSession, sfDir: String): DataFrame = {
-    val df = classificationInstances(spark, sfDir)
+    // spreadInput: see baggingRegressionDt
+    val df = classificationInstances(spark, sfDir, spreadInput = true)
     val model = new BaggingClassifier()
       .setBaseLearner(new DecisionTreeClassifier().setMaxDepth(5).setSeed(42))
       .setNumBaseLearners(5)
@@ -3487,7 +3516,8 @@ object Queries {
   }
 
   def boostingRegressionDt(spark: SparkSession, sfDir: String): DataFrame = {
-    val df = regressionInstances(spark, sfDir)
+    // spreadInput: see gbmRegressionDt
+    val df = regressionInstances(spark, sfDir, spreadInput = true)
     val model = new BoostingRegressor()
       .setBaseLearner(new DecisionTreeRegressor().setMaxDepth(5).setSeed(42))
       .setNumBaseLearners(3)
@@ -3501,7 +3531,8 @@ object Queries {
   }
 
   def boostingClassificationDt(spark: SparkSession, sfDir: String): DataFrame = {
-    val df = classificationInstances(spark, sfDir)
+    // spreadInput: see gbmRegressionDt
+    val df = classificationInstances(spark, sfDir, spreadInput = true)
     val model = new BoostingClassifier()
       .setBaseLearner(new DecisionTreeClassifier().setMaxDepth(5).setSeed(42))
       .setNumBaseLearners(3)
@@ -3514,7 +3545,12 @@ object Queries {
   }
 
   def gbmRegressionDt(spark: SparkSession, sfDir: String): DataFrame = {
-    val df = regressionInstances(spark, sfDir)
+    // spreadInput: the native-DT fit converts to RDDs immediately, so the
+    // one-split fixture scan would otherwise pin binning, every
+    // per-level findBestSplits aggregation, and the line-search passes
+    // to a single core of local[32] (bench-only row; guide SS2.5 input
+    // skew — same rationale as stackingClassificationDt)
+    val df = regressionInstances(spark, sfDir, spreadInput = true)
     val model = new GBMRegressor()
       .setBaseLearner(new DecisionTreeRegressor().setMaxDepth(5).setSeed(42))
       .setMaxIter(5)
@@ -3530,7 +3566,8 @@ object Queries {
   }
 
   def gbmClassificationDt(spark: SparkSession, sfDir: String): DataFrame = {
-    val df = classificationInstances(spark, sfDir)
+    // spreadInput: see gbmRegressionDt
+    val df = classificationInstances(spark, sfDir, spreadInput = true)
     val model = new GBMClassifier()
       .setBaseLearner(new DecisionTreeRegressor().setMaxDepth(5).setSeed(42))
       .setMaxIter(3)
@@ -3545,7 +3582,9 @@ object Queries {
   }
 
   def gbmMulticlassDt(spark: SparkSession, sfDir: String): DataFrame = {
-    val df = multiclassInstances(spark, sfDir)
+    // spreadInput: see gbmRegressionDt (K=3 concurrent per-class tree
+    // inductions share the same one-split RDD without it)
+    val df = multiclassInstances(spark, sfDir, spreadInput = true)
     val model = new GBMClassifier()
       .setBaseLearner(new DecisionTreeRegressor().setMaxDepth(4).setSeed(42))
       .setMaxIter(2)
@@ -3564,7 +3603,8 @@ object Queries {
     * (bin once, per-round leaf-probability reweighting).
     */
   def boostingClassificationRealDt(spark: SparkSession, sfDir: String): DataFrame = {
-    val df = classificationInstances(spark, sfDir)
+    // spreadInput: see gbmRegressionDt
+    val df = classificationInstances(spark, sfDir, spreadInput = true)
     val model = new BoostingClassifier()
       .setBaseLearner(new DecisionTreeClassifier().setMaxDepth(5).setSeed(42))
       .setNumBaseLearners(3)
@@ -3805,7 +3845,7 @@ object Queries {
     documents(spark, sfDir).filter(pmod(col("doc_id"), lit(50)) === 0)
       // spread the one-row-group fixture scan (see pBm25); filter first —
       // only the 2% query batch crosses the exchange
-      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .spreadScan(col("doc_id"))
       .select(col("doc_id").as("query_id"),
         array_join(slice(TF.tokens(col("text")), 1, 5), " ").as("qtext"))
 
@@ -3820,7 +3860,7 @@ object Queries {
     // spread the one-row-group fixture scan (see pBm25)
     Retrieval.buildPrunedIndex(
       documents(spark, sfDir)
-        .repartition(spark.sparkContext.defaultParallelism, col("doc_id")),
+        .spreadScan(col("doc_id")),
       "doc_id", "text", qtok)
   }
 

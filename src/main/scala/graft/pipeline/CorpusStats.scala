@@ -56,7 +56,7 @@ object CorpusStats {
       textCol: String,
       stopwords: Seq[String] = TextFunctions.LangStopwords.head._2,
       approx: Boolean = false): DataFrame = {
-    val fp = xxhash64(lower(trim(regexp_replace(col(textCol), "\\s+", " "))))
+    val fp = xxhash64(lower(trim(org.apache.spark.sql.graft.GraftExpressions.collapseWs(col(textCol)))))
     val distinctTexts =
       if (approx) approx_count_distinct(fp) else count_distinct(fp)
     docs
@@ -448,7 +448,7 @@ object CorpusStats {
     */
   def corpusReport(docs: DataFrame, textCol: String, srcCol: String): DataFrame = {
     val t = col(textCol)
-    val norm = lower(trim(regexp_replace(t, "\\s+", " ")))
+    val norm = lower(trim(org.apache.spark.sql.graft.GraftExpressions.collapseWs(t)))
     val quality = TextFunctions.qualityScore(t, TextFunctions.LangStopwords.head._2)
     val global = docs.agg(
       count(lit(1)).cast("double").as("n_docs"),

@@ -56,7 +56,7 @@ object Dedup {
     * `fingerprint` does here.
     */
   def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val norm = lower(trim(regexp_replace(col(textCol), "\\s+", " ")))
+    val norm = lower(trim(org.apache.spark.sql.graft.GraftExpressions.collapseWs(col(textCol))))
     df.groupBy(norm.as("__text_key"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
       .select("keep_id", "dup_count")
@@ -85,7 +85,7 @@ object Dedup {
     val d = docs.select(
       col(idCol).as("id"),
       col(srcCol).as("src"),
-      xxhash64(lower(trim(regexp_replace(col(textCol), "\\s+", " ")))).as("key"))
+      xxhash64(lower(trim(org.apache.spark.sql.graft.GraftExpressions.collapseWs(col(textCol))))).as("key"))
     val groups = d
       .groupBy("key")
       .agg(min(struct(col("id"), col("src"))).as("f"), count(lit(1)).as("n"))
@@ -117,7 +117,7 @@ object Dedup {
       textCol: String): DataFrame = {
     def fp(df: DataFrame, as: String) = df.select(
       col(idCol).as("id"),
-      xxhash64(lower(trim(regexp_replace(col(textCol), "\\s+", " ")))).as(as))
+      xxhash64(lower(trim(org.apache.spark.sql.graft.GraftExpressions.collapseWs(col(textCol))))).as(as))
     fp(oldDocs, "old_fp").join(fp(newDocs, "new_fp"), Seq("id"), "full_outer")
       .select(col("id").as(idCol),
         when(col("old_fp").isNull, "added")
@@ -1078,7 +1078,7 @@ object Dedup {
         col(idCol).as("id"),
         posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
           .as(Seq("pos", "para")))
-      .withColumn("norm", lower(trim(regexp_replace(col("para"), "\\s+", " "))))
+      .withColumn("norm", lower(trim(org.apache.spark.sql.graft.GraftExpressions.collapseWs(col("para")))))
       .filter(col("norm") =!= "")
       .withColumn("key", xxhash64(col("norm")))
     val first = paras
@@ -1233,7 +1233,7 @@ object Dedup {
     * 8 bytes on the wire instead of the line text.
     */
   private def lineNorm(line: Column): Column =
-    lower(trim(regexp_replace(line, "\\s+", " ")))
+    lower(trim(org.apache.spark.sql.graft.GraftExpressions.collapseWs(line)))
 
   /** Corpus-wide line document frequency: one row per DISTINCT normalized
     * line with the number of distinct documents containing it —

@@ -132,7 +132,7 @@ object Retrieval {
   def indexStats(docs: DataFrame, textCol: String): (Long, Long) = {
     val r = docs.agg(
       count(lit(1)),
-      sum(size(tokens(col(textCol))).cast("long"))).head()
+      sum(TextFunctions.tokenCount(col(textCol)).cast("long"))).head()
     (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
   }
 
@@ -348,7 +348,7 @@ object Retrieval {
     require(k > 0, s"k must be positive, got $k")
     val corpusStats = docs.agg(
       count(lit(1)).as("n_docs"),
-      sum(size(tokens(col(textCol))).cast("long")).as("total_tokens"))
+      sum(TextFunctions.tokenCount(col(textCol)).cast("long")).as("total_tokens"))
     val qterms = queryTerms(queries, queryIdCol, queryTextCol)
     val qtok = qterms.select("token").distinct()
     // prune the token stream to query-term rows BEFORE the tf aggregate
@@ -418,7 +418,7 @@ object Retrieval {
     require(k > 0, s"k must be positive, got $k")
     val corpusStats = docs.agg(
       count(lit(1)).as("n_docs"),
-      sum(size(tokens(col(textCol))).cast("long")).as("total_tokens"))
+      sum(TextFunctions.tokenCount(col(textCol)).cast("long")).as("total_tokens"))
     val qterms = queryTerms(queries, queryIdCol, queryTextCol)
     val qtok = qterms.select("token").distinct()
     val postQ = prunedPostings(docs, idCol, textCol, qtok).persist()

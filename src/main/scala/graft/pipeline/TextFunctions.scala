@@ -10,10 +10,24 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** Whitespace tokenizer over normalized text. */
-  def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
+  /** Whitespace tokenizer over normalized text. Byte-identical to
+    * `split(lower(trim(text)), "\\s+")` — the split is the codegen'd
+    * byte-scan [[org.apache.spark.sql.graft.WsSplit]] (equivalence
+    * pinned by TextKernelsSuite), which skips the per-row
+    * Pattern.compile + UTF-16 round trip of the regex form on every
+    * text gate's hot path.
+    */
+  def tokens(text: Column): Column =
+    org.apache.spark.sql.graft.GraftExpressions.wsSplit(lower(trim(text)))
 
-  def tokenCount(text: Column): Column = size(tokens(text))
+  /** `size(tokens(text))` without building the array: the byte-scan
+    * count kernel (see [[org.apache.spark.sql.graft.WsTokenCount]]).
+    * `lower()` is skipped because Unicode lowercasing never creates or
+    * destroys an ASCII whitespace char, so the segment count is
+    * invariant (pinned by TextKernelsSuite).
+    */
+  def tokenCount(text: Column): Column =
+    org.apache.spark.sql.graft.GraftExpressions.wsTokenCount(trim(text))
 
   def distinctTokenCount(text: Column): Column = size(array_distinct(tokens(text)))
 
@@ -601,7 +615,7 @@ object TextFunctions {
     val e4 = regexp_replace(e3, "&quot;", "\"")
     val e5 = regexp_replace(e4, "&#39;|&apos;", "'")
     val e6 = regexp_replace(e5, "&amp;", "&")
-    trim(regexp_replace(e6, "\\s+", " "))
+    trim(org.apache.spark.sql.graft.GraftExpressions.collapseWs(e6))
   }
 
   /** Block-level tag boundaries for [[blockFeatures]] — the tags that
@@ -637,8 +651,8 @@ object TextFunctions {
         val linkChars = aggregate(
           regexp_extract_all(b, lit(AnchorPattern), lit(1)),
           lit(0), (acc, a) => acc + length(a))
-        val txt = trim(regexp_replace(
-          regexp_replace(b, "<[^>]+>", " "), "\\s+", " "))
+        val txt = trim(org.apache.spark.sql.graft.GraftExpressions.collapseWs(
+          regexp_replace(b, "<[^>]+>", " ")))
         val toks = filter(split(lower(txt), " "), t => length(t) > 0)
         struct(
           i.cast("long").as("idx"),

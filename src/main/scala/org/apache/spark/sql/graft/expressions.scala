@@ -296,6 +296,193 @@ object LshHyperplaneBucket {
   }
 }
 
+/** Whitespace tokenizer: byte-identical to
+  * `split(str, "\\s+")` (Java `Pattern.split(s, -1)`), evaluated as a
+  * single byte scan over the UTF-8 payload. Java's `\s` is exactly the
+  * six ASCII chars [ \t\n\x0B\f\r]; all are single-byte in UTF-8 and a
+  * UTF-8 continuation byte is always >= 0x80, so byte positions ARE
+  * char positions for the separator and every emitted slice is valid
+  * UTF-8. The built-in `StringSplit` route pays, per row:
+  * `UTF8String.toString` (UTF-8 -> UTF-16 copy), `Pattern.compile`
+  * (String.split has no fast path for a 3-char regex), the regex
+  * engine, a `String[]`, and a UTF-16 -> UTF-8 re-encode per token.
+  * This expression pays one `getBytes` (usually a reference, a copy
+  * only for offset-backed buffers) and offset-sliced `fromBytes` views.
+  * Java split semantics preserved exactly: leading empty token when the
+  * input starts with whitespace, trailing empty token when it ends with
+  * whitespace (limit -1), `[""]` for the empty string, and `[input]`
+  * when no separator occurs (pinned byte-for-byte vs the regex form by
+  * TextKernelsSuite).
+  */
+case class WsSplit(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(org.apache.spark.sql.types.StringType)
+
+  // match StringSplit.dataType: ArrayType(str.dataType, containsNull = false)
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    WsSplit.compute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = org.apache.spark.sql.graft.WsSplit.compute($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): WsSplit =
+    copy(child = newChild)
+}
+
+object WsSplit {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  @inline private def isWs(b: Byte): Boolean =
+    b == 0x20 || (b >= 0x09 && b <= 0x0D)
+
+  def compute(s: UTF8String): ArrayData = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    var i = 0
+    while (i < n && !isWs(bytes(i))) i += 1
+    // no separator anywhere (covers the empty string): Java returns [input]
+    if (i == n) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array[Any](s))
+    val out = new java.util.ArrayList[AnyRef](8)
+    out.add(UTF8String.fromBytes(bytes, 0, i)) // may be the leading empty token
+    while (i < n) {
+      // i sits on a separator byte: skip the run, then take the next token
+      while (i < n && isWs(bytes(i))) i += 1
+      val start = i
+      while (i < n && !isWs(bytes(i))) i += 1
+      out.add(UTF8String.fromBytes(bytes, start, i - start))
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+}
+
+/** Whitespace token COUNT: integer-identical to
+  * `size(split(s, "\\s+"))` — i.e. `1 + (number of \s runs)` under Java
+  * split semantics (empty string → 1, no separator → 1) — without
+  * allocating the token array, as one byte scan. Callers that only need
+  * the count (corpus length stats, density signals) skip the array
+  * construction AND the `lower()` pass entirely: Unicode lowercasing
+  * never maps any codepoint to or from the six ASCII `\s` chars, so the
+  * segment count of `lower(x)` equals that of `x` (pinned, with the
+  * lower-invariance, by TextKernelsSuite). IntegerType to stay
+  * schema-identical with `size(...)`.
+  */
+case class WsTokenCount(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(org.apache.spark.sql.types.StringType)
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+
+  override def nullSafeEval(input: Any): Any =
+    WsTokenCount.compute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = org.apache.spark.sql.graft.WsTokenCount.compute($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): WsTokenCount =
+    copy(child = newChild)
+}
+
+object WsTokenCount {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  @inline private def isWs(b: Byte): Boolean =
+    b == 0x20 || (b >= 0x09 && b <= 0x0D)
+
+  def compute(s: UTF8String): Int = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    var count = 1
+    var i = 0
+    while (i < n) {
+      if (isWs(bytes(i))) {
+        count += 1
+        i += 1
+        while (i < n && isWs(bytes(i))) i += 1
+      } else i += 1
+    }
+    count
+  }
+}
+
+/** Whitespace collapse: byte-identical to
+  * `regexp_replace(str, "\\s+", " ")` (each run of the six ASCII `\s`
+  * chars replaced by one 0x20), as a single byte scan — no UTF-16 round
+  * trip, no regex engine, no StringBuffer. Returns the input string
+  * object unchanged when no run needs rewriting. Same UTF-8 safety
+  * argument as [[WsSplit]]; pinned byte-for-byte vs the regex form by
+  * TextKernelsSuite.
+  */
+case class CollapseWs(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(org.apache.spark.sql.types.StringType)
+
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+
+  override def nullSafeEval(input: Any): Any =
+    CollapseWs.compute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = org.apache.spark.sql.graft.CollapseWs.compute($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): CollapseWs =
+    copy(child = newChild)
+}
+
+object CollapseWs {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  @inline private def isWs(b: Byte): Boolean =
+    b == 0x20 || (b >= 0x09 && b <= 0x0D)
+
+  def compute(s: UTF8String): UTF8String = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    // change needed only where a run is longer than 1 or a non-space \s
+    // char occurs; otherwise return the input unchanged (same object)
+    var i = 0
+    var changed = false
+    while (i < n && !changed) {
+      val b = bytes(i)
+      if (b == 0x20) { if (i + 1 < n && isWs(bytes(i + 1))) changed = true }
+      else if (isWs(b)) changed = true
+      i += 1
+    }
+    if (!changed) return s
+    val out = new Array[Byte](n)
+    var o = 0
+    i = 0
+    while (i < n) {
+      val b = bytes(i)
+      if (isWs(b)) {
+        out(o) = 0x20
+        o += 1
+        i += 1
+        while (i < n && isWs(bytes(i))) i += 1
+      } else {
+        out(o) = b
+        o += 1
+        i += 1
+      }
+    }
+    UTF8String.fromBytes(out, 0, o)
+  }
+}
+
 /** Non-deterministic identity: evaluates to its child unchanged (both
   * interpreted and codegen paths delegate straight to the child, so the
   * hot path stays inside whole-stage codegen), but `deterministic =
@@ -362,6 +549,20 @@ object GraftExpressions {
   /** FNV-1a fingerprint of normalized text (codegen'd). */
   def fnv1aFingerprint(text: Column): Column =
     ExpressionUtils.column(Fnv1aFingerprint(ExpressionUtils.expression(text)))
+
+  /** `split(s, "\\s+")` as a codegen'd byte scan (see [[WsSplit]]). */
+  def wsSplit(text: Column): Column =
+    ExpressionUtils.column(WsSplit(ExpressionUtils.expression(text)))
+
+  /** `regexp_replace(s, "\\s+", " ")` as a codegen'd byte scan (see
+    * [[CollapseWs]]).
+    */
+  def collapseWs(text: Column): Column =
+    ExpressionUtils.column(CollapseWs(ExpressionUtils.expression(text)))
+
+  /** `size(split(s, "\\s+"))` without the array (see [[WsTokenCount]]). */
+  def wsTokenCount(text: Column): Column =
+    ExpressionUtils.column(WsTokenCount(ExpressionUtils.expression(text)))
 
   /** 32-bit codepoint FNV-1a token hash (codegen'd, SQL-re-derivable). */
   def codePointFnv32(token: Column): Column =
