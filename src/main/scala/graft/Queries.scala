@@ -3449,10 +3449,7 @@ object Queries {
     * suites (ReferenceDataSuite / GBMSuite / StackingBoostingSuite).
     */
   def baggingRegressionDt(spark: SparkSession, sfDir: String): DataFrame = {
-    // spreadInput: see gbmRegressionDt; the bootstrap draws are
-    // partition-seeded, so the 5 trees differ from the unspread run —
-    // bench-only row, output re-checked in OPTIMIZATION_r16.md
-    val df = regressionInstances(spark, sfDir, spreadInput = true)
+    val df = regressionInstances(spark, sfDir)
     val model = new BaggingRegressor()
       .setBaseLearner(new DecisionTreeRegressor().setMaxDepth(5).setSeed(42))
       .setNumBaseLearners(5)
@@ -3468,8 +3465,7 @@ object Queries {
   }
 
   def baggingClassificationDt(spark: SparkSession, sfDir: String): DataFrame = {
-    // spreadInput: see baggingRegressionDt
-    val df = classificationInstances(spark, sfDir, spreadInput = true)
+    val df = classificationInstances(spark, sfDir)
     val model = new BaggingClassifier()
       .setBaseLearner(new DecisionTreeClassifier().setMaxDepth(5).setSeed(42))
       .setNumBaseLearners(5)
@@ -3516,8 +3512,7 @@ object Queries {
   }
 
   def boostingRegressionDt(spark: SparkSession, sfDir: String): DataFrame = {
-    // spreadInput: see gbmRegressionDt
-    val df = regressionInstances(spark, sfDir, spreadInput = true)
+    val df = regressionInstances(spark, sfDir)
     val model = new BoostingRegressor()
       .setBaseLearner(new DecisionTreeRegressor().setMaxDepth(5).setSeed(42))
       .setNumBaseLearners(3)
@@ -3531,8 +3526,7 @@ object Queries {
   }
 
   def boostingClassificationDt(spark: SparkSession, sfDir: String): DataFrame = {
-    // spreadInput: see gbmRegressionDt
-    val df = classificationInstances(spark, sfDir, spreadInput = true)
+    val df = classificationInstances(spark, sfDir)
     val model = new BoostingClassifier()
       .setBaseLearner(new DecisionTreeClassifier().setMaxDepth(5).setSeed(42))
       .setNumBaseLearners(3)
@@ -3544,13 +3538,20 @@ object Queries {
       .orderBy("prediction")
   }
 
+  // The *_dt fit inputs are deliberately NOT spread (r16, measured): an
+  // interleaved spread-vs-unspread A/B (3 rounds, matched calib, flat
+  // controls) showed the round-robin repartition makes every tree-fit
+  // row SLOWER — median ratios ml_gbm_regressor_dt 1.38x,
+  // ml_boosting_classifier_dt up to 3.5x (JIT-churn mode amplified),
+  // ml_gbm_classifier_dt 1.20x, ml_bagging_regressor_dt 1.20x — because
+  // the iterative fits run ~40 small barrier jobs whose 32-task
+  // scheduling floors and per-pass treeAggregate stages outweigh the
+  // extra cores at 600k rows (the r8 gbm_multiclass lesson, reconfirmed
+  // for the native-DT loops; OPTIMIZATION_r16.md has the full table).
+  // stackingClassificationDt stays spread: its LR/stacker fits are
+  // few-job compute-bound passes, the opposite profile.
   def gbmRegressionDt(spark: SparkSession, sfDir: String): DataFrame = {
-    // spreadInput: the native-DT fit converts to RDDs immediately, so the
-    // one-split fixture scan would otherwise pin binning, every
-    // per-level findBestSplits aggregation, and the line-search passes
-    // to a single core of local[32] (bench-only row; guide SS2.5 input
-    // skew — same rationale as stackingClassificationDt)
-    val df = regressionInstances(spark, sfDir, spreadInput = true)
+    val df = regressionInstances(spark, sfDir)
     val model = new GBMRegressor()
       .setBaseLearner(new DecisionTreeRegressor().setMaxDepth(5).setSeed(42))
       .setMaxIter(5)
@@ -3566,8 +3567,7 @@ object Queries {
   }
 
   def gbmClassificationDt(spark: SparkSession, sfDir: String): DataFrame = {
-    // spreadInput: see gbmRegressionDt
-    val df = classificationInstances(spark, sfDir, spreadInput = true)
+    val df = classificationInstances(spark, sfDir)
     val model = new GBMClassifier()
       .setBaseLearner(new DecisionTreeRegressor().setMaxDepth(5).setSeed(42))
       .setMaxIter(3)
@@ -3582,9 +3582,7 @@ object Queries {
   }
 
   def gbmMulticlassDt(spark: SparkSession, sfDir: String): DataFrame = {
-    // spreadInput: see gbmRegressionDt (K=3 concurrent per-class tree
-    // inductions share the same one-split RDD without it)
-    val df = multiclassInstances(spark, sfDir, spreadInput = true)
+    val df = multiclassInstances(spark, sfDir)
     val model = new GBMClassifier()
       .setBaseLearner(new DecisionTreeRegressor().setMaxDepth(4).setSeed(42))
       .setMaxIter(2)
@@ -3603,8 +3601,7 @@ object Queries {
     * (bin once, per-round leaf-probability reweighting).
     */
   def boostingClassificationRealDt(spark: SparkSession, sfDir: String): DataFrame = {
-    // spreadInput: see gbmRegressionDt
-    val df = classificationInstances(spark, sfDir, spreadInput = true)
+    val df = classificationInstances(spark, sfDir)
     val model = new BoostingClassifier()
       .setBaseLearner(new DecisionTreeClassifier().setMaxDepth(5).setSeed(42))
       .setNumBaseLearners(3)
