@@ -804,8 +804,16 @@ object Queries {
         array_join(slice(TF.tokens(col("text")), 1, 5), " ").as("qtext"))
     val day0 = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
     val day1 = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
-    val post = Retrieval.extendPostings(
-      Retrieval.postings(day0, "doc_id", "text"), day1, "doc_id", "text")
+    // build the day-0 artifact ONCE (r16): extendPostings' append-only
+    // clash check eagerly scans the old index's doc ids, and scoring then
+    // consumes the union — unpersisted, the day-0 posting aggregate
+    // (tokenize + groupBy over half the corpus) runs TWICE inside one
+    // gate. A real nightly run reads the artifact from parquet; the
+    // persist is the gate-scale stand-in for that materialized artifact
+    // (intra-query, cleared by the bench/verify cache discipline — the
+    // p_rank_metrics precedent).
+    val post0 = Retrieval.postings(day0, "doc_id", "text").persist()
+    val post = Retrieval.extendPostings(post0, day1, "doc_id", "text")
     val (n, tot) = Retrieval.extendIndexStats(
       Retrieval.indexStats(day0, "text"), day1, "text")
     Retrieval.bm25FromPostings(post, n, tot, queries, "query_id", "qtext", 10)

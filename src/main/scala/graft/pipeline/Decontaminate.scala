@@ -288,14 +288,24 @@ object Decontaminate {
       .select(col("id"), col("eval_id"))
       .distinct()
     cands.persist()
-    val cSh = docs.select(col(idCol).as("id"),
+    // candidate-bounded corpus side (r16): only corpus docs banding
+    // actually proposed are re-tokenized for verification — the semi-join
+    // prunes the corpus scan to the candidate neighborhoods, and the
+    // per-doc shingle counts (`nc`) fall out of the same pruned index
+    // (shingle_hashes emits DISTINCT keys, so the group count equals the
+    // array size) instead of a second corpus-wide tokenize pass. Docs
+    // without candidates can't reach `inter`/`verified` (inner joins), so
+    // pruning them here changes nothing downstream.
+    val candDocs = docs.join(
+      cands.select(col("id").as(idCol)).distinct(), Seq(idCol), "left_semi")
+    val cSh = candDocs.select(col(idCol).as("id"),
       explode(shingle_hashes(tokens(col(textCol)), shingleSize)).as("s"))
+    cSh.persist()
     val eSh = evalDocs.select(col(evalIdCol).as("eval_id"),
       explode(shingle_hashes(tokens(col(evalTextCol)), shingleSize)).as("s"))
     eSh.persist()
     val eSizes = eSh.groupBy("eval_id").agg(count(lit(1)).as("ne"))
-    val cSizes = docs.select(col(idCol).as("id"),
-      size(shingle_hashes(tokens(col(textCol)), shingleSize)).as("nc"))
+    val cSizes = cSh.groupBy("id").agg(count(lit(1)).as("nc"))
     val inter = cands
       .join(cSh, Seq("id"))
       .join(broadcast(eSh), Seq("eval_id", "s"))
@@ -322,9 +332,11 @@ object Decontaminate {
     catch { case e: Throwable =>
       out.unpersist(blocking = false)
       cands.unpersist(blocking = false); eSh.unpersist(blocking = false)
+      cSh.unpersist(blocking = false)
       throw e
     }
     cands.unpersist(blocking = false); eSh.unpersist(blocking = false)
+    cSh.unpersist(blocking = false)
     out
   }
 

@@ -501,11 +501,21 @@ object Dedup {
       df: DataFrame,
       idCol: String,
       textCol: String,
-      pairs: DataFrame, // (doc_a, doc_b)
+      pairs: DataFrame, // (doc_a, doc_b) — persisted by every caller
       shingleSize: Int,
       threshold: Double): DataFrame = {
     import org.apache.spark.sql.graft.ShingleHashesFn.shingle_hashes
-    val sh = df.select(
+    // candidate-bounded index (r16): only docs that appear in a candidate
+    // pair are re-tokenized and shingled — the semi-join keeps the
+    // verification cost proportional to the candidate count (the contract
+    // stated above), where the previous corpus-wide index build was
+    // corpus-linear no matter how few candidates banding proposed. At
+    // 100 TB this is the difference between re-shingling the corpus and
+    // touching only the near-dup neighborhoods.
+    val candIds = pairs
+      .select(explode(array(col("doc_a"), col("doc_b"))).as(idCol))
+      .distinct()
+    val sh = df.join(candIds, Seq(idCol), "left_semi").select(
       col(idCol).as("id"),
       explode(shingle_hashes(tokens(col(textCol)), shingleSize)).as("s"))
     sh.persist()
